@@ -1,0 +1,10 @@
+from .bm25 import bm25_idf, bm25_score, bm25_term_weight  # noqa: F401
+from .codecs import (  # noqa: F401
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+from .tokenizer import tokenize_column, tokenize_texts  # noqa: F401

@@ -1,0 +1,84 @@
+"""Posting-list codecs: delta-gap + LEB128 varint, numpy-vectorized.
+
+The Spark analog of Lucene's postings encoding (delta-compressed doc id
+gaps + term frequencies per block).  These run inside Arrow pandas UDFs
+during segment build/merge and inside the WAND scorer — no per-row
+Python anywhere (BASELINE.json ``input_hint``; SURVEY.md §2.6 L2).
+
+Format: unsigned LEB128 (7 data bits/byte, high bit = continuation).
+Docids are encoded as gaps relative to ``base`` (the block's first docid
+is stored in columnar block metadata, so gap[0] = docid[0] - base).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64_1 = np.uint64(1)
+_U64_7 = np.uint64(7)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64 array → LEB128 bytes (vectorized: one pass per byte slot)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbits = np.floor(np.log2(v.astype(np.float64) + (v == 0))).astype(np.int64) + 1
+    nbits[v == 0] = 1
+    # float log2 can under-round near powers of two for big ints; fix up
+    big = v >= (_U64_1 << np.minimum(nbits.astype(np.uint64), np.uint64(63)))
+    nbits[big] += 1
+    widths = (nbits + 6) // 7
+    offsets = np.concatenate(([0], np.cumsum(widths)[:-1]))
+    out = np.zeros(int(widths.sum()), dtype=np.uint8)
+    for j in range(int(widths.max())):
+        mask = widths > j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = np.where(widths[mask] - 1 > j, 0x80, 0).astype(np.uint8)
+        out[offsets[mask] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(data: bytes) -> np.ndarray:
+    """LEB128 bytes → uint64 array (vectorized via reduceat)."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    starts = np.concatenate(([0], np.flatnonzero(is_end)[:-1] + 1))
+    pos_in_val = np.arange(b.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.concatenate((starts, [b.size]))))
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos_in_val.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_vals: np.ndarray, base: int = 0) -> np.ndarray:
+    """Strictly-increasing uint64 values → gaps relative to ``base``."""
+    v = np.asarray(sorted_vals, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    with np.errstate(over="ignore"):
+        return np.diff(v, prepend=np.uint64(base))
+
+
+def delta_decode(gaps: np.ndarray, base: int = 0) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.uint64)
+    if g.size == 0:
+        return g
+    with np.errstate(over="ignore"):
+        return np.cumsum(g) + np.uint64(base)
+
+
+def encode_postings(docids: np.ndarray, tfs: np.ndarray, base: int = 0) -> tuple[bytes, bytes]:
+    """(sorted docids, tfs) → (gap varint bytes, tf varint bytes)."""
+    return (
+        varint_encode(delta_encode(docids, base)),
+        varint_encode(np.asarray(tfs, dtype=np.uint64)),
+    )
+
+
+def decode_postings(gaps: bytes, tfs: bytes, base: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_postings` → (docids int64, tfs int64)."""
+    docids = delta_decode(varint_decode(gaps), base).astype(np.int64)
+    return docids, varint_decode(tfs).astype(np.int64)

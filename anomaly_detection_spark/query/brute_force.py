@@ -1,0 +1,112 @@
+"""Brute-force (index-free) BM25 top-k over a document DataFrame.
+
+This is the rank-truth every indexed path must match (SURVEY.md §7
+step 3): tokenize → explode → per-(doc,term) tf → join per-term idf →
+sum contributions → global top-k.  All scoring arithmetic is JVM-side
+(whole-stage codegen); Python appears only in the Arrow tokenizer.
+
+Semantics match OpenSearch ``match`` inside a ``bool`` with filters
+(reference: ``SearchFeatureDao.java:295-302``, ``ParseUtils.java:321``):
+filters restrict candidate docs but never change corpus statistics
+(N, avgdl, df are index-wide, like Lucene); multi-term match = SHOULD,
+scores summed; ties break (score desc, docid asc).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import B_DEFAULT, K1_DEFAULT
+from ..functions.tokenizer import tokenize_column, tokenize_query
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    n_docs: int
+    avgdl: float
+
+
+def analyze_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``tokens`` (analyzed text) and ``doc_len`` columns."""
+    return docs.withColumn("tokens", tokenize_column(text_col)).withColumn(
+        "doc_len", F.size("tokens")
+    )
+
+
+def corpus_stats(analyzed: DataFrame) -> CorpusStats:
+    row = analyzed.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    return CorpusStats(n_docs=row["n"], avgdl=float(row["avgdl"] or 0.0))
+
+
+def term_doc_freqs(analyzed: DataFrame, terms: list[str]) -> DataFrame:
+    """Corpus-wide df per query term: (term, df).  Distinct terms per doc
+    first so a term repeated in one doc counts once."""
+    return (
+        analyzed.select(F.explode(F.array_distinct("tokens")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def _idf_expr(n_docs: int) -> Column:
+    return F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+
+
+def bm25_topk_bruteforce(
+    analyzed: DataFrame,
+    query_text: str,
+    k: int = 10,
+    filter_cond: Column | None = None,
+    stats: CorpusStats | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    id_col: str = "docid",
+) -> DataFrame:
+    """Top-k (docid, score) for an analyzed ``match`` query.
+
+    ``analyzed`` must carry ``tokens``, ``doc_len`` and ``id_col``.
+    Returns columns (docid, score) ordered by (score desc, docid asc).
+    """
+    terms = tokenize_query(query_text)
+    if not terms:
+        return analyzed.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
+    stats = stats or corpus_stats(analyzed)
+
+    # per-term idf — tiny, broadcast
+    idf = F.broadcast(
+        term_doc_freqs(analyzed, terms).withColumn("idf", _idf_expr(stats.n_docs))
+    )
+
+    cand = analyzed
+    if filter_cond is not None:
+        cand = cand.filter(filter_cond)
+
+    tf = (
+        cand.select(id_col, "doc_len", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "doc_len", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    contrib = tf.join(idf, "term").withColumn(
+        "w",
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(max(stats.avgdl, 1e-12)))
+        ),
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.sum("w").alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
