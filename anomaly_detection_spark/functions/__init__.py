@@ -6,5 +6,6 @@ from .codecs import (  # noqa: F401
     encode_postings,
     varint_decode,
     varint_encode,
+    varint_encode_with_widths,
 )
 from .tokenizer import tokenize_column, tokenize_texts  # noqa: F401

@@ -18,11 +18,13 @@ _U64_1 = np.uint64(1)
 _U64_7 = np.uint64(7)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """uint64 array → LEB128 bytes (vectorized: one pass per byte slot)."""
+def varint_encode_with_widths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Like :func:`varint_encode` but also returns per-value byte widths
+    (so callers can slice the stream at value boundaries, e.g. to cut
+    posting blocks out of one encoded run)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nbits = np.floor(np.log2(v.astype(np.float64) + (v == 0))).astype(np.int64) + 1
     nbits[v == 0] = 1
     # float log2 can under-round near powers of two for big ints; fix up
@@ -36,7 +38,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = np.where(widths[mask] - 1 > j, 0x80, 0).astype(np.uint8)
         out[offsets[mask] + j] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), widths
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64 array → LEB128 bytes (vectorized: one pass per byte slot)."""
+    return varint_encode_with_widths(values)[0]
 
 
 def varint_decode(data: bytes) -> np.ndarray:

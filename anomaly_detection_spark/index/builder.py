@@ -1,0 +1,254 @@
+"""Segment build: transcripts → per-segment posting blocks + doc stats.
+
+Spark analog of Lucene's per-segment inverted-index construction
+(SURVEY.md §2.6 L2).  A *segment* is a contiguous docid range
+(``seg_id = docid // seg_size``), so any term's postings are naturally
+sharded across segments — this docid-range sharding IS the explicit
+hot-term skew handling (SURVEY.md §7 R3): even ``role:user``-grade
+terms (df ≈ N) produce at most ``seg_size`` postings per task.
+
+Resumability (north_rule): segments are built in batches; each batch
+is one Spark job writing ``postings/batch=K`` + ``manifest/batch=K``
+followed by an atomic checkpoint marker.  Restart skips completed
+batches — granularity modeled on the reference's 10k-interval task
+pieces (``ADBatchTaskRunner.java:1017-1093``).
+
+Hot path is numpy end-to-end inside ``applyInPandas``: explode via
+``Series.explode``, tf via C groupby, block cutting + delta/varint
+encode via ``reduceat``-style vectorization (no per-posting Python).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.codecs import varint_encode_with_widths
+from ..query.brute_force import analyze_docs
+from .storage import (
+    IndexMeta,
+    IndexPaths,
+    is_done,
+    log_metric,
+    mark_done,
+    write_meta,
+)
+
+POSTING_SCHEMA = (
+    "term string, seg_id int, block_id int, first_docid long, last_docid long, "
+    "n int, gaps binary, tfs binary, max_tf int, sum_tf long"
+)
+
+
+_EMPTY_BLOCKS = pd.DataFrame(
+    columns=["term", "seg_id", "block_id", "first_docid", "last_docid",
+             "n", "gaps", "tfs", "max_tf", "sum_tf"])
+
+
+def encode_segment_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """One segment's (seg_id, docid, tokens) rows → posting-block rows.
+
+    Fully vectorized: one lexicographic groupby for tf, run/block
+    boundary detection with numpy, a single varint encode per stream
+    sliced at block boundaries.
+    """
+    seg_id = int(pdf["seg_id"].iloc[0])
+    toks = pdf["tokens"]
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        return _EMPTY_BLOCKS
+    docids_rep = np.repeat(pdf["docid"].to_numpy(dtype=np.int64), lens)
+    exploded = toks.explode()
+    terms_rep = exploded[exploded.notna()].to_numpy(dtype=object)
+
+    g = (
+        pd.DataFrame({"term": terms_rep, "docid": docids_rep})
+        .groupby(["term", "docid"], sort=True)
+        .size()
+    )
+    terms_u = g.index.get_level_values(0).to_numpy(dtype=object)
+    docs_u = g.index.get_level_values(1).to_numpy(dtype=np.int64)
+    tfs_u = g.to_numpy(dtype=np.int64)
+    return blocks_from_sorted(terms_u, docs_u, tfs_u, seg_id, block_size)
+
+
+def blocks_from_sorted(
+    terms_u: np.ndarray,
+    docs_u: np.ndarray,
+    tfs_u: np.ndarray,
+    seg_id: int,
+    block_size: int,
+) -> pd.DataFrame:
+    """(term, docid, tf) rows already sorted by (term, docid) → posting
+    block rows.  Shared by the segment builder and the segment merger."""
+    m = len(terms_u)
+    if m == 0:
+        return _EMPTY_BLOCKS
+
+    change = np.empty(m, dtype=bool)
+    change[0] = True
+    change[1:] = terms_u[1:] != terms_u[:-1]
+    run_id = np.cumsum(change) - 1
+    run_start = np.flatnonzero(change)
+    pos_in_run = np.arange(m, dtype=np.int64) - run_start[run_id]
+    blk_first = change | (pos_in_run % block_size == 0)
+    blk_start = np.flatnonzero(blk_first)
+    n_blocks = len(blk_start)
+    blk_end = np.append(blk_start[1:], m)
+
+    counts = (blk_end - blk_start).astype(np.int32)
+    first = docs_u[blk_start]
+    last = docs_u[blk_end - 1]
+    max_tf = np.maximum.reduceat(tfs_u, blk_start).astype(np.int32)
+    sum_tf = np.add.reduceat(tfs_u, blk_start)
+    blk_terms = terms_u[blk_start]
+    blk_idx = (pos_in_run[blk_start] // block_size).astype(np.int32)
+
+    # gaps relative to each block's first docid (gap at block start = 0)
+    gaps = np.diff(docs_u, prepend=np.int64(0)).astype(np.uint64)
+    gaps[blk_start] = 0
+    gap_bytes, gap_w = varint_encode_with_widths(gaps)
+    tf_bytes, tf_w = varint_encode_with_widths(tfs_u.astype(np.uint64))
+    gap_off = np.concatenate(([0], np.cumsum(gap_w)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_w)))
+
+    gaps_col, tfs_col = [], []
+    for i in range(n_blocks):
+        s, e = blk_start[i], blk_end[i]
+        gaps_col.append(gap_bytes[gap_off[s]:gap_off[e]])
+        tfs_col.append(tf_bytes[tf_off[s]:tf_off[e]])
+
+    return pd.DataFrame({
+        "term": blk_terms,
+        "seg_id": np.full(n_blocks, seg_id, dtype=np.int32),
+        "block_id": blk_idx,
+        "first_docid": first,
+        "last_docid": last,
+        "n": counts,
+        "gaps": gaps_col,
+        "tfs": tfs_col,
+        "max_tf": max_tf,
+        "sum_tf": sum_tf,
+    })
+
+
+def _postings_for_range(
+    docs: DataFrame, lo: int, hi: int, seg_size: int, block_size: int,
+    text_col: str,
+) -> DataFrame:
+    """Posting blocks for docids in [lo, hi) — one Spark job per batch."""
+    sub = docs.filter((F.col("docid") >= lo) & (F.col("docid") < hi))
+    analyzed = analyze_docs(sub, text_col=text_col).withColumn(
+        "seg_id", (F.col("docid") / seg_size).cast("int")
+    )
+    bs = block_size
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_segment_pdf(pdf, bs)
+
+    return (
+        analyzed.select("seg_id", "docid", "tokens")
+        .groupBy("seg_id")
+        .applyInPandas(_encode, schema=POSTING_SCHEMA)
+    )
+
+
+def build_index(
+    docs: DataFrame,
+    index_dir: str,
+    seg_size: int = 1 << 16,
+    block_size: int = 1 << 12,
+    segments_per_batch: int = 32,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("conv_id", "turn_idx", "role", "tool", "ts"),
+    resume: bool = True,
+) -> IndexPaths:
+    """Build the full index under ``index_dir``; resume from checkpoints.
+
+    ``docs`` must carry a stable dense ``docid`` (see
+    :func:`anomaly_detection_spark.data.assign_docids`).
+    """
+    paths = IndexPaths(index_dir)
+    keep_cols = tuple(c for c in keep_cols if c in docs.columns)
+    spark = docs.sparkSession
+
+    # --- plan: corpus extent ------------------------------------------------
+    n_docs = docs.agg(F.max("docid")).collect()[0][0]
+    n_docs = int(n_docs) + 1 if n_docs is not None else 0
+    n_segs = max(1, math.ceil(n_docs / seg_size))
+    n_batches = max(1, math.ceil(n_segs / segments_per_batch))
+    if not (resume and is_done(paths, "finalize")):
+        # draft meta only — never clobber a finalized one on resume
+        write_meta(paths, IndexMeta(n_docs=n_docs, avgdl=0.0, seg_size=seg_size,
+                                    block_size=block_size))
+
+    # --- per-batch: doc_stats + postings + manifest -------------------------
+    for k in range(n_batches):
+        if resume and is_done(paths, "batch", k):
+            continue
+        t0 = time.time()
+        lo = k * segments_per_batch * seg_size
+        hi = min(n_docs, (k + 1) * segments_per_batch * seg_size)
+
+        sub = docs.filter((F.col("docid") >= lo) & (F.col("docid") < hi))
+        dstats = analyze_docs(sub, text_col=text_col).select(
+            "docid", "doc_len", *keep_cols
+        )
+        (dstats.repartitionByRange(max(2, segments_per_batch), "docid")
+         .sortWithinPartitions("docid")
+         .write.mode("overwrite").parquet(f"{paths.doc_stats}/batch={k}"))
+
+        posts = _postings_for_range(docs, lo, hi, seg_size, block_size, text_col)
+        (posts.repartitionByRange(max(2, segments_per_batch), "term", "seg_id")
+         .sortWithinPartitions("term", "seg_id", "block_id")
+         .write.mode("overwrite").parquet(f"{paths.postings}/batch={k}"))
+
+        # lineage from what actually landed on disk
+        written = spark.read.parquet(f"{paths.postings}/batch={k}")
+        man = written.groupBy("seg_id").agg(
+            F.min("term").alias("term_min"), F.max("term").alias("term_max"),
+            F.countDistinct("term").alias("n_terms"),
+            F.count("*").alias("n_blocks"), F.sum("n").alias("n_postings"),
+            (F.sum(F.length("gaps")) + F.sum(F.length("tfs"))).alias("bytes"),
+            F.min("first_docid").alias("docid_min"),
+            F.max("last_docid").alias("docid_max"),
+        ).withColumn("batch", F.lit(k))
+        man.coalesce(1).write.mode("overwrite").parquet(f"{paths.manifest}/batch={k}")
+
+        wall = time.time() - t0
+        n_rows = hi - lo
+        mark_done(paths, "batch", k, docid_lo=lo, docid_hi=hi, wall_s=wall)
+        log_metric(paths, "segment_build", batch=k, docid_lo=lo, docid_hi=hi,
+                   turns=n_rows, wall_s=wall,
+                   turns_per_sec=n_rows / max(wall, 1e-9))
+
+    # --- term_stats (global df/cf per term) ---------------------------------
+    if not (resume and is_done(paths, "term_stats")):
+        t0 = time.time()
+        posts = spark.read.parquet(paths.postings)
+        (posts.groupBy("term")
+         .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+         .repartitionByRange(8, "term").sortWithinPartitions("term")
+         .write.mode("overwrite").parquet(paths.term_stats))
+        mark_done(paths, "term_stats")
+        log_metric(paths, "term_stats", wall_s=time.time() - t0)
+
+    # --- finalize meta (N, avgdl from doc_stats) -----------------------------
+    if not (resume and is_done(paths, "finalize")):
+        t0 = time.time()
+        row = spark.read.parquet(paths.doc_stats).agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        write_meta(paths, IndexMeta(
+            n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0),
+            seg_size=seg_size, block_size=block_size))
+        mark_done(paths, "finalize")
+        log_metric(paths, "finalize", n_docs=int(row["n"]),
+                   avgdl=float(row["avgdl"] or 0.0), wall_s=time.time() - t0)
+
+    return paths

@@ -1,0 +1,136 @@
+"""Segment merge/compaction (SURVEY.md §2.6 L3) — the Spark analog of
+Lucene background merges.
+
+``factor`` consecutive source segments collapse into one target segment
+(docid ranges nest because ``seg_id = docid // seg_size``), so a merge
+group's postings are a simple ordered concatenation — the k-way merge
+degenerates to decode → concat → re-encode at full block size.
+
+Skew: merge groups are keyed by the *target segment* (a bounded docid
+range), so even a term with df ≈ N contributes at most
+``factor × seg_size`` postings per task — hot terms are split across
+target segments by construction instead of landing on one reducer
+(the skew the reference documents at ``SearchFeatureDao.java:307-331``).
+
+Resumable: target segments are processed in batches, each batch one
+Spark job + an atomic checkpoint marker in the destination index;
+restart skips completed batches (north_rule).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codecs import varint_decode
+from .builder import blocks_from_sorted
+from .storage import (
+    IndexMeta,
+    IndexPaths,
+    is_done,
+    log_metric,
+    mark_done,
+    read_meta,
+    write_meta,
+)
+
+
+def _merge_new_seg(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """All posting blocks of one target segment → re-encoded blocks."""
+    pdf = pdf.sort_values(["term", "seg_id", "block_id"], kind="mergesort")
+    new_seg = int(pdf["new_seg"].iloc[0])
+    firsts = pdf["first_docid"].to_numpy(dtype=np.int64)
+    ns = pdf["n"].to_numpy(dtype=np.int64)
+    gaps_col = pdf["gaps"].to_numpy(dtype=object)
+    tfs_col = pdf["tfs"].to_numpy(dtype=object)
+
+    doc_parts, tf_parts = [], []
+    for i in range(len(pdf)):
+        doc_parts.append(np.cumsum(varint_decode(gaps_col[i])).astype(np.int64)
+                         + firsts[i])
+        tf_parts.append(varint_decode(tfs_col[i]).astype(np.int64))
+    docs_u = np.concatenate(doc_parts)
+    tfs_u = np.concatenate(tf_parts)
+    terms_u = np.repeat(pdf["term"].to_numpy(dtype=object), ns)
+    return blocks_from_sorted(terms_u, docs_u, tfs_u, new_seg, block_size)
+
+
+def merge_segments(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    factor: int = 4,
+    segments_per_batch: int = 16,
+    resume: bool = True,
+) -> IndexPaths:
+    """Compact ``src_dir``'s segments by ``factor`` into ``dst_dir``.
+
+    doc_stats / term_stats are segment-layout-independent and are
+    carried over; postings are re-encoded per target segment.
+    """
+    src_meta = read_meta(src_dir)
+    src, dst = IndexPaths(src_dir), IndexPaths(dst_dir)
+    new_seg_size = src_meta.seg_size * factor
+    block_size = src_meta.block_size
+
+    n_new_segs = max(1, math.ceil(src_meta.n_docs / new_seg_size))
+    n_batches = max(1, math.ceil(n_new_segs / segments_per_batch))
+    write_meta(dst, IndexMeta(
+        n_docs=src_meta.n_docs, avgdl=src_meta.avgdl,
+        seg_size=new_seg_size, block_size=block_size))
+
+    posts = spark.read.parquet(src.postings).withColumn(
+        "new_seg", (F.col("seg_id") / factor).cast("int"))
+
+    for k in range(n_batches):
+        if resume and is_done(dst, "merge_batch", k):
+            continue
+        t0 = time.time()
+        lo, hi = k * segments_per_batch, (k + 1) * segments_per_batch
+        sub = posts.filter((F.col("new_seg") >= lo) & (F.col("new_seg") < hi))
+
+        def _m(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _merge_new_seg(pdf, block_size)
+
+        merged = sub.groupBy("new_seg").applyInPandas(
+            _m,
+            schema=("term string, seg_id int, block_id int, first_docid long, "
+                    "last_docid long, n int, gaps binary, tfs binary, "
+                    "max_tf int, sum_tf long"),
+        )
+        (merged.repartitionByRange(max(2, segments_per_batch), "term", "seg_id")
+         .sortWithinPartitions("term", "seg_id", "block_id")
+         .write.mode("overwrite").parquet(f"{dst.postings}/batch={k}"))
+
+        written = spark.read.parquet(f"{dst.postings}/batch={k}")
+        man = written.groupBy("seg_id").agg(
+            F.min("term").alias("term_min"), F.max("term").alias("term_max"),
+            F.countDistinct("term").alias("n_terms"),
+            F.count("*").alias("n_blocks"), F.sum("n").alias("n_postings"),
+            (F.sum(F.length("gaps")) + F.sum(F.length("tfs"))).alias("bytes"),
+            F.min("first_docid").alias("docid_min"),
+            F.max("last_docid").alias("docid_max"),
+        ).withColumn("batch", F.lit(k))
+        man.coalesce(1).write.mode("overwrite").parquet(f"{dst.manifest}/batch={k}")
+        mark_done(dst, "merge_batch", k, wall_s=time.time() - t0)
+        log_metric(dst, "merge", batch=k, wall_s=time.time() - t0)
+
+    for stage, src_path, dst_path, parts in (
+        ("copy_doc_stats", src.doc_stats, dst.doc_stats, 8),
+        ("copy_term_stats", src.term_stats, dst.term_stats, 4),
+    ):
+        if resume and is_done(dst, stage):
+            continue
+        t0 = time.time()
+        df = spark.read.parquet(src_path)
+        order = "docid" if stage == "copy_doc_stats" else "term"
+        (df.repartitionByRange(parts, order).sortWithinPartitions(order)
+         .write.mode("overwrite").parquet(dst_path))
+        mark_done(dst, stage)
+        log_metric(dst, stage, wall_s=time.time() - t0)
+    return dst

@@ -1,0 +1,101 @@
+"""Index layout, metadata, checkpoint markers and per-stage metrics.
+
+Layout under ``index_dir`` (the Spark analog of a Lucene index
+directory; lineage/checkpoint design modeled on the reference's task
+piece checkpoints — ``ADBatchTaskRunner.java:1017-1093`` — and its
+checkpoint index ``anomaly-checkpoint.json``):
+
+    _meta.json                   corpus stats + codec/analyzer config
+    doc_stats/                   parquet: docid, doc_len, identity + filter cols
+    postings/batch=K/            parquet: per-segment posting blocks
+    term_stats/                  parquet: term, df, cf
+    manifest/batch=K/            parquet: per-segment lineage rows
+    _ckpt/<stage>__<batch>.json  completion markers (resume skips these)
+    metrics.jsonl                per-stage wall/row metrics (append)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+
+@dataclass
+class IndexMeta:
+    n_docs: int
+    avgdl: float
+    seg_size: int
+    block_size: int
+    k1: float = 1.2
+    b: float = 0.75
+    analyzer: str = "lowercase+unicode-word-break"
+    codec: str = "delta-gap+leb128"
+    version: int = 1
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def meta(self) -> str:
+        return os.path.join(self.root, "_meta.json")
+
+    @property
+    def doc_stats(self) -> str:
+        return os.path.join(self.root, "doc_stats")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def term_stats(self) -> str:
+        return os.path.join(self.root, "term_stats")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+    @property
+    def ckpt_dir(self) -> str:
+        return os.path.join(self.root, "_ckpt")
+
+    @property
+    def metrics(self) -> str:
+        return os.path.join(self.root, "metrics.jsonl")
+
+    def ckpt(self, stage: str, batch: int | str = "all") -> str:
+        return os.path.join(self.ckpt_dir, f"{stage}__{batch}.json")
+
+
+def write_meta(paths: IndexPaths, meta: IndexMeta) -> None:
+    os.makedirs(paths.root, exist_ok=True)
+    with open(paths.meta, "w") as f:
+        json.dump(asdict(meta), f, indent=1)
+
+
+def read_meta(index_dir: str) -> IndexMeta:
+    with open(IndexPaths(index_dir).meta) as f:
+        return IndexMeta(**json.load(f))
+
+
+def is_done(paths: IndexPaths, stage: str, batch: int | str = "all") -> bool:
+    return os.path.exists(paths.ckpt(stage, batch))
+
+
+def mark_done(paths: IndexPaths, stage: str, batch: int | str = "all",
+              **info) -> None:
+    os.makedirs(paths.ckpt_dir, exist_ok=True)
+    tmp = paths.ckpt(stage, batch) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"stage": stage, "batch": batch, "ts": time.time(), **info}, f)
+    os.replace(tmp, paths.ckpt(stage, batch))  # atomic: crash-safe marker
+
+
+def log_metric(paths: IndexPaths, stage: str, **fields) -> None:
+    os.makedirs(paths.root, exist_ok=True)
+    with open(paths.metrics, "a") as f:
+        f.write(json.dumps({"stage": stage, "ts": time.time(), **fields}) + "\n")

@@ -80,9 +80,18 @@ def bm25_topk_bruteforce(
         ).limit(0)
     stats = stats or corpus_stats(analyzed)
 
-    # per-term idf — tiny, broadcast
+    # per-term idf × query multiplicity (a term repeated in the query is
+    # a repeated SHOULD clause in Lucene — it scores once per repeat).
+    from collections import Counter
+
+    mult = analyzed.sparkSession.createDataFrame(
+        list(Counter(terms).items()), "term string, mult long"
+    )
+    uniq = sorted(set(terms))
     idf = F.broadcast(
-        term_doc_freqs(analyzed, terms).withColumn("idf", _idf_expr(stats.n_docs))
+        term_doc_freqs(analyzed, uniq)
+        .join(mult, "term")
+        .withColumn("idf", _idf_expr(stats.n_docs) * F.col("mult"))
     )
 
     cand = analyzed
