@@ -1,0 +1,239 @@
+"""Aggregation surface (SURVEY.md §2.2–2.4): the metric / bucket /
+pipeline aggregations the reference plugin issues, as DataFrame ops.
+
+Reference semantics worth preserving:
+
+- ``date_histogram`` with ``minDocCount(0)`` emits empty buckets
+  (``AggregationPrep.java:304-311``) → left join against a generated
+  bucket sequence (``F.sequence``).
+- ``terms`` top-N orders by doc count then key ascending
+  (OpenSearch tie order), size-bounded (``SearchFeatureDao.java:305-306``).
+- ``composite`` is just groupBy — the after_key pagination exists only
+  because OpenSearch responses are bounded (``CompositeRetriever.java:
+  163-232``); Spark needs no pages.
+- ``bucket_sort`` is a global sort+slice here, strictly stronger than
+  the per-page sort the plugin works around client-side
+  (``SearchTopAnomalyResultTransportAction.java:339-452``).
+- ``serial_diff``/``min_bucket`` pipeline aggs
+  (``IntervalCalculation.java:683-689``) → window lag / global min.
+- ``auto_date_histogram`` picks the smallest ladder interval producing
+  ≤ the requested bucket count (``IntervalCalculation.java:680-682``).
+
+Every computed column is explicitly aliased so results are directly
+comparable against an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# metric aggregations (§2.2) — dispatched from agg-JSON like the plugin's
+# user feature definitions (ParseUtils.java:148-306, AbstractRetriever.java:78)
+# ---------------------------------------------------------------------------
+
+_METRIC_FNS = {
+    "max": F.max,
+    "min": F.min,
+    "avg": F.avg,
+    "sum": F.sum,
+    "value_count": F.count,
+}
+
+
+def metric_agg_column(spec: dict[str, Any], alias: str) -> Column:
+    """One OpenSearch metric-agg JSON → an aliased Column.
+
+    Supports max/min/avg/sum/value_count/cardinality/percentiles and
+    the single-bucket ``filter`` agg wrapper (A1–A6)."""
+    (kind, body), = spec.items()
+    if kind in _METRIC_FNS:
+        return _METRIC_FNS[kind](body["field"]).alias(alias)
+    if kind == "cardinality":
+        # HLL++ in both systems (approximate, like OpenSearch cardinality)
+        return F.approx_count_distinct(body["field"]).alias(alias)
+    if kind == "percentiles":
+        pcts = [p / 100.0 for p in body.get("percents", [50.0])]
+        if len(pcts) == 1:
+            return F.percentile(body["field"], F.lit(pcts[0])).alias(alias)
+        return F.percentile(body["field"], F.array(*[F.lit(p) for p in pcts])).alias(alias)
+    raise ValueError(f"unsupported metric agg: {kind}")
+
+
+def filter_agg(df: DataFrame, cond: Column, sub_specs: dict[str, dict]) -> DataFrame:
+    """Single-bucket ``filter`` agg (AbstractRetriever.java:66-75):
+    sub-aggs evaluated over the predicate's scope + doc_count."""
+    scoped = df.filter(cond)
+    cols = [metric_agg_column(s, a) for a, s in sub_specs.items()]
+    return scoped.agg(F.count("*").alias("doc_count"), *cols)
+
+
+# ---------------------------------------------------------------------------
+# bucket aggregations (§2.3)
+# ---------------------------------------------------------------------------
+
+def to_millis(c: str | Column) -> Column:
+    """Epoch millis of a timestamp column; tolerates TIMESTAMP_NTZ
+    (session TZ is pinned UTC, so the cast is value-preserving)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.unix_millis(c.cast("timestamp"))
+
+
+def bucketize(ts_col: str | Column, interval_ms: int) -> Column:
+    """Fixed-interval date_histogram bucket key (epoch-millis floor)."""
+    millis = to_millis(ts_col)
+    return F.timestamp_millis((millis - F.pmod(millis, F.lit(interval_ms))))
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    interval_ms: int,
+    sub_specs: dict[str, dict] | None = None,
+    min_doc_count: int = 0,
+    hard_bounds: tuple[int, int] | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """date_histogram(fixed_interval) with minDocCount(0) semantics:
+    empty buckets present (left join vs a generated sequence)."""
+    group_cols = group_cols or []
+    sub_specs = sub_specs or {}
+    bucket = bucketize(ts_col, interval_ms).alias("bucket_start")
+    aggd = (
+        df.groupBy(*group_cols, bucket)
+        .agg(F.count("*").alias("doc_count"),
+             *[metric_agg_column(s, a) for a, s in sub_specs.items()])
+    )
+    if min_doc_count > 0:
+        return aggd.filter(F.col("doc_count") >= min_doc_count)
+
+    # minDocCount=0: dense bucket grid over [lo, hi] (hard_bounds or data extent)
+    if hard_bounds is not None:
+        lo, hi = hard_bounds
+        grid_src = df.sparkSession.range(1).select(
+            F.lit(lo).alias("lo"), F.lit(hi - 1).alias("hi"))
+    else:
+        grid_src = df.select(
+            F.min(to_millis(ts_col)).alias("lo"),
+            F.max(to_millis(ts_col)).alias("hi"))
+    step = F.lit(interval_ms)
+    grid = grid_src.select(
+        F.explode(F.sequence(F.col("lo") - F.pmod(F.col("lo"), step),
+                             F.col("hi") - F.pmod(F.col("hi"), step),
+                             step)).alias("bucket_ms")
+    ).select(F.timestamp_millis(F.col("bucket_ms")).alias("bucket_start"))
+    if group_cols:
+        grid = grid.crossJoin(df.select(*group_cols).distinct())
+    out = grid.join(aggd, [*group_cols, "bucket_start"], "left")
+    return out.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+
+
+# OpenSearch-style rounding ladder for auto_date_histogram (seconds)
+AUTO_LADDER_S = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 3 * 3600,
+                 12 * 3600, 86400, 7 * 86400, 30 * 86400, 90 * 86400, 365 * 86400]
+
+
+def auto_date_histogram(
+    df: DataFrame, ts_col: str, num_buckets: int,
+    sub_specs: dict[str, dict] | None = None,
+) -> DataFrame:
+    """Pick the smallest ladder interval so bucket count ≤ num_buckets,
+    then a plain fixed-interval histogram (buckets with docs only,
+    matching auto_date_histogram's non-empty output)."""
+    row = df.agg(F.min(to_millis(ts_col)).alias("lo"),
+                 F.max(to_millis(ts_col)).alias("hi")).collect()[0]
+    if row["lo"] is None:
+        return date_histogram(df, ts_col, 1000, sub_specs, min_doc_count=1)
+    span_ms = row["hi"] - row["lo"] + 1
+    interval_ms = next(
+        (s * 1000 for s in AUTO_LADDER_S if span_ms / (s * 1000) <= num_buckets),
+        AUTO_LADDER_S[-1] * 1000,
+    )
+    out = date_histogram(df, ts_col, interval_ms, sub_specs, min_doc_count=1)
+    return out.withColumn("interval_ms", F.lit(interval_ms))
+
+
+def date_range_agg(
+    df: DataFrame,
+    ts_col: str,
+    ranges: list[tuple[int, int]],
+    sub_specs: dict[str, dict] | None = None,
+) -> DataFrame:
+    """Explicit half-open [from, to) ms bucket list with sub-aggs per
+    bucket (ParseUtils.java:338-361; buckets parsed sorted by `from`,
+    SearchFeatureDao.java:812-841).  Ranges may overlap (cold-start
+    sampling does) → broadcast range join, never F.when chains."""
+    sub_specs = sub_specs or {}
+    spark = df.sparkSession
+    rdf = F.broadcast(spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(ranges)],
+        "range_id int, from_ms long, to_ms long"))
+    ms = to_millis(ts_col)
+    joined = df.join(rdf, (ms >= F.col("from_ms")) & (ms < F.col("to_ms")))
+    out = (joined.groupBy("range_id", "from_ms", "to_ms")
+           .agg(F.count("*").alias("doc_count"),
+                *[metric_agg_column(s, a) for a, s in sub_specs.items()]))
+    return out.orderBy("from_ms", "range_id")
+
+
+def terms_agg(
+    df: DataFrame, fld: str, size: int = 10,
+    sub_specs: dict[str, dict] | None = None, ascending: bool = False,
+) -> DataFrame:
+    """Top-N groups by doc count (terms agg): count order then key asc."""
+    sub_specs = sub_specs or {}
+    aggd = df.groupBy(fld).agg(
+        F.count("*").alias("doc_count"),
+        *[metric_agg_column(s, a) for a, s in sub_specs.items()])
+    order = [F.asc("doc_count") if ascending else F.desc("doc_count"), F.asc(fld)]
+    return aggd.orderBy(*order).limit(size)
+
+
+def composite_agg(
+    df: DataFrame,
+    sources: list[str | Column],
+    sub_specs: dict[str, dict] | None = None,
+) -> DataFrame:
+    """Composite = full multi-source groupBy; no after_key pagination
+    needed (B5).  A source may be a Column (e.g. a date_histogram
+    bucket or an entity-extraction expression standing in for the
+    painless-script source, QueryUtil.java:23-45)."""
+    sub_specs = sub_specs or {}
+    return df.groupBy(*sources).agg(
+        F.count("*").alias("doc_count"),
+        *[metric_agg_column(s, a) for a, s in sub_specs.items()])
+
+
+# ---------------------------------------------------------------------------
+# pipeline aggregations (§2.4)
+# ---------------------------------------------------------------------------
+
+def bucket_sort(df: DataFrame, sort_cols: list[tuple[str, str]],
+                from_: int = 0, size: int | None = None) -> DataFrame:
+    """bucket_sort(sort, from, size) — global, unlike the per-page sort
+    the reference must merge client-side."""
+    order = [F.desc(c) if d.lower() == "desc" else F.asc(c) for c, d in sort_cols]
+    out = df.orderBy(*order)
+    if from_ or size is not None:
+        w = Window.orderBy(*order)
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .filter((F.col("_rn") > from_)
+                       & (F.col("_rn") <= (from_ + size if size else 1 << 62)))
+               .drop("_rn"))
+    return out
+
+
+def serial_diff(df: DataFrame, metric_col: str, order_col: str,
+                lag: int = 1, alias: str | None = None) -> DataFrame:
+    """serial_diff: value - lag(value, n) over bucket order."""
+    alias = alias or f"{metric_col}_diff"
+    w = Window.orderBy(order_col)
+    return df.withColumn(alias, F.col(metric_col) - F.lag(metric_col, lag).over(w))
+
+
+def min_bucket(df: DataFrame, metric_col: str) -> DataFrame:
+    """min_bucket: min of a metric across sibling buckets."""
+    return df.agg(F.min(metric_col).alias(f"min_{metric_col}"))

@@ -1,0 +1,230 @@
+"""Query-DSL planner: the OpenSearch query JSON subset the plugin
+accepts (SURVEY.md §2.1) → Catalyst ``Column`` predicates + scored
+match clauses.
+
+The plugin parses user ``filter_query`` JSON through the OpenSearch
+registry and wraps it in a bool with a timestamp range
+(``ParseUtils.java:120-123``, ``SearchFeatureDao.java:295-302``); we
+compile the same shapes onto a DataFrame:
+
+    bool(must/filter/should/must_not)   → &, |, ~ on Columns (Q1)
+    term / terms                        → ==, isin (Q2, Q3)
+    range (gte/gt/lte/lt, epoch_millis) → comparisons (Q4)
+    match_all                           → lit(True) (Q5)
+    match (filter ctx)                  → any-analyzed-token containment (Q6)
+    exists                              → isNotNull (Q7)
+    wildcard                            → LIKE translation (Q8)
+    nested                              → F.exists over array<struct> (Q9)
+
+Scored ``match`` (top-level must/should) routes to the BM25 engine via
+:func:`search`; everything else is filter-context (ScoreMode.None, as
+the plugin uses nested/filters — ``ParseUtils.java:458-461``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokenizer import tokenize_column, tokenize_query
+
+
+@dataclass
+class QueryPlan:
+    """Filter predicate (may be None = match_all) + scored match clauses."""
+    filter_cond: Column | None
+    matches: list[tuple[str, str]] = field(default_factory=list)  # (field, text)
+
+
+def _is_ts(df: DataFrame, fld: str) -> bool:
+    try:
+        return isinstance(df.schema[fld].dataType, T.TimestampType)
+    except KeyError:
+        return False
+
+
+def _ts_value(v: Any) -> Column:
+    """epoch_millis number or ISO string → timestamp literal
+    (half-open [gte, lt) semantics as in SearchFeatureDao.java:295-300)."""
+    if isinstance(v, (int, float)):
+        return F.timestamp_millis(F.lit(int(v)))
+    return F.lit(v).cast("timestamp")
+
+
+def _glob_to_like(pat: str) -> str:
+    esc = pat.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+    return esc.replace("*", "%").replace("?", "_")
+
+
+def _field_value(spec: Any, key: str = "value") -> Any:
+    return spec.get(key) if isinstance(spec, dict) else spec
+
+
+def compile_filter(df: DataFrame, query: dict[str, Any]) -> Column:
+    """Compile a filter-context query (no scoring) to a Column."""
+    plan = plan_query(df, query, scoring=False)
+    cond = plan.filter_cond
+    return F.lit(True) if cond is None else cond
+
+
+def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> QueryPlan:
+    if not query:
+        return QueryPlan(None)
+    (kind, body), = query.items()
+
+    if kind == "match_all":
+        return QueryPlan(None)
+
+    if kind == "bool":
+        conds: list[Column] = []
+        matches: list[tuple[str, str]] = []
+        for ctx in ("must", "filter"):
+            for sub in _as_list(body.get(ctx)):
+                p = plan_query(df, sub, scoring=scoring and ctx == "must")
+                if p.filter_cond is not None:
+                    conds.append(p.filter_cond)
+                matches.extend(p.matches)
+        shoulds = _as_list(body.get("should"))
+        if shoulds:
+            sub_plans = [plan_query(df, s, scoring=scoring) for s in shoulds]
+            scored = [p for p in sub_plans if p.matches]
+            unscored = [p.filter_cond for p in sub_plans if not p.matches]
+            if scored and not conds and not unscored:
+                # pure scored disjunction → BM25 SHOULD clauses
+                for p in scored:
+                    matches.extend(p.matches)
+            else:
+                ors = [c for c in ([p.filter_cond for p in sub_plans]) if c is not None]
+                if ors:
+                    acc = ors[0]
+                    for c in ors[1:]:
+                        acc = acc | c
+                    conds.append(acc)
+        for sub in _as_list(body.get("must_not")):
+            p = plan_query(df, sub, scoring=False)
+            if p.filter_cond is not None:
+                # NOT with OpenSearch semantics: null never matches either side
+                conds.append(~F.coalesce(p.filter_cond, F.lit(False)))
+        cond = None
+        for c in conds:
+            cond = c if cond is None else cond & c
+        return QueryPlan(cond, matches)
+
+    if kind == "term":
+        (fld, spec), = body.items()
+        return QueryPlan(F.col(fld) == F.lit(_field_value(spec)))
+
+    if kind == "terms":
+        (fld, vals), = body.items()
+        return QueryPlan(F.col(fld).isin(list(vals)))
+
+    if kind == "range":
+        (fld, spec), = body.items()
+        is_ts = _is_ts(df, fld)
+        conv = _ts_value if is_ts else (lambda v: F.lit(v))
+        cond = None
+        for op, fn in (("gte", "__ge__"), ("gt", "__gt__"),
+                       ("lte", "__le__"), ("lt", "__lt__")):
+            if op in spec:
+                c = getattr(F.col(fld), fn)(conv(spec[op]))
+                cond = c if cond is None else cond & c
+        return QueryPlan(cond)
+
+    if kind == "exists":
+        return QueryPlan(F.col(body["field"]).isNotNull())
+
+    if kind == "wildcard":
+        (fld, spec), = body.items()
+        return QueryPlan(F.col(fld).like(_glob_to_like(_field_value(spec))))
+
+    if kind == "match":
+        (fld, spec), = body.items()
+        text = _field_value(spec, key="query")
+        if scoring:
+            return QueryPlan(None, matches=[(fld, text)])
+        # filter-context match: any analyzed token present (operator OR)
+        toks = tokenize_query(text)
+        if not toks:
+            return QueryPlan(F.lit(False))
+        tok_arr = F.array(*[F.lit(t) for t in toks])
+        return QueryPlan(
+            F.arrays_overlap(tokenize_column(fld), tok_arr)
+        )
+
+    if kind == "nested":
+        path = body["path"]
+        inner = body["query"]
+        (ikind, ibody), = inner.items()
+        (ifld, ispec), = ibody.items()
+        leaf = ifld[len(path) + 1:] if ifld.startswith(path + ".") else ifld
+        if ikind == "term":
+            v = _field_value(ispec)
+            return QueryPlan(F.exists(F.col(path), lambda e: e[leaf] == F.lit(v)))
+        if ikind == "range":
+            def pred(e):
+                c = None
+                for op, fn in (("gte", "__ge__"), ("gt", "__gt__"),
+                               ("lte", "__le__"), ("lt", "__lt__")):
+                    if op in ispec:
+                        cc = getattr(e[leaf], fn)(F.lit(ispec[op]))
+                        c = cc if c is None else c & cc
+                return c
+            return QueryPlan(F.exists(F.col(path), pred))
+        if ikind == "exists":
+            return QueryPlan(F.exists(F.col(path), lambda e: e[leaf].isNotNull()))
+        raise ValueError(f"nested supports term/range/exists, got {ikind}")
+
+    raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _as_list(x) -> list:
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+def search(
+    target,
+    body: dict[str, Any],
+    docs_df: DataFrame | None = None,
+    k: int | None = None,
+):
+    """Detector-style search entry: query JSON + size → DataFrame.
+
+    ``target`` is an :class:`~anomaly_detection_spark.query.index_search.
+    IndexReader` (index-backed) or an analyzed docs DataFrame (brute
+    force).  A scored ``match`` routes to BM25 top-k; a pure filter
+    returns the filtered rows (size-limited if given).
+    """
+    from .brute_force import bm25_topk_bruteforce
+    from .index_search import IndexReader, bm25_topk_indexed, fetch_docs
+
+    query = body.get("query", {"match_all": {}})
+    size = k if k is not None else body.get("size", 10)
+    if isinstance(target, IndexReader):
+        schema_df = target.doc_stats()
+    else:
+        schema_df = target
+    plan = plan_query(schema_df, query)
+    cond = plan.filter_cond
+
+    if plan.matches:
+        text = " ".join(t for _, t in plan.matches)
+        if isinstance(target, IndexReader):
+            top = bm25_topk_indexed(target, text, k=size, filter_cond=cond)
+            return fetch_docs(target, top)
+        return bm25_topk_bruteforce(target, text, k=size, filter_cond=cond)
+
+    out = schema_df if cond is None else schema_df.filter(cond)
+    sort = body.get("sort")
+    if sort:
+        cols = [F.desc(c) if d.lower() == "desc" else F.asc(c)
+                for c, d in sort]
+        out = out.orderBy(*cols)
+    if body.get("size") is not None or k is not None:
+        out = out.limit(size)
+    return out
