@@ -1,0 +1,15 @@
+from .dedup import (  # noqa: F401
+    embedding_neardup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
+from .similarity import cosine_topk_bruteforce, lsh_ann_topk  # noqa: F401
+from .text import (  # noqa: F401
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)

@@ -1,0 +1,237 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each a composition of built-in DataFrame ops (the
+LSH signatures are JVM-side hash/agg expressions — no Python in the
+candidate-generation hot path; SimHash uses one vectorized pandas UDF):
+
+- exact: hash-groupBy on normalized text.
+- n-gram Jaccard: word-shingle self-join → pair intersection counts →
+  ``|A∩B| / (|A|+|B|-|A∩B|) ≥ τ``.  Exact but quadratic in co-shingled
+  docs; the ``max_shingle_df`` cap drops ubiquitous shingles at scale
+  (standard trick; keeps pairs whose similarity rests on rare overlap).
+- MinHash+LSH: k hash permutations ``min((a·x+b) mod p)`` over shingle
+  hashes, banded; candidates = bucket collisions; verified with exact
+  Jaccard.  Only candidate *generation* is approximate — emitted pairs
+  are exact-verified, so precision is 1.
+- SimHash: 64-bit sign-of-weighted-sum fingerprint; near-dups =
+  hamming ≤ t, candidates via 4×16-bit chunk banding (complete for
+  t ≤ 3), verified with bit_count(xor).
+- embedding cosine: exact cosine ≥ τ pairs over array<float> columns.
+
+Pairs are always emitted once with id_a < id_b.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import _tokens
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _shingles(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles of the normalized token stream."""
+    toks = _tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", normalized: bool = True) -> DataFrame:
+    """Docs whose (normalized) text appears more than once:
+    (doc_id, group_id = min doc_id of the group, group_size)."""
+    key = F.concat_ws(" ", _tokens(text_col)) if normalized else F.col(text_col)
+    keyed = df.select(F.col(id_col), key.alias("_k"))
+    groups = (keyed.groupBy("_k")
+              .agg(F.min(id_col).alias("group_id"),
+                   F.count("*").alias("group_size"))
+              .filter(F.col("group_size") > 1))
+    return (keyed.join(groups, "_k")
+            .select(id_col, "group_id", "group_size")
+            .orderBy("group_id", id_col))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ τ)."""
+    sh = df.select(F.col(id_col).alias("_id"),
+                   F.explode(_shingles(text_col, n)).alias("_s"))
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    if max_shingle_df is not None:
+        hot = sh.groupBy("_s").agg(F.count("*").alias("_df")) \
+            .filter(F.col("_df") > max_shingle_df).select("_s")
+        sh = sh.join(hot, "_s", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s"))
+               & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard", F.round(
+               F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out.orderBy("id_a", "id_b")
+
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [(int(rng.randint(1, _MERSENNE_P)), int(rng.randint(0, _MERSENNE_P)))
+            for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 64, n: int = 3, seed: int = 7,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signature — all JVM-side: shingle →
+    xxhash64 → k permutations min-aggregated in one groupBy."""
+    sh = df.select(F.col(id_col), F.explode(_shingles(text_col, n)).alias("_s"))
+    # x reduced to 31 bits so a(31-bit)·x stays < 2^62 (ANSI-safe int64)
+    x = F.pmod(F.xxhash64("_s"), F.lit(1 << 31))
+    aggs = []
+    for i, (ai, bi) in enumerate(_minhash_params(num_hashes, seed)):
+        h = (x * F.lit(ai % (1 << 31) or 1) + F.lit(bi)) % F.lit(_MERSENNE_P)
+        aggs.append(F.min(h).alias(f"h{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, threshold: float = 0.5, num_hashes: int = 64,
+    bands: int = 16, n: int = 3, seed: int = 7,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, exact-Jaccard verified ≥ τ."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, seed, text_col, id_col)
+    band_cols = [
+        F.xxhash64(F.lit(bnd), *[F.col(f"h{bnd * rows + r}") for r in range(rows)])
+        .alias(f"band{bnd}") for bnd in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(bnd).alias("b"), F.col(f"band{bnd}").alias("v"))
+            for bnd in range(bands)])).alias("bv"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh = df.select(F.col(id_col).alias("_id"),
+                   F.explode(_shingles(text_col, n)).alias("_s"))
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    sha = sh.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    shb = sh.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    inter = (cand.join(sha, "id_a")
+             .join(shb, (F.col("id_b") == F.col("_idb"))
+                   & (F.col("_sa") == F.col("_sb")))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("_inter")))
+    out = (inter
+           .join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+           .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+           .withColumn("jaccard", F.round(
+               F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out.orderBy("id_a", "id_b")
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over token xxhash64 bits weighted by tf
+    (vectorized numpy inside one grouped pandas UDF batch)."""
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("_t"))
+    exploded = toks.select(id_col, F.explode("_t").alias("_tok"))
+    hashed = exploded.groupBy(id_col, F.xxhash64("_tok").alias("_h")) \
+        .agg(F.count("*").alias("_tf"))
+
+    @F.pandas_udf(T.LongType())
+    def _sim(hs: pd.Series, tfs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i in range(len(hs)):
+            h = np.asarray(hs[i], dtype=np.int64).view(np.uint64)
+            w = np.asarray(tfs[i], dtype=np.float64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.float64)
+            score = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+            fp = np.uint64(0)
+            for j in np.flatnonzero(score > 0):
+                fp |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    grouped = hashed.groupBy(id_col).agg(
+        F.collect_list("_h").alias("_hs"), F.collect_list("_tf").alias("_tfs"))
+    return grouped.select(F.col(id_col), _sim("_hs", "_tfs").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, max_hamming: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ t, candidates via 4×16-bit
+    chunk banding (complete for t ≤ 3 by pigeonhole)."""
+    fp = simhash_fingerprints(df, text_col, id_col)
+    chunks = fp.select(
+        F.col(id_col).alias("_id"), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"))
+            for c in range(4)])).alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.cv") == F.col("b.cv"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("a.simhash").alias("_fa"),
+                    F.col("b._id").alias("id_b"), F.col("b.simhash").alias("_fb"))
+            .distinct())
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .orderBy("id_a", "id_b"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, threshold: float = 0.95,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine-similarity near-dup pairs (id_a < id_b, cos ≥ τ).
+    Dot products via F.aggregate/zip_with — JVM-side, no UDF."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x))
+    v = df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).alias("_v"), norm.alias("_n")) \
+        .filter(F.col("_n") > 0)
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, F.col("a._id") < F.col("b._id"))
+            .withColumn("cosine", F.round(dot / (F.col("a._n") * F.col("b._n")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                    "cosine")
+            .orderBy("id_a", "id_b"))

@@ -1,0 +1,117 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk_bruteforce``: exact top-k neighbors per query vector —
+  broadcast the (small) query set against the corpus, dot products via
+  ``F.zip_with``/``F.aggregate`` (JVM-side), per-query top-k via a
+  window.  The correctness baseline.
+- ``lsh_ann_topk``: random-hyperplane LSH — deterministic seeded
+  planes, signature = packed sign bits (JVM-side dot via zip_with),
+  candidates share a signature band, rerank candidates exactly.  The
+  scale path: candidate generation touches only bucket collisions, and
+  buckets are hash-partitioned (no N×N join).  Recall < 1 by design;
+  measured against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(col) -> F.Column:
+    return F.sqrt(F.aggregate(col, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, rank, vec_id, cosine).
+    Ties break by vec_id ascending.  Self-matches (same id) excluded
+    when query ids live in the same id space."""
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("_cv"), _norm(vec_col).alias("_cn")) \
+        .filter(F.col("_cn") > 0)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"), _norm(vec_col).alias("_qn")) \
+        .filter(F.col("_qn") > 0)
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine", F.round(_dot(F.col("_qv"), F.col("_cv"))
+                          / (F.col("_qn") * F.col("_cn")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine")
+            .orderBy("query_id", "rank"))
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 13,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH buckets → exact rerank
+    of candidates.  Bands of ``n_planes/bands`` sign bits; a candidate
+    must share at least one full band with the query."""
+    assert n_planes % bands == 0
+    rows = n_planes // bands
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+
+    def sig_cols(v):
+        bits = [(F.when(_dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1)
+                 .otherwise(0)) for p in planes]
+        return [
+            F.xxhash64(F.lit(bnd), *bits[bnd * rows:(bnd + 1) * rows]).alias(f"band{bnd}")
+            for bnd in range(bands)
+        ]
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
+                      _norm(vec_col).alias("_cn"), *sig_cols(F.col(vec_col))) \
+        .filter(F.col("_cn") > 0)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"), _norm(vec_col).alias("_qn"),
+                       *sig_cols(F.col(vec_col))) \
+        .filter(F.col("_qn") > 0)
+
+    c_st = c.select("vec_id", "_cv", "_cn", F.explode(F.array(
+        *[F.col(f"band{i}") for i in range(bands)])).alias("_bv"))
+    q_st = q.select("query_id", "_qv", "_qn", F.explode(F.array(
+        *[F.col(f"band{i}") for i in range(bands)])).alias("_bv"))
+    cand = (c_st.join(F.broadcast(q_st), "_bv")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "_qv", "_qn", "vec_id", "_cv", "_cn")
+            .distinct())
+    scored = cand.withColumn(
+        "cosine", F.round(_dot(F.col("_qv"), F.col("_cv"))
+                          / (F.col("_qn") * F.col("_cn")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine")
+            .orderBy("query_id", "rank"))

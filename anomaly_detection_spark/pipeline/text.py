@@ -1,0 +1,135 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All JVM-side (whole-stage codegen) except the rolling-hash variant,
+which is a vectorized pandas UDF.  Every output column is aliased so
+the same computation is expressible as ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_REGEX = r"[\p{L}\p{N}_]+"  # Java/RE2-compatible \w-run (unicode)
+
+# tiny per-language stopword lists (distinct-hit heuristic; deterministic)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "est", "dans", "pour"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+}
+
+
+def _tokens(col: str) -> F.Column:
+    return F.expr(
+        f"filter(split(lower({col}), '[^\\\\p{{L}}\\\\p{{N}}_]+'), x -> x != '')"
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + regex word count + char count per doc."""
+    ws = F.size(F.expr(
+        f"filter(split({text_col}, '\\\\s+'), x -> x != '')"))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        F.size(_tokens(text_col)).alias("word_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, punct ratio, stopword ratio,
+    mean word length, and a composite [0,1] score (deterministic)."""
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^\p{L}\p{N}]", ""))
+    punct_ratio = F.when(n_chars > 0,
+                         (n_chars - n_alpha).cast("double") / n_chars).otherwise(0.0)
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double")
+                        / F.least(n_words, F.lit(10))).otherwise(0.0)
+    mean_wlen = F.when(n_words > 0,
+                       n_alpha.cast("double") / n_words).otherwise(0.0)
+    score = (
+        F.least(n_words.cast("double") / 50.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 2.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """n-gram-free language heuristic: distinct stopword hits per
+    language; argmax wins, lexicographically-first language on ties,
+    'und' when nothing hits.  SQL-expressible by design."""
+    toks = F.array_distinct(_tokens(text_col))
+    out = df.select(F.col(id_col), toks.alias("_t"))
+    hit_cols = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hit_cols[lang] = F.size(F.array_intersect(F.col("_t"), arr))
+        out = out.withColumn(f"hits_{lang}", hit_cols[lang])
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs override later on ties
+        pred = F.when((F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)) \
+            .otherwise(pred)
+    return out.select(
+        id_col, *[f"hits_{lg}" for lg in langs], pred.alias("lang_pred"))
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Two fingerprints per doc:
+
+    - ``fp_md5``: md5 of the space-joined normalized tokens (portable —
+      identical in any engine with md5; the canonical near-exact-dup key).
+    - ``fp_roll``: 63-bit polynomial rolling hash over token bytes
+      (numpy pandas UDF; order-sensitive, cheap to maintain in streams).
+    """
+    toks = _tokens(text_col)
+    norm = F.concat_ws(" ", toks)
+
+    @F.pandas_udf(T.LongType())
+    def _roll(texts: pd.Series) -> pd.Series:
+        # h = Σ byte_i · B^(n-1-i) mod 2^64, masked to 63 bits at the end
+        B = np.uint64(1000003)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, s in enumerate(texts):
+                data = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
+                n = len(data)
+                if n == 0:
+                    continue
+                pw = np.empty(n, dtype=np.uint64)
+                pw[0] = 1
+                if n > 1:
+                    pw[1:] = B
+                    np.cumprod(pw, out=pw)  # wraps mod 2^64 (uint64 overflow)
+                out[i] = np.dot(data.astype(np.uint64), pw[::-1])
+        return pd.Series((out & np.uint64((1 << 63) - 1)).astype(np.int64))
+
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        _roll(norm).alias("fp_roll"),
+    )
