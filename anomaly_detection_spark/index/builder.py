@@ -21,6 +21,7 @@ encode via ``reduceat``-style vectorization (no per-posting Python).
 from __future__ import annotations
 
 import math
+import os
 import time
 
 import numpy as np
@@ -36,6 +37,7 @@ from .storage import (
     is_done,
     log_metric,
     mark_done,
+    read_meta,
     write_meta,
 )
 
@@ -137,22 +139,39 @@ def blocks_from_sorted(
     })
 
 
-def _postings_for_range(
-    docs: DataFrame, lo: int, hi: int, seg_size: int, block_size: int,
-    text_col: str,
-) -> DataFrame:
-    """Posting blocks for docids in [lo, hi) — one Spark job per batch."""
-    sub = docs.filter((F.col("docid") >= lo) & (F.col("docid") < hi))
-    analyzed = analyze_docs(sub, text_col=text_col).withColumn(
-        "seg_id", (F.col("docid") / seg_size).cast("int")
-    )
+NORMS_SCHEMA = "seg_id int, n int, docid_gaps binary, dls binary"
+
+
+def encode_norms_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One segment's (seg_id, docid, doc_len) rows → a single norms blob
+    (docid delta-gaps + doc_len varints, docid-ordered)."""
+    from ..functions.codecs import delta_encode, varint_encode
+
+    seg_id = int(pdf["seg_id"].iloc[0])
+    order = np.argsort(pdf["docid"].to_numpy(dtype=np.int64), kind="stable")
+    docids = pdf["docid"].to_numpy(dtype=np.int64)[order]
+    dls = pdf["doc_len"].to_numpy(dtype=np.int64)[order]
+    return pd.DataFrame({
+        "seg_id": [seg_id],
+        "n": [len(docids)],
+        "docid_gaps": [varint_encode(delta_encode(docids, 0))],
+        "dls": [varint_encode(dls.astype(np.uint64))],
+    })
+
+
+def _postings_from_analyzed(analyzed: DataFrame, seg_size: int,
+                            block_size: int) -> DataFrame:
+    """Analyzed (docid, tokens) rows → posting blocks, one pandas group
+    per segment (parallelism = number of segments)."""
     bs = block_size
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         return encode_segment_pdf(pdf, bs)
 
     return (
-        analyzed.select("seg_id", "docid", "tokens")
+        analyzed
+        .withColumn("seg_id", (F.col("docid") / seg_size).cast("int"))
+        .select("seg_id", "docid", "tokens")
         .groupBy("seg_id")
         .applyInPandas(_encode, schema=POSTING_SCHEMA)
     )
@@ -161,7 +180,7 @@ def _postings_for_range(
 def build_index(
     docs: DataFrame,
     index_dir: str,
-    seg_size: int = 1 << 16,
+    seg_size: int | None = None,
     block_size: int = 1 << 12,
     segments_per_batch: int = 32,
     text_col: str = "text",
@@ -172,6 +191,11 @@ def build_index(
 
     ``docs`` must carry a stable dense ``docid`` (see
     :func:`anomaly_detection_spark.data.assign_docids`).
+
+    ``seg_size=None`` picks a size so there are ≥ 2×parallelism segments
+    (capped at 64k docs/segment) — segment count is the unit of
+    parallelism for both encode and query, exactly like Lucene segments;
+    at 10^12 turns the 64k cap yields millions of segments.
     """
     paths = IndexPaths(index_dir)
     keep_cols = tuple(c for c in keep_cols if c in docs.columns)
@@ -180,6 +204,12 @@ def build_index(
     # --- plan: corpus extent ------------------------------------------------
     n_docs = docs.agg(F.max("docid")).collect()[0][0]
     n_docs = int(n_docs) + 1 if n_docs is not None else 0
+    if resume and os.path.exists(paths.meta):
+        # a resumed build must keep the original segment geometry
+        seg_size = read_meta(index_dir).seg_size
+    elif seg_size is None:
+        par = max(4, spark.sparkContext.defaultParallelism)
+        seg_size = int(min(1 << 16, max(1 << 12, n_docs // (par * 2) or 1)))
     n_segs = max(1, math.ceil(n_docs / seg_size))
     n_batches = max(1, math.ceil(n_segs / segments_per_batch))
     if not (resume and is_done(paths, "finalize")):
@@ -196,14 +226,22 @@ def build_index(
         hi = min(n_docs, (k + 1) * segments_per_batch * seg_size)
 
         sub = docs.filter((F.col("docid") >= lo) & (F.col("docid") < hi))
-        dstats = analyze_docs(sub, text_col=text_col).select(
-            "docid", "doc_len", *keep_cols
-        )
+        # one tokenize pass per batch, shared by doc_stats and postings
+        analyzed = analyze_docs(sub, text_col=text_col).persist()
+        dstats = analyzed.select("docid", "doc_len", *keep_cols)
         (dstats.repartitionByRange(max(2, segments_per_batch), "docid")
          .sortWithinPartitions("docid")
          .write.mode("overwrite").parquet(f"{paths.doc_stats}/batch={k}"))
 
-        posts = _postings_for_range(docs, lo, hi, seg_size, block_size, text_col)
+        norms = (analyzed
+                 .withColumn("seg_id", (F.col("docid") / seg_size).cast("int"))
+                 .select("seg_id", "docid", "doc_len")
+                 .groupBy("seg_id")
+                 .applyInPandas(encode_norms_pdf, schema=NORMS_SCHEMA))
+        (norms.coalesce(max(1, segments_per_batch // 16))
+         .write.mode("overwrite").parquet(f"{paths.doc_norms}/batch={k}"))
+
+        posts = _postings_from_analyzed(analyzed, seg_size, block_size)
         (posts.repartitionByRange(max(2, segments_per_batch), "term", "seg_id")
          .sortWithinPartitions("term", "seg_id", "block_id")
          .write.mode("overwrite").parquet(f"{paths.postings}/batch={k}"))
@@ -219,6 +257,7 @@ def build_index(
             F.max("last_docid").alias("docid_max"),
         ).withColumn("batch", F.lit(k))
         man.coalesce(1).write.mode("overwrite").parquet(f"{paths.manifest}/batch={k}")
+        analyzed.unpersist()
 
         wall = time.time() - t0
         n_rows = hi - lo

@@ -133,4 +133,34 @@ def merge_segments(
          .write.mode("overwrite").parquet(dst_path))
         mark_done(dst, stage)
         log_metric(dst, stage, wall_s=time.time() - t0)
+
+    # norms re-grouped to the merged segment geometry
+    if not (resume and is_done(dst, "merge_norms")):
+        from .builder import NORMS_SCHEMA
+        from ..functions.codecs import delta_encode, varint_encode
+
+        t0 = time.time()
+        norms = spark.read.parquet(src.doc_norms).withColumn(
+            "seg_id", (F.col("seg_id") / factor).cast("int"))
+
+        def _merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg_id = int(pdf["seg_id"].iloc[0])
+            parts_d, parts_l = [], []
+            for g, l in zip(pdf["docid_gaps"], pdf["dls"]):
+                parts_d.append(np.cumsum(varint_decode(g)).astype(np.int64))
+                parts_l.append(varint_decode(l).astype(np.int64))
+            docids = np.concatenate(parts_d)
+            dls = np.concatenate(parts_l)
+            order = np.argsort(docids, kind="stable")
+            docids, dls = docids[order], dls[order]
+            return pd.DataFrame({
+                "seg_id": [seg_id], "n": [len(docids)],
+                "docid_gaps": [varint_encode(delta_encode(docids, 0))],
+                "dls": [varint_encode(dls.astype(np.uint64))],
+            })
+
+        (norms.groupBy("seg_id").applyInPandas(_merge_norms, schema=NORMS_SCHEMA)
+         .coalesce(4).write.mode("overwrite").parquet(f"{dst.doc_norms}/batch=0"))
+        mark_done(dst, "merge_norms")
+        log_metric(dst, "merge_norms", wall_s=time.time() - t0)
     return dst

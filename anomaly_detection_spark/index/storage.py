@@ -48,6 +48,12 @@ class IndexPaths:
         return os.path.join(self.root, "doc_stats")
 
     @property
+    def doc_norms(self) -> str:
+        # per-segment varint blobs of doc lengths (Lucene norms analog):
+        # lets pure match queries score without shuffling doc_stats
+        return os.path.join(self.root, "doc_norms")
+
+    @property
     def postings(self) -> str:
         return os.path.join(self.root, "postings")
 

@@ -54,6 +54,9 @@ class IndexReader:
     def doc_stats(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.doc_stats)
 
+    def doc_norms(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.doc_norms)
+
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.term_stats)
 
@@ -80,8 +83,14 @@ def _score_segment(
     seg_base = int(posts["seg_id"].iloc[0]) * seg_size
 
     dl = np.full(seg_size, -1.0)
-    dl[docs["docid"].to_numpy(dtype=np.int64) - seg_base] = \
-        docs["doc_len"].to_numpy(dtype=np.float64)
+    if "docid_gaps" in docs.columns:
+        # compact per-segment norms blob (no doc_stats shuffle)
+        docids = np.cumsum(varint_decode(docs["docid_gaps"].iloc[0])).astype(np.int64)
+        dls = varint_decode(docs["dls"].iloc[0]).astype(np.float64)
+        dl[docids - seg_base] = dls
+    else:
+        dl[docs["docid"].to_numpy(dtype=np.int64) - seg_base] = \
+            docs["doc_len"].to_numpy(dtype=np.float64)
 
     terms = posts["term"].to_numpy(dtype=object)
     firsts = posts["first_docid"].to_numpy(dtype=np.int64)
@@ -179,12 +188,14 @@ def bm25_topk_indexed(
 
     posts = reader.postings().filter(F.col("term").isin(present)).select(
         "term", "seg_id", "first_docid", "last_docid", "gaps", "tfs", "max_tf")
-    docs = reader.doc_stats()
-    if filter_cond is not None:
-        docs = docs.filter(filter_cond)
-    docs = docs.select(
-        "docid", "doc_len",
-        (F.col("docid") / meta.seg_size).cast("int").alias("seg_id"))
+    if filter_cond is None:
+        # pure match: per-segment norms blobs (~1 byte/doc) instead of a
+        # full doc_stats shuffle — the hot path at corpus scale
+        docs = reader.doc_norms().select("seg_id", "docid_gaps", "dls")
+    else:
+        docs = reader.doc_stats().filter(filter_cond).select(
+            "docid", "doc_len",
+            (F.col("docid") / meta.seg_size).cast("int").alias("seg_id"))
 
     seg_size, avgdl = meta.seg_size, meta.avgdl
 

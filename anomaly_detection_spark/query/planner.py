@@ -40,19 +40,24 @@ class QueryPlan:
     matches: list[tuple[str, str]] = field(default_factory=list)  # (field, text)
 
 
-def _is_ts(df: DataFrame, fld: str) -> bool:
+def _ts_type(df: DataFrame, fld: str) -> T.DataType | None:
     try:
-        return isinstance(df.schema[fld].dataType, T.TimestampType)
+        dt = df.schema[fld].dataType
     except KeyError:
-        return False
+        return None
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return dt
+    return None
 
 
-def _ts_value(v: Any) -> Column:
-    """epoch_millis number or ISO string → timestamp literal
-    (half-open [gte, lt) semantics as in SearchFeatureDao.java:295-300)."""
+def _ts_value(v: Any, dt: T.DataType) -> Column:
+    """epoch_millis number or ISO string → timestamp literal matching the
+    column's type (TIMESTAMP or TIMESTAMP_NTZ; session TZ pinned UTC, so
+    the cast is value-preserving).  Half-open [gte, lt) semantics as in
+    SearchFeatureDao.java:295-300."""
     if isinstance(v, (int, float)):
-        return F.timestamp_millis(F.lit(int(v)))
-    return F.lit(v).cast("timestamp")
+        return F.timestamp_millis(F.lit(int(v))).cast(dt)
+    return F.lit(v).cast(dt)
 
 
 def _glob_to_like(pat: str) -> str:
@@ -124,8 +129,8 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
 
     if kind == "range":
         (fld, spec), = body.items()
-        is_ts = _is_ts(df, fld)
-        conv = _ts_value if is_ts else (lambda v: F.lit(v))
+        ts_dt = _ts_type(df, fld)
+        conv = (lambda v: _ts_value(v, ts_dt)) if ts_dt else (lambda v: F.lit(v))
         cond = None
         for op, fn in (("gte", "__ge__"), ("gt", "__gt__"),
                        ("lte", "__le__"), ("lt", "__lt__")):

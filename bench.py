@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness: index-build throughput (turns/sec, the headline
+metric per BASELINE.json) + query latencies at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "index-build throughput", "value": <turns/sec>,
+   "unit": "sec", "queries": {...per-query seconds...}, "sf": ...}
+
+Environment:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  BENCH_TURNS         override transcript corpus size
+  BENCH_KEEP_INDEX    reuse the built index dir if it exists (resume)
+
+The transcripts corpus is synthesized deterministically (seed 42) at a
+size proportional to the sf of the testdata dir (sf0.1 → 600k turns),
+written to parquet first so the build measures scan→tokenize→encode→
+write like a real ingest, not datagen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_turns = int(os.environ.get("BENCH_TURNS", str(int(6_000_000 * sf))))
+
+    from anomaly_detection_spark.data import assign_docids, generate_transcripts
+    from anomaly_detection_spark.index import build_index, merge_segments
+    from anomaly_detection_spark.query import (
+        IndexReader,
+        analyze_docs,
+        bm25_topk_bruteforce,
+        bm25_topk_indexed,
+        corpus_stats,
+    )
+    from anomaly_detection_spark.session import get_spark
+
+    spark = get_spark("adspark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    queries: dict[str, float] = {}
+
+    # ---- materialize source corpus (not counted in build throughput) ------
+    src = f"/tmp/adspark_bench_src_{n_turns}"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        t0 = time.time()
+        docs = assign_docids(generate_transcripts(spark, n_turns, seed=42))
+        docs.write.mode("overwrite").parquet(src)
+        queries["datagen"] = round(time.time() - t0, 3)
+    docs = spark.read.parquet(src)
+    actual_turns = docs.count()
+
+    # ---- index build (headline) -------------------------------------------
+    idx = f"/tmp/adspark_bench_idx_{n_turns}_{cpus}"
+    if not os.environ.get("BENCH_KEEP_INDEX"):
+        shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    build_index(docs, idx, block_size=1 << 12, segments_per_batch=64)
+    build_s = time.time() - t0
+    queries["index_build"] = round(build_s, 3)
+    turns_per_sec = actual_turns / build_s
+
+    reader = IndexReader(spark, idx)
+
+    # ---- merge/compaction ---------------------------------------------------
+    merged_dir = f"{idx}_merged"
+    shutil.rmtree(merged_dir, ignore_errors=True)
+    t0 = time.time()
+    merge_segments(spark, idx, merged_dir, factor=4)
+    queries["segment_merge"] = round(time.time() - t0, 3)
+
+    # ---- query latencies ----------------------------------------------------
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        queries[name] = round(time.time() - t, 3)
+
+    timed("wand_topk",
+          lambda: bm25_topk_indexed(reader, "error spark merge query", k=10).collect())
+    timed("wand_topk_filtered",
+          lambda: bm25_topk_indexed(
+              reader, "data table scan slow", k=10,
+              filter_cond=(F.col("role") == "user")
+              & (F.col("ts") >= F.lit("2025-06-02"))
+              & (F.col("ts") < F.lit("2025-06-06"))).collect())
+    timed("wand_topk_hot_term",
+          lambda: bm25_topk_indexed(reader, "the a to", k=10).collect())
+
+    analyzed = analyze_docs(docs).persist()
+    stats = corpus_stats(analyzed)
+    timed("bruteforce_topk",
+          lambda: bm25_topk_bruteforce(
+              analyzed, "error spark merge query", k=10, stats=stats).collect())
+    analyzed.unpersist()
+
+    from anomaly_detection_spark.features import feature_matrix
+
+    timed("feature_matrix_role_hourly",
+          lambda: feature_matrix(
+              docs.withColumn("len", F.length("text")), "ts", 3600_000,
+              {"len_avg": {"avg": {"field": "len"}}},
+              entity_cols=("role",)).collect())
+
+    # pipeline ops on the provided testdata tables
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from anomaly_detection_spark.pipeline import (
+        cosine_topk_bruteforce,
+        minhash_lsh_pairs,
+    )
+    timed("minhash_lsh_documents",
+          lambda: minhash_lsh_pairs(documents, threshold=0.5).collect())
+    qv = embeddings.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    timed("cosine_topk_embeddings",
+          lambda: cosine_topk_bruteforce(embeddings, qv, k=10).collect())
+
+    print(json.dumps({
+        "metric": "index-build throughput (turns/sec)",
+        "value": round(turns_per_sec, 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "turns": actual_turns,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""N vs 4N scaling evidence (north_rule): run the same bench job at
+local[N] and local[4N] on the same input and report throughput at both
+plus the scaling efficiency.
+
+Efficiency = (throughput_4N / throughput_N) / 4 — 1.0 is perfect linear
+scaling, ≥ 0.8 is the BASELINE.json bar.  Results are appended to
+BENCH_SCALING.json and summarized for BASELINE.md.
+
+Usage: python scripts/run_scaling.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True, cwd=REPO)
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    results = {}
+    for cpus in (n, 4 * n):
+        r = run_at(cpus, sf_dir)
+        results[cpus] = r
+        print(f"local[{cpus}]: {r['value']} turns/sec "
+              f"(build {r['queries']['index_build']}s)", flush=True)
+
+    tn, t4n = results[n]["value"], results[4 * n]["value"]
+    eff = (t4n / tn) / 4.0
+    summary = {
+        "n_cores": n,
+        "throughput_n": tn,
+        "throughput_4n": t4n,
+        "speedup": round(t4n / tn, 3),
+        "efficiency": round(eff, 3),
+        "sf_dir": sf_dir,
+        "queries_n": results[n]["queries"],
+        "queries_4n": results[4 * n]["queries"],
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
