@@ -96,6 +96,24 @@ def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
             for _ in range(num_hashes)]
 
 
+def _minhash_aggs(num_hashes: int, seed: int) -> list[F.Column]:
+    """k permutation-min agg columns over a precomputed `_x` shingle-hash
+    column (x < 2^31 so a(31-bit)·x stays < 2^62, ANSI-safe int64).
+    Referencing one hashed column instead of inlining xxhash64 into all
+    k aggregates keeps the generated code small — the inlined version
+    cost ~2 min of Janino compilation on first use."""
+    x = F.col("_x")
+    aggs = []
+    for i, (ai, bi) in enumerate(_minhash_params(num_hashes, seed)):
+        h = (x * F.lit(ai % (1 << 31) or 1) + F.lit(bi)) % F.lit(_MERSENNE_P)
+        aggs.append(F.min(h).alias(f"h{i}"))
+    return aggs
+
+
+def _with_shingle_hash(sh: DataFrame) -> DataFrame:
+    return sh.withColumn("_x", F.pmod(F.xxhash64("_s"), F.lit(1 << 31)))
+
+
 def minhash_signatures(
     df: DataFrame, num_hashes: int = 64, n: int = 3, seed: int = 7,
     text_col: str = "text", id_col: str = "doc_id",
@@ -103,13 +121,8 @@ def minhash_signatures(
     """(doc_id, h0..h{k-1}) MinHash signature — all JVM-side: shingle →
     xxhash64 → k permutations min-aggregated in one groupBy."""
     sh = df.select(F.col(id_col), F.explode(_shingles(text_col, n)).alias("_s"))
-    # x reduced to 31 bits so a(31-bit)·x stays < 2^62 (ANSI-safe int64)
-    x = F.pmod(F.xxhash64("_s"), F.lit(1 << 31))
-    aggs = []
-    for i, (ai, bi) in enumerate(_minhash_params(num_hashes, seed)):
-        h = (x * F.lit(ai % (1 << 31) or 1) + F.lit(bi)) % F.lit(_MERSENNE_P)
-        aggs.append(F.min(h).alias(f"h{i}"))
-    return sh.groupBy(id_col).agg(*aggs)
+    return _with_shingle_hash(sh).groupBy(id_col).agg(
+        *_minhash_aggs(num_hashes, seed))
 
 
 def minhash_lsh_pairs(
@@ -120,7 +133,16 @@ def minhash_lsh_pairs(
     """MinHash-LSH candidate pairs, exact-Jaccard verified ≥ τ."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, seed, text_col, id_col)
+    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
+    # shingle table is used three times (signatures, sizes, verification):
+    # compute once, spread across cores, keep it materialized
+    df = df.repartition(par, id_col)
+    sh_cached = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(text_col, n)).alias("_s")).persist()
+    sig = (_with_shingle_hash(sh_cached).withColumnRenamed("_id", id_col)
+           .groupBy(id_col)
+           .agg(*_minhash_aggs(num_hashes, seed)))
     band_cols = [
         F.xxhash64(F.lit(bnd), *[F.col(f"h{bnd * rows + r}") for r in range(rows)])
         .alias(f"band{bnd}") for bnd in range(bands)
@@ -138,12 +160,10 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    # exact verification of candidates only
-    sh = df.select(F.col(id_col).alias("_id"),
-                   F.explode(_shingles(text_col, n)).alias("_s"))
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
-    sha = sh.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
-    shb = sh.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    # exact verification of candidates only (same cached shingle table)
+    sizes = sh_cached.groupBy("_id").agg(F.count("*").alias("_sz"))
+    sha = sh_cached.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    shb = sh_cached.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
     inter = (cand.join(sha, "id_a")
              .join(shb, (F.col("id_b") == F.col("_idb"))
                    & (F.col("_sa") == F.col("_sb")))

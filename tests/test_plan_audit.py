@@ -1,0 +1,78 @@
+"""Physical-plan regressions: the plans that make the engine viable at
+100 TB must stay shaped this way (see PLANS.md)."""
+
+import contextlib
+import io
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.index import build_index
+from anomaly_detection_spark.query import (
+    IndexReader,
+    bm25_topk_indexed,
+    fetch_docs,
+)
+from anomaly_detection_spark.query.aggs import date_histogram
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tiny_transcripts):
+    tmp = tempfile.mkdtemp(prefix="adspark_plan_")
+    paths = build_index(tiny_transcripts, f"{tmp}/idx", seg_size=512,
+                        block_size=64, segments_per_batch=4)
+    yield IndexReader(spark, paths.root)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_postings_scan_pushes_term_filter(reader):
+    p = _plan(reader.postings().filter(F.col("term").isin(["spark", "merge"]))
+              .select("term", "seg_id", "gaps"))
+    assert "PushedFilters: [In(term, [merge,spark])]" in p
+    # column pruning: tfs/max_tf not read when not selected
+    assert "ReadSchema: struct<term:string,seg_id:int,gaps:binary>" in p
+
+
+def test_doc_stats_scan_pushes_filters_and_prunes(reader):
+    p = _plan(reader.doc_stats()
+              .filter((F.col("role") == "user") & (F.col("turn_idx") > 3))
+              .select("docid", "doc_len"))
+    assert "EqualTo(role,user)" in p and "GreaterThan(turn_idx,3)" in p
+    assert "text" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_pure_match_uses_norms_not_doc_stats(reader):
+    p = _plan(bm25_topk_indexed(reader, "spark merge", k=5))
+    assert "docid_gaps" in p          # norms blobs on the doc side
+    assert "doc_len" not in p         # no doc_stats shuffle
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_filtered_match_pushes_filter_to_doc_stats(reader):
+    p = _plan(bm25_topk_indexed(reader, "spark", k=5,
+                                filter_cond=F.col("role") == "user"))
+    assert "EqualTo(role,user)" in p
+
+
+def test_fetch_broadcasts_topk(reader):
+    p = _plan(fetch_docs(reader, bm25_topk_indexed(reader, "spark", k=3)))
+    assert "BroadcastHashJoin" in p
+
+
+def test_date_histogram_partial_agg_and_pruned_scan(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = _plan(date_histogram(ev, "ts", 3600_000, min_doc_count=1))
+    # map-side combine: two HashAggregates around one exchange
+    assert p.count("HashAggregate") >= 2
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "ts" in read and "value" not in read
