@@ -1,1 +1,2 @@
 from .jobs import realtime_feature_stream  # noqa: F401
+from .stateful import streaming_shingles  # noqa: F401
