@@ -16,10 +16,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.bm25 import B_DEFAULT, K1_DEFAULT
+from ..functions.bm25 import B_DEFAULT, K1_DEFAULT, quantize_doc_len
 from ..functions.tokenizer import tokenize_column, tokenize_query
 
 
@@ -34,6 +35,17 @@ def analyze_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("tokens", tokenize_column(text_col)).withColumn(
         "doc_len", F.size("tokens")
     )
+
+
+def _quantized_dl(col: Column) -> Column:
+    """Lucene SmallFloat 1-byte norm round-trip as a Column (SURVEY.md §7
+    R1 fidelity mode) — Arrow-batched, shared numpy implementation."""
+
+    @F.pandas_udf("int")
+    def _q(dl: pd.Series) -> pd.Series:
+        return pd.Series(quantize_doc_len(dl.to_numpy()))
+
+    return _q(col)
 
 
 def corpus_stats(analyzed: DataFrame) -> CorpusStats:
@@ -67,18 +79,23 @@ def bm25_topk_bruteforce(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     id_col: str = "docid",
+    quantize_norms: bool = False,
 ) -> DataFrame:
     """Top-k (docid, score) for an analyzed ``match`` query.
 
     ``analyzed`` must carry ``tokens``, ``doc_len`` and ``id_col``.
     Returns columns (docid, score) ordered by (score desc, docid asc).
+    ``quantize_norms`` scores with Lucene's 1-byte doc-length norms
+    (avgdl stays exact, as in Lucene).
     """
     terms = tokenize_query(query_text)
     if not terms:
         return analyzed.select(
             F.col(id_col), F.lit(0.0).alias("score")
         ).limit(0)
-    stats = stats or corpus_stats(analyzed)
+    stats = stats or corpus_stats(analyzed)  # exact avgdl, like Lucene
+    if quantize_norms:
+        analyzed = analyzed.withColumn("doc_len", _quantized_dl(F.col("doc_len")))
 
     # per-term idf × query multiplicity (a term repeated in the query is
     # a repeated SHOULD clause in Lucene — it scores once per repeat).

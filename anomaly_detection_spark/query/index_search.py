@@ -75,6 +75,7 @@ def _score_segment(
     b: float,
     prune: bool,
     bucket: int = 1024,
+    quantize_norms: bool = False,
 ) -> pd.DataFrame:
     empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float64")})
@@ -91,6 +92,11 @@ def _score_segment(
     else:
         dl[docs["docid"].to_numpy(dtype=np.int64) - seg_base] = \
             docs["doc_len"].to_numpy(dtype=np.float64)
+    if quantize_norms:
+        from ..functions.bm25 import quantize_doc_len
+
+        present = dl >= 0
+        dl[present] = quantize_doc_len(dl[present].astype(np.int64))
 
     terms = posts["term"].to_numpy(dtype=object)
     firsts = posts["first_docid"].to_numpy(dtype=np.int64)
@@ -165,6 +171,7 @@ def bm25_topk_indexed(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     prune: bool = True,
+    quantize_norms: bool = False,
 ) -> DataFrame:
     """Top-k (docid, score) via the posting index; rank/score-identical
     to :func:`bm25_topk_bruteforce` by construction (tested)."""
@@ -201,7 +208,7 @@ def bm25_topk_indexed(
 
     def _score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
         return _score_segment(pleft, pright, weights, seg_size, avgdl,
-                              k, k1, b, prune)
+                              k, k1, b, prune, quantize_norms=quantize_norms)
 
     local = (
         posts.groupBy("seg_id")

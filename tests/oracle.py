@@ -24,6 +24,7 @@ def bm25_oracle_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "docid",
+    quantize_norms: bool = False,
 ) -> pd.DataFrame:
     """Exhaustive BM25 top-k.  ``mask`` restricts candidates (filters);
     corpus stats always come from the full frame."""
@@ -50,6 +51,10 @@ def bm25_oracle_topk(
             continue
         cnt = Counter(tl)
         dl = len(tl)
+        if quantize_norms:
+            from anomaly_detection_spark.functions.bm25 import quantize_doc_len
+
+            dl = int(quantize_doc_len([dl])[0])
         s = 0.0
         for t in qterms:  # note: duplicates in query sum twice, like Lucene SHOULD
             tf = cnt.get(t, 0)

@@ -100,6 +100,28 @@ def test_fetch_returns_identity(index_env):
     assert out.score.is_monotonic_decreasing
 
 
+def test_quantized_norms_all_paths_agree(index_env):
+    """R1 fidelity mode: Lucene 1-byte norms — indexed == brute force ==
+    pure-Python oracle under quantization."""
+    from .oracle import bm25_oracle_topk
+
+    reader, analyzed, stats, _ = index_env
+    pdf = analyzed.select("docid", "text").orderBy("docid").toPandas()
+    for q in ["spark query data merge", "the a index"]:
+        idx = bm25_topk_indexed(reader, q, k=8, quantize_norms=True).toPandas()
+        bf = bm25_topk_bruteforce(analyzed, q, k=8, stats=stats,
+                                  quantize_norms=True).toPandas()
+        want = bm25_oracle_topk(pdf, q, k=8, quantize_norms=True)
+        assert list(idx.docid) == list(bf.docid) == list(want.docid)
+        assert (idx.score - want.score).abs().max() < 1e-9
+    # quantization is lossy for dl >= 24 — deep in the ranking of a
+    # match-everything query some scores must differ from exact norms
+    deep_q = bm25_topk_indexed(reader, "the", k=300, quantize_norms=True).toPandas()
+    deep_e = bm25_topk_indexed(reader, "the", k=300).toPandas()
+    merged = deep_q.merge(deep_e, on="docid", suffixes=("_q", "_e"))
+    assert (merged.score_q != merged.score_e).any()
+
+
 def test_unknown_terms_empty(index_env):
     reader, *_ = index_env
     assert bm25_topk_indexed(reader, "qqqqzzzz xxyyxx", k=5).count() == 0
