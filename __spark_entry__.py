@@ -69,8 +69,8 @@ def _bm25_bruteforce_docs(spark, sf_dir, text, k, filter_cond=None):
     out = top.select(F.col("docid").alias("doc_id"),
                      F.round("score", 6).alias("score"))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return out.withColumn("rank", F.row_number().over(w)) \
-        .select("doc_id", "rank", "score")
+    return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("doc_id", "rank", "score"))
 
 
 def _bm25_sql(terms: list[str], k: int, cand_where: str = "TRUE") -> str:
@@ -157,8 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = top.select(F.col("docid").alias("doc_id"),
                          F.round("score", 6).alias("score"))
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return out.withColumn("rank", F.row_number().over(w)) \
-            .select("doc_id", "rank", "score")
+        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+                .select("doc_id", "rank", "score"))
     q["bm25_topk_indexed"] = bm25_indexed
 
     q["bm25_topk_filtered"] = lambda s, d: _bm25_bruteforce_docs(
@@ -242,7 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from anomaly_detection_spark.query.aggs import auto_date_histogram
         ev = _read(s, d, "events")
         return auto_date_histogram(ev, "ts", 20) \
-            .select("bucket_start", "doc_count", "interval_ms") \
+            .select("bucket_start", "doc_count", F.col("interval_ms").cast("long").alias("interval_ms")) \
             .orderBy("bucket_start")
     q["auto_date_histogram_20"] = auto_hist
 
@@ -251,8 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _read(s, d, "events")
         return date_range_agg(ev, "ts", [_RANGE_A, _RANGE_B],
                               {"v_max": {"max": {"field": "value"}}}) \
-            .select("range_id", "from_ms", "to_ms", "doc_count",
-                    F.round("v_max", 6).alias("v_max"))
+            .select(F.col("range_id").cast("long").alias("range_id"), "from_ms", "to_ms",
+                    "doc_count", F.round("v_max", 6).alias("v_max"))
     q["date_range_buckets"] = dr
 
     def topn(s, d):
@@ -260,8 +260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _read(s, d, "events")
         out = terms_agg(ev, "user_id", size=10)
         w = Window.orderBy(F.desc("doc_count"), F.asc("user_id"))
-        return out.withColumn("rank", F.row_number().over(w)) \
-            .select("rank", "user_id", "doc_count")
+        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+                .select("rank", "user_id", "doc_count"))
     q["terms_topn_users"] = topn
 
     def comp(s, d):
@@ -324,8 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = bucket_sort(h, [("doc_count", "desc"), ("bucket_start", "asc")],
                           from_=2, size=5)
         w = Window.orderBy(F.desc("doc_count"), F.asc("bucket_start"))
-        return out.withColumn("rank", F.row_number().over(w) + 2) \
-            .select("rank", "bucket_start", "doc_count")
+        return (out.withColumn("rank", (F.row_number().over(w) + 2).cast("long"))
+                .select("rank", "bucket_start", "doc_count"))
     q["bucket_sort_hourly"] = bsort
 
     def sliding(s, d):
@@ -513,8 +513,9 @@ GROUP BY 1, 3 ORDER BY 1
 
     sql["date_range_buckets"] = f"""
 WITH ranges AS (
-  SELECT * FROM (VALUES (0, {_RANGE_A[0]}, {_RANGE_A[1]}),
-                        (1, {_RANGE_B[0]}, {_RANGE_B[1]})) r(range_id, from_ms, to_ms))
+  SELECT CAST(range_id AS BIGINT) AS range_id, from_ms, to_ms
+  FROM (VALUES (0, {_RANGE_A[0]}, {_RANGE_A[1]}),
+               (1, {_RANGE_B[0]}, {_RANGE_B[1]})) r(range_id, from_ms, to_ms))
 SELECT r.range_id, r.from_ms, r.to_ms, count(*) AS doc_count,
        round(max(e.value), 6) AS v_max
 FROM events e JOIN ranges r
@@ -599,7 +600,7 @@ win AS (
          sum(doc_count) OVER (ORDER BY bucket_start
                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win_sum
   FROM dense)
-SELECT bucket_start, win_sum FROM win WHERE rn >= 8 ORDER BY bucket_start
+SELECT bucket_start, CAST(win_sum AS BIGINT) AS win_sum FROM win WHERE rn >= 8 ORDER BY bucket_start
 """
 
     sql["impute_linear_hourly"] = f"""

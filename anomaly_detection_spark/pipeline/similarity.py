@@ -51,7 +51,7 @@ def cosine_topk_bruteforce(
         "cosine", F.round(_dot(F.col("_qv"), F.col("_cv"))
                           / (F.col("_qn") * F.col("_cn")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", "cosine")
             .orderBy("query_id", "rank"))
@@ -111,7 +111,7 @@ def lsh_ann_topk(
         "cosine", F.round(_dot(F.col("_qv"), F.col("_cv"))
                           / (F.col("_qn") * F.col("_cn")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", "cosine")
             .orderBy("query_id", "rank"))

@@ -38,9 +38,9 @@ def token_counts(df: DataFrame, text_col: str = "text",
         f"filter(split({text_col}, '\\\\s+'), x -> x != '')"))
     return df.select(
         F.col(id_col),
-        ws.alias("ws_tokens"),
-        F.size(_tokens(text_col)).alias("word_tokens"),
-        F.length(text_col).alias("n_chars"),
+        ws.cast("long").alias("ws_tokens"),
+        F.size(_tokens(text_col)).cast("long").alias("word_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
     )
 
 
@@ -67,7 +67,7 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     )
     return df.select(
         F.col(id_col),
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
@@ -85,7 +85,7 @@ def language_id(df: DataFrame, text_col: str = "text",
     hit_cols = {}
     for lang, words in LANG_STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
-        hit_cols[lang] = F.size(F.array_intersect(F.col("_t"), arr))
+        hit_cols[lang] = F.size(F.array_intersect(F.col("_t"), arr)).cast("long")
         out = out.withColumn(f"hits_{lang}", hit_cols[lang])
     langs = sorted(LANG_STOPWORDS)
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])

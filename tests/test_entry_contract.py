@@ -67,6 +67,14 @@ def test_all_queries_against_oracle(spark, duck):
         if sorted(got.columns) != sorted(want.columns):
             failures.append((name, "schema", list(got.columns), list(want.columns)))
             continue
+        # strict dtype agreement (int width / float / timestamp / object)
+        for c in got.columns:
+            gk, wk = got[c].dtype.kind, want[c].dtype.kind
+            gi = str(got[c].dtype) if gk == "i" else gk
+            wi = str(want[c].dtype) if wk == "i" else wk
+            if gi != wi:
+                failures.append((name, "dtype", c, (str(got[c].dtype),
+                                                    str(want[c].dtype))))
         if len(got) != len(want):
             failures.append((name, "rowcount", len(got), len(want)))
             continue
