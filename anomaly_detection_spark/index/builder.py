@@ -43,13 +43,13 @@ from .storage import (
 
 POSTING_SCHEMA = (
     "term string, seg_id int, block_id int, first_docid long, last_docid long, "
-    "n int, gaps binary, tfs binary, max_tf int, sum_tf long"
+    "n int, gaps binary, tfs binary, max_tf int, sum_tf long, min_dl int"
 )
 
 
 _EMPTY_BLOCKS = pd.DataFrame(
     columns=["term", "seg_id", "block_id", "first_docid", "last_docid",
-             "n", "gaps", "tfs", "max_tf", "sum_tf"])
+             "n", "gaps", "tfs", "max_tf", "sum_tf", "min_dl"])
 
 
 def encode_segment_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
@@ -76,7 +76,14 @@ def encode_segment_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     terms_u = g.index.get_level_values(0).to_numpy(dtype=object)
     docs_u = g.index.get_level_values(1).to_numpy(dtype=np.int64)
     tfs_u = g.to_numpy(dtype=np.int64)
-    return blocks_from_sorted(terms_u, docs_u, tfs_u, seg_id, block_size)
+    # per-posting doc length (for block-level min_dl — tight BM25 UBs)
+    seg_docids = pdf["docid"].to_numpy(dtype=np.int64)
+    base = int(seg_docids.min())
+    dl_lut = np.zeros(int(seg_docids.max()) - base + 1, dtype=np.int64)
+    dl_lut[seg_docids - base] = lens
+    dls_u = dl_lut[docs_u - base]
+    return blocks_from_sorted(terms_u, docs_u, tfs_u, seg_id, block_size,
+                              dls_u=dls_u)
 
 
 def blocks_from_sorted(
@@ -85,6 +92,7 @@ def blocks_from_sorted(
     tfs_u: np.ndarray,
     seg_id: int,
     block_size: int,
+    dls_u: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """(term, docid, tf) rows already sorted by (term, docid) → posting
     block rows.  Shared by the segment builder and the segment merger."""
@@ -108,6 +116,11 @@ def blocks_from_sorted(
     last = docs_u[blk_end - 1]
     max_tf = np.maximum.reduceat(tfs_u, blk_start).astype(np.int32)
     sum_tf = np.add.reduceat(tfs_u, blk_start)
+    if dls_u is None:
+        min_dl = np.zeros(n_blocks, dtype=np.int32)  # dl→0 = loosest valid UB
+    else:
+        min_dl = np.minimum.reduceat(
+            np.asarray(dls_u, dtype=np.int64), blk_start).astype(np.int32)
     blk_terms = terms_u[blk_start]
     blk_idx = (pos_in_run[blk_start] // block_size).astype(np.int32)
 
@@ -136,6 +149,7 @@ def blocks_from_sorted(
         "tfs": tfs_col,
         "max_tf": max_tf,
         "sum_tf": sum_tf,
+        "min_dl": min_dl,
     })
 
 

@@ -57,7 +57,11 @@ def _merge_new_seg(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     docs_u = np.concatenate(doc_parts)
     tfs_u = np.concatenate(tf_parts)
     terms_u = np.repeat(pdf["term"].to_numpy(dtype=object), ns)
-    return blocks_from_sorted(terms_u, docs_u, tfs_u, new_seg, block_size)
+    # per-posting dl lower bound = source block's min_dl (a valid, slightly
+    # looser bound after re-cutting block boundaries)
+    dls_u = np.repeat(pdf["min_dl"].to_numpy(dtype=np.int64), ns)
+    return blocks_from_sorted(terms_u, docs_u, tfs_u, new_seg, block_size,
+                              dls_u=dls_u)
 
 
 def merge_segments(
@@ -101,7 +105,7 @@ def merge_segments(
             _m,
             schema=("term string, seg_id int, block_id int, first_docid long, "
                     "last_docid long, n int, gaps binary, tfs binary, "
-                    "max_tf int, sum_tf long"),
+                    "max_tf int, sum_tf long, min_dl int"),
         )
         (merged.repartitionByRange(max(2, segments_per_batch), "term", "seg_id")
          .sortWithinPartitions("term", "seg_id", "block_id")

@@ -104,8 +104,19 @@ def _score_segment(
     max_tfs = posts["max_tf"].to_numpy(dtype=np.float64)
     w_arr = np.array([weights[t] for t in terms])
 
-    # per-block score upper bound: max tf with the most favorable dl→0
-    ub = w_arr * (max_tfs * (k1 + 1.0)) / (max_tfs + k1 * (1.0 - b))
+    # per-block score upper bound at the block's smallest doc length
+    # (w is decreasing in dl, so min_dl gives a tight, valid UB; indexes
+    # without min_dl fall back to 0 = the loosest bound)
+    if "min_dl" in posts.columns:
+        min_dls = posts["min_dl"].to_numpy(dtype=np.float64)
+    else:
+        min_dls = np.zeros(len(posts))
+    if quantize_norms:
+        from ..functions.bm25 import quantize_doc_len as _q
+
+        min_dls = _q(min_dls.astype(np.int64)).astype(np.float64)
+    ub = w_arr * (max_tfs * (k1 + 1.0)) / (
+        max_tfs + k1 * (1.0 - b + b * min_dls / max(avgdl, 1e-12)))
 
     n_buckets = (seg_size + bucket - 1) // bucket
     bf = (firsts - seg_base) // bucket
@@ -134,7 +145,7 @@ def _score_segment(
         return scores
 
     all_blocks = np.arange(len(posts))
-    if prune and len(posts) > 4:
+    if prune and len(posts) >= 16:  # pruning overhead only pays at volume
         # bucket UB sums via a difference array (per-term blocks are
         # docid-disjoint; boundary-bucket overlap only loosens the UB)
         diff = np.zeros(n_buckets + 1)
@@ -193,8 +204,12 @@ def bm25_topk_indexed(
     weights = {t: float(bm25_idf(stats[t], meta.n_docs)) * qcounts[t]
                for t in present}
 
-    posts = reader.postings().filter(F.col("term").isin(present)).select(
-        "term", "seg_id", "first_docid", "last_docid", "gaps", "tfs", "max_tf")
+    post_cols = ["term", "seg_id", "first_docid", "last_docid", "gaps",
+                 "tfs", "max_tf"]
+    src = reader.postings()
+    if "min_dl" in src.columns:
+        post_cols.append("min_dl")
+    posts = src.filter(F.col("term").isin(present)).select(*post_cols)
     if filter_cond is None:
         # pure match: per-segment norms blobs (~1 byte/doc) instead of a
         # full doc_stats shuffle — the hot path at corpus scale
