@@ -414,6 +414,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "fp_md5").orderBy("doc_id")
     q["fingerprint_md5"] = fps
 
+    # ---- reference query-path restatements (§3.1, §3.3) -------------------
+    def top_entities(s, d):
+        """SearchTopAnomalyResultTransportAction restated: filter range +
+        term -> groupBy entity -> max severity + count -> global top-k
+        (the client-side heap+pagination collapses to orderBy/limit)."""
+        from anomaly_detection_spark.query.planner import compile_filter
+        ev = _read(s, d, "events")
+        cond = compile_filter(ev, {"bool": {"filter": [
+            {"term": {"event_type": "error"}},
+            {"range": {"ts": {"gte": _RANGE_A[0], "lt": _RANGE_B[1]}}}]}})
+        out = (ev.filter(cond).groupBy("user_id")
+               .agg(F.round(F.max("value"), 6).alias("max_severity"),
+                    F.count("*").alias("doc_count")))
+        w = Window.orderBy(F.desc("max_severity"), F.asc("user_id"))
+        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= 10)
+                .select("rank", "user_id", "max_severity", "doc_count"))
+    q["top_entities_by_severity"] = top_entities
+
+    def feature_vectors(s, d):
+        """CompositeRetriever page loop restated (B6): per-(entity,
+        interval) feature vectors in one groupBy."""
+        from anomaly_detection_spark.features import feature_matrix
+        ev = _read(s, d, "events")
+        fm = feature_matrix(ev, "ts", EVENTS_HOUR,
+                            {"v_avg": {"avg": {"field": "value"}},
+                             "v_sum": {"sum": {"field": "value"}}},
+                            entity_cols=("event_type",))
+        return fm.select("event_type", "bucket_start", "doc_count",
+                         F.round("v_avg", 6).alias("v_avg"),
+                         F.round("v_sum", 6).alias("v_sum"))
+    q["feature_vectors_hourly"] = feature_vectors
+
     # ---- north-star shape: transcripts index + WAND (rows-only) -----------
     def tx_wand(s, d):
         from anomaly_detection_spark.query import bm25_topk_indexed, fetch_docs
@@ -631,6 +664,28 @@ SELECT epoch_ms(bms) AS bucket_start,
              WHEN nidx IS NULL THEN pv
              ELSE pv + (nv - pv) * (idx - pidx) / (nidx - pidx) END, 6) AS v_avg
 FROM nb ORDER BY bms
+"""
+
+    sql["top_entities_by_severity"] = f"""
+WITH g AS (
+  SELECT user_id, round(max(value), 6) AS max_severity,
+         count(*) AS doc_count
+  FROM events
+  WHERE event_type = 'error'
+    AND epoch_ms(ts) >= {_RANGE_A[0]} AND epoch_ms(ts) < {_RANGE_B[1]}
+  GROUP BY user_id)
+SELECT row_number() OVER (ORDER BY max_severity DESC, user_id) AS rank,
+       user_id, max_severity, doc_count
+FROM g ORDER BY max_severity DESC, user_id LIMIT 10
+"""
+
+    sql["feature_vectors_hourly"] = f"""
+SELECT event_type,
+       epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
+       count(*) AS doc_count,
+       round(avg(value), 6) AS v_avg,
+       round(sum(value), 6) AS v_sum
+FROM events GROUP BY 1, 2
 """
 
     sql["dedup_exact"] = f"""
