@@ -427,11 +427,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = (ev.filter(cond).groupBy("user_id")
                .agg(F.round(F.max("value"), 6).alias("max_severity"),
                     F.count("*").alias("doc_count")))
+        # limit-then-rank: the global sort+limit compiles to
+        # TakeOrderedAndProject (per-partition top-10, tiny exchange);
+        # the window only ranks the 10 survivors
+        top = out.orderBy(F.desc("max_severity"), F.asc("user_id")).limit(10)
         w = Window.orderBy(F.desc("max_severity"), F.asc("user_id"))
-        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
-                .filter(F.col("rank") <= 10)
+        return (top.withColumn("rank", F.row_number().over(w).cast("long"))
                 .select("rank", "user_id", "max_severity", "doc_count"))
     q["top_entities_by_severity"] = top_entities
+
+    def comp_entity(s, d):
+        """B7: composite source computed from a script — group by the
+        entity value extracted out of a nested array<struct<name,value>>
+        column (QueryUtil.java:23-45 painless → array expression)."""
+        from anomaly_detection_spark.functions import entity_value, with_entity
+        ev = with_entity(_read(s, d, "events"),
+                         {"user": "user_id", "type": "event_type"})
+        out = (ev.groupBy(entity_value("entity", "user").alias("entity_user"))
+               .agg(F.count("*").alias("doc_count"),
+                    F.round(F.max("value"), 6).alias("max_severity")))
+        top = out.orderBy(F.desc("max_severity"), F.asc("entity_user")).limit(10)
+        w = Window.orderBy(F.desc("max_severity"), F.asc("entity_user"))
+        return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+                .select("rank", "entity_user", "max_severity", "doc_count"))
+    q["composite_entity_script"] = comp_entity
 
     def feature_vectors(s, d):
         """CompositeRetriever page loop restated (B6): per-(entity,
@@ -679,6 +698,20 @@ SELECT row_number() OVER (ORDER BY max_severity DESC, user_id) AS rank,
 FROM g ORDER BY max_severity DESC, user_id LIMIT 10
 """
 
+    sql["composite_entity_script"] = """
+WITH src AS (
+  SELECT [struct_pack(name := 'user', value := CAST(user_id AS VARCHAR)),
+          struct_pack(name := 'type', value := event_type)] AS entity, value
+  FROM events),
+g AS (
+  SELECT (list_filter(entity, e -> e.name = 'user')[1]).value AS entity_user,
+         count(*) AS doc_count, round(max(value), 6) AS max_severity
+  FROM src GROUP BY 1)
+SELECT row_number() OVER (ORDER BY max_severity DESC, entity_user) AS rank,
+       entity_user, max_severity, doc_count
+FROM g ORDER BY max_severity DESC, entity_user LIMIT 10
+"""
+
     sql["feature_vectors_hourly"] = f"""
 SELECT event_type,
        epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
@@ -706,15 +739,19 @@ ORDER BY groups.group_id, keyed.doc_id
         "list_slice(ts, 1, greatest(len(ts) - 2, 0)), "
         "(x, i) -> x || ' ' || ts[i+1] || ' ' || ts[i+2]))"
     )
+    # mirrors the Spark default max_shingle_df=10000: hot shingles are
+    # dropped from the intersection, sizes stay uncapped
     sql["ngram_jaccard_04"] = f"""
 WITH tok AS (
   SELECT doc_id, {_TOKEN_SQL.format(col='text')} AS ts FROM documents),
 sh AS (
   SELECT doc_id, unnest({trigram}) AS s FROM tok),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 10000),
+shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT id_a, id_b,
        round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard

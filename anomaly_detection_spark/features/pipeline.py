@@ -69,11 +69,14 @@ def nearest_fill(
     neighbor filled it); unfillable buckets keep nulls."""
     ent = list(entity_cols)
     grid = _dense_grid(features, interval_ms, entity_cols)
-    dense = grid.join(features, [*ent, "bucket_start"], "left")
+    # presence = the bucket existed in `features` (join marker), NOT
+    # value_cols[0] non-null — a present bucket whose first feature
+    # aggregated to null must keep its other columns, not be refilled
+    dense = grid.join(features.withColumn("_orig", F.lit(True)),
+                      [*ent, "bucket_start"], "left")
     idx = (to_millis("bucket_start") / interval_ms).cast("long")
-    # materialize original presence BEFORE overwriting the value columns
     dense = dense.withColumn("_idx", idx).withColumn(
-        "_present", F.col(value_cols[0]).isNotNull())
+        "_present", F.col("_orig").isNotNull())
     w = Window.partitionBy(*ent).orderBy("_idx")
     wp = w.rowsBetween(Window.unboundedPreceding, 0)
     wn = w.rowsBetween(0, Window.unboundedFollowing)
@@ -99,7 +102,7 @@ def nearest_fill(
     dense = dense.withColumn(
         "is_filled",
         (~present) & F.col(value_cols[0]).isNotNull())
-    return dense.drop("_idx", "_pidx", "_nidx", "_present")
+    return dense.drop("_idx", "_pidx", "_nidx", "_present", "_orig")
 
 
 def impute_linear(
@@ -113,10 +116,13 @@ def impute_linear(
     (LinearUniformImputer.java:62-75 formula, deterministic)."""
     ent = list(entity_cols)
     grid = _dense_grid(features, interval_ms, entity_cols)
-    dense = grid.join(features, [*ent, "bucket_start"], "left")
+    # presence = join marker (see nearest_fill) — null features in a
+    # present bucket are skipped as anchors but never trigger a refill
+    dense = grid.join(features.withColumn("_orig", F.lit(True)),
+                      [*ent, "bucket_start"], "left")
     dense = (dense
              .withColumn("_idx", (to_millis("bucket_start") / interval_ms).cast("long"))
-             .withColumn("_present", F.col(value_cols[0]).isNotNull()))
+             .withColumn("_present", F.col("_orig").isNotNull()))
     w = Window.partitionBy(*ent).orderBy("_idx")
     wp = w.rowsBetween(Window.unboundedPreceding, 0)
     wn = w.rowsBetween(0, Window.unboundedFollowing)
@@ -136,7 +142,7 @@ def impute_linear(
             .when(F.col("_pidx").isNull(), nv)          # leading edge
             .when(F.col("_nidx").isNull(), pv)          # trailing edge
             .otherwise(pv + (nv - pv) * frac))
-    return dense.drop("_idx", "_pidx", "_nidx", "_present")
+    return dense.drop("_idx", "_pidx", "_nidx", "_present", "_orig")
 
 
 def shingles(

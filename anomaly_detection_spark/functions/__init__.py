@@ -8,4 +8,5 @@ from .codecs import (  # noqa: F401
     varint_encode,
     varint_encode_with_widths,
 )
+from .entity import entity_value, with_entity  # noqa: F401
 from .tokenizer import tokenize_column, tokenize_texts  # noqa: F401

@@ -37,6 +37,7 @@ from .storage import (
     is_done,
     log_metric,
     mark_done,
+    pin_geometry,
     read_meta,
     write_meta,
 )
@@ -226,6 +227,11 @@ def build_index(
         seg_size = int(min(1 << 16, max(1 << 12, n_docs // (par * 2) or 1)))
     n_segs = max(1, math.ceil(n_docs / seg_size))
     n_batches = max(1, math.ceil(n_segs / segments_per_batch))
+    # a resumed build must also keep the original batch geometry — batch
+    # markers are keyed by batch index, so a different batching would
+    # silently skip or re-map docid ranges
+    pin_geometry(paths, "build_conf", resume, seg_size=seg_size,
+                 block_size=block_size, segments_per_batch=segments_per_batch)
     if not (resume and is_done(paths, "finalize")):
         # draft meta only — never clobber a finalized one on resume
         write_meta(paths, IndexMeta(n_docs=n_docs, avgdl=0.0, seg_size=seg_size,

@@ -35,6 +35,7 @@ from .storage import (
     is_done,
     log_metric,
     mark_done,
+    pin_geometry,
     read_meta,
     write_meta,
 )
@@ -84,6 +85,10 @@ def merge_segments(
 
     n_new_segs = max(1, math.ceil(src_meta.n_docs / new_seg_size))
     n_batches = max(1, math.ceil(n_new_segs / segments_per_batch))
+    # pin merge geometry BEFORE touching dst meta: resuming with a
+    # different factor/batching must error, not remap docid ranges
+    pin_geometry(dst, "merge_conf", resume, factor=factor,
+                 segments_per_batch=segments_per_batch)
     write_meta(dst, IndexMeta(
         n_docs=src_meta.n_docs, avgdl=src_meta.avgdl,
         seg_size=new_seg_size, block_size=block_size))

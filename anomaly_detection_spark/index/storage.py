@@ -101,6 +101,28 @@ def mark_done(paths: IndexPaths, stage: str, batch: int | str = "all",
     os.replace(tmp, paths.ckpt(stage, batch))  # atomic: crash-safe marker
 
 
+def read_ckpt(paths: IndexPaths, stage: str, batch: int | str = "all") -> dict:
+    with open(paths.ckpt(stage, batch)) as f:
+        return json.load(f)
+
+
+def pin_geometry(paths: IndexPaths, stage: str, resume: bool, **geom) -> None:
+    """Record batch geometry on first run; fail fast if a resume passes
+    different geometry — silently re-mapping batch/docid ranges across a
+    resume would corrupt the index instead of erroring."""
+    if resume and is_done(paths, stage):
+        pinned = read_ckpt(paths, stage)
+        diff = {k: (pinned.get(k), v) for k, v in geom.items()
+                if pinned.get(k) != v}
+        if diff:
+            raise ValueError(
+                f"resume geometry mismatch for {paths.root} ({stage}): "
+                + ", ".join(f"{k}: checkpointed {a!r} != requested {b!r}"
+                            for k, (a, b) in diff.items()))
+        return
+    mark_done(paths, stage, **geom)
+
+
 def log_metric(paths: IndexPaths, stage: str, **fields) -> None:
     os.makedirs(paths.root, exist_ok=True)
     with open(paths.metrics, "a") as f:

@@ -35,13 +35,21 @@ _MERSENNE_P = (1 << 61) - 1
 
 
 def _shingles(text_col: str, n: int) -> F.Column:
-    """Distinct word n-gram shingles of the normalized token stream."""
+    """Distinct word n-gram shingles of the normalized token stream.
+
+    Docs with fewer than ``n`` tokens (including empty docs) yield an
+    empty array — ``F.sequence(0, -1)`` would otherwise expand to
+    ``[0, -1]`` (step defaults to -1) and crash ``F.slice``.
+    """
     toks = _tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -62,9 +70,20 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(
     df: DataFrame, threshold: float = 0.8, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ τ)."""
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ τ).
+
+    The shingle self-join is quadratic in each shingle's doc frequency:
+    one shingle shared by d docs contributes d·(d-1)/2 join rows, so a
+    single ubiquitous n-gram at corpus scale is a blow-up.  Shingles
+    with df > ``max_shingle_df`` are therefore dropped from the
+    *intersection* (sizes stay uncapped): pairs whose similarity rests
+    only on ubiquitous shingles are not near-dups of interest, and the
+    join cost is bounded by ``max_shingle_df²`` per shingle.  Pass
+    ``max_shingle_df=None`` only for small corpora / oracle baselines;
+    for web scale prefer :func:`minhash_lsh_pairs`.
+    """
     sh = df.select(F.col(id_col).alias("_id"),
                    F.explode(_shingles(text_col, n)).alias("_s"))
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))

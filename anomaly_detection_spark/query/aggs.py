@@ -216,19 +216,36 @@ def bucket_sort(df: DataFrame, sort_cols: list[tuple[str, str]],
     """bucket_sort(sort, from, size) — global, unlike the per-page sort
     the reference must merge client-side."""
     order = [F.desc(c) if d.lower() == "desc" else F.asc(c) for c, d in sort_cols]
+    if size is not None:
+        # limit-then-rank: orderBy().limit() is TakeOrderedAndProject
+        # (per-partition heap, tiny exchange); the offset window only
+        # ever sees from_+size rows
+        top = df.orderBy(*order).limit(from_ + size)
+        if from_:
+            w = Window.orderBy(*order)
+            top = (top.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") > from_).drop("_rn"))
+        return top.orderBy(*order)
     out = df.orderBy(*order)
-    if from_ or size is not None:
+    if from_:
+        # unbounded size + offset: a global window is unavoidable; fine
+        # here because pipeline aggs run over already-reduced bucket
+        # rows (≤ thousands), never raw documents
         w = Window.orderBy(*order)
         out = (out.withColumn("_rn", F.row_number().over(w))
-               .filter((F.col("_rn") > from_)
-                       & (F.col("_rn") <= (from_ + size if size else 1 << 62)))
-               .drop("_rn"))
+               .filter(F.col("_rn") > from_).drop("_rn"))
     return out
 
 
 def serial_diff(df: DataFrame, metric_col: str, order_col: str,
                 lag: int = 1, alias: str | None = None) -> DataFrame:
-    """serial_diff: value - lag(value, n) over bucket order."""
+    """serial_diff: value - lag(value, n) over bucket order.
+
+    Unpartitioned window by design: pipeline aggs consume sibling
+    *buckets* of one histogram (bounded by the time span / interval,
+    not by corpus size), so one task sees thousands of rows at most.
+    Per-entity variants should pre-partition (see features.pipeline).
+    """
     alias = alias or f"{metric_col}_diff"
     w = Window.orderBy(order_col)
     return df.withColumn(alias, F.col(metric_col) - F.lag(metric_col, lag).over(w))

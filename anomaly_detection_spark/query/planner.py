@@ -95,20 +95,36 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
                 matches.extend(p.matches)
         shoulds = _as_list(body.get("should"))
         if shoulds:
+            # OpenSearch defaults: minimum_should_match is 0 when must/
+            # filter clauses exist (should affects scoring only) and 1
+            # otherwise (BoolQueryBuilder minimumShouldMatch semantics).
+            has_required = bool(conds) or bool(matches)
+            msm = body.get("minimum_should_match", 0 if has_required else 1)
+            if msm not in (0, 1):
+                raise ValueError(f"minimum_should_match > 1 unsupported: {msm}")
             sub_plans = [plan_query(df, s, scoring=scoring) for s in shoulds]
-            scored = [p for p in sub_plans if p.matches]
-            unscored = [p.filter_cond for p in sub_plans if not p.matches]
-            if scored and not conds and not unscored:
-                # pure scored disjunction → BM25 SHOULD clauses
-                for p in scored:
-                    matches.extend(p.matches)
+            for p in sub_plans:
+                matches.extend(p.matches)
+            pure_scored = scoring and all(
+                p.matches and p.filter_cond is None for p in sub_plans)
+            if msm == 0 or pure_scored:
+                # msm=0: scoring-only.  Pure scored disjunction: BM25
+                # SHOULD already enforces msm=1 (score > 0 ⇔ ≥1 clause).
+                pass
             else:
-                ors = [c for c in ([p.filter_cond for p in sub_plans]) if c is not None]
-                if ors:
-                    acc = ors[0]
-                    for c in ors[1:]:
-                        acc = acc | c
-                    conds.append(acc)
+                # msm=1 with a mixed disjunction: every clause — scored
+                # match included — contributes its filter-context
+                # predicate to the OR, so docs matching only the match
+                # clause stay in the result set.
+                ors = []
+                for s in shoulds:
+                    fp = plan_query(df, s, scoring=False)
+                    ors.append(F.lit(True) if fp.filter_cond is None
+                               else fp.filter_cond)
+                acc = ors[0]
+                for c in ors[1:]:
+                    acc = acc | c
+                conds.append(acc)
         for sub in _as_list(body.get("must_not")):
             p = plan_query(df, sub, scoring=False)
             if p.filter_cond is not None:
@@ -197,6 +213,7 @@ def search(
     body: dict[str, Any],
     docs_df: DataFrame | None = None,
     k: int | None = None,
+    text_field: str = "text",
 ):
     """Detector-style search entry: query JSON + size → DataFrame.
 
@@ -204,6 +221,13 @@ def search(
     IndexReader` (index-backed) or an analyzed docs DataFrame (brute
     force).  A scored ``match`` routes to BM25 top-k; a pure filter
     returns the filtered rows (size-limited if given).
+
+    Scored-match scope: exactly one analyzed text field is indexed
+    (``text_field``) — a ``match`` against any other field raises.
+    Multiple scored match clauses are scored as one SHOULD bag over the
+    union of their analyzed tokens (disjunctive, like a single bool
+    SHOULD of term queries); conjunctive multi-match (``operator: and``
+    across clauses) is out of the supported subset.
     """
     from .brute_force import bm25_topk_bruteforce
     from .index_search import IndexReader, bm25_topk_indexed, fetch_docs
@@ -218,6 +242,11 @@ def search(
     cond = plan.filter_cond
 
     if plan.matches:
+        bad = sorted({f for f, _ in plan.matches if f != text_field})
+        if bad:
+            raise ValueError(
+                f"scored match supports only the indexed text field "
+                f"{text_field!r}; got match on {bad}")
         text = " ".join(t for _, t in plan.matches)
         if isinstance(target, IndexReader):
             top = bm25_topk_indexed(target, text, k=size, filter_cond=cond)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -40,30 +41,35 @@ def streaming_shingles(
 
     def fn(key: Any, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterable[pd.DataFrame]:
+        # vectorized fold: concat state tail + new points, emit one
+        # sliding window per new point once k consecutive points exist
         if state.exists:
-            buckets, values = state.get
-            buckets, values = list(buckets), list(values)
+            sb, sv = state.get
+            sb = np.asarray(sb, dtype=np.int64)
+            sv = np.asarray(sv, dtype=np.float64)
         else:
-            buckets, values = [], []
+            sb = np.empty(0, dtype=np.int64)
+            sv = np.empty(0, dtype=np.float64)
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(bucket_col)
-        out_b, out_s = [], []
-        for _, r in rows.iterrows():
-            b = int(pd.Timestamp(r[bucket_col]).value // 10**6)
-            buckets.append(b)
-            values.append(float(r[value_col]))
-            if len(values) > k:
-                buckets, values = buckets[-k:], values[-k:]
-            if len(values) == k:
-                out_b.append(r[bucket_col])
-                out_s.append(list(values))
-        state.update((buckets, values))
-        if not out_b:
+        rows = rows.sort_values(bucket_col).reset_index(drop=True)
+        nb = (pd.to_datetime(rows[bucket_col])
+              .to_numpy(dtype="datetime64[ms]").astype(np.int64))
+        nv = rows[value_col].to_numpy(dtype=np.float64)
+        n0 = len(sv)
+        all_b = np.concatenate([sb, nb])
+        all_v = np.concatenate([sv, nv])
+        state.update((all_b[-k:].tolist(), all_v[-k:].tolist()))
+        if len(all_v) < k:
+            return iter(())
+        # window ending at global index i lives at sliding view row i-k+1
+        wins = np.lib.stride_tricks.sliding_window_view(all_v, k)
+        emit = np.arange(max(n0, k - 1), len(all_v))
+        if len(emit) == 0:
             return iter(())
         return iter([pd.DataFrame({
-            entity_col: [key[0]] * len(out_b),
-            bucket_col: out_b,
-            "shingle": out_s,
+            entity_col: [key[0]] * len(emit),
+            bucket_col: rows[bucket_col].iloc[emit - n0].to_numpy(),
+            "shingle": [w.tolist() for w in wins[emit - k + 1]],
         })])
 
     return (features.groupBy(entity_col)

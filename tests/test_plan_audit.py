@@ -69,7 +69,22 @@ def test_fetch_broadcasts_topk(reader):
     assert "BroadcastHashJoin" in p
 
 
+def test_top_entities_plan_is_take_ordered(spark):
+    """The top-entities gate path must be limit-then-rank: global top-10
+    via TakeOrderedAndProject (per-partition heap + tiny exchange), never
+    a single-partition window over every entity group."""
+    import __spark_entry__ as em
+
+    df = em.queries()["top_entities_by_severity"](spark, "/root/testdata/sf0.001")
+    p = _plan(df)
+    assert "TakeOrderedAndProject" in p
+    df2 = em.queries()["composite_entity_script"](spark, "/root/testdata/sf0.001")
+    p2 = _plan(df2)
+    assert "TakeOrderedAndProject" in p2
+
+
 def test_date_histogram_partial_agg_and_pruned_scan(spark):
+    spark.catalog.clearCache()  # plan shape must come from a real scan
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     p = _plan(date_histogram(ev, "ts", 3600_000, min_doc_count=1))
     # map-side combine: two HashAggregates around one exchange

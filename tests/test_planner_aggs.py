@@ -20,7 +20,11 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events(spark):
-    return spark.read.parquet(f"{SF}/events.parquet").persist()
+    df = spark.read.parquet(f"{SF}/events.parquet").persist()
+    yield df
+    # unpersist: a leaked cache entry makes CacheManager substitute the
+    # full-schema InMemoryRelation into other files' plan-audit tests
+    df.unpersist()
 
 
 # ---------------------------------------------------------------- planner
@@ -58,6 +62,14 @@ def test_bool_and_must_not_and_wildcard(tiny_transcripts):
         "should": [{"range": {"turn_idx": {"lt": 3}}},
                    {"range": {"turn_idx": {"gte": 10}}}],
     }}
+    # with filter clauses present, minimum_should_match defaults to 0
+    # (OpenSearch BoolQueryBuilder): should must NOT shrink the set
+    n = df.filter(compile_filter(df, q)).count()
+    want = ((pdf.role == "assistant")
+            & ~(pdf.tool == "bash").fillna(False)).sum()
+    assert n == want
+    # explicit minimum_should_match=1 restores the conjunction
+    q["bool"]["minimum_should_match"] = 1
     n = df.filter(compile_filter(df, q)).count()
     want = ((pdf.role == "assistant") & ~(pdf.tool == "bash").fillna(False)
             & ((pdf.turn_idx < 3) | (pdf.turn_idx >= 10))).sum()

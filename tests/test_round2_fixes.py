@@ -1,0 +1,168 @@
+"""Round-2 regression tests: advisor fixes (short-doc shingles, bool
+should semantics, match-field validation, fill presence flag, resume
+geometry pinning) + multi-table sources + atomic delete-by-query."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.pipeline import minhash_lsh_pairs, ngram_jaccard_pairs
+from anomaly_detection_spark.query.planner import compile_filter, plan_query, search
+from anomaly_detection_spark.sources import load_table
+from anomaly_detection_spark.sources.tables import predicate_sql
+
+
+# --- short docs through the shingle dedup family (ADVICE high) -------------
+
+
+def test_shingles_short_docs_no_crash(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, None),
+         (4, "exactly three tokens"), (5, "a full five token document here"),
+         (6, "a full five token document here")],
+        "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, threshold=0.4, n=3).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(5, 6)]
+    mh = minhash_lsh_pairs(df, threshold=0.4, num_hashes=16, bands=8).collect()
+    assert [(r.id_a, r.id_b) for r in mh] == [(5, 6)]
+
+
+# --- bool should semantics (ADVICE medium) ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def should_df(spark):
+    return spark.createDataFrame(
+        [(0, "alpha beta", "x"), (1, "gamma delta", "y"),
+         (2, "epsilon zeta", "z"), (3, "alpha zeta", "y")],
+        "id long, text string, tag string")
+
+
+def test_mixed_should_keeps_match_only_docs(should_df):
+    # doc 0 matches only the match clause, doc 1 only the term clause —
+    # both must be in the filter-context result set (msm defaults to 1)
+    cond = compile_filter(should_df, {"bool": {"should": [
+        {"match": {"text": "alpha"}}, {"term": {"tag": "y"}}]}})
+    got = sorted(r.id for r in should_df.filter(cond).collect())
+    assert got == [0, 1, 3]
+
+
+def test_should_with_filter_is_scoring_only(should_df):
+    # OpenSearch: when must/filter exist, minimum_should_match defaults
+    # to 0 — the should clause must NOT shrink the result set
+    cond = compile_filter(should_df, {"bool": {
+        "filter": [{"terms": {"tag": ["x", "y"]}}],
+        "should": [{"term": {"tag": "y"}}]}})
+    got = sorted(r.id for r in should_df.filter(cond).collect())
+    assert got == [0, 1, 3]
+
+
+def test_explicit_minimum_should_match_one(should_df):
+    cond = compile_filter(should_df, {"bool": {
+        "filter": [{"terms": {"tag": ["x", "y"]}}],
+        "should": [{"term": {"tag": "y"}}],
+        "minimum_should_match": 1}})
+    got = sorted(r.id for r in should_df.filter(cond).collect())
+    assert got == [1, 3]
+
+
+def test_scored_should_still_routes_to_bm25(should_df):
+    plan = plan_query(should_df, {"bool": {"should": [
+        {"match": {"text": "alpha"}}, {"match": {"text": "zeta"}}]}})
+    assert plan.filter_cond is None
+    assert [t for _, t in plan.matches] == ["alpha", "zeta"]
+
+
+def test_search_rejects_match_on_non_text_field(should_df):
+    from anomaly_detection_spark.query.brute_force import analyze_docs
+
+    analyzed = analyze_docs(should_df.withColumnRenamed("id", "docid"))
+    with pytest.raises(ValueError, match="indexed text field"):
+        search(analyzed, {"query": {"match": {"tag": "y"}}})
+
+
+# --- fill presence via join marker (ADVICE low) ------------------------------
+
+
+def test_fill_presence_not_tied_to_first_column(spark):
+    from anomaly_detection_spark.features import impute_linear, nearest_fill
+
+    # bucket 1h exists but its FIRST feature is null; second feature is 7.
+    rows = [("2024-01-01 00:00:00", 1.0, 5.0),
+            ("2024-01-01 01:00:00", None, 7.0),
+            ("2024-01-01 03:00:00", 4.0, 9.0)]
+    feats = spark.createDataFrame(rows, "bucket_start string, a double, b double") \
+        .withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+    hour = 3600_000
+    out = nearest_fill(feats, hour, ["a", "b"]).orderBy("bucket_start").collect()
+    assert len(out) == 4
+    # present bucket keeps its own b value and is NOT marked filled
+    assert out[1].b == 7.0 and out[1].is_filled is False
+    # the truly missing bucket (02:00) does get filled
+    assert out[2].is_filled is True and out[2].b in (7.0, 9.0)
+
+    lin = impute_linear(feats, hour, ["a", "b"]).orderBy("bucket_start").collect()
+    assert lin[1].b == 7.0                      # present row keeps its value
+    assert lin[2].b == pytest.approx(8.0)       # missing row interpolates 7→9
+
+
+# --- resume geometry pinning (ADVICE low) ------------------------------------
+
+
+def test_resume_rejects_geometry_change(spark, tiny_transcripts, tmp_path):
+    from anomaly_detection_spark.index import build_index, merge_segments
+
+    idx = str(tmp_path / "idx")
+    docs = tiny_transcripts.filter(F.col("docid") < 512)
+    build_index(docs, idx, seg_size=128, block_size=64, segments_per_batch=2)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        build_index(docs, idx, seg_size=128, block_size=64, segments_per_batch=3)
+
+    dst = str(tmp_path / "merged")
+    merge_segments(spark, idx, dst, factor=2, segments_per_batch=2)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        merge_segments(spark, idx, dst, factor=4, segments_per_batch=2)
+
+
+# --- multi-table sources (CompositeRetriever pattern fan-in) ----------------
+
+
+def test_load_table_glob_and_list(spark, tmp_path):
+    a = spark.range(10).select(F.col("id"), F.lit("a").alias("src"))
+    b = spark.range(5).select(F.col("id"), F.lit("b").alias("src"),
+                              F.lit(1).alias("extra"))
+    a.write.parquet(str(tmp_path / "tx_2024a"))
+    b.write.parquet(str(tmp_path / "tx_2024b"))
+    got = load_table(spark, str(tmp_path / "tx_2024*"))
+    assert got.count() == 15
+    # union is by name, missing columns null-filled
+    assert got.filter(F.col("extra").isNull()).count() == 10
+    got2 = load_table(spark, [str(tmp_path / "tx_2024a"),
+                              str(tmp_path / "tx_2024b")])
+    assert got2.count() == 15
+    with pytest.raises(FileNotFoundError):
+        load_table(spark, str(tmp_path / "nope_*"))
+
+
+def test_load_table_identifier_pattern(spark):
+    spark.range(3).createOrReplaceTempView("adsq_events_a")
+    spark.range(4).createOrReplaceTempView("adsq_events_b")
+    got = load_table(spark, "adsq_events_*")
+    assert got.count() == 7
+    with pytest.raises(ValueError, match="pattern"):
+        load_table(spark, "adsq_nothing_*")
+
+
+# --- delete-by-query SQL rendering -------------------------------------------
+
+
+def test_predicate_sql_rendering():
+    q = {"bool": {
+        "filter": [{"term": {"grp": 3}}, {"range": {"v": {"gte": 1, "lt": 5}}}],
+        "must_not": [{"wildcard": {"name": {"value": "tmp*"}}}]}}
+    got = predicate_sql(q)
+    assert got == ("grp = 3 AND v >= 1 AND v < 5 "
+                   "AND NOT coalesce(name LIKE 'tmp%', FALSE)")
+    assert predicate_sql({"terms": {"s": ["a", "b'c"]}}) == "s IN ('a', 'b''c')"
+    assert predicate_sql({"match_all": {}}) == "TRUE"
+    with pytest.raises(ValueError):
+        predicate_sql({"match": {"text": "x"}})
