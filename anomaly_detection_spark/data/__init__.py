@@ -1,1 +1,1 @@
-from .transcripts import assign_docids, generate_transcripts  # noqa: F401
+from .transcripts import assign_docids, generate_transcripts, topic_words  # noqa: F401

@@ -49,6 +49,29 @@ _EDGE_TOKENS = [
 
 _PUNCT = [".", ",", "!", "?", ";", " —", ":"]
 
+# --- per-conversation topics -------------------------------------------------
+# Real transcripts are topically clustered: one conversation stays on one
+# subject, so subject vocabulary is docid-local (docids are ordered by
+# (conv_id, turn_idx)).  Each conversation draws a topic (Zipf over 256,
+# popular topics dominate) and ~25% of its tokens come from that topic's
+# 8-word sub-vocabulary (vocab ranks 600..2647 — mid-tail words whose
+# background Zipf probability is tiny).  This is what makes block-max
+# pruning meaningful: topical query terms concentrate in few docid
+# ranges, exactly like real subjects/incidents do.
+_N_TOPICS = 256
+_TOPIC_WORDS = 8
+_TOPIC_BASE = 600
+_TOPIC_RATE = 0.25
+_TOPIC_P = 1.0 / np.arange(1, _N_TOPICS + 1) ** 1.0
+_TOPIC_CDF = np.cumsum(_TOPIC_P / _TOPIC_P.sum())
+
+
+def topic_words(topic: int) -> list[str]:
+    """The 8 subject words owned by one topic (for query construction
+    in benchmarks/pruning studies)."""
+    lo = _TOPIC_BASE + topic * _TOPIC_WORDS
+    return _VOCAB[lo:lo + _TOPIC_WORDS].tolist()
+
 
 def _build_vocab() -> list[str]:
     rng = np.random.RandomState(_VOCAB_SEED)
@@ -97,11 +120,16 @@ def _u01(x: np.ndarray) -> np.ndarray:
     return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def _texts_for_keys(rkey: np.ndarray) -> list[str]:
-    """Vectorized token-soup text synthesis for a batch of row keys."""
+def _texts_for_keys(rkey: np.ndarray, ckey: np.ndarray) -> list[str]:
+    """Vectorized text synthesis for a batch of (row key, conv key):
+    Zipf token soup + the conversation topic's word overlay."""
     n = len(rkey)
     if n == 0:
         return []
+    # conversation topic: Zipf over _N_TOPICS, pure function of conv key
+    topic = np.searchsorted(
+        _TOPIC_CDF, _u01(_splitmix64(ckey.astype(np.uint64))),
+        side="left").clip(0, _N_TOPICS - 1)
     r0 = _splitmix64(rkey.astype(np.uint64))
     r1 = _splitmix64(r0)
     r2 = _splitmix64(r1)
@@ -120,6 +148,13 @@ def _texts_for_keys(rkey: np.ndarray) -> list[str]:
     h = _splitmix64(mat)
     u = _u01(h)
     idx = np.searchsorted(_ZIPF_CDF, u, side="left").clip(0, _VOCAB_SIZE - 1)
+
+    # topical overlay: ~25% of tokens come from the conv topic's words
+    h3 = _splitmix64(mat ^ np.uint64(0xA5A5A5A5A5A5A5A5))
+    tmask = _u01(h3) < _TOPIC_RATE
+    tw = (_TOPIC_BASE + topic[:, None] * _TOPIC_WORDS
+          + (h3 % np.uint64(_TOPIC_WORDS)).astype(np.int64))
+    idx = np.where(tmask, tw, idx)
     words = _VOCAB[idx]
 
     # sprinkle unicode/emoji/punct edge tokens (~1.5%) + trailing punct (~8%)
@@ -212,14 +247,16 @@ def generate_transcripts(
         tool.alias("tool"),
         ts.alias("ts"),
         F.xxhash64(F.lit(seed), F.lit("text"), F.col("conv_seq"), F.col("turn_idx")).alias("_rkey"),
+        F.xxhash64(F.lit(seed), F.lit("topic"), F.col("conv_seq")).alias("_ckey"),
     )
 
     @F.pandas_udf("string")
-    def _gen_text(rkey: pd.Series) -> pd.Series:
+    def _gen_text(rkey: pd.Series, ckey: pd.Series) -> pd.Series:
         keys = rkey.to_numpy(dtype=np.int64).view(np.uint64)
-        return pd.Series(_texts_for_keys(keys))
+        ckeys = ckey.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(_texts_for_keys(keys, ckeys))
 
-    return turns.withColumn("text", _gen_text("_rkey")).select(
+    return turns.withColumn("text", _gen_text("_rkey", "_ckey")).select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
 

@@ -35,6 +35,7 @@ from .storage import (
     IndexMeta,
     IndexPaths,
     is_done,
+    log_lineage,
     log_metric,
     mark_done,
     pin_geometry,
@@ -44,16 +45,20 @@ from .storage import (
 
 POSTING_SCHEMA = (
     "term string, seg_id int, block_id int, first_docid long, last_docid long, "
-    "n int, gaps binary, tfs binary, max_tf int, sum_tf long, min_dl int"
+    "n int, gaps binary, tfs binary, max_tf int, sum_tf long, min_dl int, "
+    "bm_buckets array<int>, bm_tf array<int>, bm_dl array<int>"
 )
 
 
 _EMPTY_BLOCKS = pd.DataFrame(
     columns=["term", "seg_id", "block_id", "first_docid", "last_docid",
-             "n", "gaps", "tfs", "max_tf", "sum_tf", "min_dl"])
+             "n", "gaps", "tfs", "max_tf", "sum_tf", "min_dl",
+             "bm_buckets", "bm_tf", "bm_dl"])
 
 
-def encode_segment_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+def encode_segment_pdf(pdf: pd.DataFrame, block_size: int,
+                       seg_size: int | None = None,
+                       bucket_size: int = 256) -> pd.DataFrame:
     """One segment's (seg_id, docid, tokens) rows → posting-block rows.
 
     Fully vectorized: one lexicographic groupby for tf, run/block
@@ -84,7 +89,8 @@ def encode_segment_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     dl_lut[seg_docids - base] = lens
     dls_u = dl_lut[docs_u - base]
     return blocks_from_sorted(terms_u, docs_u, tfs_u, seg_id, block_size,
-                              dls_u=dls_u)
+                              dls_u=dls_u, seg_size=seg_size,
+                              bucket_size=bucket_size)
 
 
 def blocks_from_sorted(
@@ -94,9 +100,20 @@ def blocks_from_sorted(
     seg_id: int,
     block_size: int,
     dls_u: np.ndarray | None = None,
+    seg_size: int | None = None,
+    bucket_size: int = 256,
 ) -> pd.DataFrame:
     """(term, docid, tf) rows already sorted by (term, docid) → posting
-    block rows.  Shared by the segment builder and the segment merger."""
+    block rows.  Shared by the segment builder and the segment merger.
+
+    Besides the block-level (max_tf, min_dl), each block carries a
+    per-bucket impact table over ``bucket_size``-docid buckets
+    (``bm_buckets``/``bm_tf``/``bm_dl``: only buckets the block has
+    postings in) — the Lucene-impacts analog at the resolution block-max
+    pruning actually needs: a rare term's single block spans the whole
+    segment, so a block-level bound says nothing about WHERE its mass
+    is; the bucket table does.
+    """
     m = len(terms_u)
     if m == 0:
         return _EMPTY_BLOCKS
@@ -125,6 +142,29 @@ def blocks_from_sorted(
     blk_terms = terms_u[blk_start]
     blk_idx = (pos_in_run[blk_start] // block_size).astype(np.int32)
 
+    # per-bucket impact entries (block-local slice of the bucket table)
+    if seg_size is not None:
+        bks = ((docs_u - np.int64(seg_id) * seg_size) // bucket_size) \
+            .astype(np.int64)
+        eb = blk_first.copy()
+        eb[1:] |= bks[1:] != bks[:-1]
+        e_start = np.flatnonzero(eb)
+        e_tf = np.maximum.reduceat(tfs_u, e_start).astype(np.int32)
+        if dls_u is None:
+            e_dl = np.zeros(len(e_start), dtype=np.int32)
+        else:
+            e_dl = np.minimum.reduceat(
+                np.asarray(dls_u, dtype=np.int64), e_start).astype(np.int32)
+        e_bucket = bks[e_start].astype(np.int32)
+        e_block = np.searchsorted(blk_start, e_start, side="right") - 1
+        off = np.concatenate(
+            ([0], np.cumsum(np.bincount(e_block, minlength=n_blocks))))
+        bm_buckets = [e_bucket[off[i]:off[i + 1]] for i in range(n_blocks)]
+        bm_tf = [e_tf[off[i]:off[i + 1]] for i in range(n_blocks)]
+        bm_dl = [e_dl[off[i]:off[i + 1]] for i in range(n_blocks)]
+    else:
+        bm_buckets = bm_tf = bm_dl = [None] * n_blocks
+
     # gaps relative to each block's first docid (gap at block start = 0)
     gaps = np.diff(docs_u, prepend=np.int64(0)).astype(np.uint64)
     gaps[blk_start] = 0
@@ -151,6 +191,9 @@ def blocks_from_sorted(
         "max_tf": max_tf,
         "sum_tf": sum_tf,
         "min_dl": min_dl,
+        "bm_buckets": bm_buckets,
+        "bm_tf": bm_tf,
+        "bm_dl": bm_dl,
     })
 
 
@@ -175,13 +218,14 @@ def encode_norms_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _postings_from_analyzed(analyzed: DataFrame, seg_size: int,
-                            block_size: int) -> DataFrame:
+                            block_size: int,
+                            bucket_size: int = 256) -> DataFrame:
     """Analyzed (docid, tokens) rows → posting blocks, one pandas group
     per segment (parallelism = number of segments)."""
-    bs = block_size
+    bs, ss, bk = block_size, seg_size, bucket_size
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        return encode_segment_pdf(pdf, bs)
+        return encode_segment_pdf(pdf, bs, seg_size=ss, bucket_size=bk)
 
     return (
         analyzed
@@ -201,6 +245,7 @@ def build_index(
     text_col: str = "text",
     keep_cols: tuple[str, ...] = ("conv_id", "turn_idx", "role", "tool", "ts"),
     resume: bool = True,
+    bucket_size: int = 256,
 ) -> IndexPaths:
     """Build the full index under ``index_dir``; resume from checkpoints.
 
@@ -221,21 +266,26 @@ def build_index(
     n_docs = int(n_docs) + 1 if n_docs is not None else 0
     if resume and os.path.exists(paths.meta):
         # a resumed build must keep the original segment geometry
-        seg_size = read_meta(index_dir).seg_size
+        prev = read_meta(index_dir)
+        seg_size, bucket_size = prev.seg_size, prev.bucket_size
     elif seg_size is None:
         par = max(4, spark.sparkContext.defaultParallelism)
         seg_size = int(min(1 << 16, max(1 << 12, n_docs // (par * 2) or 1)))
+    # bucket grid must align across segments: seg_size % bucket_size == 0
+    bucket_size = math.gcd(min(bucket_size, seg_size), seg_size)
     n_segs = max(1, math.ceil(n_docs / seg_size))
     n_batches = max(1, math.ceil(n_segs / segments_per_batch))
     # a resumed build must also keep the original batch geometry — batch
     # markers are keyed by batch index, so a different batching would
     # silently skip or re-map docid ranges
     pin_geometry(paths, "build_conf", resume, seg_size=seg_size,
-                 block_size=block_size, segments_per_batch=segments_per_batch)
+                 block_size=block_size, segments_per_batch=segments_per_batch,
+                 bucket_size=bucket_size)
     if not (resume and is_done(paths, "finalize")):
         # draft meta only — never clobber a finalized one on resume
         write_meta(paths, IndexMeta(n_docs=n_docs, avgdl=0.0, seg_size=seg_size,
-                                    block_size=block_size))
+                                    block_size=block_size,
+                                    bucket_size=bucket_size))
 
     # --- per-batch: doc_stats + postings + manifest -------------------------
     for k in range(n_batches):
@@ -261,7 +311,8 @@ def build_index(
         (norms.coalesce(max(1, segments_per_batch // 16))
          .write.mode("overwrite").parquet(f"{paths.doc_norms}/batch={k}"))
 
-        posts = _postings_from_analyzed(analyzed, seg_size, block_size)
+        posts = _postings_from_analyzed(analyzed, seg_size, block_size,
+                                        bucket_size=bucket_size)
         (posts.repartitionByRange(max(2, segments_per_batch), "term", "seg_id")
          .sortWithinPartitions("term", "seg_id", "block_id")
          .write.mode("overwrite").parquet(f"{paths.postings}/batch={k}"))
@@ -281,6 +332,9 @@ def build_index(
 
         wall = time.time() - t0
         n_rows = hi - lo
+        nbytes = man.agg(F.sum("bytes")).collect()[0][0] or 0
+        log_lineage(spark, paths, "segment_build", batch=k, docid_lo=lo,
+                    docid_hi=hi, rows=n_rows, bytes_=nbytes, wall_s=wall)
         mark_done(paths, "batch", k, docid_lo=lo, docid_hi=hi, wall_s=wall)
         log_metric(paths, "segment_build", batch=k, docid_lo=lo, docid_hi=hi,
                    turns=n_rows, wall_s=wall,
@@ -305,7 +359,8 @@ def build_index(
         ).collect()[0]
         write_meta(paths, IndexMeta(
             n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0),
-            seg_size=seg_size, block_size=block_size))
+            seg_size=seg_size, block_size=block_size,
+            bucket_size=bucket_size))
         mark_done(paths, "finalize")
         log_metric(paths, "finalize", n_docs=int(row["n"]),
                    avgdl=float(row["avgdl"] or 0.0), wall_s=time.time() - t0)

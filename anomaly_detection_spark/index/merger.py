@@ -33,6 +33,7 @@ from .storage import (
     IndexMeta,
     IndexPaths,
     is_done,
+    log_lineage,
     log_metric,
     mark_done,
     pin_geometry,
@@ -41,28 +42,43 @@ from .storage import (
 )
 
 
-def _merge_new_seg(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
+                   new_seg_size: int, bucket_size: int) -> pd.DataFrame:
     """All posting blocks of one target segment → re-encoded blocks."""
     pdf = pdf.sort_values(["term", "seg_id", "block_id"], kind="mergesort")
     new_seg = int(pdf["new_seg"].iloc[0])
     firsts = pdf["first_docid"].to_numpy(dtype=np.int64)
+    seg_ids = pdf["seg_id"].to_numpy(dtype=np.int64)
     ns = pdf["n"].to_numpy(dtype=np.int64)
     gaps_col = pdf["gaps"].to_numpy(dtype=object)
     tfs_col = pdf["tfs"].to_numpy(dtype=object)
+    has_bm = "bm_buckets" in pdf.columns and pdf["bm_buckets"].iloc[0] is not None
 
-    doc_parts, tf_parts = [], []
+    doc_parts, tf_parts, dl_parts = [], [], []
     for i in range(len(pdf)):
-        doc_parts.append(np.cumsum(varint_decode(gaps_col[i])).astype(np.int64)
-                         + firsts[i])
+        docs_i = np.cumsum(varint_decode(gaps_col[i])).astype(np.int64) + firsts[i]
+        doc_parts.append(docs_i)
         tf_parts.append(varint_decode(tfs_col[i]).astype(np.int64))
+        if has_bm:
+            # per-posting dl lower bound from the source block's
+            # per-bucket table — the bucket grid is docid-aligned
+            # (seg_size % bucket_size == 0), so re-cut bucket minima
+            # are preserved exactly through the merge
+            bks = (docs_i - seg_ids[i] * src_seg_size) // bucket_size
+            bm_b = np.asarray(pdf["bm_buckets"].iloc[i], dtype=np.int64)
+            bm_d = np.asarray(pdf["bm_dl"].iloc[i], dtype=np.int64)
+            dl_parts.append(bm_d[np.searchsorted(bm_b, bks)])
     docs_u = np.concatenate(doc_parts)
     tfs_u = np.concatenate(tf_parts)
     terms_u = np.repeat(pdf["term"].to_numpy(dtype=object), ns)
-    # per-posting dl lower bound = source block's min_dl (a valid, slightly
-    # looser bound after re-cutting block boundaries)
-    dls_u = np.repeat(pdf["min_dl"].to_numpy(dtype=np.int64), ns)
+    if has_bm:
+        dls_u = np.concatenate(dl_parts)
+    else:
+        # legacy blocks: block-level min_dl (valid, slightly looser)
+        dls_u = np.repeat(pdf["min_dl"].to_numpy(dtype=np.int64), ns)
     return blocks_from_sorted(terms_u, docs_u, tfs_u, new_seg, block_size,
-                              dls_u=dls_u)
+                              dls_u=dls_u, seg_size=new_seg_size,
+                              bucket_size=bucket_size)
 
 
 def merge_segments(
@@ -91,7 +107,8 @@ def merge_segments(
                  segments_per_batch=segments_per_batch)
     write_meta(dst, IndexMeta(
         n_docs=src_meta.n_docs, avgdl=src_meta.avgdl,
-        seg_size=new_seg_size, block_size=block_size))
+        seg_size=new_seg_size, block_size=block_size,
+        bucket_size=src_meta.bucket_size))
 
     posts = spark.read.parquet(src.postings).withColumn(
         "new_seg", (F.col("seg_id") / factor).cast("int"))
@@ -104,14 +121,12 @@ def merge_segments(
         sub = posts.filter((F.col("new_seg") >= lo) & (F.col("new_seg") < hi))
 
         def _m(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _merge_new_seg(pdf, block_size)
+            return _merge_new_seg(pdf, block_size, src_meta.seg_size,
+                                  new_seg_size, src_meta.bucket_size)
 
-        merged = sub.groupBy("new_seg").applyInPandas(
-            _m,
-            schema=("term string, seg_id int, block_id int, first_docid long, "
-                    "last_docid long, n int, gaps binary, tfs binary, "
-                    "max_tf int, sum_tf long, min_dl int"),
-        )
+        from .builder import POSTING_SCHEMA
+
+        merged = sub.groupBy("new_seg").applyInPandas(_m, schema=POSTING_SCHEMA)
         (merged.repartitionByRange(max(2, segments_per_batch), "term", "seg_id")
          .sortWithinPartitions("term", "seg_id", "block_id")
          .write.mode("overwrite").parquet(f"{dst.postings}/batch={k}"))
@@ -126,6 +141,12 @@ def merge_segments(
             F.max("last_docid").alias("docid_max"),
         ).withColumn("batch", F.lit(k))
         man.coalesce(1).write.mode("overwrite").parquet(f"{dst.manifest}/batch={k}")
+        ext = man.agg(F.min("docid_min"), F.max("docid_max"),
+                      F.sum("n_postings"), F.sum("bytes")).collect()[0]
+        log_lineage(spark, dst, "merge", batch=k,
+                    docid_lo=ext[0] or 0, docid_hi=(ext[1] or -1) + 1,
+                    rows=ext[2] or 0, bytes_=ext[3] or 0,
+                    wall_s=time.time() - t0)
         mark_done(dst, "merge_batch", k, wall_s=time.time() - t0)
         log_metric(dst, "merge", batch=k, wall_s=time.time() - t0)
 

@@ -28,6 +28,9 @@ class IndexMeta:
     avgdl: float
     seg_size: int
     block_size: int
+    # block-max pruning bucket width in docids (per-bucket impact tables
+    # in the posting blocks are cut on this grid; must divide seg_size)
+    bucket_size: int = 256
     k1: float = 1.2
     b: float = 0.75
     analyzer: str = "lowercase+unicode-word-break"
@@ -64,6 +67,14 @@ class IndexPaths:
     @property
     def manifest(self) -> str:
         return os.path.join(self.root, "manifest")
+
+    @property
+    def lineage(self) -> str:
+        # Spark-queryable build/merge lineage (one row per stage×batch),
+        # the analog of the reference's task-state index
+        # (anomaly-detection-state.json) — metrics.jsonl is the
+        # human-readable twin
+        return os.path.join(self.root, "lineage")
 
     @property
     def ckpt_dir(self) -> str:
@@ -127,3 +138,18 @@ def log_metric(paths: IndexPaths, stage: str, **fields) -> None:
     os.makedirs(paths.root, exist_ok=True)
     with open(paths.metrics, "a") as f:
         f.write(json.dumps({"stage": stage, "ts": time.time(), **fields}) + "\n")
+
+
+LINEAGE_SCHEMA = ("stage string, batch int, docid_lo long, docid_hi long, "
+                  "rows long, bytes long, wall_s double, ts double")
+
+
+def log_lineage(spark, paths: IndexPaths, stage: str, batch: int = 0,
+                docid_lo: int = 0, docid_hi: int = 0, rows: int = 0,
+                bytes_: int = 0, wall_s: float = 0.0) -> None:
+    """Append one lineage row (parquet, next to the manifest)."""
+    spark.createDataFrame(
+        [(stage, int(batch), int(docid_lo), int(docid_hi), int(rows),
+          int(bytes_), float(wall_s), time.time())],
+        LINEAGE_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(paths.lineage)

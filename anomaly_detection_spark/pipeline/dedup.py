@@ -16,12 +16,16 @@ candidate-generation hot path; SimHash uses one vectorized pandas UDF):
 - SimHash: 64-bit sign-of-weighted-sum fingerprint; near-dups =
   hamming ≤ t, candidates via 4×16-bit chunk banding (complete for
   t ≤ 3), verified with bit_count(xor).
-- embedding cosine: exact cosine ≥ τ pairs over array<float> columns.
+- embedding cosine: exact pairs via blocked block-pair matmul (one
+  equi-join shuffle, BLAS tiles, no cartesian), or hyperplane-LSH
+  candidates + exact verify for genuine near-dup thresholds.
 
 Pairs are always emitted once with id_a < id_b.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -252,25 +256,125 @@ def simhash_neardup_pairs(
             .orderBy("id_a", "id_b"))
 
 
+def _norm_col(vec_col: str) -> F.Column:
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x))
+
+
 def embedding_neardup_pairs(
     df: DataFrame, threshold: float = 0.95,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    method: str = "blocked", num_blocks: int | None = None,
+    n_planes: int = 32, bands: int = 8, seed: int = 13,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact cosine-similarity near-dup pairs (id_a < id_b, cos ≥ τ).
-    Dot products via F.aggregate/zip_with — JVM-side, no UDF."""
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0),
-                              lambda acc, x: acc + x.cast("double") * x))
-    v = df.select(F.col(id_col).alias("_id"),
-                  F.col(vec_col).alias("_v"), norm.alias("_n")) \
+    """Cosine-similarity near-dup pairs (id_a < id_b, rounded cos ≥ τ).
+
+    Two methods, both free of cartesian/nested-loop joins:
+
+    - ``blocked`` (default, EXACT): vectors hash into B blocks; each of
+      the B(B+1)/2 block pairs is one balanced task computing a numpy
+      (BLAS) block×block cosine matrix.  Exact all-pairs is inherently
+      O(N²) compute — the point is distributing it as equal matmul
+      tiles through ONE equi-join shuffle (each row replicated B+1
+      times), never a cartesian join row-pair stream.  This is the
+      correct shape for exhaustive low-τ sweeps (τ≈0.3 keeps ~1% of
+      pairs here — LSH banding cannot hold recall 1 on a diffuse
+      cosine distribution, measured in tests/test_pipeline_ops.py).
+    - ``lsh`` (approximate candidates, exact verification): hyperplane
+      band collisions generate candidates, exact cosine verifies —
+      precision 1, recall < 1 (measured); the scale path for genuine
+      near-dup thresholds (τ ≥ ~0.8) where true pairs collide with
+      high probability.
+    """
+    if method == "lsh":
+        return _embedding_neardup_lsh(df, threshold, vec_col, id_col,
+                                      n_planes, bands, seed, dim)
+    if method != "blocked":
+        raise ValueError(f"unknown method {method!r}")
+
+    spark = df.sparkSession
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                  _norm_col(vec_col).alias("_n")).filter(F.col("_n") > 0)
+    par = max(4, spark.sparkContext.defaultParallelism)
+    # B(B+1)/2 ≈ 2·parallelism tasks
+    B = num_blocks or max(4, int(math.isqrt(4 * par)))
+    v = v.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(B)).cast("int"))
+    left = v.withColumn("_kj", F.explode(F.sequence(F.col("_blk"), F.lit(B - 1)))) \
+        .select(F.col("_blk").alias("_ki"), "_kj", F.lit(0).alias("_side"),
+                "_id", "_v", "_n")
+    right = v.withColumn("_ki", F.explode(F.sequence(F.lit(0), F.col("_blk") - 1))) \
+        .select("_ki", F.col("_blk").alias("_kj"), F.lit(1).alias("_side"),
+                "_id", "_v", "_n")
+    both = left.unionByName(right)
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, cosine double"
+    tau = float(threshold)
+
+    def _cross(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_side"] == 0]
+        ids_a = a["_id"].to_numpy()
+        Va = np.array(a["_v"].tolist(), dtype=np.float64)
+        Va /= a["_n"].to_numpy(dtype=np.float64)[:, None]
+        diagonal = int(pdf["_ki"].iloc[0]) == int(pdf["_kj"].iloc[0])
+        if diagonal:
+            if len(a) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            order = np.argsort(ids_a, kind="stable")
+            ids_a, Va = ids_a[order], Va[order]
+            S = np.round(Va @ Va.T, 6)
+            iu, ju = np.triu_indices(len(ids_a), 1)
+            keep = S[iu, ju] >= tau
+            return pd.DataFrame({"id_a": ids_a[iu[keep]],
+                                 "id_b": ids_a[ju[keep]],
+                                 "cosine": S[iu[keep], ju[keep]]})
+        b2 = pdf[pdf["_side"] == 1]
+        if len(a) == 0 or len(b2) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids_b = b2["_id"].to_numpy()
+        Vb = np.array(b2["_v"].tolist(), dtype=np.float64)
+        Vb /= b2["_n"].to_numpy(dtype=np.float64)[:, None]
+        S = np.round(Va @ Vb.T, 6)
+        ai, bj = np.nonzero(S >= tau)
+        ia, ib = ids_a[ai], ids_b[bj]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": S[ai, bj]})
+
+    out = both.groupBy("_ki", "_kj").applyInPandas(_cross, schema=out_schema)
+    return out.orderBy("id_a", "id_b")
+
+
+def _embedding_neardup_lsh(
+    df: DataFrame, threshold: float, vec_col: str, id_col: str,
+    n_planes: int, bands: int, seed: int, dim: int | None,
+) -> DataFrame:
+    """Hyperplane-LSH candidate pairs, exact-cosine verified ≥ τ."""
+    from .similarity import _planes, band_hashes
+
+    assert n_planes % bands == 0
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = np.asarray(_planes(dim, n_planes, seed))
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                  _norm_col(vec_col).alias("_n"),
+                  band_hashes(F.col(vec_col), planes, bands).alias("_bands")) \
         .filter(F.col("_n") > 0)
-    a, b = v.alias("a"), v.alias("b")
+    stacked = v.select("_id", F.explode("_bands").alias("_bv"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (a.join(b, (F.col("a._bv") == F.col("b._bv"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct())
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                  F.col("_n").alias("_na"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                  F.col("_n").alias("_nb"))
     dot = F.aggregate(
-        F.zip_with(F.col("a._v"), F.col("b._v"),
-                   lambda x, y: x.cast("double") * y),
+        F.zip_with("_va", "_vb", lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, x: acc + x)
-    return (a.join(b, F.col("a._id") < F.col("b._id"))
-            .withColumn("cosine", F.round(dot / (F.col("a._n") * F.col("b._n")), 6))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
             .filter(F.col("cosine") >= threshold)
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-                    "cosine")
+            .select("id_a", "id_b", "cosine")
             .orderBy("id_a", "id_b"))

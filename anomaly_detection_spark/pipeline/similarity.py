@@ -15,8 +15,38 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def band_hashes(vec_col, planes: np.ndarray, bands: int) -> F.Column:
+    """``array<long>`` of LSH band hashes for a vector column: sign bits
+    against the hyperplanes, packed per band and salted with the band
+    index (disjoint hash spaces across bands).
+
+    One Arrow-batched matmul instead of ``n_planes × dim`` literal
+    expressions — at dim ≥ 768 the literal-array form blows up codegen.
+    """
+    planes = np.asarray(planes, dtype=np.float64)
+    n_planes = planes.shape[0]
+    rows = n_planes // bands
+    pows = (np.int64(1) << np.arange(rows, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _bh(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(vs.tolist(), dtype=np.float64)         # (n, dim)
+        bits = (M @ planes.T) >= 0                           # (n, n_planes)
+        out = np.empty((len(vs), bands), dtype=np.int64)
+        for bnd in range(bands):
+            chunk = bits[:, bnd * rows:(bnd + 1) * rows]
+            out[:, bnd] = (np.int64(bnd) << np.int64(rows)) | (chunk @ pows)
+        return pd.Series(list(out))
+
+    return _bh(vec_col)
 
 
 def _norm(col) -> F.Column:
@@ -78,31 +108,23 @@ def lsh_ann_topk(
     of candidates.  Bands of ``n_planes/bands`` sign bits; a candidate
     must share at least one full band with the query."""
     assert n_planes % bands == 0
-    rows = n_planes // bands
     if dim is None:
+        # convenience for small corpora; pass dim explicitly at scale
+        # (a first() here is one extra tiny job, not a correctness issue)
         dim = len(corpus.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes, seed)
-
-    def sig_cols(v):
-        bits = [(F.when(_dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1)
-                 .otherwise(0)) for p in planes]
-        return [
-            F.xxhash64(F.lit(bnd), *bits[bnd * rows:(bnd + 1) * rows]).alias(f"band{bnd}")
-            for bnd in range(bands)
-        ]
+    planes = np.asarray(_planes(dim, n_planes, seed))
 
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
-                      _norm(vec_col).alias("_cn"), *sig_cols(F.col(vec_col))) \
+                      _norm(vec_col).alias("_cn"),
+                      band_hashes(F.col(vec_col), planes, bands).alias("_bands")) \
         .filter(F.col("_cn") > 0)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("_qv"), _norm(vec_col).alias("_qn"),
-                       *sig_cols(F.col(vec_col))) \
+                       band_hashes(F.col(vec_col), planes, bands).alias("_bands")) \
         .filter(F.col("_qn") > 0)
 
-    c_st = c.select("vec_id", "_cv", "_cn", F.explode(F.array(
-        *[F.col(f"band{i}") for i in range(bands)])).alias("_bv"))
-    q_st = q.select("query_id", "_qv", "_qn", F.explode(F.array(
-        *[F.col(f"band{i}") for i in range(bands)])).alias("_bv"))
+    c_st = c.select("vec_id", "_cv", "_cn", F.explode("_bands").alias("_bv"))
+    q_st = q.select("query_id", "_qv", "_qn", F.explode("_bands").alias("_bv"))
     cand = (c_st.join(F.broadcast(q_st), "_bv")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "_qv", "_qn", "vec_id", "_cv", "_cn")

@@ -8,11 +8,12 @@ Execution shape (scale-first):
 - doc_stats scan projected to (docid, doc_len) + the filter predicate —
   column-pruned and pushed down; range-partitioned by docid.
 - cogroup both by ``seg_id`` → one Arrow batch per segment → numpy
-  scorer: block-max upper bounds per bucket of docids, seed a threshold
-  θ from the most promising bucket, prune buckets whose UB sum < θ
-  (the block-max WAND idea at bucket granularity, vectorized — like
-  Lucene's BMW this only *skips* work, never changes results), then
-  dense score-at-a-time accumulation over surviving blocks.
+  scorer: block-max upper bounds summed per bucket of docids; buckets
+  visited in descending-UB order with a running top-k threshold θ and
+  a per-block decode cache — once θ (the k-th best accumulated score)
+  reaches the next bucket's UB, all remaining buckets' undecoded blocks
+  are skipped (block-max WAND at bucket granularity, vectorized — like
+  Lucene's BMW this only *skips* work, never changes results).
 - per-segment top-k under the total order (score desc, docid asc) →
   global ``orderBy(...).limit(k)`` (TakeOrderedAndProject; only
   n_segments × k tiny rows cross the final exchange).
@@ -62,6 +63,11 @@ class IndexReader:
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.manifest)
+
+    def lineage(self) -> DataFrame:
+        """Build/merge lineage rows (stage, batch, docid range, rows,
+        bytes, wall) — the Spark-queryable task-state table."""
+        return self.spark.read.parquet(self.paths.lineage)
 
 
 def _score_segment(
@@ -122,54 +128,139 @@ def _score_segment(
     bf = (firsts - seg_base) // bucket
     bl = (lasts - seg_base) // bucket
 
-    def decode_accumulate(block_idx: np.ndarray, lo: int | None = None,
-                          hi: int | None = None) -> np.ndarray:
-        """Dense scores over [lo, hi) local docids from the given blocks."""
-        lo = 0 if lo is None else lo
-        hi = seg_size if hi is None else hi
-        scores = np.zeros(hi - lo)
-        gaps_col = posts["gaps"].to_numpy(dtype=object)
-        tfs_col = posts["tfs"].to_numpy(dtype=object)
-        for i in block_idx:
-            d = np.cumsum(varint_decode(gaps_col[i])).astype(np.int64) + firsts[i]
-            loc = d - seg_base
-            tf = varint_decode(tfs_col[i]).astype(np.float64)
-            m = (loc >= lo) & (loc < hi)
-            loc, tf = loc[m], tf[m]
-            dlv = dl[loc]
-            ok = dlv >= 0
-            loc, tf, dlv = loc[ok], tf[ok], dlv[ok]
-            contrib = w_arr[i] * (tf * (k1 + 1.0)) / (
-                tf + k1 * (1.0 - b + b * dlv / max(avgdl, 1e-12)))
-            scores[loc - lo] += contrib  # docids unique within a block
-        return scores
+    gaps_col = posts["gaps"].to_numpy(dtype=object)
+    tfs_col = posts["tfs"].to_numpy(dtype=object)
 
-    all_blocks = np.arange(len(posts))
+    def decode_block(i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(local docids, BM25 contributions) of one posting block,
+        filter mask (dl < 0) applied."""
+        d = np.cumsum(varint_decode(gaps_col[i])).astype(np.int64) + firsts[i]
+        loc = d - seg_base
+        tf = varint_decode(tfs_col[i]).astype(np.float64)
+        dlv = dl[loc]
+        ok = dlv >= 0
+        loc, tf, dlv = loc[ok], tf[ok], dlv[ok]
+        contrib = w_arr[i] * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dlv / max(avgdl, 1e-12)))
+        return loc, contrib
+
     if prune and len(posts) >= 16:  # pruning overhead only pays at volume
-        # bucket UB sums via a difference array (per-term blocks are
-        # docid-disjoint; boundary-bucket overlap only loosens the UB)
-        diff = np.zeros(n_buckets + 1)
-        np.add.at(diff, bf, ub)
-        np.add.at(diff, bl + 1, -ub)
-        s_bucket = np.cumsum(diff)[:-1]
-        seed = int(np.argmax(s_bucket))
-        seed_blocks = all_blocks[(bf <= seed) & (bl >= seed)]
-        seed_scores = decode_accumulate(seed_blocks, seed * bucket,
-                                        min((seed + 1) * bucket, seg_size))
-        pos = seed_scores[seed_scores > 0]
-        theta = float(np.sort(pos)[-k]) if len(pos) >= k else -np.inf
-        surv = s_bucket >= theta
-        cnt = np.concatenate(([0], np.cumsum(surv)))
-        keep = (cnt[bl + 1] - cnt[bf]) > 0
-        blocks = all_blocks[keep]
-    else:
-        blocks = all_blocks
+        # --- block-max WAND at bucket granularity -------------------------
+        # Bucket UB = Σ_terms max(block UB over the term's blocks
+        # overlapping the bucket) — a doc in the bucket sits in exactly
+        # one block per term, so the per-term MAX (not sum) is the
+        # valid tight bound.  Buckets are then visited in DESCENDING UB
+        # order with a running top-k threshold θ: once the k-th best
+        # accumulated score reaches the next bucket's UB, every
+        # remaining bucket is provably below the cut and its
+        # not-yet-decoded blocks are skipped (results identical — like
+        # Lucene BMW this only skips work).  Each block is decoded at
+        # most once (cache), so pruned decode count ≤ unpruned,
+        # strictly less whenever a tail bucket holds blocks no
+        # processed bucket touched.
+        term_ids = pd.factorize(terms)[0]
+        tb_ub = np.zeros((int(term_ids.max()) + 1, n_buckets))
+        bucket_blocks: list[list[int]] = [[] for _ in range(n_buckets)]
+        has_bm = ("bm_buckets" in posts.columns
+                  and posts["bm_buckets"].iloc[0] is not None)
+        if has_bm:
+            # per-bucket impact tables (Lucene-impacts analog): bound =
+            # w · f(bucket max_tf, bucket min_dl), only where the term
+            # actually has postings — a rare term's single segment-wide
+            # block no longer paints every bucket with its global max
+            for i in range(len(posts)):
+                bmb = np.asarray(posts["bm_buckets"].iloc[i], dtype=np.int64)
+                bmt = np.asarray(posts["bm_tf"].iloc[i], dtype=np.float64)
+                bmd = np.asarray(posts["bm_dl"].iloc[i], dtype=np.float64)
+                if quantize_norms:
+                    from ..functions.bm25 import quantize_doc_len as _qq
 
-    scores = decode_accumulate(blocks)
-    cand = np.flatnonzero(scores > 0)
-    if len(cand) == 0:
-        return empty
-    sc = scores[cand]
+                    bmd = _qq(bmd.astype(np.int64)).astype(np.float64)
+                u = w_arr[i] * (bmt * (k1 + 1.0)) / (
+                    bmt + k1 * (1.0 - b + b * bmd / max(avgdl, 1e-12)))
+                row = tb_ub[term_ids[i]]
+                np.maximum.at(row, bmb, u)
+                for bkt in bmb:
+                    bucket_blocks[bkt].append(i)
+        else:
+            # legacy blocks: block-level (max_tf, min_dl) painted over
+            # the whole docid span
+            for i in range(len(posts)):
+                row = tb_ub[term_ids[i]]
+                s = slice(bf[i], bl[i] + 1)
+                np.maximum(row[s], ub[i], out=row[s])
+                for bkt in range(bf[i], bl[i] + 1):
+                    bucket_blocks[bkt].append(i)
+        s_bucket = tb_ub.sum(axis=0)
+        visit = np.argsort(-s_bucket, kind="stable")
+
+        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        col_doc: list[np.ndarray] = []
+        col_sc: list[np.ndarray] = []
+        best = np.empty(0)          # up to k largest scores seen so far
+        theta = -np.inf
+        bail_after = 32             # overhead bound for prune-hostile data
+        s_min = float(s_bucket[visit[-1]])
+        bulk = False
+        for j, bkt in enumerate(visit):
+            if len(best) >= k and s_bucket[bkt] < theta:
+                break               # visit order is UB-descending
+            if j >= bail_after and theta <= s_min:
+                # θ can never reach even the weakest bucket — nothing
+                # will be skipped; stop paying per-bucket slicing costs
+                # and score the rest densely (decode cache carries over,
+                # so decode counts are unaffected)
+                bulk = True
+                break
+            blks = bucket_blocks[bkt]
+            if not blks:
+                continue
+            lo = bkt * bucket
+            hi = min(lo + bucket, seg_size)
+            scores = np.zeros(hi - lo)
+            for i in blks:
+                if i not in cache:
+                    cache[i] = decode_block(i)
+                loc, contrib = cache[i]
+                m = (loc >= lo) & (loc < hi)
+                if m.any():
+                    scores[loc[m] - lo] += contrib[m]
+            pos = np.flatnonzero(scores > 0)
+            if len(pos) == 0:
+                continue
+            col_doc.append(pos + lo)
+            col_sc.append(scores[pos])
+            best = np.sort(np.concatenate([best, scores[pos]]))[-k:]
+            if len(best) >= k:
+                theta = best[0]
+        if bulk:
+            scores = np.zeros(seg_size)
+            for i in range(len(posts)):
+                if i not in cache:
+                    cache[i] = decode_block(i)
+                loc, contrib = cache[i]
+                scores[loc] += contrib
+            cand = np.flatnonzero(scores > 0)
+            if len(cand) == 0:
+                return empty
+            sc = scores[cand]
+            order = np.lexsort((cand, -sc))[:k]
+            return pd.DataFrame({"docid": cand[order] + seg_base,
+                                 "score": sc[order]})
+        if not col_doc:
+            return empty
+        cand = np.concatenate(col_doc)
+        sc = np.concatenate(col_sc)
+    else:
+        scores = np.zeros(seg_size)
+        for i in range(len(posts)):
+            loc, contrib = decode_block(i)
+            scores[loc] += contrib  # docids unique within a block
+        cand = np.flatnonzero(scores > 0)
+        if len(cand) == 0:
+            return empty
+        sc = scores[cand]
+
     order = np.lexsort((cand, -sc))[:k]
     return pd.DataFrame({"docid": cand[order] + seg_base, "score": sc[order]})
 
@@ -183,9 +274,14 @@ def bm25_topk_indexed(
     b: float = B_DEFAULT,
     prune: bool = True,
     quantize_norms: bool = False,
+    bucket: int | None = None,
 ) -> DataFrame:
     """Top-k (docid, score) via the posting index; rank/score-identical
-    to :func:`bm25_topk_bruteforce` by construction (tested)."""
+    to :func:`bm25_topk_bruteforce` by construction (tested).
+
+    ``bucket`` is the block-max pruning granularity in docids; indexes
+    carrying per-bucket impact tables pin it to ``meta.bucket_size``
+    (the grid the tables were cut on)."""
     spark = reader.spark
     meta = reader.meta
     qcounts = Counter(tokenize_query(query_text))
@@ -209,6 +305,11 @@ def bm25_topk_indexed(
     src = reader.postings()
     if "min_dl" in src.columns:
         post_cols.append("min_dl")
+    if "bm_buckets" in src.columns:
+        post_cols += ["bm_buckets", "bm_tf", "bm_dl"]
+        bucket = meta.bucket_size  # the grid the impact tables live on
+    elif bucket is None:
+        bucket = 1024
     posts = src.filter(F.col("term").isin(present)).select(*post_cols)
     if filter_cond is None:
         # pure match: per-segment norms blobs (~1 byte/doc) instead of a
@@ -223,7 +324,8 @@ def bm25_topk_indexed(
 
     def _score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
         return _score_segment(pleft, pright, weights, seg_size, avgdl,
-                              k, k1, b, prune, quantize_norms=quantize_norms)
+                              k, k1, b, prune, bucket=bucket,
+                              quantize_norms=quantize_norms)
 
     local = (
         posts.groupBy("seg_id")

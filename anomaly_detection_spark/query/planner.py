@@ -214,6 +214,7 @@ def search(
     docs_df: DataFrame | None = None,
     k: int | None = None,
     text_field: str = "text",
+    timeout_s: float | None = None,
 ):
     """Detector-style search entry: query JSON + size → DataFrame.
 
@@ -250,15 +251,29 @@ def search(
         text = " ".join(t for _, t in plan.matches)
         if isinstance(target, IndexReader):
             top = bm25_topk_indexed(target, text, k=size, filter_cond=cond)
-            return fetch_docs(target, top)
-        return bm25_topk_bruteforce(target, text, k=size, filter_cond=cond)
+            out = fetch_docs(target, top)
+        else:
+            out = bm25_topk_bruteforce(target, text, k=size, filter_cond=cond)
+    else:
+        out = schema_df if cond is None else schema_df.filter(cond)
+        sort = body.get("sort")
+        if sort:
+            cols = [F.desc(c) if d.lower() == "desc" else F.asc(c)
+                    for c, d in sort]
+            out = out.orderBy(*cols)
+        if body.get("size") is not None or k is not None:
+            out = out.limit(size)
 
-    out = schema_df if cond is None else schema_df.filter(cond)
-    sort = body.get("sort")
-    if sort:
-        cols = [F.desc(c) if d.lower() == "desc" else F.asc(c)
-                for c, d in sort]
-        out = out.orderBy(*cols)
-    if body.get("size") is not None or k is not None:
-        out = out.limit(size)
+    if timeout_s is not None:
+        # S7 (CompositeRetriever.java:371-400 expiry): materialize the
+        # (size-bounded) result under the budget; a runaway plan is
+        # cancelled, not left running.  The collected rows are tiny —
+        # top-k hits or a size-limited page — so re-wrapping them in a
+        # DataFrame keeps the lazy API surface.
+        from .budget import time_budget
+
+        spark = out.sparkSession
+        with time_budget(spark, timeout_s, desc=f"search size={size}"):
+            rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     return out

@@ -2,13 +2,15 @@
 """Block-max pruning effectiveness report (SURVEY.md §2.6 L5).
 
 For a set of match queries against a built index, count posting blocks
-decoded with pruning on vs off (per segment, via the same
-``_score_segment`` kernel the cogroup scorer runs), and confirm the
-top-k is identical.  Usage:
+(and postings) decoded with pruning on vs off — via the same
+``_score_segment`` kernel the cogroup scorer runs — and confirm the
+top-k is identical.  Norms are pre-decoded outside the counted region
+so the ratios measure posting-block work only.  Usage:
 
     python scripts/pruning_stats.py [index_dir] [k]
 
-Builds a default 60k-turn transcripts index under /tmp if no dir given.
+Builds a default 256k-turn index (64k-doc segments, 128-posting blocks)
+under /tmp if no dir is given.
 """
 
 from __future__ import annotations
@@ -16,22 +18,48 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
 
 import anomaly_detection_spark.query.index_search as ixs
 from anomaly_detection_spark.functions.bm25 import bm25_idf
 from anomaly_detection_spark.functions.tokenizer import tokenize_query
 from anomaly_detection_spark.session import get_spark
 
-QUERIES = [
+from anomaly_detection_spark.data.transcripts import topic_words
+
+# global-vocabulary queries: iid Zipf background, homogeneous along
+# docid — nothing any exact bound can skip (Lucene BMW skips ~nothing
+# on such shapes either); kept as the honest floor, and the bail-out
+# keeps their pruned wall ≈ unpruned wall
+GLOBAL_QUERIES = [
     "error spark merge query",
     "data table scan slow fast",
     "the a to",
     "naïve éclair window",
     "index merge batch stream column vector",
+    " ".join(topic_words(120)[:2]),     # pure-topical: blocks are few
+    topic_words(9)[0] + " error",       # and segment-wide → no skip
 ]
+# the selective set: topical clause(s) + hot term(s) — the detector-
+# style shape (subject match + common filter tokens) where θ is driven
+# by in-topic conjunctions and the hot terms' bucket-local blocks are
+# skippable everywhere the topic is absent.  This is the regime BMW
+# exists for.
+SELECTIVE_QUERIES = [
+    " ".join(topic_words(40)[:2]) + " the",
+    " ".join(topic_words(17)[:3]) + " the",
+    " ".join(topic_words(3)[:2]) + " the a",
+    " ".join(topic_words(9)[:2]) + " error the",
+    " ".join(topic_words(75)[:2]) + " to",
+]
+QUERIES = [(q, False) for q in GLOBAL_QUERIES] + \
+    [(q, True) for q in SELECTIVE_QUERIES]
 
 
 def main() -> None:
@@ -42,17 +70,28 @@ def main() -> None:
         from anomaly_detection_spark.data import assign_docids, generate_transcripts
         from anomaly_detection_spark.index import build_index
 
-        idx_dir = "/tmp/adspark_prune_idx_60000"
-        docs = assign_docids(generate_transcripts(spark, 60000, seed=42))
-        build_index(docs, idx_dir, seg_size=8192, block_size=256)
+        n_turns = int(os.environ.get("PRUNE_TURNS", 262144))
+        idx_dir = f"/tmp/adspark_prune_idx_{n_turns}"
+        docs = assign_docids(generate_transcripts(spark, n_turns, seed=42))
+        build_index(docs, idx_dir, seg_size=65536, block_size=128,
+                    segments_per_batch=4)
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     reader = ixs.IndexReader(spark, idx_dir)
     meta = reader.meta
-    norms = {r["seg_id"]: r for r in reader.doc_norms().collect()}
+    # pre-decode norms into (docid, doc_len) frames so the counted
+    # varint_decode calls are posting blocks only
+    norm_rows = reader.doc_norms().collect()
+    norms = {}
+    for r in norm_rows:
+        seg = r["seg_id"]
+        docids = np.cumsum(ixs.varint_decode(r["docid_gaps"])).astype(np.int64)
+        dls = ixs.varint_decode(r["dls"]).astype(np.int64)
+        norms[seg] = pd.DataFrame({"docid": docids, "doc_len": dls,
+                                   "seg_id": seg})
 
     report = []
-    for qtext in QUERIES:
+    for qtext, selective in QUERIES:
         qcounts = Counter(tokenize_query(qtext))
         stats = {r["term"]: r["df"] for r in reader.term_stats()
                  .filter(ixs.F.col("term").isin(sorted(qcounts))).collect()}
@@ -60,57 +99,74 @@ def main() -> None:
                    for t, c in qcounts.items() if t in stats}
         if not weights:
             continue
-        posts = (reader.postings()
-                 .filter(ixs.F.col("term").isin(list(weights)))
-                 .select("term", "seg_id", "first_docid", "last_docid",
-                         "gaps", "tfs", "max_tf")
-                 .toPandas())
+        cols = ["term", "seg_id", "first_docid", "last_docid",
+                "gaps", "tfs", "max_tf", "min_dl", "n"]
+        src = reader.postings()
+        if "bm_buckets" in src.columns:
+            cols += ["bm_buckets", "bm_tf", "bm_dl"]
+        posts = (src.filter(ixs.F.col("term").isin(list(weights)))
+                 .select(*cols).toPandas())
 
-        decoded = {True: 0, False: 0}
-        results = {}
         total_blocks = len(posts)
+        total_postings = int(posts["n"].sum())
+        decoded = {}
+        decoded_postings = {}
+        walls = {}
+        results = {}
         real_decode = ixs.varint_decode
         for prune in (True, False):
-            calls = [0]
+            calls = [0, 0]  # n_calls, total decoded ints
 
-            def counting(b, _real=real_decode, _c=calls):
+            def counting(blob, _real=real_decode, _c=calls):
+                out = _real(blob)
                 _c[0] += 1
-                return _real(b)
+                _c[1] += len(out)
+                return out
 
             ixs.varint_decode = counting
+            t0 = time.perf_counter()
             rows = []
             for seg, sp in posts.groupby("seg_id"):
-                nrow = norms[seg]
-                import pandas as pd
-                ndf = pd.DataFrame([{ "seg_id": seg,
-                                      "docid_gaps": nrow["docid_gaps"],
-                                      "dls": nrow["dls"]}])
                 out = ixs._score_segment(
-                    sp.reset_index(drop=True), ndf, weights, meta.seg_size,
-                    meta.avgdl, k, 1.2, 0.75, prune)
+                    sp.reset_index(drop=True), norms[seg], weights,
+                    meta.seg_size, meta.avgdl, k, 1.2, 0.75, prune,
+                    bucket=meta.bucket_size)
                 rows.append(out)
+            walls[prune] = round(time.perf_counter() - t0, 3)
             ixs.varint_decode = real_decode
-            import pandas as pd
             allr = pd.concat(rows, ignore_index=True)
             allr = allr.sort_values(["score", "docid"],
                                     ascending=[False, True]).head(k)
-            results[prune] = list(allr.docid)
-            # each block decode = 2 varint calls (gaps + tfs); norms add
-            # 2 per segment in both modes — report block-equivalents
+            results[prune] = list(zip(allr.docid, allr.score.round(9)))
+            # each block decode = 2 varint calls (gaps + tfs)
             decoded[prune] = calls[0] // 2
+            decoded_postings[prune] = calls[1] // 2
 
         assert results[True] == results[False], f"pruning changed results: {qtext}"
         report.append({
             "query": qtext,
+            "selective": selective,
             "total_blocks": int(total_blocks),
+            "total_postings": total_postings,
             "decoded_pruned": decoded[True],
             "decoded_unpruned": decoded[False],
             "skip_ratio": round(1 - decoded[True] / max(decoded[False], 1), 3),
+            "postings_skip_ratio": round(
+                1 - decoded_postings[True] / max(decoded_postings[False], 1), 3),
+            "wall_pruned_s": walls[True],
+            "wall_unpruned_s": walls[False],
             "identical_topk": True,
         })
         print(json.dumps(report[-1]))
+    sel = [r["skip_ratio"] for r in report if r["selective"]]
+    summary = {
+        "selective_mean_skip_ratio": round(sum(sel) / max(len(sel), 1), 3),
+        "selective_min_skip_ratio": round(min(sel), 3) if sel else None,
+        "all_identical_topk": all(r["identical_topk"] for r in report),
+    }
+    print(json.dumps(summary))
     with open("PRUNING_STATS.json", "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump({"queries": report, "summary": summary}, f, indent=1)
     spark.stop()
 
 

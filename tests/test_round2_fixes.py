@@ -152,6 +152,166 @@ def test_load_table_identifier_pattern(spark):
         load_table(spark, "adsq_nothing_*")
 
 
+# --- embedding near-dup: no cartesian, measured LSH recall -------------------
+
+
+def test_embedding_neardup_no_cartesian_join(spark):
+    import contextlib
+    import io
+
+    from anomaly_detection_spark.pipeline import embedding_neardup_pairs
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for method in ("blocked", "lsh"):
+        df = embedding_neardup_pairs(embs, threshold=0.9, method=method)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "CartesianProduct" not in p, method
+        assert "BroadcastNestedLoopJoin" not in p, method
+
+
+def test_embedding_neardup_lsh_precision_and_recall(spark):
+    import numpy as np
+
+    from anomaly_detection_spark.pipeline import embedding_neardup_pairs
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = embs.toPandas()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    sims = (mat @ mat.T) / np.outer(np.linalg.norm(mat, axis=1),
+                                    np.linalg.norm(mat, axis=1))
+    ids = pdf.vec_id.to_numpy()
+    tau = 0.4  # the high-similarity tail of this corpus (max ≈ 0.45)
+    want = {(int(ids[i]), int(ids[j]))
+            for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if round(sims[i, j], 6) >= tau}
+    got = embedding_neardup_pairs(embs, threshold=tau, method="lsh",
+                                  n_planes=32, bands=16).toPandas()
+    got_pairs = set(zip(got.id_a.astype(int), got.id_b.astype(int)))
+    # exact verification ⇒ precision 1
+    assert got_pairs <= want
+    # generous banding (16 bands × 2 bits) ⇒ high measured recall
+    if want:
+        recall = len(got_pairs) / len(want)
+        assert recall >= 0.8, recall
+
+
+# --- S7 time budget -----------------------------------------------------------
+
+
+def test_time_budget_cancels_runaway_query(spark):
+    import time
+
+    from anomaly_detection_spark.query import QueryTimeoutError, time_budget
+
+    @F.udf("long")
+    def slow(x):
+        import time as _t
+        _t.sleep(60)
+        return x
+
+    df = spark.range(8, numPartitions=4).select(slow("id").alias("v"))
+    t0 = time.time()
+    with pytest.raises(QueryTimeoutError):
+        with time_budget(spark, 3, desc="runaway scan"):
+            df.collect()
+    assert time.time() - t0 < 40
+    # a fast query inside a generous budget is unaffected
+    with time_budget(spark, 60):
+        assert spark.range(10).count() == 10
+
+
+def test_search_with_timeout_happy_path(spark, tiny_transcripts):
+    from anomaly_detection_spark.query import analyze_docs
+
+    analyzed = analyze_docs(tiny_transcripts)
+    out = search(analyzed, {"query": {"match": {"text": "spark query"}},
+                            "size": 5}, timeout_s=120)
+    assert out.count() == 5
+
+
+# --- lineage as a Spark-queryable table ---------------------------------------
+
+
+def test_build_and_merge_lineage_table(spark, tiny_transcripts, tmp_path):
+    from anomaly_detection_spark.index import build_index, merge_segments
+    from anomaly_detection_spark.query import IndexReader
+
+    idx = str(tmp_path / "lidx")
+    docs = tiny_transcripts.filter(F.col("docid") < 1024)
+    build_index(docs, idx, seg_size=256, block_size=64, segments_per_batch=2)
+    lin = IndexReader(spark, idx).lineage().toPandas()
+    b = lin[lin.stage == "segment_build"].sort_values("batch")
+    assert list(b.batch) == [0, 1]
+    assert b.rows.sum() == 1024
+    assert b.docid_hi.max() == 1024
+    assert (b.bytes > 0).all() and (b.wall_s > 0).all()
+
+    dst = str(tmp_path / "lmerged")
+    merge_segments(spark, idx, dst, factor=2, segments_per_batch=2)
+    mlin = IndexReader(spark, dst).lineage().toPandas()
+    m = mlin[mlin.stage == "merge"]
+    assert len(m) >= 1 and (m.bytes > 0).all()
+
+
+# --- block-max pruning actually skips decodes ---------------------------------
+
+
+def test_blockmax_prunes_and_stays_exact():
+    """Kernel-level: a selective term confined to one docid range must
+    make the scorer skip the hot term's blocks everywhere else, with a
+    top-k identical to the unpruned pass."""
+    import numpy as np
+    import pandas as pd
+
+    import anomaly_detection_spark.query.index_search as ixs
+    from anomaly_detection_spark.index.builder import blocks_from_sorted
+
+    seg_size, block, bucket = 4096, 32, 256
+    hot_docs = np.arange(0, seg_size, 2, dtype=np.int64)       # df = 2048
+    rare_docs = np.arange(100, 180, dtype=np.int64)            # one range
+    docs_u = np.concatenate([hot_docs, rare_docs])
+    terms_u = np.array(["hot"] * len(hot_docs) + ["rare"] * len(rare_docs),
+                       dtype=object)
+    tfs_u = np.concatenate([np.ones(len(hot_docs), dtype=np.int64),
+                            np.full(len(rare_docs), 3, dtype=np.int64)])
+    dls_u = np.full(len(docs_u), 20, dtype=np.int64)
+    posts = blocks_from_sorted(terms_u, docs_u, tfs_u, seg_id=0,
+                               block_size=block, dls_u=dls_u,
+                               seg_size=seg_size, bucket_size=bucket)
+    docs_pdf = pd.DataFrame({"docid": np.arange(seg_size, dtype=np.int64),
+                             "doc_len": np.full(seg_size, 20, dtype=np.int64),
+                             "seg_id": 0})
+    weights = {"hot": 1.0, "rare": 6.0}
+
+    real = ixs.varint_decode
+    counts = {}
+    results = {}
+    for prune in (True, False):
+        calls = [0]
+
+        def counting(blob, _r=real, _c=calls):
+            _c[0] += 1
+            return _r(blob)
+
+        ixs.varint_decode = counting
+        try:
+            out = ixs._score_segment(posts, docs_pdf, weights, seg_size,
+                                     20.0, 10, 1.2, 0.75, prune,
+                                     bucket=bucket)
+        finally:
+            ixs.varint_decode = real
+        counts[prune] = calls[0] // 2
+        results[prune] = list(zip(out.docid, out.score.round(9)))
+
+    assert results[True] == results[False]
+    assert counts[False] == len(posts)
+    # hot blocks outside the rare range must not be decoded
+    assert counts[True] < counts[False] * 0.2, counts
+
+
 # --- delete-by-query SQL rendering -------------------------------------------
 
 
