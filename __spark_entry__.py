@@ -466,6 +466,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.round("v_sum", 6).alias("v_sum"))
     q["feature_vectors_hourly"] = feature_vectors
 
+    def entity_scores(s, d):
+        """§3.1 end-to-end: per-entity fan-out → pluggable scorer
+        (ResultProcessor.java:204-331; z-score stands in for RCF).
+        Exact 8-bucket trailing z-score over hourly counts — integer
+        inputs keep the float sequence bit-identical to the oracle."""
+        from anomaly_detection_spark.features import feature_matrix, score_entities
+        ev = _read(s, d, "events")
+        fm = feature_matrix(ev, "ts", EVENTS_HOUR, {},
+                            entity_cols=("event_type",))
+        feats = fm.select("event_type", "bucket_start",
+                          F.col("doc_count").cast("double").alias("v"))
+        out = score_entities(feats, "v", entity_cols=("event_type",))
+        return (out.select("event_type", "bucket_start",
+                           F.col("v").cast("long").alias("doc_count"),
+                           F.round("score", 6).alias("score"))
+                .orderBy("event_type", "bucket_start"))
+    q["entity_scores_hourly"] = entity_scores
+
     # ---- north-star shape: transcripts index + WAND (rows-only) -----------
     def tx_wand(s, d):
         from anomaly_detection_spark.query import bm25_topk_indexed, fetch_docs
@@ -719,6 +737,25 @@ SELECT event_type,
        round(avg(value), 6) AS v_avg,
        round(sum(value), 6) AS v_sum
 FROM events GROUP BY 1, 2
+"""
+
+    sql["entity_scores_hourly"] = f"""
+WITH h AS (
+  SELECT event_type,
+         epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
+         count(*) AS doc_count
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, bucket_start, doc_count,
+         sum(doc_count * 1.0) OVER win / 8 AS m,
+         sum(doc_count * doc_count * 1.0) OVER win / 8 AS m2,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn
+  FROM h
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_start
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+SELECT event_type, bucket_start, doc_count,
+       round((doc_count - m) / (sqrt(greatest(m2 - m * m, 0)) + 1e-9), 6) AS score
+FROM w WHERE rn >= 8 ORDER BY event_type, bucket_start
 """
 
     sql["dedup_exact"] = f"""

@@ -275,6 +275,14 @@ def assign_docids(
     within-partition ``row_number``.  No global single-task sort; the
     docid values are independent of the partitioner's sampled boundaries
     because ranges are disjoint and ordered and the key is unique.
+
+    The partitioned frame is ``localCheckpoint``-ed, not merely
+    persisted: every action re-plans, and RangePartitioning re-SAMPLES
+    its boundaries per plan — if a persisted copy were evicted, the
+    offsets job and the rank job could silently see different
+    partitionings (duplicate/missing docids).  Checkpointing freezes
+    the partitioning; on a real cluster use ``checkpoint()`` to
+    reliable storage instead.
     """
     spark = df.sparkSession
     if n_partitions is None:
@@ -282,7 +290,7 @@ def assign_docids(
     parted = (
         df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["_pid"]: r["cnt"]

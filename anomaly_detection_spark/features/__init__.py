@@ -4,3 +4,4 @@ from .pipeline import (  # noqa: F401
     nearest_fill,
     shingles,
 )
+from .scoring import score_entities, zscore_scorer  # noqa: F401

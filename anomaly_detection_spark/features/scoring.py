@@ -1,0 +1,73 @@
+"""Per-entity model-scoring seam (SURVEY.md §3.1 end-to-end).
+
+The reference fans detector results out per entity and feeds each
+entity's shingled feature history to its model
+(``ResultProcessor.java:204-331`` → per-entity RCF update/score).  The
+Spark seam is ``applyInPandas`` over the entity key: one pandas batch
+per entity, rows bucket-ordered, a pluggable vectorized scorer over the
+value series.  RCF itself lives in a library the survey scopes out; the
+stand-in scorer is a trailing-window z-score — deliberately
+SQL-expressible so the whole seam is oracle-checkable, while any numpy
+scorer (an actual RCF binding included) plugs into the same signature.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def zscore_scorer(k: int = 8, eps: float = 1e-9) -> Callable[[np.ndarray], np.ndarray]:
+    """score_i = (v_i − mean(v_{i−k+1..i})) / (popstd(window) + eps);
+    NaN until a full k-window exists.  Variance via avg(v²) − avg(v)²
+    so the float sequence matches the SQL oracle bit-for-bit."""
+
+    def score(values: np.ndarray) -> np.ndarray:
+        out = np.full(len(values), np.nan)
+        if len(values) < k:
+            return out
+        win = np.lib.stride_tricks.sliding_window_view(values, k)
+        m = win.sum(axis=1) / k
+        m2 = (win * win).sum(axis=1) / k
+        std = np.sqrt(np.maximum(m2 - m * m, 0.0))
+        out[k - 1:] = (values[k - 1:] - m) / (std + eps)
+        return out
+
+    return score
+
+
+def score_entities(
+    features: DataFrame,
+    value_col: str,
+    scorer: Callable[[np.ndarray], np.ndarray] | None = None,
+    entity_cols: tuple[str, ...] = ("entity",),
+    bucket_col: str = "bucket_start",
+    score_col: str = "score",
+) -> DataFrame:
+    """(entity…, bucket, value) → + ``score`` from the per-entity scorer.
+
+    One task per entity group (hash-partitioned on the entity key — the
+    same fan-out shape as the reference's per-entity model hosting);
+    rows are sorted by bucket inside the batch, and the scorer sees the
+    full ordered value series at once (vectorized, no per-row Python).
+    Rows whose score is NaN (warm-up) are dropped, mirroring the
+    reference's cold-start interval handling.
+    """
+    scorer = scorer or zscore_scorer()
+    ent = list(entity_cols)
+    # copy, don't .add(): DataFrame.schema is cached and add() mutates it
+    out_schema = T.StructType(
+        list(features.schema.fields)
+        + [T.StructField(score_col, T.DoubleType())])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col).reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        pdf[score_col] = scorer(vals)
+        return pdf[pdf[score_col].notna()]
+
+    return features.groupBy(*ent).applyInPandas(fn, schema=out_schema)

@@ -313,14 +313,17 @@ def embedding_neardup_pairs(
     tau = float(threshold)
 
     def _cross(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pdf["_id"].iloc[:0],
+                              "id_b": pdf["_id"].iloc[:0],
+                              "cosine": pd.Series(dtype="float64")})
         a = pdf[pdf["_side"] == 0]
+        diagonal = int(pdf["_ki"].iloc[0]) == int(pdf["_kj"].iloc[0])
+        if len(a) == 0 or (diagonal and len(a) < 2):
+            return empty
         ids_a = a["_id"].to_numpy()
         Va = np.array(a["_v"].tolist(), dtype=np.float64)
         Va /= a["_n"].to_numpy(dtype=np.float64)[:, None]
-        diagonal = int(pdf["_ki"].iloc[0]) == int(pdf["_kj"].iloc[0])
         if diagonal:
-            if len(a) < 2:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
             order = np.argsort(ids_a, kind="stable")
             ids_a, Va = ids_a[order], Va[order]
             S = np.round(Va @ Va.T, 6)
@@ -330,8 +333,8 @@ def embedding_neardup_pairs(
                                  "id_b": ids_a[ju[keep]],
                                  "cosine": S[iu[keep], ju[keep]]})
         b2 = pdf[pdf["_side"] == 1]
-        if len(a) == 0 or len(b2) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if len(b2) == 0:
+            return empty
         ids_b = b2["_id"].to_numpy()
         Vb = np.array(b2["_v"].tolist(), dtype=np.float64)
         Vb /= b2["_n"].to_numpy(dtype=np.float64)[:, None]

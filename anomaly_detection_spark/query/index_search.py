@@ -200,7 +200,10 @@ def _score_segment(
         best = np.empty(0)          # up to k largest scores seen so far
         theta = -np.inf
         bail_after = 32             # overhead bound for prune-hostile data
-        s_min = float(s_bucket[visit[-1]])
+        # weakest bucket that actually holds postings (empty buckets
+        # terminate the visit loop via the break, they can't be "skipped")
+        nz = s_bucket[s_bucket > 0]
+        s_min = float(nz.min()) if len(nz) else 0.0
         bulk = False
         for j, bkt in enumerate(visit):
             if len(best) >= k and s_bucket[bkt] < theta:

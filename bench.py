@@ -97,6 +97,12 @@ def main() -> None:
               & (F.col("ts") < F.lit("2025-06-06"))).collect())
     timed("wand_topk_hot_term",
           lambda: bm25_topk_indexed(reader, "the a to", k=10).collect())
+    # detector-style selective query: topical clause + hot term — the
+    # regime block-max pruning skips decodes in (PRUNING_STATS.json)
+    from anomaly_detection_spark.data import topic_words
+    timed("wand_topk_selective",
+          lambda: bm25_topk_indexed(
+              reader, " ".join(topic_words(40)[:2]) + " the", k=10).collect())
 
     analyzed = analyze_docs(docs).persist()
     stats = corpus_stats(analyzed)
@@ -118,6 +124,7 @@ def main() -> None:
     embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from anomaly_detection_spark.pipeline import (
         cosine_topk_bruteforce,
+        embedding_neardup_pairs,
         minhash_lsh_pairs,
     )
     timed("minhash_lsh_documents",
@@ -125,6 +132,8 @@ def main() -> None:
     qv = embeddings.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
     timed("cosine_topk_embeddings",
           lambda: cosine_topk_bruteforce(embeddings, qv, k=10).collect())
+    timed("embedding_neardup_blocked",
+          lambda: embedding_neardup_pairs(embeddings, threshold=0.3).collect())
 
     print(json.dumps({
         "metric": "index-build throughput (turns/sec)",

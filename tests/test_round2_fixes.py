@@ -256,6 +256,33 @@ def test_build_and_merge_lineage_table(spark, tiny_transcripts, tmp_path):
     assert len(m) >= 1 and (m.bytes > 0).all()
 
 
+# --- per-entity scoring seam ---------------------------------------------------
+
+
+def test_score_entities_zscore(spark):
+    import numpy as np
+
+    from anomaly_detection_spark.features import score_entities
+
+    rows = []
+    for ent, base in (("A", 10.0), ("B", 100.0)):
+        for i in range(10):
+            v = base + (50.0 if i == 9 else float(i % 3))
+            rows.append((ent, i, v))
+    df = spark.createDataFrame(rows, "entity string, bucket_start int, v double")
+    out = score_entities(df, "v", entity_cols=("entity",)).toPandas()
+    # warm-up rows (first k-1 = 7 per entity) dropped
+    assert sorted(out.bucket_start.unique()) == [7, 8, 9]
+    a = out[out.entity == "A"].sort_values("bucket_start")
+    vals = np.array([10.0, 11, 12, 10, 11, 12, 10, 11, 12, 60.0])
+    win = vals[2:]
+    m = win.sum() / 8
+    std = np.sqrt((win * win).sum() / 8 - m * m)
+    assert a.iloc[-1].score == pytest.approx((60.0 - m) / (std + 1e-9))
+    # the spike scores far above the steady rows, per entity
+    assert a.iloc[-1].score > 2 * abs(a.iloc[0].score)
+
+
 # --- block-max pruning actually skips decodes ---------------------------------
 
 
