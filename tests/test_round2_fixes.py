@@ -256,6 +256,62 @@ def test_build_and_merge_lineage_table(spark, tiny_transcripts, tmp_path):
     assert len(m) >= 1 and (m.bytes > 0).all()
 
 
+# --- multimodal: real decode for uncompressed formats --------------------------
+
+
+def test_multimodal_real_wav_and_ppm(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from anomaly_detection_spark.pipeline.multimodal import (
+        attach_media,
+        extract_features,
+        resize_images,
+    )
+
+    # 16-bit PCM mono WAV: 0.5-amplitude sine at 440 Hz, 8000 Hz, 0.5 s
+    sr, amp = 8000, 0.5
+    t = np.arange(4000) / sr
+    pcm = (np.sin(2 * np.pi * 440 * t) * amp * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    wav_bytes = buf.getvalue()
+
+    # 4x2 P6 PPM: left half red, right half blue
+    img = np.zeros((2, 4, 3), dtype=np.uint8)
+    img[:, :2, 0] = 200
+    img[:, 2:, 2] = 100
+    ppm_bytes = b"P6\n4 2\n255\n" + img.tobytes()
+
+    rows = [(1, bytearray(wav_bytes), "audio", "audio/wav"),
+            (2, bytearray(ppm_bytes), "image", "image/x-portable-pixmap")]
+    df = spark.createDataFrame(rows, "id long, payload binary, kind string, mime string")
+    media_a = attach_media(df.filter("id = 1"), "id", "payload",
+                           kind="audio", mime="audio/wav")
+    media_i = attach_media(df.filter("id = 2"), "id", "payload",
+                           kind="image", mime="image/x-portable-pixmap")
+
+    fa = extract_features(media_a, dim=4).toPandas()
+    # RMS of a sine = amp/sqrt(2) in every window
+    assert np.allclose(fa.feature.iloc[0], amp / np.sqrt(2), atol=0.01)
+
+    fi = extract_features(media_i, dim=6).toPandas()
+    feat = np.array(fi.feature.iloc[0])
+    assert len(feat) == 6 and feat.max() <= 1.0 and feat.max() > 0.1
+
+    small = resize_images(media_i, 1, 2).toPandas()
+    from anomaly_detection_spark.pipeline.multimodal import decode_ppm
+    out = decode_ppm(bytes(small.payload.iloc[0]))
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0, 0] == 200 and out[0, 1, 2] == 100  # block means exact
+
+
 # --- per-entity scoring seam ---------------------------------------------------
 
 
