@@ -54,25 +54,34 @@ def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
     tfs_col = pdf["tfs"].to_numpy(dtype=object)
     has_bm = "bm_buckets" in pdf.columns and pdf["bm_buckets"].iloc[0] is not None
 
-    doc_parts, tf_parts, dl_parts = [], [], []
+    doc_parts, tf_parts = [], []
     for i in range(len(pdf)):
-        docs_i = np.cumsum(varint_decode(gaps_col[i])).astype(np.int64) + firsts[i]
-        doc_parts.append(docs_i)
+        doc_parts.append(np.cumsum(varint_decode(gaps_col[i])).astype(np.int64)
+                         + firsts[i])
         tf_parts.append(varint_decode(tfs_col[i]).astype(np.int64))
-        if has_bm:
-            # per-posting dl lower bound from the source block's
-            # per-bucket table — the bucket grid is docid-aligned
-            # (seg_size % bucket_size == 0), so re-cut bucket minima
-            # are preserved exactly through the merge
-            bks = (docs_i - seg_ids[i] * src_seg_size) // bucket_size
-            bm_b = np.asarray(pdf["bm_buckets"].iloc[i], dtype=np.int64)
-            bm_d = np.asarray(pdf["bm_dl"].iloc[i], dtype=np.int64)
-            dl_parts.append(bm_d[np.searchsorted(bm_b, bks)])
     docs_u = np.concatenate(doc_parts)
     tfs_u = np.concatenate(tf_parts)
     terms_u = np.repeat(pdf["term"].to_numpy(dtype=object), ns)
     if has_bm:
-        dls_u = np.concatenate(dl_parts)
+        # per-posting dl lower bound from the source blocks' per-bucket
+        # tables — the bucket grid is docid-aligned (seg_size %
+        # bucket_size == 0), so re-cut bucket minima are preserved
+        # exactly through the merge.  One global searchsorted over
+        # (block, bucket) keys instead of a per-block python loop.
+        ent_counts = np.fromiter((len(x) for x in pdf["bm_buckets"]),
+                                 dtype=np.int64, count=len(pdf))
+        ent_block = np.repeat(np.arange(len(pdf), dtype=np.int64), ent_counts)
+        ent_bucket = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["bm_buckets"]])
+        ent_dl = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["bm_dl"]])
+        K = max(1, src_seg_size // bucket_size)
+        post_block = np.repeat(np.arange(len(pdf), dtype=np.int64), ns)
+        post_bucket = (docs_u - np.repeat(seg_ids, ns) * src_seg_size) \
+            // bucket_size
+        idx = np.searchsorted(ent_block * K + ent_bucket,
+                              post_block * K + post_bucket)
+        dls_u = ent_dl[idx]
     else:
         # legacy blocks: block-level min_dl (valid, slightly looser)
         dls_u = np.repeat(pdf["min_dl"].to_numpy(dtype=np.int64), ns)

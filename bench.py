@@ -11,6 +11,10 @@ Environment:
   SPARK_GRAFT_CPUS    local[N] cores (default 32)
   BENCH_TURNS         override transcript corpus size
   BENCH_KEEP_INDEX    reuse the built index dir if it exists (resume)
+  BENCH_SEG_SIZE      pin segment size (scaling studies: identical
+                      geometry at every parallelism level)
+  BENCH_ONLY_BUILD    skip merge + query suite (scaling studies time
+                      the build throughput only)
 
 The transcripts corpus is synthesized deterministically (seed 42) at a
 size proportional to the sf of the testdata dir (sf0.1 → 600k turns),
@@ -66,11 +70,27 @@ def main() -> None:
     idx = f"/tmp/adspark_bench_idx_{n_turns}_{cpus}"
     if not os.environ.get("BENCH_KEEP_INDEX"):
         shutil.rmtree(idx, ignore_errors=True)
+    seg_size = int(os.environ["BENCH_SEG_SIZE"]) \
+        if os.environ.get("BENCH_SEG_SIZE") else None
     t0 = time.time()
-    build_index(docs, idx, block_size=1 << 12, segments_per_batch=64)
+    build_index(docs, idx, seg_size=seg_size, block_size=1 << 12,
+                segments_per_batch=64)
     build_s = time.time() - t0
     queries["index_build"] = round(build_s, 3)
     turns_per_sec = actual_turns / build_s
+
+    if os.environ.get("BENCH_ONLY_BUILD"):
+        print(json.dumps({
+            "metric": "index-build throughput (turns/sec)",
+            "value": round(turns_per_sec, 1),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "turns": actual_turns,
+            "cpus": cpus,
+        }))
+        spark.stop()
+        return
 
     reader = IndexReader(spark, idx)
 

@@ -30,6 +30,11 @@ def run_at(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir)
+    # fair comparison defaults: identical segment geometry at every
+    # level (the builder otherwise sizes segments off the core count)
+    # and build-only timing (the scaling metric is build throughput)
+    env.setdefault("BENCH_SEG_SIZE", "16384")
+    env.setdefault("BENCH_ONLY_BUILD", "1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True, cwd=REPO)
