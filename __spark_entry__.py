@@ -362,6 +362,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard_pairs(_read(s, d, "documents"), threshold=0.4, n=3)
     q["ngram_jaccard_04"] = dd_jacc
 
+    def dd_clusters(s, d):
+        """Connected components over near-dup pairs → canonical doc per
+        cluster (the keep-one-representative step after pair generation)."""
+        from anomaly_detection_spark.pipeline import (
+            duplicate_clusters,
+            ngram_jaccard_pairs,
+        )
+        pairs = ngram_jaccard_pairs(_read(s, d, "documents"), threshold=0.4, n=3)
+        return duplicate_clusters(pairs)
+    q["dedup_clusters_04"] = dd_clusters
+
     def dd_minhash(s, d):
         from anomaly_detection_spark.pipeline import minhash_lsh_pairs
         return minhash_lsh_pairs(_read(s, d, "documents"), threshold=0.5)
@@ -778,8 +789,7 @@ ORDER BY groups.group_id, keyed.doc_id
     )
     # mirrors the Spark default max_shingle_df=10000: hot shingles are
     # dropped from the intersection, sizes stay uncapped
-    sql["ngram_jaccard_04"] = f"""
-WITH tok AS (
+    jaccard_ctes = f"""tok AS (
   SELECT doc_id, {_TOKEN_SQL.format(col='text')} AS ts FROM documents),
 sh AS (
   SELECT doc_id, unnest({trigram}) AS s FROM tok),
@@ -789,14 +799,38 @@ shc AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT id_a, id_b,
-       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.4
-ORDER BY id_a, id_b
+  GROUP BY a.doc_id, b.doc_id),
+jpairs AS (
+  SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.4)"""
+
+    sql["ngram_jaccard_04"] = f"""
+WITH {jaccard_ctes}
+SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b
+"""
+
+    # connected components over the same pairs (canonical doc per
+    # cluster): recursive CTE computes min reachable id per node —
+    # the oracle for the Spark min-label-propagation loop
+    sql["dedup_clusters_04"] = f"""
+WITH RECURSIVE {jaccard_ctes},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION
+  SELECT id_b, id_a FROM jpairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT lab.id AS doc_id, lab.cluster_id, cs.cluster_size
+FROM lab JOIN (
+  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1) cs
+  USING (cluster_id)
+ORDER BY lab.cluster_id, lab.id
 """
 
     sql["embedding_cosine_topk"] = """

@@ -1,4 +1,5 @@
 from .dedup import (  # noqa: F401
+    duplicate_clusters,
     embedding_neardup_pairs,
     exact_duplicates,
     minhash_lsh_pairs,

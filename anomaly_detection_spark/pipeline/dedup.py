@@ -256,6 +256,44 @@ def simhash_neardup_pairs(
             .orderBy("id_a", "id_b"))
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → canonical doc per
+    cluster: (doc_id, cluster_id = min reachable doc id, cluster_size).
+
+    The step a training-data pipeline runs after pair generation: near-
+    dup pairs form clusters, and one canonical representative per
+    cluster survives.  Iterative min-label propagation — each round one
+    self-equi-join + groupBy, state truncated with ``localCheckpoint``
+    so the plan doesn't grow; converges in O(cluster diameter) rounds
+    (near-dup clusters are shallow).  Scale shape: every round is a
+    hash join on the id key, no driver-side adjacency.
+    """
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .distinct().localCheckpoint()
+    labels = (edges.select(F.col("a").alias("_id")).distinct()
+              .withColumn("label", F.col("_id")))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("_id").alias("b"),
+                                        F.col("label").alias("_nl")), "b")
+               .groupBy("a").agg(F.min("_nl").alias("_min_nl")))
+        new = (labels.join(nbr.withColumnRenamed("a", "_id"), "_id", "left")
+               .select("_id", F.least(
+                   F.col("label"),
+                   F.coalesce("_min_nl", F.col("label"))).alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(labels.alias("o"), "_id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("_id").alias("doc_id"),
+                    F.col("label").alias("cluster_id"), "cluster_size")
+            .orderBy("cluster_id", "doc_id"))
+
+
 def _norm_col(vec_col: str) -> F.Column:
     return F.sqrt(F.aggregate(vec_col, F.lit(0.0),
                               lambda acc, x: acc + x.cast("double") * x))

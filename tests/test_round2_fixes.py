@@ -256,6 +256,24 @@ def test_build_and_merge_lineage_table(spark, tiny_transcripts, tmp_path):
     assert len(m) >= 1 and (m.bytes > 0).all()
 
 
+# --- duplicate clusters (connected components) ---------------------------------
+
+
+def test_duplicate_clusters_components(spark):
+    from anomaly_detection_spark.pipeline import duplicate_clusters
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long")
+    out = duplicate_clusters(pairs).toPandas()
+    got = {int(r.doc_id): (int(r.cluster_id), int(r.cluster_size))
+           for r in out.itertuples()}
+    assert got == {1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+                   10: (10, 3), 11: (10, 3), 12: (10, 3),
+                   20: (20, 2), 21: (20, 2)}
+
+
 # --- multimodal: real decode for uncompressed formats --------------------------
 
 
