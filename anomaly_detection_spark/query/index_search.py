@@ -82,6 +82,7 @@ def _score_segment(
     prune: bool,
     bucket: int = 1024,
     quantize_norms: bool = False,
+    theta_init: float = -np.inf,
 ) -> pd.DataFrame:
     empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float64")})
@@ -198,7 +199,10 @@ def _score_segment(
         col_doc: list[np.ndarray] = []
         col_sc: list[np.ndarray] = []
         best = np.empty(0)          # up to k largest scores seen so far
-        theta = -np.inf
+        # θ starts from the caller's cross-segment floor when given
+        # (two-phase search: the densest segment's k-th score is a
+        # valid global lower bound — Lucene MaxScoreAccumulator analog)
+        theta = theta_init
         bail_after = 32             # overhead bound for prune-hostile data
         # weakest bucket that actually holds postings (empty buckets
         # terminate the visit loop via the break, they can't be "skipped")
@@ -206,7 +210,7 @@ def _score_segment(
         s_min = float(nz.min()) if len(nz) else 0.0
         bulk = False
         for j, bkt in enumerate(visit):
-            if len(best) >= k and s_bucket[bkt] < theta:
+            if s_bucket[bkt] < theta:
                 break               # visit order is UB-descending
             if j >= bail_after and theta <= s_min:
                 # θ can never reach even the weakest bucket — nothing
@@ -235,7 +239,7 @@ def _score_segment(
             col_sc.append(scores[pos])
             best = np.sort(np.concatenate([best, scores[pos]]))[-k:]
             if len(best) >= k:
-                theta = best[0]
+                theta = max(theta, float(best[0]))
         if bulk:
             scores = np.zeros(seg_size)
             for i in range(len(posts)):
@@ -278,13 +282,19 @@ def bm25_topk_indexed(
     prune: bool = True,
     quantize_norms: bool = False,
     bucket: int | None = None,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Top-k (docid, score) via the posting index; rank/score-identical
     to :func:`bm25_topk_bruteforce` by construction (tested).
 
     ``bucket`` is the block-max pruning granularity in docids; indexes
     carrying per-bucket impact tables pin it to ``meta.bucket_size``
-    (the grid the tables were cut on)."""
+    (the grid the tables were cut on).
+
+    ``two_phase`` scores the densest segment first and broadcasts its
+    k-th score as every other segment's starting θ (the cross-segment
+    competitive-score propagation Lucene does with MaxScoreAccumulator)
+    — identical results, strictly more skipping, one extra tiny job."""
     spark = reader.spark
     meta = reader.meta
     qcounts = Counter(tokenize_query(query_text))
@@ -304,7 +314,7 @@ def bm25_topk_indexed(
                for t in present}
 
     post_cols = ["term", "seg_id", "first_docid", "last_docid", "gaps",
-                 "tfs", "max_tf"]
+                 "tfs", "max_tf", "n"]
     src = reader.postings()
     if "min_dl" in src.columns:
         post_cols.append("min_dl")
@@ -325,16 +335,34 @@ def bm25_topk_indexed(
 
     seg_size, avgdl = meta.seg_size, meta.avgdl
 
-    def _score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
-        return _score_segment(pleft, pright, weights, seg_size, avgdl,
-                              k, k1, b, prune, bucket=bucket,
-                              quantize_norms=quantize_norms)
+    def _cogroup_score(p, d, theta_init=-np.inf):
+        def _score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
+            return _score_segment(pleft, pright, weights, seg_size, avgdl,
+                                  k, k1, b, prune, bucket=bucket,
+                                  quantize_norms=quantize_norms,
+                                  theta_init=theta_init)
 
-    local = (
-        posts.groupBy("seg_id")
-        .cogroup(docs.groupBy("seg_id"))
-        .applyInPandas(_score, schema="docid long, score double")
-    )
+        return (p.groupBy("seg_id").cogroup(d.groupBy("seg_id"))
+                .applyInPandas(_score, schema="docid long, score double"))
+
+    if two_phase and prune:
+        seed = (posts.groupBy("seg_id").agg(F.sum("n").alias("_n"))
+                .orderBy(F.desc("_n"), F.asc("seg_id")).first())
+        if seed is not None:
+            seed_seg = seed["seg_id"]
+            seed_rows = _cogroup_score(
+                posts.filter(F.col("seg_id") == seed_seg),
+                docs.filter(F.col("seg_id") == seed_seg)).collect()
+            theta0 = (min(r["score"] for r in seed_rows)
+                      if len(seed_rows) >= k else -np.inf)
+            rest = _cogroup_score(posts.filter(F.col("seg_id") != seed_seg),
+                                  docs.filter(F.col("seg_id") != seed_seg),
+                                  theta_init=theta0)
+            both = rest if not seed_rows else rest.unionByName(
+                spark.createDataFrame(seed_rows, "docid long, score double"))
+            return both.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    local = _cogroup_score(posts, docs)
     return local.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
 

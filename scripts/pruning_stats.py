@@ -114,7 +114,11 @@ def main() -> None:
         walls = {}
         results = {}
         real_decode = ixs.varint_decode
-        for prune in (True, False):
+        # cascade = the two-phase/theta-carry mode bm25_topk_indexed
+        # exposes as two_phase=True: segments visited densest-first,
+        # each seeded with the k-th best score seen so far
+        for mode, prune in (("pruned", True), ("unpruned", False),
+                            ("cascade", True)):
             calls = [0, 0]  # n_calls, total decoded ints
 
             def counting(blob, _real=real_decode, _c=calls):
@@ -123,45 +127,63 @@ def main() -> None:
                 _c[1] += len(out)
                 return out
 
+            seg_order = (posts.groupby("seg_id")["n"].sum()
+                         .sort_values(ascending=False).index)
             ixs.varint_decode = counting
             t0 = time.perf_counter()
             rows = []
-            for seg, sp in posts.groupby("seg_id"):
+            theta = float("-inf")
+            for seg in seg_order:
+                sp = posts[posts.seg_id == seg]
                 out = ixs._score_segment(
                     sp.reset_index(drop=True), norms[seg], weights,
                     meta.seg_size, meta.avgdl, k, 1.2, 0.75, prune,
-                    bucket=meta.bucket_size)
+                    bucket=meta.bucket_size,
+                    theta_init=theta if mode == "cascade" else float("-inf"))
                 rows.append(out)
-            walls[prune] = round(time.perf_counter() - t0, 3)
+                if mode == "cascade":
+                    acc = pd.concat(rows, ignore_index=True)
+                    if len(acc) >= k:
+                        theta = float(acc["score"].nlargest(k).iloc[-1])
+            walls[mode] = round(time.perf_counter() - t0, 3)
             ixs.varint_decode = real_decode
             allr = pd.concat(rows, ignore_index=True)
             allr = allr.sort_values(["score", "docid"],
                                     ascending=[False, True]).head(k)
-            results[prune] = list(zip(allr.docid, allr.score.round(9)))
+            results[mode] = list(zip(allr.docid, allr.score.round(9)))
             # each block decode = 2 varint calls (gaps + tfs)
-            decoded[prune] = calls[0] // 2
-            decoded_postings[prune] = calls[1] // 2
+            decoded[mode] = calls[0] // 2
+            decoded_postings[mode] = calls[1] // 2
 
-        assert results[True] == results[False], f"pruning changed results: {qtext}"
+        assert results["pruned"] == results["unpruned"] == results["cascade"], \
+            f"pruning changed results: {qtext}"
         report.append({
             "query": qtext,
             "selective": selective,
             "total_blocks": int(total_blocks),
             "total_postings": total_postings,
-            "decoded_pruned": decoded[True],
-            "decoded_unpruned": decoded[False],
-            "skip_ratio": round(1 - decoded[True] / max(decoded[False], 1), 3),
+            "decoded_pruned": decoded["pruned"],
+            "decoded_unpruned": decoded["unpruned"],
+            "decoded_cascade": decoded["cascade"],
+            "skip_ratio": round(
+                1 - decoded["pruned"] / max(decoded["unpruned"], 1), 3),
+            "skip_ratio_cascade": round(
+                1 - decoded["cascade"] / max(decoded["unpruned"], 1), 3),
             "postings_skip_ratio": round(
-                1 - decoded_postings[True] / max(decoded_postings[False], 1), 3),
-            "wall_pruned_s": walls[True],
-            "wall_unpruned_s": walls[False],
+                1 - decoded_postings["pruned"]
+                / max(decoded_postings["unpruned"], 1), 3),
+            "wall_pruned_s": walls["pruned"],
+            "wall_unpruned_s": walls["unpruned"],
             "identical_topk": True,
         })
         print(json.dumps(report[-1]))
     sel = [r["skip_ratio"] for r in report if r["selective"]]
+    selc = [r["skip_ratio_cascade"] for r in report if r["selective"]]
     summary = {
         "selective_mean_skip_ratio": round(sum(sel) / max(len(sel), 1), 3),
         "selective_min_skip_ratio": round(min(sel), 3) if sel else None,
+        "selective_mean_skip_ratio_cascade": round(
+            sum(selc) / max(len(selc), 1), 3),
         "all_identical_topk": all(r["identical_topk"] for r in report),
     }
     print(json.dumps(summary))

@@ -256,6 +256,24 @@ def test_build_and_merge_lineage_table(spark, tiny_transcripts, tmp_path):
     assert len(m) >= 1 and (m.bytes > 0).all()
 
 
+# --- two-phase WAND (cross-segment theta propagation) --------------------------
+
+
+def test_two_phase_wand_identical(spark, tiny_transcripts, tmp_path):
+    from anomaly_detection_spark.index import build_index
+    from anomaly_detection_spark.query import IndexReader, bm25_topk_indexed
+
+    idx = str(tmp_path / "tp_idx")
+    build_index(tiny_transcripts, idx, seg_size=512, block_size=64,
+                segments_per_batch=4)
+    r = IndexReader(spark, idx)
+    for q in ("error spark merge query", "the a to", "naïve éclair"):
+        a = bm25_topk_indexed(r, q, k=7).collect()
+        b = bm25_topk_indexed(r, q, k=7, two_phase=True).collect()
+        assert [(x.docid, round(x.score, 9)) for x in a] \
+            == [(x.docid, round(x.score, 9)) for x in b], q
+
+
 # --- duplicate clusters (connected components) ---------------------------------
 
 
