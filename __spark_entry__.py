@@ -120,12 +120,10 @@ def _auto_ladder_sql(num_buckets: int) -> str:
     return f"CASE {cases} ELSE {_LADDER_S[-1] * 1000} END"
 
 
-_STOPWORDS = {
-    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
-    "fr": ["le", "la", "de", "et", "un", "les", "des", "est", "dans", "pour"],
-    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
-}
+# single source of truth for the language-ID / quality stopword lists:
+# the oracle SQL below is generated from the same dict the Spark
+# operators use
+from anomaly_detection_spark.pipeline.text import LANG_STOPWORDS as _STOPWORDS
 
 EVENTS_HOUR = 3600_000
 _RANGE_A = (1704153600000, 1704326400000)   # 2024-01-02 .. 2024-01-04

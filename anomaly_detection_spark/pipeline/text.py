@@ -16,12 +16,37 @@ from pyspark.sql import types as T
 
 TOKEN_REGEX = r"[\p{L}\p{N}_]+"  # Java/RE2-compatible \w-run (unicode)
 
-# tiny per-language stopword lists (distinct-hit heuristic; deterministic)
+# per-language stopword lists (distinct-hit heuristic; deterministic).
+# Shared words across languages are fine — the argmax over per-language
+# DISTINCT hits is what discriminates.  The single source of truth:
+# __spark_entry__'s oracle SQL is generated from this dict.
 LANG_STOPWORDS: dict[str, list[str]] = {
-    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
-    "fr": ["le", "la", "de", "et", "un", "les", "des", "est", "dans", "pour"],
-    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it",
+           "was", "with", "as", "on", "be", "at", "by", "this", "have",
+           "from", "or", "not", "but", "are", "they"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los",
+           "se", "del", "las", "una", "su", "para", "es", "al", "como",
+           "más", "pero", "sus", "le", "ya", "está"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "est", "dans",
+           "pour", "une", "que", "qui", "sur", "pas", "plus", "par",
+           "avec", "tout", "son", "ses", "mais", "comme", "nous", "aux"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein",
+           "zu", "nicht", "sich", "auf", "für", "auch", "als", "eine",
+           "des", "dem", "im", "aber", "noch", "wie", "bei", "nach"],
+    "it": ["il", "di", "che", "la", "per", "non", "una", "sono", "con",
+           "del", "gli", "della", "nel", "come", "anche", "più", "alla",
+           "questo", "essere", "molto", "hanno", "dalla", "quando",
+           "perché", "sia"],
+    "pt": ["de", "que", "não", "uma", "para", "com", "os", "do", "da",
+           "em", "um", "por", "mais", "das", "como", "mas", "foi", "ao",
+           "ele", "isso", "ou", "ser", "quando", "muito", "há"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op",
+           "te", "zijn", "met", "voor", "niet", "aan", "er", "ook",
+           "als", "maar", "om", "dan", "zou", "naar", "bij", "nog"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "ini", "untuk", "dari",
+           "dalam", "tidak", "akan", "pada", "juga", "saya", "ke",
+           "karena", "ada", "mereka", "sudah", "atau", "bisa", "kita",
+           "tersebut", "seperti", "oleh"],
 }
 
 
