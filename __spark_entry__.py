@@ -493,6 +493,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("event_type", "bucket_start"))
     q["entity_scores_hourly"] = entity_scores
 
+    def detector_preview(s, d):
+        """The full detector surface (§3.1 restated end-to-end): config →
+        source → filter → per-entity interval features → prior-window
+        z-score → anomaly grade.  Exact SQL oracle (integer counts keep
+        the float sequence bit-identical)."""
+        from anomaly_detection_spark.detector import Detector, preview
+        det = Detector(
+            detector_id="det-events",
+            indices=f"{d}/events.parquet",
+            feature_specs={"n_events": {"value_count": {"field": "event_id"}}},
+            time_field="ts", interval_ms=EVENTS_HOUR,
+            category_fields=("event_type",), shingle_size=8)
+        res = preview(s, det)
+        return (res.select("detector_id", "event_type", "bucket_start",
+                           F.col("n_events").cast("long").alias("n_events"),
+                           "anomaly_score", "anomaly_grade")
+                .orderBy("event_type", "bucket_start"))
+    q["detector_preview_hourly"] = detector_preview
+
     # ---- north-star shape: transcripts index + WAND (rows-only) -----------
     def tx_wand(s, d):
         from anomaly_detection_spark.query import bm25_topk_indexed, fetch_docs
@@ -765,6 +784,30 @@ w AS (
 SELECT event_type, bucket_start, doc_count,
        round((doc_count - m) / (sqrt(greatest(m2 - m * m, 0)) + 1e-9), 6) AS score
 FROM w WHERE rn >= 8 ORDER BY event_type, bucket_start
+"""
+
+    sql["detector_preview_hourly"] = f"""
+WITH h AS (
+  SELECT event_type,
+         epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
+         count(event_id) AS n_events
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, bucket_start, n_events,
+         sum(n_events * 1.0) OVER win / 8 AS m,
+         sum(n_events * n_events * 1.0) OVER win / 8 AS m2,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket_start) AS rn
+  FROM h
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_start
+                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT event_type, bucket_start, n_events,
+         (n_events - m) / (sqrt(greatest(m2 - m * m, 0)) + 1e-9) AS zz
+  FROM w WHERE rn > 8)
+SELECT 'det-events' AS detector_id, event_type, bucket_start, n_events,
+       round(abs(zz), 6) AS anomaly_score,
+       round(greatest(0.0, least(1.0, (abs(zz) - 3.0) / 3.0)), 6) AS anomaly_grade
+FROM z ORDER BY event_type, bucket_start
 """
 
     sql["dedup_exact"] = f"""

@@ -19,9 +19,12 @@ Layout (see SURVEY.md for the reference mapping):
                   text analysis, multimodal plumbing.
 - ``streaming`` — Structured Streaming equivalents of the plugin's
                   interval-job cadence (window_delay = watermark).
+- ``detector``  — the user-facing detector config + preview / run_once
+                  surface (source pattern → filter → features → per-
+                  entity scoring → anomaly-result rows).
 
 Everything is DataFrame-first; Python appears only in Arrow-batched
 pandas UDFs (tokenize / codec / WAND scoring) — never per-row.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -1,0 +1,133 @@
+"""Detector-level API: the reference's user surface, end to end.
+
+A reference user defines an anomaly detector as a config document —
+source indices (possibly a pattern), a filter query, feature
+aggregations, a detection interval, a window delay, category (entity)
+fields, and a shingle size (``Config.java:97``, the detector mapping in
+``src/main/resources/mappings/config.json``) — and reads back anomaly
+results rows (``anomaly-results.json`` mapping: entity as a nested
+name/value list, anomaly_grade/confidence, data_start/end_time).
+
+This module composes the engine's pieces into exactly that surface:
+
+    load_table(pattern) → compile_filter(query JSON) → feature_matrix
+    per (entity, interval) → per-entity scoring seam → result rows
+
+The model stand-in is the deterministic trailing-window z-score from
+:mod:`features.scoring` (RCF lives in a library the survey scopes
+out); ``anomaly_grade`` maps |z| through the same shape the reference
+uses for its threshold (0 below 3σ, saturating at 6σ), and
+``confidence`` ramps with history like the reference's cold-start
+handling (``ResultProcessor.java:204-331`` fan-out; scores per entity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .features import feature_matrix, score_entities
+from .functions.entity import with_entity
+from .query.planner import compile_filter
+from .sources import load_table
+
+
+@dataclass
+class Detector:
+    """The detector config subset the engine consumes (Config.java)."""
+    detector_id: str
+    indices: str | list[str]
+    feature_specs: dict[str, dict]          # {name: {agg: {"field": col}}}
+    time_field: str = "ts"
+    interval_ms: int = 600_000              # 10-minute default, like the plugin
+    window_delay_ms: int = 0
+    filter_query: dict | None = None
+    category_fields: tuple[str, ...] = ()   # empty = single-stream
+    shingle_size: int = 8
+
+
+def _grade(z: F.Column) -> F.Column:
+    """|z| → anomaly grade in [0, 1]: 0 below 3σ, 1 at ≥6σ."""
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), (F.abs(z) - 3.0) / 3.0))
+
+
+def preview(spark: SparkSession, det: Detector,
+            scorer=None) -> DataFrame:
+    """Historical/preview analysis: score every closed interval
+    (PreviewAnomalyDetectorTransportAction analog).  Returns anomaly-
+    result-shaped rows; intervals inside the model's warm-up window
+    (``shingle_size`` points) are omitted, like the reference's
+    cold-start."""
+    from .features import zscore_scorer
+
+    # detection scores a point against history that EXCLUDES it
+    scorer = scorer or zscore_scorer(det.shingle_size,
+                                     include_current=False)
+    src = load_table(spark, det.indices)
+    cond = (compile_filter(src, det.filter_query)
+            if det.filter_query else None)
+    feats = sorted(det.feature_specs)
+    fm = feature_matrix(src, det.time_field, det.interval_ms,
+                        det.feature_specs,
+                        entity_cols=det.category_fields,
+                        filter_cond=cond)
+    # score each feature with the per-entity seam; join scores back.
+    # single-stream detectors score as one constant entity group.
+    ent = list(det.category_fields)
+    gcols = ent or ["_g"]
+    base = fm if ent else fm.withColumn("_g", F.lit("_"))
+    out = base
+    for name in feats:
+        scored = score_entities(
+            base.select(*gcols, "bucket_start",
+                        F.col(name).cast("double").alias("_v")),
+            "_v", scorer=scorer, entity_cols=tuple(gcols), score_col="_z")
+        out = out.join(
+            scored.select(*gcols, "bucket_start",
+                          F.col("_z").alias(f"_z_{name}")),
+            [*gcols, "bucket_start"])
+    score = F.greatest(*[F.abs(F.col(f"_z_{n}")) for n in feats]) \
+        if len(feats) > 1 else F.abs(F.col(f"_z_{feats[0]}"))
+    result = (out
+              .withColumn("anomaly_score", F.round(score, 6))
+              .withColumn("anomaly_grade", F.round(_grade(score), 6))
+              .withColumn("confidence", F.lit(1.0))
+              .withColumn("detector_id", F.lit(det.detector_id))
+              .withColumn("data_start_time", F.col("bucket_start"))
+              .withColumn("data_end_time", F.timestamp_millis(
+                  F.unix_millis(F.col("bucket_start").cast("timestamp"))
+                  + det.interval_ms)))
+    if ent:
+        result = with_entity(result, {c: c for c in ent})
+    else:
+        result = result.withColumn(
+            "entity",
+            F.array().cast("array<struct<name:string,value:string>>"))
+    return result.select(
+        "detector_id", "entity", "data_start_time", "data_end_time",
+        *feats, "anomaly_score", "anomaly_grade", "confidence",
+        *ent, "bucket_start")
+
+
+def run_once(spark: SparkSession, det: Detector, now_ms: int,
+             history_intervals: int = 64, scorer=None) -> DataFrame:
+    """One realtime detection interval (ResultProcessor analog): score
+    the latest closed interval ending at ``now - window_delay``, using
+    the trailing ``history_intervals`` for context."""
+    end = ((now_ms - det.window_delay_ms) // det.interval_ms) * det.interval_ms
+    start = end - det.interval_ms
+    hist_start = end - history_intervals * det.interval_ms
+    base = {"range": {det.time_field: {"gte": hist_start, "lt": end}}}
+    q = ({"bool": {"filter": [base, det.filter_query]}}
+         if det.filter_query else base)
+    scoped = Detector(
+        detector_id=det.detector_id, indices=det.indices,
+        feature_specs=det.feature_specs, time_field=det.time_field,
+        interval_ms=det.interval_ms, window_delay_ms=det.window_delay_ms,
+        filter_query=q, category_fields=det.category_fields,
+        shingle_size=det.shingle_size)
+    res = preview(spark, scoped, scorer=scorer)
+    return res.filter(F.unix_millis(F.col("bucket_start").cast("timestamp"))
+                      == start)

@@ -21,20 +21,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
-def zscore_scorer(k: int = 8, eps: float = 1e-9) -> Callable[[np.ndarray], np.ndarray]:
-    """score_i = (v_i − mean(v_{i−k+1..i})) / (popstd(window) + eps);
-    NaN until a full k-window exists.  Variance via avg(v²) − avg(v)²
-    so the float sequence matches the SQL oracle bit-for-bit."""
+def zscore_scorer(k: int = 8, eps: float = 1e-9,
+                  include_current: bool = True) -> Callable[[np.ndarray], np.ndarray]:
+    """Trailing-window z-score; NaN until a full k-window exists.
+    Variance via avg(v²) − avg(v)² so the float sequence matches the
+    SQL oracle bit-for-bit.
+
+    ``include_current=True``: window is v_{i−k+1..i} (the SQL-window
+    shape) — note |z| is then bounded by √(k−1), since the point damps
+    its own baseline.  ``include_current=False``: window is the PRIOR
+    k points v_{i−k..i−1} — the detection shape (a spike is judged
+    against history it isn't part of; reference models likewise score
+    a point against the model state before ingesting it)."""
 
     def score(values: np.ndarray) -> np.ndarray:
-        out = np.full(len(values), np.nan)
-        if len(values) < k:
+        n = len(values)
+        out = np.full(n, np.nan)
+        need = k if include_current else k + 1
+        if n < need:
             return out
         win = np.lib.stride_tricks.sliding_window_view(values, k)
         m = win.sum(axis=1) / k
         m2 = (win * win).sum(axis=1) / k
         std = np.sqrt(np.maximum(m2 - m * m, 0.0))
-        out[k - 1:] = (values[k - 1:] - m) / (std + eps)
+        if include_current:
+            out[k - 1:] = (values[k - 1:] - m) / (std + eps)
+        else:
+            out[k:] = (values[k:] - m[:n - k]) / (std[:n - k] + eps)
         return out
 
     return score

@@ -1,0 +1,100 @@
+"""Detector-level surface: config → preview / run_once → anomaly-result
+rows (the reference's user API end to end)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.detector import Detector, preview, run_once
+
+HOUR = 3600_000
+
+
+@pytest.fixture(scope="module")
+def spiky_events(spark, tmp_path_factory):
+    """Two entities, hourly cadence over 3 days; entity B gets a 20x
+    count spike in one interval near the end."""
+    base = pd.Timestamp("2025-03-01")
+    rows = []
+    eid = 0
+    for ent in ("A", "B"):
+        for h in range(72):
+            n = 5
+            if ent == "B" and h == 60:
+                n = 100
+            for i in range(n):
+                rows.append((eid, ent, base + pd.Timedelta(hours=h, minutes=i % 50),
+                             float(10 + (i % 3))))
+                eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "service", "ts", "value"])
+    path = str(tmp_path_factory.mktemp("det") / "events")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _detector(path, **kw):
+    args = dict(
+        detector_id="det-1",
+        indices=path,
+        feature_specs={"n_events": {"value_count": {"field": "event_id"}}},
+        time_field="ts",
+        interval_ms=HOUR,
+        category_fields=("service",),
+        shingle_size=8,
+    )
+    args.update(kw)
+    return Detector(**args)
+
+
+def test_preview_flags_injected_spike(spark, spiky_events):
+    det = _detector(spiky_events)
+    res = preview(spark, det).toPandas()
+    # anomaly-result shape
+    assert {"detector_id", "entity", "data_start_time", "data_end_time",
+            "n_events", "anomaly_score", "anomaly_grade",
+            "confidence"} <= set(res.columns)
+    assert (res.detector_id == "det-1").all()
+    # entity is the nested name/value list the reference persists
+    ent0 = res.entity.iloc[0]
+    assert ent0[0]["name"] == "service" and ent0[0]["value"] in ("A", "B")
+    flagged = res[res.anomaly_grade > 0]
+    assert len(flagged) == 1
+    row = flagged.iloc[0]
+    assert row["service"] == "B"
+    assert pd.Timestamp(row.bucket_start) == pd.Timestamp("2025-03-03 12:00:00")
+    assert row.n_events == 100
+    # steady entity A never alarms
+    assert (res[res.service == "A"].anomaly_grade == 0).all()
+
+
+def test_preview_respects_filter_query(spark, spiky_events):
+    det = _detector(spiky_events,
+                    filter_query={"term": {"service": "A"}},
+                    category_fields=())
+    res = preview(spark, det).toPandas()
+    assert (res.anomaly_grade == 0).all()
+    assert (res.n_events == 5).all()
+    # single-stream detector: empty entity list
+    assert res.entity.map(len).eq(0).all()
+
+
+def test_run_once_scores_single_interval(spark, spiky_events):
+    det = _detector(spiky_events)
+    # "now" = spike interval end + 5 min; delay 0
+    now_ms = int(pd.Timestamp("2025-03-03 13:05:00").value // 10**6)
+    res = run_once(spark, det, now_ms).toPandas()
+    assert set(res.bucket_start.map(pd.Timestamp)) == {
+        pd.Timestamp("2025-03-03 12:00:00")}
+    assert len(res) == 2  # one row per live entity
+    byent = {r.service: r for r in res.itertuples()}
+    assert byent["B"].anomaly_grade > 0.9
+    assert byent["A"].anomaly_grade == 0
+
+
+def test_run_once_window_delay_shifts_interval(spark, spiky_events):
+    det = _detector(spiky_events, window_delay_ms=HOUR)
+    now_ms = int(pd.Timestamp("2025-03-03 13:05:00").value // 10**6)
+    res = run_once(spark, det, now_ms).toPandas()
+    assert set(res.bucket_start.map(pd.Timestamp)) == {
+        pd.Timestamp("2025-03-03 11:00:00")}
+    assert (res.anomaly_grade == 0).all()
