@@ -256,6 +256,87 @@ def test_build_and_merge_lineage_table(spark, tiny_transcripts, tmp_path):
     assert len(m) >= 1 and (m.bytes > 0).all()
 
 
+# --- streaming end-to-end: events → features → stateful shingles → scores ------
+
+
+def test_streaming_features_to_shingles_to_scores(spark, tmp_path):
+    """The full §2.7 cadence in one pipe: raw event stream → windowed
+    per-entity features (watermark = window_delay) → stateful shingles
+    → per-entity scoring of the streamed output, spike flagged."""
+    import numpy as np
+    import pandas as pd
+
+    from anomaly_detection_spark.features import score_entities, zscore_scorer
+    from anomaly_detection_spark.streaming import realtime_feature_stream
+    from anomaly_detection_spark.streaming.stateful import streaming_shingles
+
+    base = pd.Timestamp("2025-07-01")
+    rows = []
+    for m in range(30):
+        n = 40 if m == 25 else 4   # spike at minute 25
+        for i in range(n):
+            rows.append(("svc", base + pd.Timedelta(minutes=m, seconds=i), 1.0))
+    pdf = pd.DataFrame(rows, columns=["entity", "ts", "v"])
+    src = str(tmp_path / "ev_src")
+    third = (len(pdf) + 2) // 3
+    for j in range(3):  # 3 chronological files → 3 micro-batches
+        spark.createDataFrame(pdf.iloc[j * third:(j + 1) * third]).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    # stage 1: windowed per-entity features → parquet sink (Spark can't
+    # chain applyInPandasWithState after a streaming agg in append mode;
+    # the intermediate sink mirrors the reference persisting feature/
+    # result rows between stages)
+    stream = (spark.readStream.schema("entity string, ts timestamp, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    feats = realtime_feature_stream(stream, "ts", "1 minute", "0 seconds", {},
+                                    entity_cols=("entity",))
+    feat_dir = str(tmp_path / "feat_rows")
+    q1 = (feats.writeStream.outputMode("append").format("parquet")
+          .option("path", feat_dir)
+          .option("checkpointLocation", str(tmp_path / "ck1")).start())
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # stage 2: feature-row stream → stateful per-entity shingles
+    fstream = (spark.readStream
+               .schema("window_start timestamp, window_end timestamp, "
+                       "entity string, doc_count long")
+               .option("maxFilesPerTrigger", 2).parquet(feat_dir))
+    shingled = streaming_shingles(
+        fstream.select("entity", "window_start",
+                       F.col("doc_count").cast("double").alias("v")),
+        k=8)
+    q = (shingled.writeStream.outputMode("append").format("memory")
+         .queryName("e2e_shingles")
+         .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from e2e_shingles").toPandas()
+    assert len(got) > 0
+    # the spike minute's shingle ends with the spiked count
+    spike_bucket = base + pd.Timedelta(minutes=25)
+    srow = got[got.window_start == spike_bucket]
+    assert len(srow) == 1 and srow.shingle.iloc[0][-1] == 40.0
+
+    # score the streamed features per entity: only the spike alarms
+    counts = (spark.createDataFrame(got[["entity", "window_start"]])
+              .join(spark.sql("select * from e2e_shingles"),
+                    ["entity", "window_start"])
+              .select("entity", "window_start",
+                      F.element_at("shingle", -1).alias("v")))
+    scored = score_entities(counts, "v",
+                            scorer=zscore_scorer(8, include_current=False),
+                            entity_cols=("entity",),
+                            bucket_col="window_start").toPandas()
+    flagged = scored[np.abs(scored.score) > 3]
+    assert list(flagged.window_start) == [spike_bucket]
+
+
 # --- two-phase WAND (cross-segment theta propagation) --------------------------
 
 
