@@ -445,6 +445,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("rank", "user_id", "max_severity", "doc_count"))
     q["top_entities_by_severity"] = top_entities
 
+    def search_body(s, d):
+        """Q10 end-to-end: an arbitrary OpenSearch search body (query +
+        named aggs JSON with metric and pipeline sub-aggs) compiled to
+        a DataFrame by query.aggs_body.run_aggs."""
+        from anomaly_detection_spark.query import run_aggs
+        ev = _read(s, d, "events")
+        body = {
+            "query": {"term": {"event_type": "error"}},
+            "aggs": {"per_hour": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1h",
+                                   "min_doc_count": 1},
+                "aggs": {"v_avg": {"avg": {"field": "value"}},
+                         "v_diff": {"serial_diff": {"buckets_path": "v_avg"}}},
+            }},
+        }
+        out = run_aggs(ev, body)["per_hour"]
+        return (out.select("bucket_start", "doc_count",
+                           F.round("v_avg", 6).alias("v_avg"),
+                           F.round("v_diff", 6).alias("v_diff"))
+                .orderBy("bucket_start"))
+    q["search_body_aggs"] = search_body
+
     def comp_entity(s, d):
         """B7: composite source computed from a script — group by the
         entity value extracted out of a nested array<struct<name,value>>
@@ -742,6 +764,16 @@ WITH g AS (
 SELECT row_number() OVER (ORDER BY max_severity DESC, user_id) AS rank,
        user_id, max_severity, doc_count
 FROM g ORDER BY max_severity DESC, user_id LIMIT 10
+"""
+
+    sql["search_body_aggs"] = f"""
+WITH h AS (
+  SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
+         count(*) AS doc_count, avg(value) AS va
+  FROM events WHERE event_type = 'error' GROUP BY 1)
+SELECT bucket_start, doc_count, round(va, 6) AS v_avg,
+       round(va - lag(va) OVER (ORDER BY bucket_start), 6) AS v_diff
+FROM h ORDER BY bucket_start
 """
 
     sql["composite_entity_script"] = """

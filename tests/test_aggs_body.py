@@ -1,0 +1,96 @@
+"""Q10: OpenSearch search-body (query + aggs JSON) compiler."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.query import interval_ms, run_aggs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet").persist()
+    yield df
+    df.unpersist()
+
+
+def test_interval_ms_parsing():
+    assert interval_ms("90s") == 90_000
+    assert interval_ms("1h") == 3_600_000
+    assert interval_ms("2d") == 172_800_000
+    assert interval_ms(500) == 500
+    with pytest.raises(ValueError):
+        interval_ms("1 fortnight")
+
+
+def test_body_with_query_metrics_terms_and_filter(events):
+    body = {
+        "query": {"range": {"value": {"gte": 10}}},
+        "aggs": {
+            "n": {"value_count": {"field": "event_id"}},
+            "v_max": {"max": {"field": "value"}},
+            "top_users": {"terms": {"field": "user_id", "size": 3},
+                          "aggs": {"v_avg": {"avg": {"field": "value"}}}},
+            "clicks": {"filter": {"term": {"event_type": "click"}},
+                       "aggs": {"v_sum": {"sum": {"field": "value"}}}},
+        },
+    }
+    res = run_aggs(events, body)
+    base = events.filter(F.col("value") >= 10)
+    assert res["n"].collect()[0]["n"] == base.count()
+    assert res["v_max"].collect()[0]["v_max"] == \
+        base.agg(F.max("value")).collect()[0][0]
+    top = res["top_users"].toPandas()
+    assert len(top) == 3 and {"user_id", "doc_count", "v_avg"} <= set(top.columns)
+    want_top = (base.groupBy("user_id").count()
+                .orderBy(F.desc("count"), F.asc("user_id")).first())
+    assert top.iloc[0].user_id == want_top["user_id"]
+    clicks = res["clicks"].collect()[0]
+    assert clicks["doc_count"] == base.filter("event_type = 'click'").count()
+
+
+def test_body_histogram_with_pipeline_and_composite(events):
+    body = {
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "fixed_interval": "1d",
+                                   "min_doc_count": 1},
+                "aggs": {"v_avg": {"avg": {"field": "value"}},
+                         "d": {"serial_diff": {"buckets_path": "v_avg"}},
+                         "top2": {"bucket_sort": {
+                             "sort": [{"doc_count": {"order": "desc"}}],
+                             "size": 2}}},
+            },
+            "by_type_user": {"composite": {"sources": [
+                {"t": {"terms": {"field": "event_type"}}},
+                {"u": {"terms": {"field": "user_id"}}}]}},
+        },
+    }
+    res = run_aggs(events, body)
+    per_day = res["per_day"].toPandas()
+    assert len(per_day) == 2          # bucket_sort size=2
+    assert {"bucket_start", "doc_count", "v_avg", "d"} <= set(per_day.columns)
+    comp = res["by_type_user"].toPandas()
+    assert {"t", "u", "doc_count"} <= set(comp.columns)
+    assert len(comp) == events.select("event_type", "user_id").distinct().count()
+
+
+def test_body_composite_entity_script(spark, events):
+    from anomaly_detection_spark.functions import with_entity
+
+    ent = with_entity(events, {"user": "user_id", "type": "event_type"})
+    body = {"aggs": {"by_ent": {"composite": {"sources": [
+        {"eu": {"terms": {"script": {
+            "params": {"field": "entity", "category": "user"}}}}}]}}}}
+    res = run_aggs(ent, body)["by_ent"].toPandas()
+    assert len(res) == events.select("user_id").distinct().count()
+
+
+def test_body_rejects_unknown(events):
+    with pytest.raises(ValueError, match="unsupported aggregation"):
+        run_aggs(events, {"aggs": {"x": {"geo_grid": {"field": "v"}}}})
+    with pytest.raises(ValueError, match="unsupported sub-aggs"):
+        run_aggs(events, {"aggs": {"x": {
+            "terms": {"field": "user_id"},
+            "aggs": {"bad": {"nested_thing": {}}}}}})
