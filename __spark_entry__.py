@@ -32,31 +32,43 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _build_cached(docs, idx_dir, **kw):
+    """Resumable build; a stale cache from an older index format (the
+    geometry pin raises) is wiped and rebuilt instead of failing."""
+    import shutil
+
+    from anomaly_detection_spark.index import build_index
+
+    try:
+        build_index(docs, idx_dir, **kw)
+    except ValueError:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_index(docs, idx_dir, **kw)
+
+
 def _docs_index(spark: SparkSession, sf_dir: str):
     """Build (once, resumable) the posting index over `documents`."""
-    from anomaly_detection_spark.index import build_index
     from anomaly_detection_spark.query import IndexReader
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/adspark_docs_idx_{key}"
     docs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("docid"), "text", "lang", "source", "n_chars")
-    build_index(docs, idx_dir, seg_size=4096, block_size=256,
-                segments_per_batch=8,
-                keep_cols=("lang", "source", "n_chars"))
+    _build_cached(docs, idx_dir, seg_size=4096, block_size=256,
+                  segments_per_batch=8,
+                  keep_cols=("lang", "source", "n_chars"))
     return IndexReader(spark, idx_dir)
 
 
 def _tx_index(spark: SparkSession, n_turns: int = 20000):
     """Deterministic transcripts corpus + its index (north-star shape)."""
     from anomaly_detection_spark.data import assign_docids, generate_transcripts
-    from anomaly_detection_spark.index import build_index
     from anomaly_detection_spark.query import IndexReader
 
     idx_dir = f"/tmp/adspark_tx_idx_{n_turns}"
     docs = assign_docids(generate_transcripts(spark, n_turns, seed=42))
-    build_index(docs, idx_dir, seg_size=8192, block_size=512,
-                segments_per_batch=4)
+    _build_cached(docs, idx_dir, seg_size=8192, block_size=512,
+                  segments_per_batch=4)
     return IndexReader(spark, idx_dir)
 
 

@@ -73,8 +73,15 @@ def main() -> None:
         n_turns = int(os.environ.get("PRUNE_TURNS", 262144))
         idx_dir = f"/tmp/adspark_prune_idx_{n_turns}"
         docs = assign_docids(generate_transcripts(spark, n_turns, seed=42))
-        build_index(docs, idx_dir, seg_size=65536, block_size=128,
-                    segments_per_batch=4)
+        try:
+            build_index(docs, idx_dir, seg_size=65536, block_size=128,
+                        segments_per_batch=4)
+        except ValueError:  # stale cache from an older index format
+            import shutil
+
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            build_index(docs, idx_dir, seg_size=65536, block_size=128,
+                        segments_per_batch=4)
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     reader = ixs.IndexReader(spark, idx_dir)
