@@ -21,8 +21,9 @@ shape directly:
     → {"per_hour": DataFrame, "top_users": DataFrame, "n": DataFrame}
 
 Supported bucket aggs: date_histogram (fixed_interval, min_doc_count,
-hard_bounds), date_range, terms (size), composite (terms sources,
-entity-script sources via ``entity_value``), filter; metric aggs:
+hard_bounds), auto_date_histogram, date_range, terms (size), composite
+(terms sources, entity-script sources via ``entity_value``), filter;
+metric aggs:
 max/min/avg/sum/value_count/cardinality/percentiles; pipeline aggs
 inside a bucket agg: serial_diff, min_bucket, bucket_sort.
 """
@@ -36,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .aggs import (
+    auto_date_histogram,
     bucket_sort,
     composite_agg,
     date_histogram,
@@ -128,6 +130,12 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                 hard_bounds=(
                     (kbody["hard_bounds"]["min"], kbody["hard_bounds"]["max"])
                     if "hard_bounds" in kbody else None))
+            results[name] = _apply_pipes(out, pipes, "bucket_start")
+            continue
+        if kind == "auto_date_histogram":
+            out = auto_date_histogram(df, kbody["field"],
+                                      kbody.get("buckets", 10),
+                                      sub_specs=metrics)
             results[name] = _apply_pipes(out, pipes, "bucket_start")
             continue
         if kind == "date_range":

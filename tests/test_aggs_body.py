@@ -87,6 +87,14 @@ def test_body_composite_entity_script(spark, events):
     assert len(res) == events.select("user_id").distinct().count()
 
 
+def test_body_auto_date_histogram(events):
+    res = run_aggs(events, {"aggs": {"auto": {
+        "auto_date_histogram": {"field": "ts", "buckets": 20},
+        "aggs": {"v_avg": {"avg": {"field": "value"}}}}}})["auto"].toPandas()
+    assert 0 < len(res) <= 20
+    assert {"bucket_start", "doc_count", "v_avg", "interval_ms"} <= set(res.columns)
+
+
 def test_body_rejects_unknown(events):
     with pytest.raises(ValueError, match="unsupported aggregation"):
         run_aggs(events, {"aggs": {"x": {"geo_grid": {"field": "v"}}}})
