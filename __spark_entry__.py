@@ -542,7 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = preview(s, det)
         return (res.select("detector_id", "event_type", "bucket_start",
                            F.col("n_events").cast("long").alias("n_events"),
-                           "anomaly_score", "anomaly_grade")
+                           "anomaly_score", "anomaly_grade", "confidence")
                 .orderBy("event_type", "bucket_start"))
     q["detector_preview_hourly"] = detector_preview
 
@@ -850,7 +850,10 @@ z AS (
   FROM w WHERE rn > 8)
 SELECT 'det-events' AS detector_id, event_type, bucket_start, n_events,
        round(abs(zz), 6) AS anomaly_score,
-       round(greatest(0.0, least(1.0, (abs(zz) - 3.0) / 3.0)), 6) AS anomaly_grade
+       round(greatest(0.0, least(1.0, (abs(zz) - 3.0) / 3.0)), 6) AS anomaly_grade,
+       round(least(1.0, row_number()
+             OVER (PARTITION BY event_type ORDER BY bucket_start) / 32.0),
+             6) AS confidence
 FROM z ORDER BY event_type, bucket_start
 """
 

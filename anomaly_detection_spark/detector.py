@@ -46,6 +46,7 @@ class Detector:
     filter_query: dict | None = None
     category_fields: tuple[str, ...] = ()   # empty = single-stream
     shingle_size: int = 8
+    confidence_ramp: int = 32               # intervals to full confidence
 
 
 def _grade(z: F.Column) -> F.Column:
@@ -78,22 +79,39 @@ def preview(spark: SparkSession, det: Detector,
     ent = list(det.category_fields)
     gcols = ent or ["_g"]
     base = fm if ent else fm.withColumn("_g", F.lit("_"))
-    out = base
-    for name in feats:
-        scored = score_entities(
-            base.select(*gcols, "bucket_start",
-                        F.col(name).cast("double").alias("_v")),
-            "_v", scorer=scorer, entity_cols=tuple(gcols), score_col="_z")
-        out = out.join(
-            scored.select(*gcols, "bucket_start",
-                          F.col("_z").alias(f"_z_{name}")),
-            [*gcols, "bucket_start"])
+    # Single-pass multi-feature scoring: melt features to rows, run ONE
+    # applyInPandas over (entity, feature), pivot the scores back.  An
+    # F-feature detector costs one FlatMapGroupsInPandas + one pivot
+    # shuffle instead of F stateful passes + F joins.
+    pairs = ", ".join(f"'{n}', cast(`{n}` as double)" for n in feats)
+    melted = base.select(
+        *gcols, "bucket_start",
+        F.expr(f"stack({len(feats)}, {pairs})").alias("_feat", "_v"))
+    scored = score_entities(melted, "_v", scorer=scorer,
+                            entity_cols=(*gcols, "_feat"), score_col="_z")
+    zw = (scored.groupBy(*gcols, "bucket_start")
+          .pivot("_feat", feats).agg(F.first("_z")))
+    for n in feats:
+        zw = zw.withColumnRenamed(n, f"_z_{n}")
+    out = base.join(zw, [*gcols, "bucket_start"])
+    for n in feats:
+        # a bucket survives only if every feature scored (identical to
+        # the previous per-feature inner joins)
+        out = out.filter(F.col(f"_z_{n}").isNotNull())
     score = F.greatest(*[F.abs(F.col(f"_z_{n}")) for n in feats]) \
         if len(feats) > 1 else F.abs(F.col(f"_z_{feats[0]}"))
+    # Confidence ramps with scored history per entity (the reference
+    # reports <1 confidence until the model is warm): the i-th scored
+    # interval of an entity carries min(1, i / confidence_ramp).
+    from pyspark.sql.window import Window
+
+    conf_w = Window.partitionBy(*gcols).orderBy("bucket_start")
+    conf = F.least(F.lit(1.0), F.row_number().over(conf_w)
+                   / F.lit(float(det.confidence_ramp)))
     result = (out
               .withColumn("anomaly_score", F.round(score, 6))
               .withColumn("anomaly_grade", F.round(_grade(score), 6))
-              .withColumn("confidence", F.lit(1.0))
+              .withColumn("confidence", F.round(conf, 6))
               .withColumn("detector_id", F.lit(det.detector_id))
               .withColumn("data_start_time", F.col("bucket_start"))
               .withColumn("data_end_time", F.timestamp_millis(

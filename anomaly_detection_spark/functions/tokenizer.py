@@ -43,6 +43,26 @@ def _tokenize_udf(texts: pd.Series) -> pd.Series:
     return tokenize_texts(texts)
 
 
-def tokenize_column(col: Column | str) -> Column:
-    """Column[str] → Column[array<string>] via the Arrow-batched analyzer."""
-    return _tokenize_udf(F.col(col) if isinstance(col, str) else col)
+# Java-regex twin of the Python \w+ analyzer.  Python's re \w is
+# isalnum-or-underscore = Unicode categories L* + N* + '_', which is
+# exactly [\p{L}\p{N}_] in Java regex — the same expression the DuckDB
+# oracle uses (regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')), so
+# all three analyzers agree by construction; test_tokenizer_bm25 locks
+# the JVM↔Python equivalence on the corpus + unicode edge cases.
+JAVA_TOKEN_RE = r"[\p{L}\p{N}_]+"
+
+
+def tokenize_column(col: Column | str, engine: str = "jvm") -> Column:
+    """Column[str] → Column[array<string>] with the shared analyzer.
+
+    ``engine="jvm"`` (default) stays inside whole-stage codegen — no
+    Arrow round-trip, no Python worker — which is what lets the index
+    build scale with cores instead of with the Python/Arrow memory bus.
+    ``engine="python"`` is the Arrow-batched reference implementation
+    kept for parity testing.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if engine == "python":
+        return _tokenize_udf(c)
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(c, F.lit(""))), F.lit(JAVA_TOKEN_RE), 0)

@@ -276,8 +276,14 @@ def build_index(
         # 37.5k-doc segments were ~1.6× slower than 65k at local[32])
         par = max(4, spark.sparkContext.defaultParallelism)
         seg_size = int(min(1 << 16, max(1 << 12, n_docs // par or 1)))
-    # bucket grid must align across segments: seg_size % bucket_size == 0
-    bucket_size = math.gcd(min(bucket_size, seg_size), seg_size)
+    # bucket grid must align across segments: seg_size % bucket_size == 0.
+    # Round seg_size UP to a multiple of the requested grid rather than
+    # shrinking the grid via gcd — an odd auto-chosen seg_size would
+    # collapse bucket_size to 1, i.e. one impact-table entry per posting
+    # (index bloat + useless per-docid pruning buckets).
+    bucket_size = min(bucket_size, seg_size)
+    if seg_size % bucket_size:
+        seg_size += bucket_size - (seg_size % bucket_size)
     n_segs = max(1, math.ceil(n_docs / seg_size))
     n_batches = max(1, math.ceil(n_segs / segments_per_batch))
     # a resumed build must also keep the original batch geometry — batch
@@ -301,14 +307,21 @@ def build_index(
         hi = min(n_docs, (k + 1) * segments_per_batch * seg_size)
 
         sub = docs.filter((F.col("docid") >= lo) & (F.col("docid") < hi))
-        # one tokenize pass per batch, shared by doc_stats and postings
+        # Tokenization is a JVM codegen expression (no Arrow round-trip,
+        # no Python tokenize worker); the tokenized batch is cached once
+        # and shared by the doc_stats and postings passes — measured
+        # fastest of {cache, recompute-per-pass} at every core count.
         analyzed = analyze_docs(sub, text_col=text_col).persist()
         dstats = analyzed.select("docid", "doc_len", *keep_cols)
-        (dstats.repartitionByRange(max(2, segments_per_batch), "docid")
-         .sortWithinPartitions("docid")
-         .write.mode("overwrite").parquet(f"{paths.doc_stats}/batch={k}"))
+        # written straight from the scan: docids are already dense and
+        # scan-ordered, and repartitionByRange would cost a sampling
+        # pass (an extra scan+tokenize) for a layout nothing depends on
+        (dstats.write.mode("overwrite")
+         .parquet(f"{paths.doc_stats}/batch={k}"))
 
-        norms = (analyzed
+        # norms re-read the just-written (docid, doc_len) parquet — a
+        # fused pass over ~9 bytes/doc instead of a third tokenize
+        norms = (spark.read.parquet(f"{paths.doc_stats}/batch={k}")
                  .withColumn("seg_id", (F.col("docid") / seg_size).cast("int"))
                  .select("seg_id", "docid", "doc_len")
                  .groupBy("seg_id")

@@ -52,7 +52,10 @@ def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
     ns = pdf["n"].to_numpy(dtype=np.int64)
     gaps_col = pdf["gaps"].to_numpy(dtype=object)
     tfs_col = pdf["tfs"].to_numpy(dtype=object)
-    has_bm = "bm_buckets" in pdf.columns and pdf["bm_buckets"].iloc[0] is not None
+    # non-null for every row, not just the first: mixed-format indexes
+    # (schema-union null-fill) must take the no-bm path, not crash
+    has_bm = ("bm_buckets" in pdf.columns
+              and pdf["bm_buckets"].notna().all())
 
     doc_parts, tf_parts = [], []
     for i in range(len(pdf)):

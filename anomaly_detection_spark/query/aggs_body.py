@@ -67,6 +67,34 @@ def interval_ms(spec: str | int) -> int:
     return int(m.group(1)) * _DUR_MS[m.group(2)]
 
 
+# Calendar intervals that are fixed-width in a UTC session (the engine
+# pins UTC): second/minute/hour/day.  week/month/quarter/year are
+# anchor-dependent in OpenSearch (weeks start Monday; months vary) and
+# would bucket differently than any fixed grid — fail fast instead of
+# silently producing the wrong buckets.
+_CAL_FIXED = {"second": "1s", "1s": "1s", "minute": "1m", "1m": "1m",
+              "hour": "1h", "1h": "1h", "day": "1d", "1d": "1d"}
+
+
+def _dh_interval_ms(kbody: dict[str, Any]) -> int:
+    """date_histogram interval keys → fixed milliseconds, fail-fast."""
+    if "fixed_interval" in kbody:
+        return interval_ms(kbody["fixed_interval"])
+    if "calendar_interval" in kbody:
+        cal = str(kbody["calendar_interval"])
+        if cal in _CAL_FIXED:
+            return interval_ms(_CAL_FIXED[cal])
+        raise ValueError(
+            f"calendar_interval {cal!r} is not fixed-width; only "
+            f"{sorted(set(_CAL_FIXED))} map to a fixed grid (the plugin "
+            "itself uses fixed intervals, AggregationPrep.java:304-311)")
+    if "interval" in kbody:  # legacy pre-7.x key, fixed semantics
+        return interval_ms(kbody["interval"])
+    raise ValueError(
+        "date_histogram requires fixed_interval (or a fixed-width "
+        "calendar_interval); refusing to default silently")
+
+
 def _split(spec: dict[str, Any]) -> tuple[str, dict, dict, dict]:
     """One named agg body → (kind, body, metric sub-aggs, pipeline aggs)."""
     sub = dict(spec.get("aggs") or {})
@@ -122,9 +150,7 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             continue
         if kind == "date_histogram":
             out = date_histogram(
-                df, kbody["field"],
-                interval_ms(kbody.get("fixed_interval",
-                                      kbody.get("interval", "1h"))),
+                df, kbody["field"], _dh_interval_ms(kbody),
                 sub_specs=metrics,
                 min_doc_count=kbody.get("min_doc_count", 0),
                 hard_bounds=(

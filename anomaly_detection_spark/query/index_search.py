@@ -162,8 +162,13 @@ def _score_segment(
         term_ids = pd.factorize(terms)[0]
         tb_ub = np.zeros((int(term_ids.max()) + 1, n_buckets))
         bucket_blocks: list[list[int]] = [[] for _ in range(n_buckets)]
+        # bm columns count as present only when non-null for EVERY row:
+        # an index mixing pre-impact-table batches with new ones (parquet
+        # schema union null-fills the old rows) must fall back wholesale
+        # to the legacy block-level bound instead of raising on
+        # np.asarray(None).
         has_bm = ("bm_buckets" in posts.columns
-                  and posts["bm_buckets"].iloc[0] is not None)
+                  and posts["bm_buckets"].notna().all())
         if has_bm:
             # per-bucket impact tables (Lucene-impacts analog): bound =
             # w · f(bucket max_tf, bucket min_dl), only where the term

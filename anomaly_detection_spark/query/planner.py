@@ -100,18 +100,20 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
             # otherwise (BoolQueryBuilder minimumShouldMatch semantics).
             has_required = bool(conds) or bool(matches)
             msm = body.get("minimum_should_match", 0 if has_required else 1)
-            if msm not in (0, 1):
-                raise ValueError(f"minimum_should_match > 1 unsupported: {msm}")
+            if not isinstance(msm, int) or msm < 0 or msm > len(shoulds):
+                raise ValueError(
+                    f"minimum_should_match must be an int in "
+                    f"[0, {len(shoulds)}]: {msm!r}")
             sub_plans = [plan_query(df, s, scoring=scoring) for s in shoulds]
             for p in sub_plans:
                 matches.extend(p.matches)
             pure_scored = scoring and all(
                 p.matches and p.filter_cond is None for p in sub_plans)
-            if msm == 0 or pure_scored:
+            if msm == 0 or (msm == 1 and pure_scored):
                 # msm=0: scoring-only.  Pure scored disjunction: BM25
                 # SHOULD already enforces msm=1 (score > 0 ⇔ ≥1 clause).
                 pass
-            else:
+            elif msm == 1:
                 # msm=1 with a mixed disjunction: every clause — scored
                 # match included — contributes its filter-context
                 # predicate to the OR, so docs matching only the match
@@ -125,6 +127,19 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
                 for c in ors[1:]:
                     acc = acc | c
                 conds.append(acc)
+            else:
+                # msm >= 2 ("at least m of k", BoolQueryBuilder
+                # minimumShouldMatch): Σ int(clause_i) >= m.  NULL
+                # predicates count as non-matching (coalesce→FALSE),
+                # matching OpenSearch's null-never-matches semantics.
+                total = None
+                for s in shoulds:
+                    fp = plan_query(df, s, scoring=False)
+                    c = (F.lit(True) if fp.filter_cond is None
+                         else fp.filter_cond)
+                    hit = F.coalesce(c, F.lit(False)).cast("int")
+                    total = hit if total is None else total + hit
+                conds.append(total >= F.lit(msm))
         for sub in _as_list(body.get("must_not")):
             p = plan_query(df, sub, scoring=False)
             if p.filter_cond is not None:
@@ -261,7 +276,11 @@ def search(
             cols = [F.desc(c) if d.lower() == "desc" else F.asc(c)
                     for c, d in sort]
             out = out.orderBy(*cols)
-        if body.get("size") is not None or k is not None:
+        if body.get("size") is not None or k is not None \
+                or timeout_s is not None:
+            # The timeout path collect()s below — always page-bound it
+            # (default size) so a no-size filter search can never pull an
+            # unbounded result onto the driver.
             out = out.limit(size)
 
     if timeout_s is not None:

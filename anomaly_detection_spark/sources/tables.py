@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _is_path(ident: str) -> bool:
@@ -115,7 +116,14 @@ def delete_by_query(
         base = ident.rstrip("/")
         tmp = base + ".__tmp_delete__"
         trash = base + ".__old_delete__"
-        df.filter(~cond).write.mode("overwrite").parquet(tmp)
+        # Retain = NOT matching.  A raw ~cond drops rows where the
+        # predicate is NULL (NULL on both sides) — OpenSearch
+        # delete-by-query deletes only *matching* docs, so null-field
+        # rows must survive; coalesce(cond, FALSE) matches the SQL
+        # branch's DELETE-only-TRUE semantics.
+        df.filter(~F.coalesce(cond, F.lit(False))).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         shutil.rmtree(trash, ignore_errors=True)
         shutil.move(base, trash)
         shutil.move(tmp, base)

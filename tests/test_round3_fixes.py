@@ -1,0 +1,244 @@
+"""Round-3 regression tests: judge fixes (delete_by_query null rows,
+bounded timeout collect, msm>=2) + advisor fixes (calendar_interval
+fail-fast, bucket-grid rounding, mixed bm-format fallback, confidence
+ramp, single-pass multi-feature preview)."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.query.planner import compile_filter, search
+from anomaly_detection_spark.sources import delete_by_query
+
+
+# --- delete_by_query must not delete null-predicate rows --------------------
+
+
+def test_delete_by_query_keeps_null_rows(spark, tmp_path):
+    src = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, None), (3, "a"), (4, None)],
+        "id long, grp string").write.parquet(src)
+    n = delete_by_query(spark, src, {"term": {"grp": "a"}})
+    assert n == 2
+    left = spark.read.parquet(src).toPandas().sort_values("id")
+    # null-grp docs don't match the term query → must SURVIVE
+    assert sorted(left.id) == [1, 2, 4]
+
+
+# --- search(timeout_s=) must page-bound the driver collect ------------------
+
+
+def test_timeout_search_bounds_driver_collect(spark):
+    from anomaly_detection_spark.query.brute_force import analyze_docs
+
+    df = spark.createDataFrame(
+        [(i, "match me please", "u") for i in range(100)],
+        "docid long, text string, role string")
+    analyzed = analyze_docs(df)
+    # pure filter, NO size, with a timeout: previously collected all 100
+    out = search(analyzed, {"query": {"term": {"role": "u"}}}, timeout_s=30)
+    assert out.count() == 10  # default page size
+
+
+# --- minimum_should_match >= 2 ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def msm_df(spark):
+    return spark.createDataFrame(
+        [(0, "alpha beta", "x", 1), (1, "alpha", "y", 2),
+         (2, "gamma", "y", 1), (3, "alpha", None, 1),
+         (4, "alpha zeta", "y", 1)],
+        "id long, text string, tag string, v long")
+
+
+def test_minimum_should_match_two(msm_df):
+    cond = compile_filter(msm_df, {"bool": {"should": [
+        {"match": {"text": "alpha"}},
+        {"term": {"tag": "y"}},
+        {"range": {"v": {"gte": 2}}}],
+        "minimum_should_match": 2}})
+    got = sorted(r.id for r in msm_df.filter(cond).collect())
+    # 0: alpha only (1) — out; 1: alpha+y+v≥2 (3) — in; 2: y only — out;
+    # 3: alpha + NULL tag (null counts as non-match) — out; 4: alpha+y — in
+    assert got == [1, 4]
+
+
+def test_minimum_should_match_all_three(msm_df):
+    cond = compile_filter(msm_df, {"bool": {"should": [
+        {"match": {"text": "alpha"}},
+        {"term": {"tag": "y"}},
+        {"range": {"v": {"gte": 2}}}],
+        "minimum_should_match": 3}})
+    assert sorted(r.id for r in msm_df.filter(cond).collect()) == [1]
+
+
+def test_minimum_should_match_rejects_bad_values(msm_df):
+    for bad in (-1, 5, "75%"):
+        with pytest.raises(ValueError, match="minimum_should_match"):
+            compile_filter(msm_df, {"bool": {
+                "should": [{"term": {"tag": "y"}},
+                           {"term": {"tag": "x"}}],
+                "minimum_should_match": bad}})
+
+
+# --- date_histogram interval handling (ADVICE: no silent 1h default) --------
+
+
+def test_calendar_interval_fixed_widths_map(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp("2025-01-01 00:10:00"),
+                             pd.Timestamp("2025-01-01 01:20:00")],
+                      "value": [1.0, 2.0]}))
+    fixed = run_aggs(df, {"aggs": {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1h"}}}})["h"].toPandas()
+    cal = run_aggs(df, {"aggs": {"h": {"date_histogram": {
+        "field": "ts", "calendar_interval": "hour"}}}})["h"].toPandas()
+    pd.testing.assert_frame_equal(fixed, cal)
+
+
+def test_calendar_interval_month_raises(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp("2025-01-01")], "value": [1.0]}))
+    with pytest.raises(ValueError, match="calendar_interval"):
+        run_aggs(df, {"aggs": {"h": {"date_histogram": {
+            "field": "ts", "calendar_interval": "month"}}}})
+    with pytest.raises(ValueError, match="fixed_interval"):
+        run_aggs(df, {"aggs": {"h": {"date_histogram": {"field": "ts"}}}})
+
+
+# --- bucket grid: round seg_size up, never collapse bucket_size -------------
+
+
+def test_seg_size_rounds_to_bucket_grid(spark, tiny_transcripts):
+    from anomaly_detection_spark.index import build_index
+    from anomaly_detection_spark.index.storage import read_meta
+
+    tmp = tempfile.mkdtemp(prefix="adspark_grid_")
+    try:
+        # 1000 is not a multiple of 256; the gcd-era code collapsed
+        # bucket_size to 8 here (one impact entry per ~8 postings)
+        paths = build_index(tiny_transcripts, f"{tmp}/idx", seg_size=1000,
+                            block_size=64, segments_per_batch=4)
+        meta = read_meta(paths.root)
+        assert meta.bucket_size == 256
+        assert meta.seg_size == 1024
+        assert meta.seg_size % meta.bucket_size == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- mixed bm-format postings fall back to the legacy bound -----------------
+
+
+def test_mixed_bm_format_falls_back_not_crashes(spark, tiny_transcripts):
+    from anomaly_detection_spark.index import build_index
+    from anomaly_detection_spark.query import (
+        IndexReader, analyze_docs, bm25_topk_bruteforce, bm25_topk_indexed,
+        corpus_stats)
+
+    tmp = tempfile.mkdtemp(prefix="adspark_mixedbm_")
+    try:
+        paths = build_index(tiny_transcripts, f"{tmp}/idx", seg_size=512,
+                            block_size=64, segments_per_batch=4)
+        # simulate a parquet schema-union with a pre-impact-table batch:
+        # null out the bm columns on half the posting rows
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for i, f in enumerate(sorted(glob.glob(
+                os.path.join(paths.postings, "**", "*.parquet"),
+                recursive=True))):
+            if i % 2:
+                continue
+            t = pq.read_table(f)
+            for cname in ("bm_buckets", "bm_tf", "bm_dl"):
+                idx = t.schema.get_field_index(cname)
+                t = t.set_column(idx, t.schema.field(idx),
+                                 pa.nulls(len(t), t.schema.field(idx).type))
+            pq.write_table(t, f)
+            crc = os.path.join(os.path.dirname(f),
+                               "." + os.path.basename(f) + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)  # stale hadoop checksum after rewrite
+        reader = IndexReader(spark, paths.root)
+        analyzed = analyze_docs(tiny_transcripts)
+        stats = corpus_stats(analyzed)
+        q = "spark query data merge"
+        got = bm25_topk_indexed(reader, q, k=10, prune=True).toPandas()
+        want = bm25_topk_bruteforce(analyzed, q, k=10, stats=stats).toPandas()
+        assert list(got.docid) == list(want.docid)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- confidence ramp + single-pass multi-feature preview ---------------------
+
+
+HOUR = 3600_000
+
+
+@pytest.fixture(scope="module")
+def steady_events(spark, tmp_path_factory):
+    base = pd.Timestamp("2025-03-01")
+    rows = []
+    eid = 0
+    for ent in ("A", "B"):
+        for h in range(72):
+            for i in range(5):
+                rows.append((eid, ent,
+                             base + pd.Timedelta(hours=h, minutes=i),
+                             float(10 + (i % 3))))
+                eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "service", "ts", "value"])
+    path = str(tmp_path_factory.mktemp("r3det") / "events")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_confidence_ramps_with_history(spark, steady_events):
+    from anomaly_detection_spark.detector import Detector, preview
+
+    det = Detector(
+        detector_id="d", indices=steady_events,
+        feature_specs={"n": {"value_count": {"field": "event_id"}}},
+        time_field="ts", interval_ms=HOUR,
+        category_fields=("service",), shingle_size=8, confidence_ramp=32)
+    res = preview(spark, det).toPandas().sort_values(
+        ["service", "bucket_start"])
+    for _, grp in res.groupby("service"):
+        conf = grp.confidence.to_numpy()
+        assert conf[0] == round(1 / 32, 6)          # first scored interval
+        assert (pd.Series(conf).diff().dropna() >= 0).all()  # monotone
+        assert conf[-1] == 1.0                       # warm
+        assert conf[31] == 1.0 and conf[30] < 1.0    # ramp length exact
+
+
+def test_preview_single_pass_multi_feature(spark, steady_events):
+    from anomaly_detection_spark.detector import Detector, preview
+
+    det = Detector(
+        detector_id="d3", indices=steady_events,
+        feature_specs={"n": {"value_count": {"field": "event_id"}},
+                       "v_avg": {"avg": {"field": "value"}},
+                       "v_max": {"max": {"field": "value"}}},
+        time_field="ts", interval_ms=HOUR,
+        category_fields=("service",), shingle_size=8)
+    res = preview(spark, det)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # one stateful scoring pass for 3 features, not 3
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    pdf = res.toPandas()
+    assert {"n", "v_avg", "v_max"} <= set(pdf.columns)
+    assert len(pdf) == 2 * 64  # 72 buckets − 8 warm-up per entity
+    assert (pdf.anomaly_grade == 0).all()

@@ -67,3 +67,28 @@ def test_norm_quantization_monotone_and_small_exact():
     assert (q <= big).all() and (q >= big - big // 8 - 1).all()  # ≤12.5% error
     # round-trip through the encoded byte is idempotent
     assert (quantize_doc_len(q) == q).all()
+
+
+def test_jvm_tokenizer_matches_python(spark):
+    """The codegen analyzer (regexp_extract_all) must produce exactly
+    the Python \\w+ analyzer's tokens — the whole index build rides on
+    this equivalence."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.data import generate_transcripts
+    from anomaly_detection_spark.functions.tokenizer import tokenize_column
+
+    edge = [
+        "Hello, World! 42", "naïve Éclair—café", "ΣΙΣΥΦΟΣ σίσυφος",
+        "under_score mixed_Case_9", "日本語のテキスト 中文 한국어",
+        "İstanbul ıssız", "ß STRASSE straße", "a b\tc\nd",
+        "emoji 🙂 split", "", None, "123 ١٢٣ Ⅻ", "x" * 5000,
+        "danger.dots..and--dashes__ok",
+    ]
+    df = spark.createDataFrame([(t,) for t in edge], "text string").unionAll(
+        generate_transcripts(spark, 500, seed=7).select("text"))
+    mism = (df
+            .withColumn("jvm", tokenize_column("text", engine="jvm"))
+            .withColumn("py", tokenize_column("text", engine="python"))
+            .filter(~(F.col("jvm") == F.col("py"))))
+    assert mism.count() == 0
