@@ -85,8 +85,10 @@ def _bm25_bruteforce_docs(spark, sf_dir, text, k, filter_cond=None):
             .select("doc_id", "rank", "score"))
 
 
-def _bm25_sql(terms: list[str], k: int, cand_where: str = "TRUE") -> str:
+def _bm25_sql(terms: list[str], k: int, cand_where: str = "TRUE",
+              require_all: bool = False) -> str:
     in_list = ", ".join(f"'{t}'" for t in terms)
+    having = (f"HAVING count(*) = {len(set(terms))}" if require_all else "")
     return f"""
 WITH tok AS (
   SELECT doc_id, {_TOKEN_SQL.format(col='text')} AS ts FROM documents
@@ -116,7 +118,7 @@ contrib AS (
 SELECT doc_id,
        row_number() OVER (ORDER BY round(sum(w), 6) DESC, doc_id) AS rank,
        round(sum(w), 6) AS score
-FROM contrib GROUP BY doc_id
+FROM contrib GROUP BY doc_id {having}
 ORDER BY round(sum(w), 6) DESC, doc_id LIMIT {k}
 """
 
@@ -174,6 +176,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_filtered"] = lambda s, d: _bm25_bruteforce_docs(
         s, d, "table scan value", 10,
         filter_cond=F.col("source").isin("src1", "src2") & (F.col("n_chars") >= 150))
+
+    def bm25_conjunctive(s, d):
+        """Q6 operator:and — conjunctive scored match through the body
+        planner (every analyzed token must be present; BM25 scores
+        summed like OR, per Lucene)."""
+        from anomaly_detection_spark.query import analyze_docs
+        from anomaly_detection_spark.query.planner import search
+        docs = _read(s, d, "documents").withColumnRenamed("doc_id", "docid")
+        analyzed = analyze_docs(docs)
+        top = search(analyzed, {"query": {"match": {"text": {
+            "query": "spark merge", "operator": "and"}}}, "size": 10})
+        out = top.select(F.col("docid").alias("doc_id"),
+                         F.round("score", 6).alias("score"))
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+                .select("doc_id", "rank", "score"))
+    q["bm25_topk_conjunctive"] = bm25_conjunctive
 
     def match_contains(s, d):
         from anomaly_detection_spark.query.planner import compile_filter
@@ -479,6 +498,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("bucket_start"))
     q["search_body_aggs"] = search_body
 
+    def body_nested_dh_terms(s, d):
+        """Bucket-in-bucket body JSON: terms(top-3 by count) nested in a
+        date_histogram — flattened to (bucket, key) rows like the
+        plugin's nested-bucket responses."""
+        from anomaly_detection_spark.query import run_aggs
+        ev = _read(s, d, "events")
+        body = {"aggs": {"per_3h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "3h"},
+            "aggs": {"top_types": {
+                "terms": {"field": "event_type", "size": 3},
+                "aggs": {"v_avg": {"avg": {"field": "value"}}}}}}}}
+        out = run_aggs(ev, body)["per_3h"]
+        return (out.select("bucket_start", "event_type", "doc_count",
+                           F.round("v_avg", 6).alias("v_avg"))
+                .orderBy("bucket_start", F.desc("doc_count"), "event_type"))
+    q["body_nested_dh_terms"] = body_nested_dh_terms
+
+    def body_composite_dh(s, d):
+        """batchFeatureQuery shape (ParseUtils.java:767-824): composite
+        over a date_histogram source + a terms source, one feature
+        sub-agg — the historical-analysis feature query as body JSON."""
+        from anomaly_detection_spark.query import run_aggs
+        ev = _read(s, d, "events")
+        body = {"aggs": {"feat": {"composite": {"sources": [
+            {"hour": {"date_histogram": {"field": "ts",
+                                         "fixed_interval": "1h"}}},
+            {"etype": {"terms": {"field": "event_type"}}}]},
+            "aggs": {"v_sum": {"sum": {"field": "value"}}}}}}
+        out = run_aggs(ev, body)["feat"]
+        return (out.select("hour", "etype", "doc_count",
+                           F.round("v_sum", 6).alias("v_sum"))
+                .orderBy("hour", "etype"))
+    q["body_composite_dh"] = body_composite_dh
+
     def comp_entity(s, d):
         """B7: composite source computed from a script — group by the
         entity value extracted out of a nested array<struct<name,value>>
@@ -573,6 +626,8 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk_filtered"] = _bm25_sql(
         ["table", "scan", "value"], 10,
         cand_where="source IN ('src1','src2') AND n_chars >= 150")
+    sql["bm25_topk_conjunctive"] = _bm25_sql(
+        ["spark", "merge"], 10, require_all=True)
 
     sql["match_contains_unscored"] = f"""
 SELECT doc_id FROM (
@@ -786,6 +841,27 @@ WITH h AS (
 SELECT bucket_start, doc_count, round(va, 6) AS v_avg,
        round(va - lag(va) OVER (ORDER BY bucket_start), 6) AS v_diff
 FROM h ORDER BY bucket_start
+"""
+
+    sql["body_nested_dh_terms"] = f"""
+WITH g AS (
+  SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {3 * EVENTS_HOUR}) AS bucket_start,
+         event_type, count(*) AS doc_count, round(avg(value), 6) AS v_avg
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_start
+             ORDER BY doc_count DESC, event_type) AS rk
+  FROM g)
+SELECT bucket_start, event_type, doc_count, v_avg
+FROM r WHERE rk <= 3
+ORDER BY bucket_start, doc_count DESC, event_type
+"""
+
+    sql["body_composite_dh"] = f"""
+SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS hour,
+       event_type AS etype, count(*) AS doc_count,
+       round(sum(value), 6) AS v_sum
+FROM events GROUP BY 1, 2 ORDER BY hour, etype
 """
 
     sql["composite_entity_script"] = """

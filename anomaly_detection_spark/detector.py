@@ -145,7 +145,159 @@ def run_once(spark: SparkSession, det: Detector, now_ms: int,
         feature_specs=det.feature_specs, time_field=det.time_field,
         interval_ms=det.interval_ms, window_delay_ms=det.window_delay_ms,
         filter_query=q, category_fields=det.category_fields,
-        shingle_size=det.shingle_size)
+        shingle_size=det.shingle_size, confidence_ramp=det.confidence_ramp)
     res = preview(spark, scoped, scorer=scorer)
     return res.filter(F.unix_millis(F.col("bucket_start").cast("timestamp"))
                       == start)
+
+
+# --- model-state checkpoint for realtime detection --------------------------
+#
+# The reference persists per-(detector, entity) model/shingle state
+# between intervals (timeseries/ml/CheckpointDao.java; the
+# anomaly-checkpoint.json mapping is the one dynamic:true index) so a
+# realtime pass reads ONE interval of raw data plus its checkpoint.
+# The Spark analog: a parquet state table per detector holding, per
+# (entity, feature), the trailing shingle window and the count of
+# scored intervals.  run_once_stateful scans only [start, end) of the
+# source, scores the new point against the checkpointed window, and
+# rewrites the state (tmp-dir + swap, same crash posture as
+# delete_by_query; on a real cluster this is an Iceberg MERGE INTO).
+
+
+def _state_path(state_dir: str, detector_id: str) -> str:
+    import os
+
+    return os.path.join(state_dir, detector_id)
+
+
+def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
+                      state_dir: str, eps: float = 1e-9) -> DataFrame:
+    """One realtime interval using checkpointed per-entity state.
+
+    Produces rows identical to :func:`preview`'s output at the same
+    bucket (same trailing-z model, same warm-up and confidence ramp)
+    when called once per interval in order — but reads only the new
+    interval's raw events, not ``history_intervals`` of history.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .features import feature_matrix
+
+    k = det.shingle_size
+    end = ((now_ms - det.window_delay_ms) // det.interval_ms) * det.interval_ms
+    start = end - det.interval_ms
+    ent = list(det.category_fields)
+    gcols = ent or ["_g"]
+    feats = sorted(det.feature_specs)
+
+    rng = {"range": {det.time_field: {"gte": start, "lt": end}}}
+    q = ({"bool": {"filter": [rng, det.filter_query]}}
+         if det.filter_query else rng)
+    src = load_table(spark, det.indices)
+    fm = feature_matrix(src, det.time_field, det.interval_ms,
+                        det.feature_specs,
+                        entity_cols=tuple(det.category_fields),
+                        filter_cond=compile_filter(src, q))
+    base = fm if ent else fm.withColumn("_g", F.lit("_"))
+    pairs = ", ".join(f"'{n}', cast(`{n}` as double)" for n in feats)
+    cur = base.select(
+        *gcols,
+        F.expr(f"stack({len(feats)}, {pairs})").alias("_feat", "_v"))
+
+    spath = _state_path(state_dir, det.detector_id)
+    state_fields = ([f for f in cur.schema.fields if f.name != "_v"]
+                    + [T.StructField("vals", T.ArrayType(T.DoubleType())),
+                       T.StructField("scored_cnt", T.LongType())])
+    state_schema = T.StructType(state_fields)
+    import os
+
+    if os.path.exists(spath):
+        state = spark.read.parquet(spath)
+    else:
+        state = spark.createDataFrame([], state_schema)
+
+    joined = state.join(cur, [*gcols, "_feat"], "full_outer")
+    upd_schema = T.StructType(list(state_fields)
+                              + [T.StructField("_z", T.DoubleType())])
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            vals_list = [list(v) if v is not None and not (
+                isinstance(v, float) and pd.isna(v)) else []
+                for v in pdf["vals"]]
+            lens = np.fromiter((len(v) for v in vals_list), np.int64, n)
+            v = pdf["_v"].to_numpy(dtype=np.float64)
+            havev = ~np.isnan(v)
+            z = np.full(n, np.nan)
+            idx = np.flatnonzero((lens == k) & havev)
+            if len(idx):
+                # same float sequence as zscore_scorer (sum/k twice)
+                W = np.array([vals_list[i] for i in idx], dtype=np.float64)
+                m = W.sum(axis=1) / k
+                m2 = (W * W).sum(axis=1) / k
+                std = np.sqrt(np.maximum(m2 - m * m, 0.0))
+                z[idx] = (v[idx] - m) / (std + eps)
+            newvals = [
+                (vals_list[i] + [float(v[i])])[-k:] if havev[i]
+                else vals_list[i]
+                for i in range(n)]
+            cnt = pdf["scored_cnt"].fillna(0).to_numpy(dtype=np.int64)
+            cnt = cnt + (~np.isnan(z)).astype(np.int64)
+            out = pdf.drop(columns=["vals", "scored_cnt", "_v"]).copy()
+            out["vals"] = newvals
+            out["scored_cnt"] = cnt
+            out["_z"] = z
+            yield out[[f.name for f in upd_schema.fields]]
+
+    upd = joined.mapInPandas(fn, schema=upd_schema)
+    # truncate lineage before swapping the state dir the plan reads from
+    upd = upd.localCheckpoint()
+
+    # atomic-ish state rewrite (tmp + dir swap)
+    import shutil
+
+    tmp, trash = spath + ".__tmp__", spath + ".__old__"
+    (upd.select(*[f.name for f in state_fields])
+     .write.mode("overwrite").parquet(tmp))
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(spath):
+        shutil.move(spath, trash)
+    shutil.move(tmp, spath)
+    shutil.rmtree(trash, ignore_errors=True)
+
+    scored = upd.filter(F.col("_z").isNotNull())
+    zw = (scored.groupBy(*gcols)
+          .pivot("_feat", feats).agg(F.first("_z")))
+    for n in feats:
+        zw = zw.withColumnRenamed(n, f"_z_{n}")
+    cnt1 = (scored.groupBy(*gcols)
+            .agg(F.max("scored_cnt").alias("_cnt")))
+    out = base.join(zw, gcols).join(cnt1, gcols)
+    for n in feats:
+        out = out.filter(F.col(f"_z_{n}").isNotNull())
+    score = F.greatest(*[F.abs(F.col(f"_z_{n}")) for n in feats]) \
+        if len(feats) > 1 else F.abs(F.col(f"_z_{feats[0]}"))
+    conf = F.least(F.lit(1.0),
+                   F.col("_cnt") / F.lit(float(det.confidence_ramp)))
+    result = (out
+              .withColumn("anomaly_score", F.round(score, 6))
+              .withColumn("anomaly_grade", F.round(_grade(score), 6))
+              .withColumn("confidence", F.round(conf, 6))
+              .withColumn("detector_id", F.lit(det.detector_id))
+              .withColumn("bucket_start", F.timestamp_millis(F.lit(start)))
+              .withColumn("data_start_time", F.col("bucket_start"))
+              .withColumn("data_end_time", F.timestamp_millis(F.lit(end))))
+    if ent:
+        result = with_entity(result, {c: c for c in ent})
+    else:
+        result = result.withColumn(
+            "entity",
+            F.array().cast("array<struct<name:string,value:string>>"))
+    return result.select(
+        "detector_id", "entity", "data_start_time", "data_end_time",
+        *feats, "anomaly_score", "anomaly_grade", "confidence",
+        *ent, "bucket_start")

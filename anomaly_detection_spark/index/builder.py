@@ -39,6 +39,7 @@ from .storage import (
     log_metric,
     mark_done,
     pin_geometry,
+    read_ckpt,
     read_meta,
     write_meta,
 )
@@ -46,14 +47,15 @@ from .storage import (
 POSTING_SCHEMA = (
     "term string, seg_id int, block_id int, first_docid long, last_docid long, "
     "n int, gaps binary, tfs binary, max_tf int, sum_tf long, min_dl int, "
-    "bm_buckets array<int>, bm_tf array<int>, bm_dl array<int>"
+    "bm_buckets array<int>, bm_tf array<int>, bm_dl array<int>, "
+    "blob_bytes int"
 )
 
 
 _EMPTY_BLOCKS = pd.DataFrame(
     columns=["term", "seg_id", "block_id", "first_docid", "last_docid",
              "n", "gaps", "tfs", "max_tf", "sum_tf", "min_dl",
-             "bm_buckets", "bm_tf", "bm_dl"])
+             "bm_buckets", "bm_tf", "bm_dl", "blob_bytes"])
 
 
 def encode_segment_pdf(pdf: pd.DataFrame, block_size: int,
@@ -178,6 +180,10 @@ def blocks_from_sorted(
         s, e = blk_start[i], blk_end[i]
         gaps_col.append(gap_bytes[gap_off[s]:gap_off[e]])
         tfs_col.append(tf_bytes[tf_off[s]:tf_off[e]])
+    # blob byte totals precomputed per block so the manifest agg can sum
+    # a 4-byte column instead of re-reading every gaps/tfs payload
+    blob_bytes = ((gap_off[blk_end] - gap_off[blk_start])
+                  + (tf_off[blk_end] - tf_off[blk_start])).astype(np.int32)
 
     return pd.DataFrame({
         "term": blk_terms,
@@ -194,6 +200,7 @@ def blocks_from_sorted(
         "bm_buckets": bm_buckets,
         "bm_tf": bm_tf,
         "bm_dl": bm_dl,
+        "blob_bytes": blob_bytes,
     })
 
 
@@ -234,6 +241,109 @@ def _postings_from_analyzed(analyzed: DataFrame, seg_size: int,
         .groupBy("seg_id")
         .applyInPandas(_encode, schema=POSTING_SCHEMA)
     )
+
+
+def _run_batch(spark, docs: DataFrame, paths: IndexPaths, k: int,
+               lo: int, hi: int, seg_size: int, block_size: int,
+               segments_per_batch: int, bucket_size: int,
+               text_col: str, keep_cols: tuple[str, ...],
+               stage: str = "segment_build") -> None:
+    """One build batch: doc_stats + (norms ∥ postings+manifest) for the
+    docid range [lo, hi), written under ``batch={k}`` dirs."""
+    t0 = time.time()
+    sub = docs.filter((F.col("docid") >= lo) & (F.col("docid") < hi))
+    # Tokenization is a JVM codegen expression (no Arrow round-trip,
+    # no Python tokenize worker); the tokenized batch is cached once
+    # and shared by the doc_stats and postings passes — measured
+    # fastest of {cache, recompute-per-pass} at every core count.
+    analyzed = analyze_docs(sub, text_col=text_col).persist()
+    dstats = analyzed.select("docid", "doc_len", *keep_cols)
+    # written straight from the scan: docids are already dense and
+    # scan-ordered, and repartitionByRange would cost a sampling
+    # pass (an extra scan+tokenize) for a layout nothing depends on
+    (dstats.write.mode("overwrite")
+     .parquet(f"{paths.doc_stats}/batch={k}"))
+    t_ds = time.time()
+    timing = {"t_no": t_ds, "t_po": t_ds}
+
+    def _run_norms():
+        # norms re-read the just-written (docid, doc_len) parquet —
+        # a pass over ~9 bytes/doc instead of a second tokenize
+        norms = (spark.read.parquet(f"{paths.doc_stats}/batch={k}")
+                 .withColumn("seg_id",
+                             (F.col("docid") / seg_size).cast("int"))
+                 .select("seg_id", "docid", "doc_len")
+                 .groupBy("seg_id")
+                 .applyInPandas(encode_norms_pdf, schema=NORMS_SCHEMA))
+        (norms.coalesce(max(1, segments_per_batch // 16))
+         .write.mode("overwrite").parquet(f"{paths.doc_norms}/batch={k}"))
+        timing["t_no"] = time.time()
+
+    man_box: list = []
+
+    def _run_postings():
+        posts = _postings_from_analyzed(analyzed, seg_size, block_size,
+                                        bucket_size=bucket_size)
+        # written straight from the encode tasks: each segment's
+        # blocks come out (term, docid)-sorted already, so parquet
+        # row-group min/max stats serve the term-IN pushdown without
+        # a second shuffle — and repartitionByRange here would run a
+        # sampling job that RE-EXECUTES the whole encode (2× the
+        # dominant stage)
+        posts.write.mode("overwrite").parquet(
+            f"{paths.postings}/batch={k}")
+        timing["t_po"] = time.time()
+        # lineage from what actually landed on disk — aggregated
+        # once, collected (≤ segments_per_batch tiny rows), written
+        # from the driver.  n_terms counts block_id==0 rows (one per
+        # term run) — same value as countDistinct(term) with a
+        # map-side-combinable sum instead of a distinct shuffle.
+        written = spark.read.parquet(f"{paths.postings}/batch={k}")
+        man_df = written.groupBy("seg_id").agg(
+            F.min("term").alias("term_min"),
+            F.max("term").alias("term_max"),
+            F.sum(F.when(F.col("block_id") == 0, 1).otherwise(0))
+             .alias("n_terms"),
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.sum("blob_bytes").alias("bytes"),
+            F.min("first_docid").alias("docid_min"),
+            F.max("last_docid").alias("docid_max"),
+        ).withColumn("batch", F.lit(k))
+        man_rows = man_df.collect()
+        (spark.createDataFrame(man_rows, man_df.schema).coalesce(1)
+         .write.mode("overwrite")
+         .parquet(f"{paths.manifest}/batch={k}"))
+        man_box.append(man_rows)
+
+    # The norms job is independent of the postings job (it reads the
+    # doc_stats parquet, not the token cache): run both concurrently
+    # so the small job's fixed latency hides inside the big one —
+    # exactly how independent stages pipeline on a real cluster.
+    import threading
+
+    th = threading.Thread(target=_run_norms, daemon=True)
+    th.start()
+    _run_postings()
+    th.join()
+    t_no, t_po = timing["t_no"], timing["t_po"]
+    man_rows = man_box[0]
+    analyzed.unpersist()
+
+    wall = time.time() - t0
+    n_rows = hi - lo
+    nbytes = sum(r["bytes"] for r in man_rows)
+    log_lineage(spark, paths, stage, batch=k, docid_lo=lo,
+                docid_hi=hi, rows=n_rows, bytes_=nbytes, wall_s=wall)
+    log_metric(paths, stage, batch=k, docid_lo=lo, docid_hi=hi,
+               turns=n_rows, wall_s=wall,
+               turns_per_sec=n_rows / max(wall, 1e-9),
+               doc_stats_s=round(t_ds - t0, 2),
+               # norms runs concurrently with postings; both walls
+               # are measured from the end of doc_stats
+               norms_s=round(t_no - t_ds, 2),
+               postings_s=round(t_po - t_ds, 2),
+               manifest_s=round(time.time() - t_po, 2))
 
 
 def build_index(
@@ -302,75 +412,42 @@ def build_index(
     for k in range(n_batches):
         if resume and is_done(paths, "batch", k):
             continue
-        t0 = time.time()
         lo = k * segments_per_batch * seg_size
         hi = min(n_docs, (k + 1) * segments_per_batch * seg_size)
+        _run_batch(spark, docs, paths, k, lo, hi, seg_size, block_size,
+                   segments_per_batch, bucket_size, text_col, keep_cols)
+        mark_done(paths, "batch", k, docid_lo=lo, docid_hi=hi)
 
-        sub = docs.filter((F.col("docid") >= lo) & (F.col("docid") < hi))
-        # Tokenization is a JVM codegen expression (no Arrow round-trip,
-        # no Python tokenize worker); the tokenized batch is cached once
-        # and shared by the doc_stats and postings passes — measured
-        # fastest of {cache, recompute-per-pass} at every core count.
-        analyzed = analyze_docs(sub, text_col=text_col).persist()
-        dstats = analyzed.select("docid", "doc_len", *keep_cols)
-        # written straight from the scan: docids are already dense and
-        # scan-ordered, and repartitionByRange would cost a sampling
-        # pass (an extra scan+tokenize) for a layout nothing depends on
-        (dstats.write.mode("overwrite")
-         .parquet(f"{paths.doc_stats}/batch={k}"))
+    _refresh_stats(spark, paths, seg_size, block_size, bucket_size,
+                   resume=resume)
+    return paths
 
-        # norms re-read the just-written (docid, doc_len) parquet — a
-        # fused pass over ~9 bytes/doc instead of a third tokenize
-        norms = (spark.read.parquet(f"{paths.doc_stats}/batch={k}")
-                 .withColumn("seg_id", (F.col("docid") / seg_size).cast("int"))
-                 .select("seg_id", "docid", "doc_len")
-                 .groupBy("seg_id")
-                 .applyInPandas(encode_norms_pdf, schema=NORMS_SCHEMA))
-        (norms.coalesce(max(1, segments_per_batch // 16))
-         .write.mode("overwrite").parquet(f"{paths.doc_norms}/batch={k}"))
 
-        posts = _postings_from_analyzed(analyzed, seg_size, block_size,
-                                        bucket_size=bucket_size)
-        (posts.repartitionByRange(max(2, segments_per_batch), "term", "seg_id")
-         .sortWithinPartitions("term", "seg_id", "block_id")
-         .write.mode("overwrite").parquet(f"{paths.postings}/batch={k}"))
+def _refresh_stats(spark, paths: IndexPaths, seg_size: int, block_size: int,
+                   bucket_size: int, resume: bool) -> None:
+    """term_stats (global df/cf) ∥ finalize meta (N, avgdl) —
+    independent single-pass jobs over different tables, overlapped."""
+    import threading
 
-        # lineage from what actually landed on disk
-        written = spark.read.parquet(f"{paths.postings}/batch={k}")
-        man = written.groupBy("seg_id").agg(
-            F.min("term").alias("term_min"), F.max("term").alias("term_max"),
-            F.countDistinct("term").alias("n_terms"),
-            F.count("*").alias("n_blocks"), F.sum("n").alias("n_postings"),
-            (F.sum(F.length("gaps")) + F.sum(F.length("tfs"))).alias("bytes"),
-            F.min("first_docid").alias("docid_min"),
-            F.max("last_docid").alias("docid_max"),
-        ).withColumn("batch", F.lit(k))
-        man.coalesce(1).write.mode("overwrite").parquet(f"{paths.manifest}/batch={k}")
-        analyzed.unpersist()
-
-        wall = time.time() - t0
-        n_rows = hi - lo
-        nbytes = man.agg(F.sum("bytes")).collect()[0][0] or 0
-        log_lineage(spark, paths, "segment_build", batch=k, docid_lo=lo,
-                    docid_hi=hi, rows=n_rows, bytes_=nbytes, wall_s=wall)
-        mark_done(paths, "batch", k, docid_lo=lo, docid_hi=hi, wall_s=wall)
-        log_metric(paths, "segment_build", batch=k, docid_lo=lo, docid_hi=hi,
-                   turns=n_rows, wall_s=wall,
-                   turns_per_sec=n_rows / max(wall, 1e-9))
-
-    # --- term_stats (global df/cf per term) ---------------------------------
-    if not (resume and is_done(paths, "term_stats")):
+    def _term_stats():
+        if resume and is_done(paths, "term_stats"):
+            return
         t0 = time.time()
         posts = spark.read.parquet(paths.postings)
+        # written straight from the agg: sortWithinPartitions(term) keeps
+        # row-group min/max stats tight for the query-time term lookup,
+        # and skipping repartitionByRange avoids a sampling job that
+        # would re-read the postings a second time
         (posts.groupBy("term")
          .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-         .repartitionByRange(8, "term").sortWithinPartitions("term")
+         .sortWithinPartitions("term")
          .write.mode("overwrite").parquet(paths.term_stats))
         mark_done(paths, "term_stats")
         log_metric(paths, "term_stats", wall_s=time.time() - t0)
 
-    # --- finalize meta (N, avgdl from doc_stats) -----------------------------
-    if not (resume and is_done(paths, "finalize")):
+    def _finalize():
+        if resume and is_done(paths, "finalize"):
+            return
         t0 = time.time()
         row = spark.read.parquet(paths.doc_stats).agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
@@ -383,4 +460,74 @@ def build_index(
         log_metric(paths, "finalize", n_docs=int(row["n"]),
                    avgdl=float(row["avgdl"] or 0.0), wall_s=time.time() - t0)
 
+    th2 = threading.Thread(target=_finalize, daemon=True)
+    th2.start()
+    _term_stats()
+    th2.join()
+
+
+def append_index(
+    docs_new: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("conv_id", "turn_idx", "role", "tool", "ts"),
+    resume: bool = True,
+) -> IndexPaths:
+    """Incrementally index a new docid range as new segment batches —
+    existing postings/doc_stats/norms batch dirs are never rewritten
+    (the Lucene append-new-segments posture).  ``docs_new`` must carry
+    docids continuing the existing dense range (old ``n_docs`` …).
+
+    A boundary segment whose docid span straddles old and new data ends
+    up with posting blocks in two batch dirs; the scorer and the merger
+    already handle any number of blocks per (term, segment) — the docid
+    sets are disjoint, so scores are exact.  term_stats and the meta
+    (n_docs, avgdl) are recomputed afterwards; ``build(A∪B)`` and
+    ``build(A); append(B)`` answer every query identically (tested).
+    """
+    paths = IndexPaths(index_dir)
+    spark = docs_new.sparkSession
+    keep_cols = tuple(c for c in keep_cols if c in docs_new.columns)
+    meta = read_meta(index_dir)
+    conf = read_ckpt(paths, "build_conf")
+    seg_size, block_size = meta.seg_size, meta.block_size
+    bucket_size = meta.bucket_size
+    spb = int(conf["segments_per_batch"])
+
+    ext = docs_new.agg(F.min("docid").alias("lo"),
+                       F.max("docid").alias("hi")).collect()[0]
+    if ext["lo"] is None:
+        return paths
+    lo_new, hi_new = int(ext["lo"]), int(ext["hi"]) + 1
+    if lo_new != meta.n_docs:
+        raise ValueError(
+            f"append must continue the dense docid range: index has "
+            f"n_docs={meta.n_docs}, append starts at {lo_new}")
+
+    span = spb * seg_size
+    # chunk boundaries aligned to the global batch grid; each chunk's
+    # batch-dir index is its first docid (disjoint from build's small
+    # sequential ks, and deterministic across resumes)
+    bounds = [lo_new]
+    nxt = ((lo_new // span) + 1) * span
+    while nxt < hi_new:
+        bounds.append(nxt)
+        nxt += span
+    bounds.append(hi_new)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if resume and is_done(paths, "append", lo):
+            continue
+        _run_batch(spark, docs_new, paths, lo, lo, hi, seg_size, block_size,
+                   spb, bucket_size, text_col, keep_cols,
+                   stage="segment_append")
+        mark_done(paths, "append", lo, docid_lo=lo, docid_hi=hi)
+
+    # stats/meta cover the grown corpus: force their recompute
+    for st in ("term_stats", "finalize"):
+        try:
+            os.remove(paths.ckpt(st))
+        except FileNotFoundError:
+            pass
+    _refresh_stats(spark, paths, seg_size, block_size, bucket_size,
+                   resume=resume)
     return paths

@@ -139,22 +139,34 @@ def merge_segments(
         from .builder import POSTING_SCHEMA
 
         merged = sub.groupBy("new_seg").applyInPandas(_m, schema=POSTING_SCHEMA)
-        (merged.repartitionByRange(max(2, segments_per_batch), "term", "seg_id")
-         .sortWithinPartitions("term", "seg_id", "block_id")
-         .write.mode("overwrite").parquet(f"{dst.postings}/batch={k}"))
+        # written straight from the merge tasks — blocks leave
+        # _merge_new_seg (term, docid)-sorted per segment, and a
+        # repartitionByRange here would run a sampling job that
+        # re-executes the whole merge
+        merged.write.mode("overwrite").parquet(f"{dst.postings}/batch={k}")
 
         written = spark.read.parquet(f"{dst.postings}/batch={k}")
-        man = written.groupBy("seg_id").agg(
+        has_bb = "blob_bytes" in written.columns
+        man_df = written.groupBy("seg_id").agg(
             F.min("term").alias("term_min"), F.max("term").alias("term_max"),
-            F.countDistinct("term").alias("n_terms"),
+            # one block_id==0 row per term run ≡ countDistinct(term),
+            # without the distinct shuffle
+            F.sum(F.when(F.col("block_id") == 0, 1).otherwise(0))
+             .alias("n_terms"),
             F.count("*").alias("n_blocks"), F.sum("n").alias("n_postings"),
-            (F.sum(F.length("gaps")) + F.sum(F.length("tfs"))).alias("bytes"),
+            (F.sum("blob_bytes") if has_bb
+             else F.sum(F.length("gaps")) + F.sum(F.length("tfs")))
+            .alias("bytes"),
             F.min("first_docid").alias("docid_min"),
             F.max("last_docid").alias("docid_max"),
         ).withColumn("batch", F.lit(k))
-        man.coalesce(1).write.mode("overwrite").parquet(f"{dst.manifest}/batch={k}")
-        ext = man.agg(F.min("docid_min"), F.max("docid_max"),
-                      F.sum("n_postings"), F.sum("bytes")).collect()[0]
+        man_rows = man_df.collect()
+        (spark.createDataFrame(man_rows, man_df.schema).coalesce(1)
+         .write.mode("overwrite").parquet(f"{dst.manifest}/batch={k}"))
+        ext = (min((r["docid_min"] for r in man_rows), default=0),
+               max((r["docid_max"] for r in man_rows), default=-1),
+               sum(r["n_postings"] for r in man_rows),
+               sum(r["bytes"] for r in man_rows))
         log_lineage(spark, dst, "merge", batch=k,
                     docid_lo=ext[0] or 0, docid_hi=(ext[1] or -1) + 1,
                     rows=ext[2] or 0, bytes_=ext[3] or 0,

@@ -53,6 +53,7 @@ from .planner import compile_filter
 _METRIC_KINDS = {"max", "min", "avg", "sum", "value_count", "cardinality",
                  "percentiles"}
 _PIPELINE_KINDS = {"serial_diff", "min_bucket", "bucket_sort"}
+_BUCKET_KINDS = {"terms", "date_histogram"}
 
 _DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 
@@ -95,21 +96,31 @@ def _dh_interval_ms(kbody: dict[str, Any]) -> int:
         "calendar_interval); refusing to default silently")
 
 
-def _split(spec: dict[str, Any]) -> tuple[str, dict, dict, dict]:
-    """One named agg body → (kind, body, metric sub-aggs, pipeline aggs)."""
+def _split(spec: dict[str, Any]) -> tuple[str, dict, dict, dict, dict]:
+    """One named agg body → (kind, body, metric sub-aggs, pipeline aggs,
+    bucket sub-aggs).  One level of bucket-in-bucket is supported
+    (terms/date_histogram inside terms/date_histogram — the nested
+    shapes real detector JSON uses); deeper nesting raises."""
     sub = dict(spec.get("aggs") or {})
     kinds = [k for k in spec if k != "aggs"]
     if len(kinds) != 1:
         raise ValueError(f"agg needs exactly one type, got {kinds}")
     kind = kinds[0]
     metrics = {n: s for n, s in sub.items()
-               if next(iter(s)) in _METRIC_KINDS}
+               if next(iter(k for k in s if k != "aggs")) in _METRIC_KINDS}
     pipes = {n: s for n, s in sub.items()
-             if next(iter(s)) in _PIPELINE_KINDS}
-    unknown = set(sub) - set(metrics) - set(pipes)
+             if next(iter(k for k in s if k != "aggs")) in _PIPELINE_KINDS}
+    buckets = {n: s for n, s in sub.items()
+               if next(iter(k for k in s if k != "aggs")) in _BUCKET_KINDS}
+    unknown = set(sub) - set(metrics) - set(pipes) - set(buckets)
     if unknown:
         raise ValueError(f"unsupported sub-aggs: {sorted(unknown)}")
-    return kind, spec[kind], metrics, pipes
+    if len(buckets) > 1:
+        raise ValueError(
+            f"at most one bucket sub-agg supported: {sorted(buckets)}")
+    if buckets and kind not in _BUCKET_KINDS:
+        raise ValueError(f"bucket sub-agg under {kind!r} unsupported")
+    return kind, spec[kind], metrics, pipes, buckets
 
 
 def _apply_pipes(out: DataFrame, pipes: dict[str, dict],
@@ -129,6 +140,60 @@ def _apply_pipes(out: DataFrame, pipes: dict[str, dict],
     return out
 
 
+def _inner_metrics(bspec: dict[str, Any]) -> dict[str, dict]:
+    """Metric sub-aggs of a nested bucket agg (deeper nesting raises)."""
+    sub = dict(bspec.get("aggs") or {})
+    bad = [n for n, s in sub.items() if next(iter(s)) not in _METRIC_KINDS]
+    if bad:
+        raise ValueError(
+            f"nested bucket aggs support metric sub-aggs only; got {bad}")
+    return sub
+
+
+def _nested_bucket(df: DataFrame, kind: str, kbody: dict,
+                   buckets: dict[str, dict]) -> DataFrame:
+    """One level of bucket-in-bucket, flattened to (outer key, inner
+    key) rows — the relational rendering of OpenSearch's nested bucket
+    response (the plugin's own batchFeatureQuery is this shape,
+    ParseUtils.java:767-824)."""
+    from pyspark.sql.window import Window
+
+    from .aggs import bucketize
+
+    (iname, ispec), = buckets.items()
+    ikind = next(iter(k for k in ispec if k != "aggs"))
+    ibody = ispec[ikind]
+    mets = _inner_metrics(ispec)
+    mcols = [metric_agg_column(s, a) for a, s in mets.items()]
+
+    if kind == "date_histogram" and ikind == "terms":
+        # per date bucket: top-N terms by count desc, key asc (the
+        # terms-agg order) — rank inside the bucket, keep N
+        fld, size = ibody["field"], ibody.get("size", 10)
+        grouped = (df.withColumn("bucket_start",
+                                 bucketize(kbody["field"],
+                                           _dh_interval_ms(kbody)))
+                   .groupBy("bucket_start", fld)
+                   .agg(F.count("*").alias("doc_count"), *mcols))
+        w = Window.partitionBy("bucket_start").orderBy(
+            F.desc("doc_count"), F.asc(fld))
+        return (grouped.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= size).drop("_rk"))
+    if kind == "terms" and ikind == "date_histogram":
+        # outer terms picks its top-N keys GLOBALLY, then each key gets
+        # its histogram; the tiny key set broadcasts into a semi-join
+        fld, size = kbody["field"], kbody.get("size", 10)
+        top = (df.groupBy(fld).agg(F.count("*").alias("_c"))
+               .orderBy(F.desc("_c"), F.asc(fld)).limit(size).select(fld))
+        return (df.join(F.broadcast(top), fld)
+                .withColumn("bucket_start",
+                            bucketize(ibody["field"],
+                                      _dh_interval_ms(ibody)))
+                .groupBy(fld, "bucket_start")
+                .agg(F.count("*").alias("doc_count"), *mcols))
+    raise ValueError(f"nested {ikind!r} inside {kind!r} unsupported")
+
+
 def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
     """Compile a search body's ``aggs`` over the (query-filtered) frame."""
     query = body.get("query")
@@ -136,7 +201,14 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         df = df.filter(compile_filter(df, query))
     results: dict[str, DataFrame] = {}
     for name, spec in (body.get("aggs") or {}).items():
-        kind, kbody, metrics, pipes = _split(spec)
+        kind, kbody, metrics, pipes, bsubs = _split(spec)
+        if bsubs:
+            if metrics or pipes:
+                raise ValueError(
+                    "bucket sub-agg cannot mix with metric/pipeline "
+                    "sub-aggs at the same level")
+            results[name] = _nested_bucket(df, kind, kbody, bsubs)
+            continue
         if kind in _METRIC_KINDS:
             results[name] = df.agg(metric_agg_column({kind: kbody}, name))
             continue
@@ -187,6 +259,15 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                         sources.append(entity_value(fld, cat).alias(sname))
                     else:
                         raise ValueError(f"unsupported source {sspec}")
+                elif "date_histogram" in sspec:
+                    # composite over a date_histogram source — the
+                    # plugin's batchFeatureQuery (ParseUtils.java:767)
+                    from .aggs import bucketize
+
+                    dh = sspec["date_histogram"]
+                    sources.append(
+                        bucketize(dh["field"],
+                                  _dh_interval_ms(dh)).alias(sname))
                 else:
                     raise ValueError(f"unsupported source {sspec}")
             results[name] = composite_agg(df, sources, sub_specs=metrics)

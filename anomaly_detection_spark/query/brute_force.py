@@ -80,13 +80,16 @@ def bm25_topk_bruteforce(
     b: float = B_DEFAULT,
     id_col: str = "docid",
     quantize_norms: bool = False,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """Top-k (docid, score) for an analyzed ``match`` query.
 
     ``analyzed`` must carry ``tokens``, ``doc_len`` and ``id_col``.
     Returns columns (docid, score) ordered by (score desc, docid asc).
     ``quantize_norms`` scores with Lucene's 1-byte doc-length norms
-    (avgdl stays exact, as in Lucene).
+    (avgdl stays exact, as in Lucene).  ``conjunctive`` = match
+    ``operator: and``: only docs containing every query term score
+    (scores identical to OR for those docs, like Lucene).
     """
     terms = tokenize_query(query_text)
     if not terms:
@@ -130,9 +133,16 @@ def bm25_topk_bruteforce(
             + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(max(stats.avgdl, 1e-12)))
         ),
     )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("w").alias("score"),
+        F.count("*").alias("_nt"))  # distinct matched terms (one row each)
+    if conjunctive:
+        # operator:and — every query term must match.  A query term
+        # absent from the whole corpus ⇒ no doc can match.
+        n_required = len(set(terms))
+        scored = scored.filter(F.col("_nt") == n_required)
     return (
-        contrib.groupBy(id_col)
-        .agg(F.sum("w").alias("score"))
+        scored.select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )

@@ -83,6 +83,7 @@ def _score_segment(
     bucket: int = 1024,
     quantize_norms: bool = False,
     theta_init: float = -np.inf,
+    n_required: int = 0,
 ) -> pd.DataFrame:
     empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float64")})
@@ -92,10 +93,15 @@ def _score_segment(
 
     dl = np.full(seg_size, -1.0)
     if "docid_gaps" in docs.columns:
-        # compact per-segment norms blob (no doc_stats shuffle)
-        docids = np.cumsum(varint_decode(docs["docid_gaps"].iloc[0])).astype(np.int64)
-        dls = varint_decode(docs["dls"].iloc[0]).astype(np.float64)
-        dl[docids - seg_base] = dls
+        # compact per-segment norms blobs (no doc_stats shuffle).  A
+        # segment normally has ONE blob, but an appended boundary
+        # segment carries one per batch dir (disjoint docid ranges) —
+        # decode them all.
+        for gi in range(len(docs)):
+            docids = np.cumsum(
+                varint_decode(docs["docid_gaps"].iloc[gi])).astype(np.int64)
+            dls = varint_decode(docs["dls"].iloc[gi]).astype(np.float64)
+            dl[docids - seg_base] = dls
     else:
         dl[docs["docid"].to_numpy(dtype=np.int64) - seg_base] = \
             docs["doc_len"].to_numpy(dtype=np.float64)
@@ -160,8 +166,7 @@ def _score_segment(
         # strictly less whenever a tail bucket holds blocks no
         # processed bucket touched.
         term_ids = pd.factorize(terms)[0]
-        tb_ub = np.zeros((int(term_ids.max()) + 1, n_buckets))
-        bucket_blocks: list[list[int]] = [[] for _ in range(n_buckets)]
+        n_posts = len(posts)
         # bm columns count as present only when non-null for EVERY row:
         # an index mixing pre-impact-table batches with new ones (parquet
         # schema union null-fills the old rows) must fall back wholesale
@@ -173,31 +178,44 @@ def _score_segment(
             # per-bucket impact tables (Lucene-impacts analog): bound =
             # w · f(bucket max_tf, bucket min_dl), only where the term
             # actually has postings — a rare term's single segment-wide
-            # block no longer paints every bucket with its global max
-            for i in range(len(posts)):
-                bmb = np.asarray(posts["bm_buckets"].iloc[i], dtype=np.int64)
-                bmt = np.asarray(posts["bm_tf"].iloc[i], dtype=np.float64)
-                bmd = np.asarray(posts["bm_dl"].iloc[i], dtype=np.float64)
-                if quantize_norms:
-                    from ..functions.bm25 import quantize_doc_len as _qq
+            # block no longer paints every bucket with its global max.
+            # Flattened once: one concat + one ufunc per column, no
+            # per-block Python loop.
+            bm_b = posts["bm_buckets"].to_numpy(dtype=object)
+            lens_e = np.fromiter((len(x) for x in bm_b), np.int64, n_posts)
+            all_b = (np.concatenate(bm_b).astype(np.int64) if lens_e.sum()
+                     else np.empty(0, np.int64))
+            all_t = np.concatenate(
+                posts["bm_tf"].to_numpy(dtype=object)).astype(np.float64) \
+                if lens_e.sum() else np.empty(0)
+            all_d = np.concatenate(
+                posts["bm_dl"].to_numpy(dtype=object)).astype(np.float64) \
+                if lens_e.sum() else np.empty(0)
+            if quantize_norms:
+                from ..functions.bm25 import quantize_doc_len as _qq
 
-                    bmd = _qq(bmd.astype(np.int64)).astype(np.float64)
-                u = w_arr[i] * (bmt * (k1 + 1.0)) / (
-                    bmt + k1 * (1.0 - b + b * bmd / max(avgdl, 1e-12)))
-                row = tb_ub[term_ids[i]]
-                np.maximum.at(row, bmb, u)
-                for bkt in bmb:
-                    bucket_blocks[bkt].append(i)
+                all_d = _qq(all_d.astype(np.int64)).astype(np.float64)
+            blk_rep = np.repeat(np.arange(n_posts), lens_e)
+            all_u = w_arr[blk_rep] * (all_t * (k1 + 1.0)) / (
+                all_t + k1 * (1.0 - b + b * all_d / max(avgdl, 1e-12)))
         else:
             # legacy blocks: block-level (max_tf, min_dl) painted over
-            # the whole docid span
-            for i in range(len(posts)):
-                row = tb_ub[term_ids[i]]
-                s = slice(bf[i], bl[i] + 1)
-                np.maximum(row[s], ub[i], out=row[s])
-                for bkt in range(bf[i], bl[i] + 1):
-                    bucket_blocks[bkt].append(i)
+            # the whole docid span — expand each block's bucket range
+            lens_e = (bl - bf + 1).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens_e[:-1])))
+            all_b = (np.repeat(bf, lens_e)
+                     + np.arange(int(lens_e.sum()), dtype=np.int64)
+                     - np.repeat(starts, lens_e))
+            blk_rep = np.repeat(np.arange(n_posts), lens_e)
+            all_u = np.repeat(ub, lens_e)
+        tb_ub = np.zeros((int(term_ids.max()) + 1, n_buckets))
+        np.maximum.at(tb_ub, (term_ids[blk_rep], all_b), all_u)
         s_bucket = tb_ub.sum(axis=0)
+        # CSR bucket → blocks (replaces per-entry Python list appends)
+        eorder = np.argsort(all_b, kind="stable")
+        csr_blocks = blk_rep[eorder]
+        boff = np.concatenate(
+            ([0], np.cumsum(np.bincount(all_b, minlength=n_buckets))))
         visit = np.argsort(-s_bucket, kind="stable")
 
         cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -224,19 +242,20 @@ def _score_segment(
                 # so decode counts are unaffected)
                 bulk = True
                 break
-            blks = bucket_blocks[bkt]
-            if not blks:
-                continue
             lo = bkt * bucket
             hi = min(lo + bucket, seg_size)
             scores = np.zeros(hi - lo)
-            for i in blks:
+            for i in csr_blocks[boff[bkt]:boff[bkt + 1]]:
+                i = int(i)
                 if i not in cache:
                     cache[i] = decode_block(i)
                 loc, contrib = cache[i]
-                m = (loc >= lo) & (loc < hi)
-                if m.any():
-                    scores[loc[m] - lo] += contrib[m]
+                # loc is docid-sorted: the bucket's slice is two binary
+                # searches, not a full-block boolean mask
+                s = np.searchsorted(loc, lo, side="left")
+                e = np.searchsorted(loc, hi, side="left")
+                if e > s:
+                    scores[loc[s:e] - lo] += contrib[s:e]
             pos = np.flatnonzero(scores > 0)
             if len(pos) == 0:
                 continue
@@ -265,10 +284,18 @@ def _score_segment(
         sc = np.concatenate(col_sc)
     else:
         scores = np.zeros(seg_size)
+        cnts = np.zeros(seg_size, dtype=np.int32) if n_required else None
         for i in range(len(posts)):
             loc, contrib = decode_block(i)
             scores[loc] += contrib  # docids unique within a block
-        cand = np.flatnonzero(scores > 0)
+            if cnts is not None:
+                # one block per (term, doc) in a segment, so this counts
+                # distinct matched terms (conjunctive match support)
+                cnts[loc] += 1
+        if cnts is not None:
+            cand = np.flatnonzero((scores > 0) & (cnts == n_required))
+        else:
+            cand = np.flatnonzero(scores > 0)
         if len(cand) == 0:
             return empty
         sc = scores[cand]
@@ -288,6 +315,7 @@ def bm25_topk_indexed(
     quantize_norms: bool = False,
     bucket: int | None = None,
     two_phase: bool = False,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """Top-k (docid, score) via the posting index; rank/score-identical
     to :func:`bm25_topk_bruteforce` by construction (tested).
@@ -313,6 +341,16 @@ def bm25_topk_indexed(
     present = [t for t in uniq if t in stats]
     if not present:
         return empty
+    if conjunctive:
+        # match operator:and — a query term absent from the corpus means
+        # no doc can satisfy every clause (OpenSearch semantics)
+        if len(present) < len(uniq):
+            return empty
+        # the conjunctive candidate set is already tiny; block-max
+        # pruning's OR-shaped upper bounds don't model the AND filter,
+        # so score densely and filter on matched-term count instead
+        prune = False
+        two_phase = False
     # duplicate query terms sum their contribution (bool SHOULD), so the
     # per-term weight is idf × multiplicity
     weights = {t: float(bm25_idf(stats[t], meta.n_docs)) * qcounts[t]
@@ -340,12 +378,15 @@ def bm25_topk_indexed(
 
     seg_size, avgdl = meta.seg_size, meta.avgdl
 
+    n_required = len(uniq) if conjunctive else 0
+
     def _cogroup_score(p, d, theta_init=-np.inf):
         def _score(pleft: pd.DataFrame, pright: pd.DataFrame) -> pd.DataFrame:
             return _score_segment(pleft, pright, weights, seg_size, avgdl,
                                   k, k1, b, prune, bucket=bucket,
                                   quantize_norms=quantize_norms,
-                                  theta_init=theta_init)
+                                  theta_init=theta_init,
+                                  n_required=n_required)
 
         return (p.groupBy("seg_id").cogroup(d.groupBy("seg_id"))
                 .applyInPandas(_score, schema="docid long, score double"))

@@ -37,7 +37,8 @@ from ..functions.tokenizer import tokenize_column, tokenize_query
 class QueryPlan:
     """Filter predicate (may be None = match_all) + scored match clauses."""
     filter_cond: Column | None
-    matches: list[tuple[str, str]] = field(default_factory=list)  # (field, text)
+    # (field, text, operator) — operator "or" (default) or "and"
+    matches: list[tuple[str, str, str]] = field(default_factory=list)
 
 
 def _ts_type(df: DataFrame, fld: str) -> T.DataType | None:
@@ -180,16 +181,24 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
     if kind == "match":
         (fld, spec), = body.items()
         text = _field_value(spec, key="query")
+        op = (spec.get("operator", "or").lower()
+              if isinstance(spec, dict) else "or")
+        if op not in ("or", "and"):
+            raise ValueError(f"match operator must be or/and: {op!r}")
         if scoring:
-            return QueryPlan(None, matches=[(fld, text)])
-        # filter-context match: any analyzed token present (operator OR)
+            return QueryPlan(None, matches=[(fld, text, op)])
         toks = tokenize_query(text)
         if not toks:
             return QueryPlan(F.lit(False))
         tok_arr = F.array(*[F.lit(t) for t in toks])
-        return QueryPlan(
-            F.arrays_overlap(tokenize_column(fld), tok_arr)
-        )
+        doc_toks = tokenize_column(fld)
+        if op == "and":
+            # conjunctive match (operator: and): every analyzed query
+            # token present in the doc
+            return QueryPlan(
+                F.forall(tok_arr, lambda t: F.array_contains(doc_toks, t)))
+        # operator OR (default): any analyzed token present
+        return QueryPlan(F.arrays_overlap(doc_toks, tok_arr))
 
     if kind == "nested":
         path = body["path"]
@@ -258,17 +267,26 @@ def search(
     cond = plan.filter_cond
 
     if plan.matches:
-        bad = sorted({f for f, _ in plan.matches if f != text_field})
+        bad = sorted({m[0] for m in plan.matches if m[0] != text_field})
         if bad:
             raise ValueError(
                 f"scored match supports only the indexed text field "
                 f"{text_field!r}; got match on {bad}")
-        text = " ".join(t for _, t in plan.matches)
+        ops = {m[2] for m in plan.matches}
+        if "and" in ops and len(plan.matches) > 1:
+            raise ValueError(
+                "match operator:and is supported for a single match "
+                "clause (conjunctive multi-clause bags are ambiguous)")
+        conjunctive = ops == {"and"}
+        text = " ".join(m[1] for m in plan.matches)
         if isinstance(target, IndexReader):
-            top = bm25_topk_indexed(target, text, k=size, filter_cond=cond)
+            top = bm25_topk_indexed(target, text, k=size, filter_cond=cond,
+                                    conjunctive=conjunctive)
             out = fetch_docs(target, top)
         else:
-            out = bm25_topk_bruteforce(target, text, k=size, filter_cond=cond)
+            out = bm25_topk_bruteforce(target, text, k=size,
+                                       filter_cond=cond,
+                                       conjunctive=conjunctive)
     else:
         out = schema_df if cond is None else schema_df.filter(cond)
         sort = body.get("sort")

@@ -61,7 +61,12 @@ def main() -> None:
     if not os.path.exists(f"{src}/_SUCCESS"):
         t0 = time.time()
         docs = assign_docids(generate_transcripts(spark, n_turns, seed=42))
-        docs.write.mode("overwrite").parquet(src)
+        # balanced docid-range files: real corpora have thousands of row
+        # groups, but a tiny local corpus lands in a handful of skewed
+        # single-row-group files that cap every scan at ~5 tasks — write
+        # the shape a production table would actually have
+        (docs.repartitionByRange(64, "docid")
+         .write.mode("overwrite").parquet(src))
         queries["datagen"] = round(time.time() - t0, 3)
     docs = spark.read.parquet(src)
     actual_turns = docs.count()

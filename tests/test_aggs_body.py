@@ -102,3 +102,53 @@ def test_body_rejects_unknown(events):
         run_aggs(events, {"aggs": {"x": {
             "terms": {"field": "user_id"},
             "aggs": {"bad": {"nested_thing": {}}}}}})
+
+
+def test_nested_terms_inside_date_histogram(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "ts": [pd.Timestamp("2025-01-01 00:05"), pd.Timestamp("2025-01-01 00:15"),
+               pd.Timestamp("2025-01-01 00:25"), pd.Timestamp("2025-01-01 01:05"),
+               pd.Timestamp("2025-01-01 01:15")],
+        "kind": ["a", "a", "b", "b", "c"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0]}))
+    out = run_aggs(df, {"aggs": {"h": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+        "aggs": {"top": {"terms": {"field": "kind", "size": 1},
+                 "aggs": {"vm": {"max": {"field": "value"}}}}}}}})["h"]
+    rows = sorted(out.collect(), key=lambda r: str(r.bucket_start))
+    # hour 0: 'a' wins (2 docs); hour 1: tie b/c → 'b' by key asc
+    assert [(r.kind, r.doc_count, r.vm) for r in rows] == [
+        ("a", 2, 2.0), ("b", 1, 4.0)]
+
+
+def test_nested_date_histogram_inside_terms(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "ts": [pd.Timestamp("2025-01-01 00:05"), pd.Timestamp("2025-01-01 01:05"),
+               pd.Timestamp("2025-01-01 00:15"), pd.Timestamp("2025-01-01 00:20"),
+               pd.Timestamp("2025-01-01 02:05")],
+        "kind": ["a", "a", "b", "b", "c"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0]}))
+    out = run_aggs(df, {"aggs": {"t": {
+        "terms": {"field": "kind", "size": 2},
+        "aggs": {"hist": {"date_histogram": {"field": "ts",
+                                             "fixed_interval": "1h"}}}}}})["t"]
+    rows = sorted(out.collect(), key=lambda r: (r.kind, str(r.bucket_start)))
+    # top-2 keys: a (2 docs) and b (2 docs); c excluded
+    assert [(r.kind, r.doc_count) for r in rows] == [
+        ("a", 1), ("a", 1), ("b", 2)]
+
+
+def test_nested_depth_two_raises(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "ts": [pd.Timestamp("2025-01-01")], "kind": ["a"], "value": [1.0]}))
+    with pytest.raises(ValueError, match="metric sub-aggs only"):
+        run_aggs(df, {"aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+            "aggs": {"t": {"terms": {"field": "kind"},
+                     "aggs": {"deeper": {"terms": {"field": "kind"}}}}}}}})

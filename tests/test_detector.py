@@ -98,3 +98,50 @@ def test_run_once_window_delay_shifts_interval(spark, spiky_events):
     assert set(res.bucket_start.map(pd.Timestamp)) == {
         pd.Timestamp("2025-03-03 11:00:00")}
     assert (res.anomaly_grade == 0).all()
+
+
+def test_quality_floor_cosine_labeled(spark, tmp_path_factory):
+    """Reference-style model-quality e2e (SingleStreamModelPerfIT.java:
+    47-53 asserts precision >= 0.4 / recall >= 0.7 on a synthetic cosine
+    stream with labeled anomalies; dataset shape mirrors
+    dataGeneration/generate-cosine-data-multi-entity.py defaults: 600 s
+    interval, cosine base signal, injected spikes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    n, interval_s = 1500, 600
+    base = pd.Timestamp("2025-01-01")
+    t = np.arange(n)
+    value = (100.0 + 10.0 * np.cos(2 * np.pi * t / 288.0)
+             + rng.normal(0.0, 2.0, n))
+    # 10 injected anomalies past the warm-up, spaced out
+    anom_idx = sorted(rng.choice(np.arange(50, n - 1), 10, replace=False))
+    value[anom_idx] += 25.0
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": [base + pd.Timedelta(seconds=int(i) * interval_s) for i in t],
+        "value": value,
+    })
+    path = str(tmp_path_factory.mktemp("cosine") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+
+    det = Detector(
+        detector_id="det-cos", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=interval_s * 1000,
+        # the z-score stand-in needs a longer baseline than RCF's
+        # shingle 8 to keep its small-sample std tails below the 3-sigma
+        # grade threshold (8-sample std estimates fire ~4% on pure
+        # noise); 48 trailing intervals is its honest operating point
+        category_fields=(), shingle_size=48)
+    res = preview(spark, det).toPandas()
+    got = set(
+        (pd.Timestamp(b) - base).total_seconds() // interval_s
+        for b in res[res.anomaly_grade > 0].bucket_start)
+    labeled = set(float(i) for i in anom_idx)
+    tp = len(got & labeled)
+    precision = tp / max(len(got), 1)
+    recall = tp / len(labeled)
+    # the reference's own floor, same thresholds
+    assert precision >= 0.4, (precision, sorted(got))
+    assert recall >= 0.7, (recall, sorted(got), sorted(labeled))

@@ -69,7 +69,7 @@ def test_scored_should_still_routes_to_bm25(should_df):
     plan = plan_query(should_df, {"bool": {"should": [
         {"match": {"text": "alpha"}}, {"match": {"text": "zeta"}}]}})
     assert plan.filter_cond is None
-    assert [t for _, t in plan.matches] == ["alpha", "zeta"]
+    assert [m[1] for m in plan.matches] == ["alpha", "zeta"]
 
 
 def test_search_rejects_match_on_non_text_field(should_df):

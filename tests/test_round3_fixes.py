@@ -242,3 +242,179 @@ def test_preview_single_pass_multi_feature(spark, steady_events):
     assert {"n", "v_avg", "v_max"} <= set(pdf.columns)
     assert len(pdf) == 2 * 64  # 72 buckets − 8 warm-up per entity
     assert (pdf.anomaly_grade == 0).all()
+
+
+# --- model-state checkpoint: run_once_stateful ≡ preview ---------------------
+
+
+def test_stateful_run_once_matches_preview(spark, tmp_path_factory):
+    """Sequence of run_once_stateful calls == preview rows at the same
+    buckets (scores, grades, confidence), while each call reads only
+    one interval of raw events — proven by feeding each call a source
+    table that CONTAINS only that interval."""
+    from anomaly_detection_spark.detector import (
+        Detector, preview, run_once_stateful)
+
+    base_ts = pd.Timestamp("2025-03-01")
+    rows = []
+    eid = 0
+    for ent in ("A", "B"):
+        for h in range(20):
+            n = 100 if (ent == "B" and h == 15) else 5
+            for i in range(n):
+                rows.append((eid, ent,
+                             base_ts + pd.Timedelta(hours=h, minutes=i % 50),
+                             float(10 + (i % 3))))
+                eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "service", "ts", "value"])
+    root = tmp_path_factory.mktemp("stateful")
+    full = str(root / "events_full")
+    spark.createDataFrame(pdf).write.parquet(full)
+    state_dir = str(root / "state")
+
+    def mk(indices):
+        return Detector(
+            detector_id="det-st", indices=indices,
+            feature_specs={"n_events": {"value_count": {"field": "event_id"}},
+                           "v_avg": {"avg": {"field": "value"}}},
+            time_field="ts", interval_ms=HOUR,
+            category_fields=("service",), shingle_size=8)
+
+    want = preview(spark, mk(full)).toPandas()
+    want = want.set_index(
+        [want.service, want.bucket_start.map(pd.Timestamp)])
+
+    got_rows = []
+    for h in range(20):
+        lo = base_ts + pd.Timedelta(hours=h)
+        hi = lo + pd.Timedelta(hours=1)
+        # source containing ONLY this interval: if the stateful runner
+        # needed history it would get different (wrong) results
+        one = str(root / f"events_h{h}")
+        spark.createDataFrame(
+            pdf[(pdf.ts >= lo) & (pdf.ts < hi)]).write.parquet(one)
+        now_ms = int(hi.value // 10**6) + 120_000
+        res = run_once_stateful(spark, mk(one), now_ms, state_dir)
+        got_rows.append(res.toPandas())
+    got = pd.concat(got_rows, ignore_index=True)
+
+    assert len(got) == len(want)  # 2 entities × (20 − 8) scored buckets
+    for r in got.itertuples():
+        w = want.loc[(r.service, pd.Timestamp(r.bucket_start))]
+        assert abs(r.anomaly_score - float(w.anomaly_score)) < 1e-9, r
+        assert abs(r.anomaly_grade - float(w.anomaly_grade)) < 1e-9
+        assert abs(r.confidence - float(w.confidence)) < 1e-9
+        assert r.n_events == int(w.n_events)
+
+    # spike interval flagged through the stateful path too
+    spike = got[got.anomaly_grade > 0]
+    assert list(spike.service) == ["B"]
+
+    # state survives "restart": a fresh read of the parquet state shows
+    # full windows and monotone scored counts
+    st = spark.read.parquet(state_dir + "/det-st").toPandas()
+    assert set(st.service) == {"A", "B"}
+    assert (st.vals.map(len) == 8).all()
+    assert (st.scored_cnt == 12).all()
+
+
+# --- incremental index maintenance: build(A); append(B) ≡ build(A∪B) --------
+
+
+def test_append_index_equals_full_build(spark, tiny_transcripts):
+    from anomaly_detection_spark.index import append_index, build_index
+    from anomaly_detection_spark.query import IndexReader, bm25_topk_indexed
+
+    tmp = tempfile.mkdtemp(prefix="adspark_append_")
+    try:
+        n = tiny_transcripts.count()
+        cut = (n * 2) // 3  # NOT segment-aligned: boundary segment spans
+        a = tiny_transcripts.filter(F.col("docid") < cut)
+        b = tiny_transcripts.filter(F.col("docid") >= cut)
+        build_index(a, f"{tmp}/inc", seg_size=512, block_size=64,
+                    segments_per_batch=2)
+        append_index(b, f"{tmp}/inc")
+        build_index(tiny_transcripts, f"{tmp}/full", seg_size=512,
+                    block_size=64, segments_per_batch=2)
+
+        inc = IndexReader(spark, f"{tmp}/inc")
+        full = IndexReader(spark, f"{tmp}/full")
+        assert inc.meta.n_docs == full.meta.n_docs == n
+        assert abs(inc.meta.avgdl - full.meta.avgdl) < 1e-9
+        for q in ["spark query data merge", "the", "naïve éclair",
+                  "error result table join small", "the the"]:
+            for prune in (True, False):
+                gi = bm25_topk_indexed(inc, q, k=10, prune=prune).collect()
+                gf = bm25_topk_indexed(full, q, k=10, prune=prune).collect()
+                # 6-dp score tolerance: avgdl is a float average over
+                # differently-ordered doc_stats files, so the last few
+                # ulps legitimately differ between the two indexes
+                assert [(r.docid, round(r.score, 6)) for r in gi] == \
+                       [(r.docid, round(r.score, 6)) for r in gf], (q, prune)
+        # appending nothing is a no-op
+        append_index(b.filter(F.lit(False)), f"{tmp}/inc")
+        # appending a non-contiguous range errors
+        import pytest as _pt
+        with _pt.raises(ValueError, match="dense docid range"):
+            append_index(tiny_transcripts.limit(5)
+                         .withColumn("docid", F.col("docid") + n + 10),
+                         f"{tmp}/inc")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- match operator:and (conjunctive) ----------------------------------------
+
+
+def test_conjunctive_match_filter_context(spark):
+    from anomaly_detection_spark.query.brute_force import analyze_docs
+
+    df = spark.createDataFrame(
+        [(0, "spark merge fast"), (1, "spark only here"),
+         (2, "merge alone"), (3, "no relevant tokens"), (4, None)],
+        "docid long, text string")
+    cond = compile_filter(df, {"match": {"text": {
+        "query": "spark merge", "operator": "and"}}})
+    assert sorted(r.docid for r in df.filter(cond).collect()) == [0]
+    cond_or = compile_filter(df, {"match": {"text": "spark merge"}})
+    assert sorted(r.docid for r in df.filter(cond_or).collect()) == [0, 1, 2]
+
+
+def test_conjunctive_match_scored_indexed_vs_bruteforce(spark,
+                                                        tiny_transcripts):
+    from anomaly_detection_spark.index import build_index
+    from anomaly_detection_spark.query import (
+        IndexReader, analyze_docs, bm25_topk_bruteforce, bm25_topk_indexed,
+        corpus_stats)
+
+    tmp = tempfile.mkdtemp(prefix="adspark_conj_")
+    try:
+        paths = build_index(tiny_transcripts, f"{tmp}/idx", seg_size=512,
+                            block_size=64, segments_per_batch=4)
+        reader = IndexReader(spark, paths.root)
+        analyzed = analyze_docs(tiny_transcripts).persist()
+        stats = corpus_stats(analyzed)
+        q = "spark merge data"
+        bf = bm25_topk_bruteforce(analyzed, q, k=10, stats=stats,
+                                  conjunctive=True).toPandas()
+        ix = bm25_topk_indexed(reader, q, k=10, conjunctive=True).toPandas()
+        assert len(bf) > 0  # corpus has docs with all three tokens
+        assert list(ix.docid) == list(bf.docid)
+        assert (abs(ix.score - bf.score) < 1e-9).all()
+        # every hit really contains all tokens
+        hits = set(bf.docid)
+        toks = {r.docid: set(r.tokens) for r in analyzed.filter(
+            F.col("docid").isin(list(map(int, hits)))).collect()}
+        for d in hits:
+            assert {"spark", "merge", "data"} <= toks[d]
+        # AND is a subset of OR, scores equal where both return the doc
+        orr = bm25_topk_bruteforce(analyzed, q, k=1000, stats=stats).toPandas()
+        or_scores = dict(zip(orr.docid, orr.score))
+        for d, sc in zip(bf.docid, bf.score):
+            assert abs(or_scores[d] - sc) < 1e-9
+        # a corpus-absent token makes AND return nothing
+        assert bm25_topk_indexed(reader, "spark qqqqzzzz", k=5,
+                                 conjunctive=True).count() == 0
+        analyzed.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
