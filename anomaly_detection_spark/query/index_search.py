@@ -151,6 +151,39 @@ def _score_segment(
             tf + k1 * (1.0 - b + b * dlv / max(avgdl, 1e-12)))
         return loc, contrib
 
+    if prune and len(posts) >= 16 and theta_init == -np.inf:
+        # Cheap skip-potential gate (O(blocks), before any impact-table
+        # flattening): skipping exists only where some term's postings
+        # are CONCENTRATED in docid space (topical clustering) — then
+        # tail buckets lack that term's mass and fall below θ.  If every
+        # term's blocks touch ≈ as many buckets as they possibly could
+        # (iid spread), no exact bound can skip anything (Lucene BMW
+        # skips ~nothing on such data either) — score densely and save
+        # the bucket machinery.  With a θ_init floor (two-phase), keep
+        # pruning: a cross-segment θ can cut uniform tails too.
+        if ("bm_buckets" in posts.columns
+                and posts["bm_buckets"].notna().all()):
+            bmb = posts["bm_buckets"].to_numpy(dtype=object)
+            lens_g = np.fromiter((len(x) for x in bmb), np.int64, len(posts))
+            if lens_g.sum():
+                tid = pd.factorize(terms)[0]
+                n_terms_q = int(tid.max()) + 1
+                flat_t = np.repeat(tid, lens_g)
+                flat_b = np.concatenate(bmb).astype(np.int64)
+                # distinct buckets each TERM's postings touch, vs the
+                # most it could touch given its df (a term spread over
+                # ~every reachable bucket has no concentration for any
+                # exact bound to exploit)
+                pair = np.unique(flat_t * np.int64(n_buckets) + flat_b)
+                touched_t = np.bincount(pair // n_buckets,
+                                        minlength=n_terms_q)
+                n_term = np.zeros(n_terms_q, dtype=np.int64)
+                np.add.at(n_term, tid, posts["n"].to_numpy(np.int64))
+                possible = np.minimum(np.maximum(n_term, 1), n_buckets)
+                cov_t = touched_t / np.maximum(possible, 1)
+                if (cov_t >= 0.85).all():
+                    prune = False
+
     if prune and len(posts) >= 16:  # pruning overhead only pays at volume
         # --- block-max WAND at bucket granularity -------------------------
         # Bucket UB = Σ_terms max(block UB over the term's blocks
@@ -218,7 +251,16 @@ def _score_segment(
             ([0], np.cumsum(np.bincount(all_b, minlength=n_buckets))))
         visit = np.argsort(-s_bucket, kind="stable")
 
-        cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # Bucket rounds of geometrically-growing size: each round takes
+        # the next slice of the UB-descending visit order, drops the
+        # provably-dead tail (UB < θ — everything after it is dead too),
+        # decodes ONLY the not-yet-decoded blocks touching the round's
+        # buckets (each decode adds into one persistent dense score
+        # array — add-once, so bucket scores are complete the moment all
+        # its blocks are in), collects the round's candidates with one
+        # masked flatnonzero, and tightens θ.  Small early rounds grow θ
+        # fast; big late rounds amortize the Python per-round cost —
+        # sequential-walk cutting power at array speed.
         col_doc: list[np.ndarray] = []
         col_sc: list[np.ndarray] = []
         best = np.empty(0)          # up to k largest scores seen so far
@@ -226,58 +268,66 @@ def _score_segment(
         # (two-phase search: the densest segment's k-th score is a
         # valid global lower bound — Lucene MaxScoreAccumulator analog)
         theta = theta_init
-        bail_after = 32             # overhead bound for prune-hostile data
-        # weakest bucket that actually holds postings (empty buckets
-        # terminate the visit loop via the break, they can't be "skipped")
+        full = np.zeros(seg_size)
+        decoded_blk = np.zeros(n_posts, dtype=bool)
+        n_decoded = 0
+        pos_v = 0
+        round_sz = 1
+        # weakest bucket that actually holds postings: while θ ≤ s_min
+        # no bucket can ever fail the UB test, so nothing is skippable
         nz = s_bucket[s_bucket > 0]
         s_min = float(nz.min()) if len(nz) else 0.0
-        bulk = False
-        for j, bkt in enumerate(visit):
-            if s_bucket[bkt] < theta:
-                break               # visit order is UB-descending
-            if j >= bail_after and theta <= s_min:
-                # θ can never reach even the weakest bucket — nothing
-                # will be skipped; stop paying per-bucket slicing costs
-                # and score the rest densely (decode cache carries over,
-                # so decode counts are unaffected)
-                bulk = True
-                break
-            lo = bkt * bucket
-            hi = min(lo + bucket, seg_size)
-            scores = np.zeros(hi - lo)
-            for i in csr_blocks[boff[bkt]:boff[bkt + 1]]:
+        while pos_v < len(visit):
+            take = visit[pos_v:pos_v + round_sz]
+            pos_v += round_sz
+            round_sz = min(round_sz * 4, 1024)
+            take = take[s_bucket[take] > 0]
+            if theta > -np.inf:
+                take = take[s_bucket[take] >= theta]
+            if len(take) == 0:
+                break               # visit order is UB-descending: done
+            segs = [csr_blocks[boff[b]:boff[b + 1]] for b in take]
+            need = np.unique(np.concatenate(segs)) if segs else []
+            for i in need:
                 i = int(i)
-                if i not in cache:
-                    cache[i] = decode_block(i)
-                loc, contrib = cache[i]
-                # loc is docid-sorted: the bucket's slice is two binary
-                # searches, not a full-block boolean mask
-                s = np.searchsorted(loc, lo, side="left")
-                e = np.searchsorted(loc, hi, side="left")
-                if e > s:
-                    scores[loc[s:e] - lo] += contrib[s:e]
-            pos = np.flatnonzero(scores > 0)
-            if len(pos) == 0:
+                if not decoded_blk[i]:
+                    loc, contrib = decode_block(i)
+                    full[loc] += contrib
+                    decoded_blk[i] = True
+                    n_decoded += 1
+            bmask = np.zeros(n_buckets, dtype=bool)
+            bmask[take] = True
+            flat = np.repeat(bmask, bucket)[:seg_size]
+            cand_r = np.flatnonzero((full > 0) & flat)
+            if len(cand_r) == 0:
                 continue
-            col_doc.append(pos + lo)
-            col_sc.append(scores[pos])
-            best = np.sort(np.concatenate([best, scores[pos]]))[-k:]
+            col_doc.append(cand_r)
+            col_sc.append(full[cand_r])
+            best = np.sort(np.concatenate([best, full[cand_r]]))[-k:]
             if len(best) >= k:
                 theta = max(theta, float(best[0]))
-        if bulk:
-            scores = np.zeros(seg_size)
-            for i in range(len(posts)):
-                if i not in cache:
-                    cache[i] = decode_block(i)
-                loc, contrib = cache[i]
-                scores[loc] += contrib
-            cand = np.flatnonzero(scores > 0)
-            if len(cand) == 0:
-                return empty
-            sc = scores[cand]
-            order = np.lexsort((cand, -sc))[:k]
-            return pd.DataFrame({"docid": cand[order] + seg_base,
-                                 "score": sc[order]})
+                if theta <= s_min and pos_v < len(visit):
+                    # prune-hostile bail-out: a full top-k whose θ still
+                    # can't reach even the weakest bucket's UB means the
+                    # UB spread is too flat for ANY exact bound to skip —
+                    # decode everything once and collect the remaining
+                    # buckets in one shot (≈ the dense path's cost,
+                    # instead of paying per-round masking for nothing)
+                    rest = visit[pos_v:]
+                    rest = rest[s_bucket[rest] > 0]
+                    if len(rest):
+                        for i in np.flatnonzero(~decoded_blk):
+                            loc, contrib = decode_block(int(i))
+                            full[loc] += contrib
+                            n_decoded += 1
+                        bmask = np.zeros(n_buckets, dtype=bool)
+                        bmask[rest] = True
+                        flat = np.repeat(bmask, bucket)[:seg_size]
+                        cand_r = np.flatnonzero((full > 0) & flat)
+                        if len(cand_r):
+                            col_doc.append(cand_r)
+                            col_sc.append(full[cand_r])
+                    break
         if not col_doc:
             return empty
         cand = np.concatenate(col_doc)

@@ -136,24 +136,31 @@ def main() -> None:
 
             seg_order = (posts.groupby("seg_id")["n"].sum()
                          .sort_values(ascending=False).index)
-            ixs.varint_decode = counting
-            t0 = time.perf_counter()
-            rows = []
-            theta = float("-inf")
-            for seg in seg_order:
-                sp = posts[posts.seg_id == seg]
-                out = ixs._score_segment(
-                    sp.reset_index(drop=True), norms[seg], weights,
-                    meta.seg_size, meta.avgdl, k, 1.2, 0.75, prune,
-                    bucket=meta.bucket_size,
-                    theta_init=theta if mode == "cascade" else float("-inf"))
-                rows.append(out)
-                if mode == "cascade":
-                    acc = pd.concat(rows, ignore_index=True)
-                    if len(acc) >= k:
-                        theta = float(acc["score"].nlargest(k).iloc[-1])
-            walls[mode] = round(time.perf_counter() - t0, 3)
-            ixs.varint_decode = real_decode
+            # wall = best of 3 trials (shared box; ms-scale timings are
+            # noise-dominated otherwise); decode counts from the last
+            for trial in range(3):
+                calls[0] = calls[1] = 0
+                ixs.varint_decode = counting
+                t0 = time.perf_counter()
+                rows = []
+                theta = float("-inf")
+                for seg in seg_order:
+                    sp = posts[posts.seg_id == seg]
+                    out = ixs._score_segment(
+                        sp.reset_index(drop=True), norms[seg], weights,
+                        meta.seg_size, meta.avgdl, k, 1.2, 0.75, prune,
+                        bucket=meta.bucket_size,
+                        theta_init=theta if mode == "cascade"
+                        else float("-inf"))
+                    rows.append(out)
+                    if mode == "cascade":
+                        acc = pd.concat(rows, ignore_index=True)
+                        if len(acc) >= k:
+                            theta = float(acc["score"].nlargest(k).iloc[-1])
+                wall = time.perf_counter() - t0
+                ixs.varint_decode = real_decode
+                walls[mode] = min(walls.get(mode, float("inf")),
+                                  round(wall, 3))
             allr = pd.concat(rows, ignore_index=True)
             allr = allr.sort_values(["score", "docid"],
                                     ascending=[False, True]).head(k)
