@@ -267,6 +267,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("bucket_start")
     q["date_histogram_hourly"] = hist0
 
+    def hist_weekly(s, d):
+        """date_histogram(calendar_interval=week) through the body
+        compiler — calendar-boundary bucketing (weeks start Monday,
+        OpenSearch UTC rounding / Rounding.java), minDocCount(0)
+        dense grid stepping by calendar weeks."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        ev = _read(s, d, "events")
+        out = run_aggs(ev, {"aggs": {"w": {
+            "date_histogram": {"field": "ts", "calendar_interval": "week"},
+            "aggs": {"v_avg": {"avg": {"field": "value"}}}}}})["w"]
+        return (out.select("bucket_start", "doc_count",
+                           F.round("v_avg", 6).alias("v_avg"))
+                .orderBy("bucket_start"))
+    q["date_histogram_weekly"] = hist_weekly
+
     def auto_hist(s, d):
         from anomaly_detection_spark.query.aggs import auto_date_histogram
         ev = _read(s, d, "events")
@@ -685,6 +700,12 @@ agg AS (
 SELECT g.bucket_start, coalesce(a.doc_count, 0) AS doc_count, a.v_sum
 FROM grid g LEFT JOIN agg a USING (bucket_start)
 ORDER BY g.bucket_start
+"""
+
+    sql["date_histogram_weekly"] = """
+SELECT date_trunc('week', ts) AS bucket_start,
+       count(*) AS doc_count, round(avg(value), 6) AS v_avg
+FROM events GROUP BY 1 ORDER BY 1
 """
 
     sql["auto_date_histogram_20"] = f"""

@@ -131,6 +131,57 @@ def date_histogram(
     return out.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
 
 
+# calendar_interval units that are NOT a fixed number of milliseconds
+# (variable month lengths / leap years / DST-less UTC weeks); OpenSearch
+# DateHistogramInterval buckets these on calendar boundaries.  Spark's
+# date_trunc uses the same boundaries as OpenSearch UTC rounding
+# (weeks start Monday, ISO-8601 — Rounding.java's WEEK_OF_WEEKYEAR).
+CALENDAR_UNITS = {"week": "week", "1w": "week",
+                  "month": "month", "1M": "month",
+                  "quarter": "quarter", "1q": "quarter",
+                  "year": "year", "1y": "year"}
+_CAL_STEP = {"week": "interval 1 week", "month": "interval 1 month",
+             "quarter": "interval 3 months", "year": "interval 1 year"}
+
+
+def bucketize_calendar(ts_col: str | Column, unit: str) -> Column:
+    """Calendar-interval date_histogram bucket key (UTC boundary)."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.date_trunc(CALENDAR_UNITS[unit], c.cast("timestamp"))
+
+
+def date_histogram_calendar(
+    df: DataFrame,
+    ts_col: str,
+    unit: str,
+    sub_specs: dict[str, dict] | None = None,
+    min_doc_count: int = 0,
+) -> DataFrame:
+    """date_histogram(calendar_interval) for variable-width units
+    (week/month/quarter/year).  Same shape as :func:`date_histogram`;
+    the minDocCount(0) dense grid steps by the calendar interval
+    (``sequence`` with a month/year step follows calendar boundaries,
+    so a Jan-31 start never lands mid-month)."""
+    unit = CALENDAR_UNITS[unit]
+    sub_specs = sub_specs or {}
+    bucket = bucketize_calendar(ts_col, unit).alias("bucket_start")
+    aggd = (
+        df.groupBy(bucket)
+        .agg(F.count("*").alias("doc_count"),
+             *[metric_agg_column(s, a) for a, s in sub_specs.items()])
+    )
+    if min_doc_count > 0:
+        return aggd.filter(F.col("doc_count") >= min_doc_count)
+    grid = (
+        df.select(bucketize_calendar(F.min(F.col(ts_col)), unit).alias("lo"),
+                  bucketize_calendar(F.max(F.col(ts_col)), unit).alias("hi"))
+        .select(F.explode(F.expr(
+            f"sequence(lo, hi, {_CAL_STEP[unit]})")).alias("bucket_start"))
+    )
+    out = grid.join(aggd, ["bucket_start"], "left")
+    return out.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+
+
 # OpenSearch-style rounding ladder for auto_date_histogram (seconds)
 AUTO_LADDER_S = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 3 * 3600,
                  12 * 3600, 86400, 7 * 86400, 30 * 86400, 90 * 86400, 365 * 86400]

@@ -33,7 +33,7 @@ from __future__ import annotations
 import re
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .aggs import (
@@ -77,23 +77,47 @@ _CAL_FIXED = {"second": "1s", "1s": "1s", "minute": "1m", "1m": "1m",
               "hour": "1h", "1h": "1h", "day": "1d", "1d": "1d"}
 
 
-def _dh_interval_ms(kbody: dict[str, Any]) -> int:
-    """date_histogram interval keys → fixed milliseconds, fail-fast."""
+def _dh_spec(kbody: dict[str, Any]) -> tuple[str, Any]:
+    """date_histogram interval keys → ('fixed', ms) or
+    ('calendar', unit); fail-fast on anything else."""
+    from .aggs import CALENDAR_UNITS
+
     if "fixed_interval" in kbody:
-        return interval_ms(kbody["fixed_interval"])
+        return "fixed", interval_ms(kbody["fixed_interval"])
     if "calendar_interval" in kbody:
         cal = str(kbody["calendar_interval"])
         if cal in _CAL_FIXED:
-            return interval_ms(_CAL_FIXED[cal])
+            return "fixed", interval_ms(_CAL_FIXED[cal])
+        if cal in CALENDAR_UNITS:
+            return "calendar", cal
         raise ValueError(
-            f"calendar_interval {cal!r} is not fixed-width; only "
-            f"{sorted(set(_CAL_FIXED))} map to a fixed grid (the plugin "
-            "itself uses fixed intervals, AggregationPrep.java:304-311)")
+            f"unsupported calendar_interval {cal!r}; fixed-width units "
+            f"{sorted(set(_CAL_FIXED))} and calendar units "
+            f"{sorted(set(CALENDAR_UNITS))} are supported")
     if "interval" in kbody:  # legacy pre-7.x key, fixed semantics
-        return interval_ms(kbody["interval"])
+        return "fixed", interval_ms(kbody["interval"])
     raise ValueError(
-        "date_histogram requires fixed_interval (or a fixed-width "
-        "calendar_interval); refusing to default silently")
+        "date_histogram requires fixed_interval or calendar_interval; "
+        "refusing to default silently")
+
+
+def _dh_interval_ms(kbody: dict[str, Any]) -> int:
+    """Fixed milliseconds of a date_histogram body (fail on calendar)."""
+    mode, v = _dh_spec(kbody)
+    if mode != "fixed":
+        raise ValueError(
+            f"calendar_interval {v!r} is not valid here; a fixed grid "
+            "is required")
+    return v
+
+
+def _dh_bucket(kbody: dict[str, Any]) -> Column:
+    """Bucket-key column of a date_histogram body (fixed or calendar)."""
+    from .aggs import bucketize, bucketize_calendar
+
+    mode, v = _dh_spec(kbody)
+    return (bucketize(kbody["field"], v) if mode == "fixed"
+            else bucketize_calendar(kbody["field"], v))
 
 
 def _split(spec: dict[str, Any]) -> tuple[str, dict, dict, dict, dict]:
@@ -158,8 +182,6 @@ def _nested_bucket(df: DataFrame, kind: str, kbody: dict,
     ParseUtils.java:767-824)."""
     from pyspark.sql.window import Window
 
-    from .aggs import bucketize
-
     (iname, ispec), = buckets.items()
     ikind = next(iter(k for k in ispec if k != "aggs"))
     ibody = ispec[ikind]
@@ -170,9 +192,7 @@ def _nested_bucket(df: DataFrame, kind: str, kbody: dict,
         # per date bucket: top-N terms by count desc, key asc (the
         # terms-agg order) — rank inside the bucket, keep N
         fld, size = ibody["field"], ibody.get("size", 10)
-        grouped = (df.withColumn("bucket_start",
-                                 bucketize(kbody["field"],
-                                           _dh_interval_ms(kbody)))
+        grouped = (df.withColumn("bucket_start", _dh_bucket(kbody))
                    .groupBy("bucket_start", fld)
                    .agg(F.count("*").alias("doc_count"), *mcols))
         w = Window.partitionBy("bucket_start").orderBy(
@@ -186,9 +206,7 @@ def _nested_bucket(df: DataFrame, kind: str, kbody: dict,
         top = (df.groupBy(fld).agg(F.count("*").alias("_c"))
                .orderBy(F.desc("_c"), F.asc(fld)).limit(size).select(fld))
         return (df.join(F.broadcast(top), fld)
-                .withColumn("bucket_start",
-                            bucketize(ibody["field"],
-                                      _dh_interval_ms(ibody)))
+                .withColumn("bucket_start", _dh_bucket(ibody))
                 .groupBy(fld, "bucket_start")
                 .agg(F.count("*").alias("doc_count"), *mcols))
     raise ValueError(f"nested {ikind!r} inside {kind!r} unsupported")
@@ -221,13 +239,27 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                                       sub_specs=metrics)
             continue
         if kind == "date_histogram":
-            out = date_histogram(
-                df, kbody["field"], _dh_interval_ms(kbody),
-                sub_specs=metrics,
-                min_doc_count=kbody.get("min_doc_count", 0),
-                hard_bounds=(
-                    (kbody["hard_bounds"]["min"], kbody["hard_bounds"]["max"])
-                    if "hard_bounds" in kbody else None))
+            mode, v = _dh_spec(kbody)
+            if mode == "calendar":
+                if "hard_bounds" in kbody:
+                    raise ValueError(
+                        "hard_bounds with a calendar_interval is "
+                        "unsupported (epoch-milli bounds don't land on "
+                        "calendar boundaries)")
+                from .aggs import date_histogram_calendar
+
+                out = date_histogram_calendar(
+                    df, kbody["field"], v, sub_specs=metrics,
+                    min_doc_count=kbody.get("min_doc_count", 0))
+            else:
+                out = date_histogram(
+                    df, kbody["field"], v,
+                    sub_specs=metrics,
+                    min_doc_count=kbody.get("min_doc_count", 0),
+                    hard_bounds=(
+                        (kbody["hard_bounds"]["min"],
+                         kbody["hard_bounds"]["max"])
+                        if "hard_bounds" in kbody else None))
             results[name] = _apply_pipes(out, pipes, "bucket_start")
             continue
         if kind == "auto_date_histogram":
@@ -262,12 +294,8 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                 elif "date_histogram" in sspec:
                     # composite over a date_histogram source — the
                     # plugin's batchFeatureQuery (ParseUtils.java:767)
-                    from .aggs import bucketize
-
                     dh = sspec["date_histogram"]
-                    sources.append(
-                        bucketize(dh["field"],
-                                  _dh_interval_ms(dh)).alias(sname))
+                    sources.append(_dh_bucket(dh).alias(sname))
                 else:
                     raise ValueError(f"unsupported source {sspec}")
             results[name] = composite_agg(df, sources, sub_specs=metrics)

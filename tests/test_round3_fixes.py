@@ -105,14 +105,37 @@ def test_calendar_interval_fixed_widths_map(spark):
     pd.testing.assert_frame_equal(fixed, cal)
 
 
-def test_calendar_interval_month_raises(spark):
+def test_calendar_interval_month_buckets_and_dense_grid(spark):
+    """calendar_interval=month truncates to month starts and the
+    minDocCount(0) grid fills the empty month in between; quarter and
+    week truncate on their own boundaries (week → Monday, like
+    OpenSearch UTC rounding)."""
     from anomaly_detection_spark.query.aggs_body import run_aggs
 
     df = spark.createDataFrame(
-        pd.DataFrame({"ts": [pd.Timestamp("2025-01-01")], "value": [1.0]}))
-    with pytest.raises(ValueError, match="calendar_interval"):
+        pd.DataFrame({"ts": [pd.Timestamp("2025-01-15 07:00:00"),
+                             pd.Timestamp("2025-01-31 23:59:59"),
+                             pd.Timestamp("2025-03-01 00:00:00")],
+                      "value": [1.0, 2.0, 4.0]}))
+    out = run_aggs(df, {"aggs": {"m": {"date_histogram": {
+        "field": "ts", "calendar_interval": "month"},
+        "aggs": {"v_sum": {"sum": {"field": "value"}}}}}})["m"].toPandas()
+    out = out.sort_values("bucket_start").reset_index(drop=True)
+    assert list(out.bucket_start) == [pd.Timestamp("2025-01-01"),
+                                      pd.Timestamp("2025-02-01"),
+                                      pd.Timestamp("2025-03-01")]
+    assert list(out.doc_count) == [2, 0, 1]
+    assert out.v_sum[0] == 3.0
+
+    wk = run_aggs(df, {"aggs": {"w": {"date_histogram": {
+        "field": "ts", "calendar_interval": "week",
+        "min_doc_count": 1}}}})["w"].toPandas()
+    # 2025-01-15 is a Wednesday → its week bucket starts Mon 2025-01-13
+    assert pd.Timestamp("2025-01-13") in set(wk.bucket_start)
+
+    with pytest.raises(ValueError, match="unsupported calendar_interval"):
         run_aggs(df, {"aggs": {"h": {"date_histogram": {
-            "field": "ts", "calendar_interval": "month"}}}})
+            "field": "ts", "calendar_interval": "fortnight"}}}})
     with pytest.raises(ValueError, match="fixed_interval"):
         run_aggs(df, {"aggs": {"h": {"date_histogram": {"field": "ts"}}}})
 
