@@ -123,6 +123,48 @@ ORDER BY round(sum(w), 6) DESC, doc_id LIMIT {k}
 """
 
 
+def _mm_sql(terms: list[str], fields: list[str], k: int,
+            tie_breaker: float) -> str:
+    """multi_match best_fields oracle: one full BM25 chain per field
+    (per-field tokens/stats/df), full-outer-joined, DisMax+tie."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    ctes = []
+    for i, fld in enumerate(fields):
+        ctes.append(f"""
+tok{i} AS (
+  SELECT doc_id, {_TOKEN_SQL.format(col=fld)} AS ts FROM documents),
+dl{i} AS (SELECT doc_id, len(ts) AS dl FROM tok{i}),
+st{i} AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl{i}),
+tf{i} AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM tok{i})
+  WHERE term IN ({in_list}) GROUP BY doc_id, term),
+df{i} AS (SELECT term, count(*) AS df FROM tf{i} GROUP BY term),
+sc{i} AS (
+  SELECT tf{i}.doc_id,
+         sum(ln(1 + (st{i}.n - df{i}.df + 0.5) / (df{i}.df + 0.5))
+             * (tf{i}.tf * ({K1} + 1.0))
+             / (tf{i}.tf + {K1} * (1 - {B} + {B} * dl{i}.dl / st{i}.avgdl))
+             ) AS s
+  FROM tf{i}
+  JOIN df{i} USING (term) JOIN dl{i} USING (doc_id) CROSS JOIN st{i}
+  GROUP BY tf{i}.doc_id)""")
+    s0 = "coalesce(a.s, 0)"
+    s1 = "coalesce(b.s, 0)"
+    return f"""
+WITH {",".join(ctes)},
+allsc AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         greatest({s0}, {s1})
+         + {tie_breaker} * ({s0} + {s1} - greatest({s0}, {s1})) AS score
+  FROM sc0 a FULL OUTER JOIN sc1 b ON a.doc_id = b.doc_id)
+SELECT doc_id,
+       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+       round(score, 6) AS score
+FROM allsc ORDER BY round(score, 6) DESC, doc_id LIMIT {k}
+"""
+
+
 _LADDER_S = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 3 * 3600,
              12 * 3600, 86400, 7 * 86400, 30 * 86400, 90 * 86400, 365 * 86400]
 
@@ -193,6 +235,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (out.withColumn("rank", F.row_number().over(w).cast("long"))
                 .select("doc_id", "rank", "score"))
     q["bm25_topk_conjunctive"] = bm25_conjunctive
+
+    def multi_match_best(s, d):
+        """Q6 multi_match best_fields over (text, source) through the
+        body planner — each field scored with its own corpus stats
+        (per-field df/avgdl/dl, one Lucene match per field), combined
+        as DisMax + tie_breaker (MultiMatchQueryBuilder)."""
+        from anomaly_detection_spark.query.planner import search
+        docs = _read(s, d, "documents").withColumnRenamed("doc_id", "docid")
+        top = search(docs, {"query": {"multi_match": {
+            "query": "the src3 data", "fields": ["text", "source"],
+            "type": "best_fields", "tie_breaker": 0.3}}, "size": 10})
+        out = top.select(F.col("docid").alias("doc_id"),
+                         F.round("score", 6).alias("score"))
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+                .select("doc_id", "rank", "score"))
+    q["multi_match_best_fields"] = multi_match_best
 
     def match_contains(s, d):
         from anomaly_detection_spark.query.planner import compile_filter
@@ -643,6 +702,9 @@ def oracle_sql() -> dict[str, str]:
         cand_where="source IN ('src1','src2') AND n_chars >= 150")
     sql["bm25_topk_conjunctive"] = _bm25_sql(
         ["spark", "merge"], 10, require_all=True)
+
+    sql["multi_match_best_fields"] = _mm_sql(
+        ["the", "src3", "data"], ["text", "source"], 10, 0.3)
 
     sql["match_contains_unscored"] = f"""
 SELECT doc_id FROM (

@@ -1,4 +1,10 @@
 from .aggs_body import interval_ms, run_aggs  # noqa: F401
-from .brute_force import analyze_docs, bm25_topk_bruteforce, corpus_stats  # noqa: F401
+from .brute_force import (  # noqa: F401
+    analyze_docs,
+    bm25_scores,
+    bm25_topk_bruteforce,
+    corpus_stats,
+    multi_match_topk,
+)
 from .budget import QueryTimeoutError, time_budget  # noqa: F401
 from .index_search import IndexReader, bm25_topk_indexed, fetch_docs  # noqa: F401

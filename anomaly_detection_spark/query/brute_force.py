@@ -70,10 +70,9 @@ def _idf_expr(n_docs: int) -> Column:
     return F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
 
 
-def bm25_topk_bruteforce(
+def bm25_scores(
     analyzed: DataFrame,
     query_text: str,
-    k: int = 10,
     filter_cond: Column | None = None,
     stats: CorpusStats | None = None,
     k1: float = K1_DEFAULT,
@@ -82,15 +81,9 @@ def bm25_topk_bruteforce(
     quantize_norms: bool = False,
     conjunctive: bool = False,
 ) -> DataFrame:
-    """Top-k (docid, score) for an analyzed ``match`` query.
-
-    ``analyzed`` must carry ``tokens``, ``doc_len`` and ``id_col``.
-    Returns columns (docid, score) ordered by (score desc, docid asc).
-    ``quantize_norms`` scores with Lucene's 1-byte doc-length norms
-    (avgdl stays exact, as in Lucene).  ``conjunctive`` = match
-    ``operator: and``: only docs containing every query term score
-    (scores identical to OR for those docs, like Lucene).
-    """
+    """Per-doc BM25 ``match`` scores — every matching doc, no top-k cut
+    (the building block :func:`bm25_topk_bruteforce` and multi-field
+    scoring both rank over).  Returns (id_col, score), unordered."""
     terms = tokenize_query(query_text)
     if not terms:
         return analyzed.select(
@@ -141,8 +134,94 @@ def bm25_topk_bruteforce(
         # absent from the whole corpus ⇒ no doc can match.
         n_required = len(set(terms))
         scored = scored.filter(F.col("_nt") == n_required)
-    return (
-        scored.select(id_col, "score")
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
-    )
+    return scored.select(id_col, "score")
+
+
+def bm25_topk_bruteforce(
+    analyzed: DataFrame,
+    query_text: str,
+    k: int = 10,
+    filter_cond: Column | None = None,
+    stats: CorpusStats | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    id_col: str = "docid",
+    quantize_norms: bool = False,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Top-k (docid, score) for an analyzed ``match`` query.
+
+    ``analyzed`` must carry ``tokens``, ``doc_len`` and ``id_col``.
+    Returns columns (docid, score) ordered by (score desc, docid asc).
+    ``quantize_norms`` scores with Lucene's 1-byte doc-length norms
+    (avgdl stays exact, as in Lucene).  ``conjunctive`` = match
+    ``operator: and``: only docs containing every query term score
+    (scores identical to OR for those docs, like Lucene).
+    """
+    scored = bm25_scores(analyzed, query_text, filter_cond=filter_cond,
+                         stats=stats, k1=k1, b=b, id_col=id_col,
+                         quantize_norms=quantize_norms,
+                         conjunctive=conjunctive)
+    # orderBy+limit → TakeOrderedAndProject (per-partition top-k, no
+    # global sort shuffle)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def multi_match_topk(
+    docs: DataFrame,
+    query_text: str,
+    fields: list[str],
+    k: int = 10,
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    filter_cond: Column | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    id_col: str = "docid",
+) -> DataFrame:
+    """OpenSearch ``multi_match`` over N analyzed fields
+    (MultiMatchQueryBuilder semantics, types ``best_fields`` /
+    ``most_fields``).
+
+    Each field is scored independently with its OWN corpus statistics
+    (per-field df / avgdl / doc length, exactly like one Lucene match
+    query per field), then combined per doc:
+
+    - ``best_fields``: max field score + tie_breaker × (other fields)
+      — Lucene DisjunctionMaxQuery with tieBreaker
+    - ``most_fields``: sum of field scores
+
+    ``docs`` carries the RAW field columns; analysis happens here
+    per field.  Per-field score frames are tiny relative to the corpus
+    (only matching docs) and combine through one full outer join on
+    ``id_col``; the final top-k is orderBy+limit (TakeOrderedAndProject,
+    no global sort).
+    """
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(
+            f"multi_match type {match_type!r} unsupported; "
+            "best_fields / most_fields are implemented")
+    if not fields:
+        raise ValueError("multi_match requires at least one field")
+    joined: DataFrame | None = None
+    score_cols = []
+    for i, fld in enumerate(fields):
+        an = analyze_docs(docs, text_col=fld)
+        sc = bm25_scores(an, query_text, filter_cond=filter_cond,
+                         k1=k1, b=b, id_col=id_col)
+        col = f"_s{i}"
+        sc = sc.withColumnRenamed("score", col)
+        score_cols.append(col)
+        joined = sc if joined is None else joined.join(sc, id_col, "full")
+    filled = [F.coalesce(F.col(c), F.lit(0.0)) for c in score_cols]
+    total = filled[0]
+    for c in filled[1:]:
+        total = total + c
+    if match_type == "most_fields":
+        score = total
+    else:
+        mx = filled[0] if len(filled) == 1 else F.greatest(*filled)
+        score = mx + F.lit(float(tie_breaker)) * (total - mx)
+    return (joined.select(F.col(id_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

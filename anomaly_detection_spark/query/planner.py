@@ -252,7 +252,10 @@ def search(
     Multiple scored match clauses are scored as one SHOULD bag over the
     union of their analyzed tokens (disjunctive, like a single bool
     SHOULD of term queries); conjunctive multi-match (``operator: and``
-    across clauses) is out of the supported subset.
+    across clauses) is out of the supported subset.  A top-level
+    ``multi_match`` (best_fields / most_fields, tie_breaker) scores
+    every named field with its own corpus statistics — brute-force
+    targets only.
     """
     from .brute_force import bm25_topk_bruteforce
     from .index_search import IndexReader, bm25_topk_indexed, fetch_docs
@@ -263,6 +266,27 @@ def search(
         schema_df = target.doc_stats()
     else:
         schema_df = target
+
+    if set(query) == {"multi_match"}:
+        # multi-field scored match (MultiMatchQueryBuilder) — each field
+        # scored with its own corpus statistics, combined best_fields /
+        # most_fields.  Needs the raw field columns, so brute-force
+        # targets only (the inverted index covers one analyzed field,
+        # exactly like one Lucene field index).
+        from .brute_force import multi_match_topk
+
+        if isinstance(target, IndexReader):
+            raise ValueError(
+                "multi_match requires a docs DataFrame target (the "
+                "index covers the single analyzed field "
+                f"{text_field!r}); score each field or use match")
+        mm = dict(query["multi_match"])
+        out = multi_match_topk(
+            target, mm["query"], list(mm["fields"]), k=size,
+            match_type=mm.get("type", "best_fields"),
+            tie_breaker=float(mm.get("tie_breaker", 0.0)))
+        return _finish_search(out, size, timeout_s)
+
     plan = plan_query(schema_df, query)
     cond = plan.filter_cond
 
@@ -301,6 +325,10 @@ def search(
             # unbounded result onto the driver.
             out = out.limit(size)
 
+    return _finish_search(out, size, timeout_s)
+
+
+def _finish_search(out: DataFrame, size: int, timeout_s: float | None):
     if timeout_s is not None:
         # S7 (CompositeRetriever.java:371-400 expiry): materialize the
         # (size-bounded) result under the budget; a runaway plan is

@@ -72,7 +72,10 @@ def main() -> None:
     actual_turns = docs.count()
 
     # ---- index build (headline) -------------------------------------------
-    idx = f"/tmp/adspark_bench_idx_{n_turns}_{cpus}"
+    # BENCH_IDX_SUFFIX keeps concurrent bench processes (executor-analog
+    # scaling study, scripts/run_scaling_procs.py) out of each other's dirs
+    idx = (f"/tmp/adspark_bench_idx_{n_turns}_{cpus}"
+           + os.environ.get("BENCH_IDX_SUFFIX", ""))
     if not os.environ.get("BENCH_KEEP_INDEX"):
         shutil.rmtree(idx, ignore_errors=True)
     seg_size = int(os.environ["BENCH_SEG_SIZE"]) \

@@ -56,3 +56,72 @@ def test_bruteforce_with_filters_matches_oracle(spark, tiny_transcripts):
 def test_empty_query_returns_empty(spark, tiny_transcripts):
     analyzed = analyze_docs(tiny_transcripts)
     assert bm25_topk_bruteforce(analyzed, "...!!!", k=5).count() == 0
+
+
+# --- multi_match (multi-field scored match) ----------------------------------
+
+
+def test_multi_match_best_and_most_fields(spark):
+    """Per-field statistics + DisMax/tie_breaker combination
+    (MultiMatchQueryBuilder best_fields) and plain sum (most_fields),
+    checked against a hand-built two-field corpus."""
+    import pandas as pd
+
+    from anomaly_detection_spark.query import (
+        analyze_docs,
+        bm25_scores,
+        multi_match_topk,
+    )
+
+    pdf = pd.DataFrame({
+        "docid": [0, 1, 2, 3],
+        "title": ["spark engine", "query planner", "spark spark", "misc"],
+        "body": ["a query engine for data", "spark does queries",
+                 "nothing here", "spark query"],
+    })
+    docs = spark.createDataFrame(pdf)
+
+    # per-field reference scores through the single-field path
+    st = {r["docid"]: r["score"] for r in
+          bm25_scores(analyze_docs(docs, "title"), "spark query").collect()}
+    sb = {r["docid"]: r["score"] for r in
+          bm25_scores(analyze_docs(docs, "body"), "spark query").collect()}
+
+    tie = 0.4
+    got = {r["docid"]: r["score"] for r in
+           multi_match_topk(docs, "spark query", ["title", "body"], k=10,
+                            tie_breaker=tie).collect()}
+    for d in got:
+        a, b_ = st.get(d, 0.0), sb.get(d, 0.0)
+        want = max(a, b_) + tie * (a + b_ - max(a, b_))
+        assert abs(got[d] - want) < 1e-9
+
+    most = {r["docid"]: r["score"] for r in
+            multi_match_topk(docs, "spark query", ["title", "body"], k=10,
+                             match_type="most_fields").collect()}
+    for d in most:
+        assert abs(most[d] - (st.get(d, 0.0) + sb.get(d, 0.0))) < 1e-9
+
+    # ranking: top-k ordered (score desc, docid asc), bounded by k
+    top2 = multi_match_topk(docs, "spark query", ["title", "body"],
+                            k=2).toPandas()
+    assert len(top2) == 2
+    assert top2.score.is_monotonic_decreasing
+
+
+def test_multi_match_through_search_and_index_raises(spark):
+    import pandas as pd
+    import pytest
+
+    from anomaly_detection_spark.query.planner import search
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "docid": [0, 1], "title": ["spark", "query"],
+        "body": ["query", "spark"]}))
+    out = search(docs, {"query": {"multi_match": {
+        "query": "spark", "fields": ["title", "body"]}}, "size": 5})
+    assert out.count() == 2
+
+    with pytest.raises(ValueError, match="best_fields / most_fields"):
+        search(docs, {"query": {"multi_match": {
+            "query": "spark", "fields": ["title"], "type": "phrase"}}})
