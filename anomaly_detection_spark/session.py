@@ -28,10 +28,23 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    inner = master.split("[", 1)[-1].rstrip("]")
     if shuffle_partitions is None:
         # local[N] → N; local[*] → cpus
-        inner = master.split("[", 1)[-1].rstrip("]")
         shuffle_partitions = cpus if inner in ("*", "") else int(inner)
+
+    # The JVM sizes its internal pools (parallel GC threads, JIT
+    # compiler threads, common ForkJoinPool) off the HOST core count,
+    # not local[N]: a local[2] JVM on a 32-core box runs ~20+ GC
+    # threads and bursts across every core, so several small local-mode
+    # JVMs side by side collapse into scheduler/GC thrash.  Real
+    # cluster executors are handed their actual core count
+    # (spark.executor.cores); model that by capping the JVM's visible
+    # processors at the task parallelism (+2 slack for GC/netty).
+    # Override with SPARK_JVM_PROCS.
+    jvm_procs = os.environ.get("SPARK_JVM_PROCS")
+    if jvm_procs is None and inner not in ("*", ""):
+        jvm_procs = str(min(int(inner) + 2, os.cpu_count() or cpus))
 
     builder = (
         SparkSession.builder.master(master)
@@ -46,6 +59,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if jvm_procs:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={jvm_procs}")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -48,6 +48,11 @@ def _env(cores: int, suffix: str, turns: int, seg: int) -> dict:
                BENCH_SEG_SIZE=str(seg),
                BENCH_ONLY_BUILD="1",
                BENCH_IDX_SUFFIX=suffix)
+    # per-executor heap, IDENTICAL at P=1 and P=4 (the library default
+    # 48g sizes one lone JVM for the whole box; 4 of those overcommit
+    # RAM and collapse into GC/paging — real executors get a fixed
+    # spark.executor.memory each, which is what we model here)
+    env.setdefault("SPARK_DRIVER_MEM", "12g")
     return env
 
 
