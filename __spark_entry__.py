@@ -397,6 +397,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_count", F.round("v_min", 6).alias("v_min"))
     q["filter_agg_value_gt50"] = fagg
 
+    def hist_extstats(s, d):
+        """Numeric histogram (interval 10) + extended_stats sub-agg
+        through the body compiler — population variance/stddev like
+        OpenSearch ExtendedStats."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        ev = _read(s, d, "events")
+        out = run_aggs(ev, {"aggs": {"h": {
+            "histogram": {"field": "value", "interval": 10},
+            "aggs": {"v": {"extended_stats": {"field": "value"}}}}}})["h"]
+        return (out.select(
+            "key", "doc_count", "v_count",
+            F.round("v_min", 6).alias("v_min"),
+            F.round("v_max", 6).alias("v_max"),
+            F.round("v_avg", 6).alias("v_avg"),
+            F.round("v_sum", 3).alias("v_sum"),
+            F.round("v_sum_of_squares", 3).alias("v_sum_of_squares"),
+            F.round("v_variance", 3).alias("v_variance"),
+            F.round("v_std_deviation", 6).alias("v_std_deviation"))
+            .orderBy("key"))
+    q["histogram_value_extstats"] = hist_extstats
+
+    def missing_nullified(s, d):
+        """missing agg over a CASE-nullified column (the testdata has
+        no natural nulls; both sides nullify identically)."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        ev = _read(s, d, "events").withColumn(
+            "etype2", F.when(F.col("value") > 50, None)
+            .otherwise(F.col("event_type")))
+        return run_aggs(ev, {"aggs": {"m": {
+            "missing": {"field": "etype2"}}}})["m"]
+    q["missing_nullified_count"] = missing_nullified
+
+    def phrase_docs(s, d):
+        """match_phrase filter context: analyzed tokens consecutive
+        (slop=0, PhraseQuery semantics via the token-stream substring
+        identity — no positions index needed for filter context)."""
+        from anomaly_detection_spark.query.planner import compile_filter
+        docs = _read(s, d, "documents")
+        cond = compile_filter(docs, {"match_phrase": {"text": "the data"}})
+        return docs.filter(cond).select("doc_id").orderBy("doc_id")
+    q["match_phrase_docs"] = phrase_docs
+
     def card(s, d):
         # approximate cardinality (HLL++) vs exact — exposed rows-only
         ev = _read(s, d, "events")
@@ -818,6 +860,42 @@ FROM events
     sql["filter_agg_value_gt50"] = """
 SELECT count(*) AS doc_count, round(min(value), 6) AS v_min
 FROM events WHERE value > 50
+"""
+
+    sql["histogram_value_extstats"] = """
+WITH ext AS (
+  SELECT CAST(floor(min(value) / 10) AS BIGINT) AS lo,
+         CAST(floor(max(value) / 10) AS BIGINT) AS hi
+  FROM events WHERE value IS NOT NULL),
+grid AS (
+  SELECT unnest(generate_series(ext.lo, ext.hi)) * 10.0 AS key FROM ext),
+agg AS (
+  SELECT floor(value / 10) * 10 AS key, count(*) AS doc_count,
+         count(value) AS v_count,
+         round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,
+         round(avg(value), 6) AS v_avg, round(sum(value), 3) AS v_sum,
+         round(sum(value * value), 3) AS v_sum_of_squares,
+         round(var_pop(value), 3) AS v_variance,
+         round(stddev_pop(value), 6) AS v_std_deviation
+  FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT g.key, coalesce(a.doc_count, 0) AS doc_count, a.v_count,
+       a.v_min, a.v_max, a.v_avg, a.v_sum, a.v_sum_of_squares,
+       a.v_variance, a.v_std_deviation
+FROM grid g LEFT JOIN agg a USING (key) ORDER BY g.key
+"""
+
+    sql["missing_nullified_count"] = """
+SELECT count(*) AS doc_count
+FROM events
+WHERE (CASE WHEN value > 50 THEN NULL ELSE event_type END) IS NULL
+"""
+
+    sql["match_phrase_docs"] = rf"""
+SELECT doc_id FROM documents
+WHERE ' ' || array_to_string(
+        regexp_extract_all(lower(coalesce(text, '')), '[\p{{L}}\p{{N}}_]+'),
+        ' ') || ' ' LIKE '% the data %'
+ORDER BY doc_id
 """
 
     sql["serial_diff_hourly"] = f"""

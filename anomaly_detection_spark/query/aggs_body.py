@@ -43,15 +43,18 @@ from .aggs import (
     date_histogram,
     date_range_agg,
     filter_agg,
+    histogram_agg,
+    metric_agg_cols,
     metric_agg_column,
     min_bucket,
+    missing_agg,
     serial_diff,
     terms_agg,
 )
 from .planner import compile_filter
 
 _METRIC_KINDS = {"max", "min", "avg", "sum", "value_count", "cardinality",
-                 "percentiles"}
+                 "percentiles", "stats", "extended_stats"}
 _PIPELINE_KINDS = {"serial_diff", "min_bucket", "bucket_sort"}
 _BUCKET_KINDS = {"terms", "date_histogram"}
 
@@ -186,7 +189,7 @@ def _nested_bucket(df: DataFrame, kind: str, kbody: dict,
     ikind = next(iter(k for k in ispec if k != "aggs"))
     ibody = ispec[ikind]
     mets = _inner_metrics(ispec)
-    mcols = [metric_agg_column(s, a) for a, s in mets.items()]
+    mcols = metric_agg_cols(mets)
 
     if kind == "date_histogram" and ikind == "terms":
         # per date bucket: top-N terms by count desc, key asc (the
@@ -228,10 +231,20 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             results[name] = _nested_bucket(df, kind, kbody, bsubs)
             continue
         if kind in _METRIC_KINDS:
-            results[name] = df.agg(metric_agg_column({kind: kbody}, name))
+            results[name] = df.agg(*metric_agg_cols({name: {kind: kbody}}))
             continue
         if kind == "filter":
             results[name] = filter_agg(df, compile_filter(df, kbody), metrics)
+            continue
+        if kind == "missing":
+            results[name] = missing_agg(df, kbody["field"], metrics)
+            continue
+        if kind == "histogram":
+            out = histogram_agg(
+                df, kbody["field"], kbody["interval"], sub_specs=metrics,
+                min_doc_count=kbody.get("min_doc_count", 0),
+                offset=kbody.get("offset", 0.0))
+            results[name] = _apply_pipes(out, pipes, "key")
             continue
         if kind == "terms":
             results[name] = terms_agg(df, kbody["field"],

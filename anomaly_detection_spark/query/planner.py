@@ -200,6 +200,25 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         # operator OR (default): any analyzed token present
         return QueryPlan(F.arrays_overlap(doc_toks, tok_arr))
 
+    if kind == "match_phrase":
+        # filter-context phrase: the analyzed query tokens appear
+        # CONSECUTIVELY in the analyzed field (slop=0, like Lucene
+        # PhraseQuery).  Tokens contain no spaces (the analyzer splits
+        # on them), so consecutiveness ≡ substring match on the
+        # space-joined token stream with boundary sentinels — pure
+        # codegen, no positions index needed for filter context.
+        (fld, spec), = body.items()
+        text = _field_value(spec, key="query")
+        if isinstance(spec, dict) and spec.get("slop", 0) != 0:
+            raise ValueError("match_phrase slop != 0 is unsupported")
+        toks = tokenize_query(text)
+        if not toks:
+            return QueryPlan(F.lit(False))
+        joined = F.concat(F.lit(" "),
+                          F.array_join(tokenize_column(fld), " "),
+                          F.lit(" "))
+        return QueryPlan(joined.contains(" " + " ".join(toks) + " "))
+
     if kind == "nested":
         path = body["path"]
         inner = body["query"]

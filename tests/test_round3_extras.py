@@ -1,0 +1,84 @@
+"""Round-3 coverage extensions: numeric histogram, stats/extended_stats,
+missing agg, match_phrase filter, multi_match routing (see
+test_brute_force for multi_match scoring semantics)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_histogram_agg_grid_and_offset(spark):
+    from anomaly_detection_spark.query.aggs import histogram_agg
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"v": [0.5, 1.5, 1.7, 7.2, None]}))
+    out = (histogram_agg(df, "v", 1.0).orderBy("key").toPandas())
+    # dense grid 0..7 incl. empty buckets, nulls excluded
+    assert list(out.key) == [float(i) for i in range(8)]
+    assert list(out.doc_count) == [1, 2, 0, 0, 0, 0, 0, 1]
+
+    off = histogram_agg(df, "v", 2.0, offset=0.5,
+                        min_doc_count=1).orderBy("key").toPandas()
+    # offset grid: [0.5,2.5) [2.5,4.5) [4.5,6.5) [6.5,8.5) — 0.5,1.5,1.7
+    # land in the first, 7.2 in the last
+    assert list(off.key) == [0.5, 6.5]
+    assert list(off.doc_count) == [3, 1]
+
+    with pytest.raises(ValueError, match="interval"):
+        histogram_agg(df, "v", 0)
+
+
+def test_stats_and_extended_stats_body(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0]}))
+    st = run_aggs(df, {"aggs": {"s": {"stats": {"field": "v"}}}})["s"] \
+        .toPandas()
+    assert (st.s_count[0], st.s_min[0], st.s_max[0], st.s_avg[0],
+            st.s_sum[0]) == (4, 1.0, 4.0, 2.5, 10.0)
+
+    ex = run_aggs(df, {"aggs": {"s": {
+        "extended_stats": {"field": "v"}}}})["s"].toPandas()
+    assert ex.s_sum_of_squares[0] == 30.0
+    assert abs(ex.s_variance[0] - 1.25) < 1e-12        # population
+    assert abs(ex.s_std_deviation[0] - 1.25 ** 0.5) < 1e-12
+
+    # as a sub-agg of a bucket agg
+    df2 = spark.createDataFrame(pd.DataFrame(
+        {"g": ["a", "a", "b"], "v": [1.0, 3.0, 5.0]}))
+    t = run_aggs(df2, {"aggs": {"t": {
+        "terms": {"field": "g"},
+        "aggs": {"s": {"stats": {"field": "v"}}}}}})["t"].toPandas()
+    row_a = t[t.g == "a"].iloc[0]
+    assert (row_a.s_count, row_a.s_sum) == (2, 4.0)
+
+
+def test_missing_agg(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"f": ["x", None, None], "v": [1.0, 2.0, 3.0]}))
+    out = run_aggs(df, {"aggs": {"m": {
+        "missing": {"field": "f"},
+        "aggs": {"v_sum": {"sum": {"field": "v"}}}}}})["m"].toPandas()
+    assert out.doc_count[0] == 2
+    assert out.v_sum[0] == 5.0
+
+
+def test_match_phrase_filter(spark):
+    from anomaly_detection_spark.query.planner import compile_filter
+
+    df = spark.createDataFrame(pd.DataFrame({"text": [
+        "the quick brown fox",       # phrase present
+        "quick the brown fox",       # tokens present, wrong order
+        "THE  QUICK,  brown fox",    # analyzer normalizes → present
+        "the quickest brown fox",    # 'quick' only as prefix — no match
+        None,
+    ], "i": [0, 1, 2, 3, 4]}))
+    cond = compile_filter(df, {"match_phrase": {"text": "the quick"}})
+    got = sorted(r["i"] for r in df.filter(cond).collect())
+    assert got == [0, 2]
+
+    with pytest.raises(ValueError, match="slop"):
+        compile_filter(df, {"match_phrase": {
+            "text": {"query": "the quick", "slop": 2}}})
