@@ -429,6 +429,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "missing": {"field": "etype2"}}}})["m"]
     q["missing_nullified_count"] = missing_nullified
 
+    def range_overlapping(s, d):
+        """Numeric range agg — overlapping + open-ended buckets
+        (RangeAggregationBuilder), broadcast range join."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        ev = _read(s, d, "events")
+        out = run_aggs(ev, {"aggs": {"r": {
+            "range": {"field": "value", "ranges": [
+                {"to": 100.0},
+                {"from": 50.0, "to": 250.0},
+                {"from": 200.0}]},
+            "aggs": {"v_avg": {"avg": {"field": "value"}}}}}})["r"]
+        return out.select("range_id", "from_v", "to_v", "doc_count",
+                          F.round("v_avg", 6).alias("v_avg"))
+    q["range_value_overlapping"] = range_overlapping
+
+    def top_hits_per_type(s, d):
+        """top_hits per event_type: top-2 events by (value desc,
+        event_id asc), flattened with hit_rank — one window rank, no
+        per-group loops."""
+        from anomaly_detection_spark.query.aggs import top_hits_agg
+        ev = _read(s, d, "events")
+        return (top_hits_agg(ev, ["event_type"],
+                             [("value", "desc"), ("event_id", "asc")],
+                             size=2, select=["event_id",
+                                             "value"])
+                .select("event_type",
+                        F.col("hit_rank").cast("long").alias("hit_rank"),
+                        "event_id", F.round("value", 6).alias("value"))
+                .orderBy("event_type", "hit_rank"))
+    q["top_hits_per_type"] = top_hits_per_type
+
+    def prefix_sources(s, d):
+        from anomaly_detection_spark.query.planner import compile_filter
+        docs = _read(s, d, "documents")
+        cond = compile_filter(docs, {"prefix": {"source": {"value": "src1"}}})
+        return (docs.filter(cond).groupBy("source")
+                .agg(F.count("*").alias("doc_count")).orderBy("source"))
+    q["prefix_source_counts"] = prefix_sources
+
     def phrase_docs(s, d):
         """match_phrase filter context: analyzed tokens consecutive
         (slop=0, PhraseQuery semantics via the token-stream substring
@@ -888,6 +927,32 @@ FROM grid g LEFT JOIN agg a USING (key) ORDER BY g.key
 SELECT count(*) AS doc_count
 FROM events
 WHERE (CASE WHEN value > 50 THEN NULL ELSE event_type END) IS NULL
+"""
+
+    sql["range_value_overlapping"] = """
+WITH r(range_id, from_v, to_v) AS (
+  VALUES (0, NULL::DOUBLE, 100.0), (1, 50.0, 250.0), (2, 200.0, NULL::DOUBLE))
+SELECT r.range_id, r.from_v, r.to_v, count(*) AS doc_count,
+       round(avg(e.value), 6) AS v_avg
+FROM r JOIN events e
+  ON e.value IS NOT NULL
+ AND (r.from_v IS NULL OR e.value >= r.from_v)
+ AND (r.to_v IS NULL OR e.value < r.to_v)
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+    sql["top_hits_per_type"] = """
+SELECT event_type, hit_rank, event_id, round(value, 6) AS value
+FROM (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS hit_rank
+      FROM events)
+WHERE hit_rank <= 2 ORDER BY event_type, hit_rank
+"""
+
+    sql["prefix_source_counts"] = """
+SELECT source, count(*) AS doc_count FROM documents
+WHERE source LIKE 'src1%' GROUP BY source ORDER BY source
 """
 
     sql["match_phrase_docs"] = rf"""

@@ -281,6 +281,12 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                                       sub_specs=metrics)
             results[name] = _apply_pipes(out, pipes, "bucket_start")
             continue
+        if kind == "range":
+            from .aggs import range_agg
+
+            results[name] = range_agg(df, kbody["field"], kbody["ranges"],
+                                      sub_specs=metrics)
+            continue
         if kind == "date_range":
             ranges = [(int(r["from"]), int(r["to"]))
                       for r in kbody["ranges"]]

@@ -178,6 +178,15 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         (fld, spec), = body.items()
         return QueryPlan(F.col(fld).like(_glob_to_like(_field_value(spec))))
 
+    if kind == "prefix":
+        (fld, spec), = body.items()
+        return QueryPlan(F.col(fld).startswith(F.lit(_field_value(spec))))
+
+    if kind == "ids":
+        # IdsQueryBuilder — docid membership (get-by-id's query twin)
+        return QueryPlan(F.col(body.get("field", "docid"))
+                         .isin(list(body["values"])))
+
     if kind == "match":
         (fld, spec), = body.items()
         text = _field_value(spec, key="query")

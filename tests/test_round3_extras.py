@@ -82,3 +82,44 @@ def test_match_phrase_filter(spark):
     with pytest.raises(ValueError, match="slop"):
         compile_filter(df, {"match_phrase": {
             "text": {"query": "the quick", "slop": 2}}})
+
+
+def test_prefix_and_ids_queries(spark):
+    from anomaly_detection_spark.query.planner import compile_filter
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"docid": [1, 2, 3], "s": ["abc", "abd", "xbc"]}))
+    got = sorted(r["docid"] for r in df.filter(
+        compile_filter(df, {"prefix": {"s": "ab"}})).collect())
+    assert got == [1, 2]
+    got = sorted(r["docid"] for r in df.filter(
+        compile_filter(df, {"ids": {"values": [2, 3]}})).collect())
+    assert got == [2, 3]
+
+
+def test_range_agg_open_ended_and_overlap(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"v": [10.0, 60.0, 210.0, None]}))
+    out = run_aggs(df, {"aggs": {"r": {"range": {
+        "field": "v", "ranges": [
+            {"to": 100.0}, {"from": 50.0, "to": 250.0},
+            {"from": 200.0}]}}}})["r"].toPandas()
+    out = out.sort_values("range_id").reset_index(drop=True)
+    # [,100): 10,60 — [50,250): 60,210 (overlap) — [200,): 210; null drops
+    assert list(out.doc_count) == [2, 2, 1]
+
+
+def test_top_hits_flattened_rank(spark):
+    from anomaly_detection_spark.query.aggs import top_hits_agg
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["a", "a", "a", "b"], "id": [1, 2, 3, 4],
+        "v": [5.0, 9.0, 9.0, 1.0]}))
+    out = top_hits_agg(df, ["g"], [("v", "desc"), ("id", "asc")],
+                       size=2, select=["id", "v"]).toPandas()
+    a = out[out.g == "a"].sort_values("hit_rank")
+    # ties break by id asc: id 2 then id 3
+    assert list(a.id) == [2, 3] and list(a.hit_rank) == [1, 2]
+    assert list(out[out.g == "b"].id) == [4]
