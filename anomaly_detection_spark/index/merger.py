@@ -138,11 +138,26 @@ def merge_segments(
 
         from .builder import POSTING_SCHEMA
 
-        merged = sub.groupBy("new_seg").applyInPandas(_m, schema=POSTING_SCHEMA)
+        # merge parallelism = target segments × term shards: posting
+        # blocks never span terms, so sharding a target segment's terms
+        # re-encodes identical blocks while filling the cluster even
+        # when the batch has fewer segments than cores (a compaction of
+        # factor=4 divides segment count by 4 — without sharding the
+        # biggest merges would run on a handful of tasks)
+        segs_in_batch = max(1, min(hi, n_new_segs) - lo)
+        par = spark.sparkContext.defaultParallelism
+        shards = max(1, math.ceil(2 * par / segs_in_batch))
+        sub = sub.withColumn(
+            "_shard", F.pmod(F.xxhash64("term"), F.lit(shards)))
+        merged = (sub.groupBy("new_seg", "_shard")
+                  .applyInPandas(_m, schema=POSTING_SCHEMA))
         # written straight from the merge tasks — blocks leave
         # _merge_new_seg (term, docid)-sorted per segment, and a
         # repartitionByRange here would run a sampling job that
-        # re-executes the whole merge
+        # re-executes the whole merge.  (AQE's byte-based coalescing of
+        # the shard fan-out is left ON: measured on this box, ~20
+        # coalesced tasks beat the full 32-task fan-out — the encode is
+        # bandwidth-bound before it is core-bound.)
         merged.write.mode("overwrite").parquet(f"{dst.postings}/batch={k}")
 
         written = spark.read.parquet(f"{dst.postings}/batch={k}")
