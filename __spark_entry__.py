@@ -444,6 +444,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("v_avg", 6).alias("v_avg"))
     q["range_value_overlapping"] = range_overlapping
 
+    def pipes_hourly(s, d):
+        """cumulative_sum + moving_avg + derivative pipeline aggs over
+        an hourly histogram (single window pass each, bucket-scope)."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        ev = _read(s, d, "events")
+        out = run_aggs(ev, {"aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+            "aggs": {
+                "cum": {"cumulative_sum": {"buckets_path": "doc_count"}},
+                "mavg": {"moving_avg": {"buckets_path": "doc_count",
+                                        "window": 3}},
+                "deriv": {"derivative": {"buckets_path": "doc_count"}},
+            }}}})["h"]
+        return (out.select("bucket_start", "doc_count", "cum",
+                           F.round("mavg", 6).alias("mavg"), "deriv")
+                .orderBy("bucket_start"))
+    q["pipeline_cumsum_mavg_deriv"] = pipes_hourly
+
+    def wavg_pranks(s, d):
+        """weighted_avg + exact percentile_ranks global metrics (weight
+        column derived identically on both sides)."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        ev = _read(s, d, "events").withColumn(
+            "w", (F.col("user_id") % 10 + 1).cast("double"))
+        r = run_aggs(ev, {"aggs": {
+            "wa": {"weighted_avg": {"value": {"field": "value"},
+                                    "weight": {"field": "w"}}},
+            "pr": {"percentile_ranks": {"field": "value",
+                                        "values": [100.0]}}}})
+        wa = r["wa"].select(F.round("wa", 6).alias("wa"))
+        pr = r["pr"].select(F.round("pr", 6).alias("pr"))
+        return wa.crossJoin(pr)
+    q["weighted_avg_percentile_ranks"] = wavg_pranks
+
     def top_hits_per_type(s, d):
         """top_hits per event_type: top-2 events by (value desc,
         event_id asc), flattened with hit_rank — one window rank, no
@@ -927,6 +961,28 @@ FROM grid g LEFT JOIN agg a USING (key) ORDER BY g.key
 SELECT count(*) AS doc_count
 FROM events
 WHERE (CASE WHEN value > 50 THEN NULL ELSE event_type END) IS NULL
+"""
+
+    sql["pipeline_cumsum_mavg_deriv"] = f"""
+WITH h AS (
+  SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
+         count(*) AS doc_count
+  FROM events GROUP BY 1)
+SELECT bucket_start, doc_count,
+       CAST(sum(doc_count) OVER (ORDER BY bucket_start
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       round(avg(doc_count) OVER (ORDER BY bucket_start
+                                  ROWS 2 PRECEDING), 6) AS mavg,
+       doc_count - lag(doc_count) OVER (ORDER BY bucket_start) AS deriv
+FROM h ORDER BY bucket_start
+"""
+
+    sql["weighted_avg_percentile_ranks"] = """
+SELECT round(sum(value * (user_id % 10 + 1)) / sum(user_id % 10 + 1), 6)
+         AS wa,
+       round(100.0 * avg(CASE WHEN value <= 100.0 THEN 1.0 ELSE 0.0 END), 6)
+         AS pr
+FROM events
 """
 
     sql["range_value_overlapping"] = """

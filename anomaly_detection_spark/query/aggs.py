@@ -60,6 +60,22 @@ def metric_agg_column(spec: dict[str, Any], alias: str) -> Column:
         if len(pcts) == 1:
             return F.percentile(body["field"], F.lit(pcts[0])).alias(alias)
         return F.percentile(body["field"], F.array(*[F.lit(p) for p in pcts])).alias(alias)
+    if kind == "weighted_avg":
+        v = F.col(body["value"]["field"])
+        w = F.col(body["weight"]["field"])
+        ok = v.isNotNull() & w.isNotNull()
+        return (F.sum(F.when(ok, v * w))
+                / F.sum(F.when(ok, w))).alias(alias)
+    if kind == "percentile_ranks":
+        # exact form of OpenSearch's tdigest percentile_ranks: the % of
+        # non-null values ≤ x, per requested x
+        f = F.col(body["field"])
+        vals = list(body["values"])
+        rk = [F.avg(F.when(f.isNotNull(), (f <= F.lit(x)).cast("double")))
+              * 100.0 for x in vals]
+        if len(rk) == 1:
+            return rk[0].alias(alias)
+        return F.array(*rk).alias(alias)
     raise ValueError(f"unsupported metric agg: {kind}")
 
 
@@ -422,3 +438,38 @@ def serial_diff(df: DataFrame, metric_col: str, order_col: str,
 def min_bucket(df: DataFrame, metric_col: str) -> DataFrame:
     """min_bucket: min of a metric across sibling buckets."""
     return df.agg(F.min(metric_col).alias(f"min_{metric_col}"))
+
+
+def sibling_bucket(df: DataFrame, metric_col: str, stat: str) -> DataFrame:
+    """max_bucket / sum_bucket / avg_bucket / stats_bucket family:
+    one reduction over sibling buckets (min_bucket's generalization)."""
+    fns = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}
+    if stat not in fns:
+        raise ValueError(f"unsupported sibling bucket stat {stat!r}")
+    return df.agg(fns[stat](metric_col).alias(f"{stat}_{metric_col}"))
+
+
+def derivative(df: DataFrame, metric_col: str, order_col: str,
+               alias: str | None = None) -> DataFrame:
+    """derivative pipeline agg ≡ serial_diff with lag 1
+    (DerivativePipelineAggregationBuilder, unit-less form)."""
+    return serial_diff(df, metric_col, order_col, lag=1,
+                       alias=alias or f"{metric_col}_deriv")
+
+
+def cumulative_sum(df: DataFrame, metric_col: str, order_col: str,
+                   alias: str | None = None) -> DataFrame:
+    """cumulative_sum pipeline agg: running total over bucket order
+    (same unpartitioned-window scope note as :func:`serial_diff`)."""
+    alias = alias or f"{metric_col}_cumsum"
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(alias, F.sum(metric_col).over(w))
+
+
+def moving_avg(df: DataFrame, metric_col: str, order_col: str,
+               window: int = 5, alias: str | None = None) -> DataFrame:
+    """moving average over the trailing ``window`` buckets (inclusive),
+    partial at the head like OpenSearch moving_fn unshifted windows."""
+    alias = alias or f"{metric_col}_mavg"
+    w = Window.orderBy(order_col).rowsBetween(-(window - 1), 0)
+    return df.withColumn(alias, F.avg(metric_col).over(w))

@@ -54,8 +54,11 @@ from .aggs import (
 from .planner import compile_filter
 
 _METRIC_KINDS = {"max", "min", "avg", "sum", "value_count", "cardinality",
-                 "percentiles", "stats", "extended_stats"}
-_PIPELINE_KINDS = {"serial_diff", "min_bucket", "bucket_sort"}
+                 "percentiles", "stats", "extended_stats", "weighted_avg",
+                 "percentile_ranks"}
+_PIPELINE_KINDS = {"serial_diff", "min_bucket", "max_bucket", "sum_bucket",
+                   "avg_bucket", "bucket_sort", "derivative",
+                   "cumulative_sum", "moving_avg"}
 _BUCKET_KINDS = {"terms", "date_histogram"}
 
 _DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
@@ -157,8 +160,27 @@ def _apply_pipes(out: DataFrame, pipes: dict[str, dict],
         if pk == "serial_diff":
             out = serial_diff(out, pb["buckets_path"], order_col,
                               lag=pb.get("lag", 1), alias=name)
+        elif pk == "derivative":
+            from .aggs import derivative
+
+            out = derivative(out, pb["buckets_path"], order_col, alias=name)
+        elif pk == "cumulative_sum":
+            from .aggs import cumulative_sum
+
+            out = cumulative_sum(out, pb["buckets_path"], order_col,
+                                 alias=name)
+        elif pk == "moving_avg":
+            from .aggs import moving_avg
+
+            out = moving_avg(out, pb["buckets_path"], order_col,
+                             window=pb.get("window", 5), alias=name)
         elif pk == "min_bucket":
             out = min_bucket(out, pb["buckets_path"])
+        elif pk in ("max_bucket", "sum_bucket", "avg_bucket"):
+            from .aggs import sibling_bucket
+
+            out = sibling_bucket(out, pb["buckets_path"],
+                                 pk.split("_", 1)[0])
         elif pk == "bucket_sort":
             sort = [(list(s)[0], s[list(s)[0]].get("order", "asc"))
                     for s in pb.get("sort", [])]

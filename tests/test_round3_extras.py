@@ -123,3 +123,47 @@ def test_top_hits_flattened_rank(spark):
     # ties break by id asc: id 2 then id 3
     assert list(a.id) == [2, 3] and list(a.hit_rank) == [1, 2]
     assert list(out[out.g == "b"].id) == [4]
+
+
+def test_pipeline_aggs_family(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.to_datetime(["2025-01-01 00:05", "2025-01-01 00:40",
+                              "2025-01-01 01:10", "2025-01-01 02:20",
+                              "2025-01-01 02:30"]),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0]}))
+    out = run_aggs(df, {"aggs": {"h": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+        "aggs": {
+            "cum": {"cumulative_sum": {"buckets_path": "doc_count"}},
+            "mavg": {"moving_avg": {"buckets_path": "doc_count",
+                                    "window": 2}},
+        }}}})["h"].toPandas().sort_values("bucket_start")
+    assert list(out.doc_count) == [2, 1, 2]
+    assert list(out.cum) == [2, 3, 5]
+    assert list(out.mavg) == [2.0, 1.5, 1.5]
+
+    mx = run_aggs(df, {"aggs": {"h": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+        "aggs": {"m": {"max_bucket": {"buckets_path": "doc_count"}}},
+    }}})["h"].toPandas()
+    assert mx.max_doc_count[0] == 2
+
+
+def test_weighted_avg_and_percentile_ranks(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "v": [1.0, 2.0, 3.0, None], "w": [1.0, 1.0, 2.0, 5.0]}))
+    wa = run_aggs(df, {"aggs": {"wa": {"weighted_avg": {
+        "value": {"field": "v"}, "weight": {"field": "w"}}}}})["wa"] \
+        .toPandas()
+    # null v rows drop entirely (weight excluded too): (1+2+6)/4
+    assert abs(wa.wa[0] - 9.0 / 4.0) < 1e-12
+
+    pr = run_aggs(df, {"aggs": {"pr": {"percentile_ranks": {
+        "field": "v", "values": [1.5, 3.0]}}}})["pr"].toPandas()
+    ranks = list(pr.pr[0])
+    assert abs(ranks[0] - 100.0 / 3.0) < 1e-9   # 1 of 3 non-null ≤ 1.5
+    assert abs(ranks[1] - 100.0) < 1e-9
