@@ -91,3 +91,41 @@ def test_date_histogram_partial_agg_and_pruned_scan(spark):
     assert p.count("HashAggregate") >= 2
     read = p.split("ReadSchema:")[1].splitlines()[0]
     assert "ts" in read and "value" not in read
+
+
+def test_multi_match_plan_no_cartesian_take_ordered(spark, tiny_transcripts):
+    """multi_match: per-field score frames full-outer join on docid
+    (query-sized inputs), top-k via TakeOrderedAndProject, and never a
+    cartesian/BNLJ."""
+    from anomaly_detection_spark.query import multi_match_topk
+
+    docs = tiny_transcripts.withColumn("alt", F.col("text"))
+    plan = _plan(multi_match_topk(docs, "spark query", ["text", "alt"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_agg_broadcasts_bucket_list(spark):
+    """Numeric range agg joins against a broadcast VALUES-sized bucket
+    list — no shuffle of the fact side onto range keys."""
+    import pandas as pd
+
+    from anomaly_detection_spark.query.aggs import range_agg
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 5.0, 9.0]}))
+    plan = _plan(range_agg(df, "v", [{"to": 5.0}, {"from": 2.0}]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_partial_agg(spark):
+    """histogram: hash aggregate with a map-side partial before the
+    exchange (min_doc_count=1 path — pure agg, no grid join)."""
+    import pandas as pd
+
+    from anomaly_detection_spark.query.aggs import histogram_agg
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 5.0, 9.0]}))
+    plan = _plan(histogram_agg(df, "v", 2.0, min_doc_count=1))
+    assert plan.count("HashAggregate") >= 2  # partial + final
