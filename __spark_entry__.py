@@ -478,6 +478,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wa.crossJoin(pr)
     q["weighted_avg_percentile_ranks"] = wavg_pranks
 
+    def filters_by_type(s, d):
+        """Named filters agg — one conditional-aggregation pass over
+        the scan + stack unpivot, overlapping buckets allowed."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        ev = _read(s, d, "events")
+        out = run_aggs(ev, {"aggs": {"f": {
+            "filters": {"filters": {
+                "errors": {"term": {"event_type": "error"}},
+                "hot": {"range": {"value": {"gte": 100.0}}},
+                "early_or_error": {"bool": {"should": [
+                    {"term": {"event_type": "error"}},
+                    {"range": {"value": {"lt": 10.0}}}]}},
+            }},
+            "aggs": {"v_avg": {"avg": {"field": "value"}}}}}})["f"]
+        return (out.select("filter_key", "doc_count",
+                           F.round("v_avg", 6).alias("v_avg"))
+                .orderBy("filter_key"))
+    q["filters_named_buckets"] = filters_by_type
+
     def top_hits_per_type(s, d):
         """top_hits per event_type: top-2 events by (value desc,
         event_id asc), flattened with hit_rank — one window rank, no
@@ -961,6 +980,19 @@ FROM grid g LEFT JOIN agg a USING (key) ORDER BY g.key
 SELECT count(*) AS doc_count
 FROM events
 WHERE (CASE WHEN value > 50 THEN NULL ELSE event_type END) IS NULL
+"""
+
+    sql["filters_named_buckets"] = """
+SELECT 'early_or_error' AS filter_key, count(*) AS doc_count,
+       round(avg(value), 6) AS v_avg
+FROM events WHERE event_type = 'error' OR value < 10.0
+UNION ALL
+SELECT 'errors', count(*), round(avg(value), 6)
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'hot', count(*), round(avg(value), 6)
+FROM events WHERE value >= 100.0
+ORDER BY filter_key
 """
 
     sql["pipeline_cumsum_mavg_deriv"] = f"""

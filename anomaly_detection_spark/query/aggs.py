@@ -122,6 +122,46 @@ def missing_agg(df: DataFrame, field: str,
     return filter_agg(df, F.col(field).isNull(), sub_specs or {})
 
 
+_COND_METRIC_FNS = {"max": F.max, "min": F.min, "avg": F.avg, "sum": F.sum,
+                    "value_count": F.count}
+
+
+def filters_agg(df: DataFrame, named_conds: dict[str, Column],
+                sub_specs: dict[str, dict] | None = None) -> DataFrame:
+    """Named multi-bucket ``filters`` agg in ONE pass: every bucket's
+    doc_count and metric sub-aggs are conditional aggregates of the
+    same scan (buckets may overlap, like OpenSearch), then a ``stack``
+    unpivot renders one row per named filter.  No per-filter jobs."""
+    sub_specs = sub_specs or {}
+    bad = [a for a, s in sub_specs.items()
+           if next(iter(s)) not in _COND_METRIC_FNS]
+    if bad:
+        raise ValueError(
+            f"filters sub-aggs support {sorted(_COND_METRIC_FNS)}; "
+            f"got {bad}")
+    cols: list[Column] = []
+    for fname, cond in named_conds.items():
+        cond = F.coalesce(cond, F.lit(False))
+        cols.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .alias(f"{fname}__doc_count"))
+        for alias, spec in sub_specs.items():
+            (kind, body), = spec.items()
+            v = F.when(cond, F.col(body["field"]))
+            cols.append(_COND_METRIC_FNS[kind](v)
+                        .alias(f"{fname}__{alias}"))
+    wide = df.agg(*cols)
+    per_row = 1 + len(sub_specs)
+    parts = []
+    for fname in named_conds:
+        vals = [f"`{fname}__doc_count`"] + [
+            f"`{fname}__{a}`" for a in sub_specs]
+        parts.append(f"'{fname}', " + ", ".join(vals))
+    out_cols = ", ".join(["filter_key", "doc_count", *sub_specs])
+    return wide.selectExpr(
+        f"stack({len(named_conds)}, {', '.join(parts)}) "
+        f"AS ({out_cols})")
+
+
 def histogram_agg(
     df: DataFrame,
     field: str,

@@ -239,6 +239,7 @@ def _nested_bucket(df: DataFrame, kind: str, kbody: dict,
 
 def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
     """Compile a search body's ``aggs`` over the (query-filtered) frame."""
+    df_unfiltered = df
     query = body.get("query")
     if query:
         df = df.filter(compile_filter(df, query))
@@ -260,6 +261,19 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             continue
         if kind == "missing":
             results[name] = missing_agg(df, kbody["field"], metrics)
+            continue
+        if kind == "filters":
+            from .aggs import filters_agg
+
+            named = {fn: compile_filter(df, fq)
+                     for fn, fq in kbody["filters"].items()}
+            results[name] = filters_agg(df, named, sub_specs=metrics)
+            continue
+        if kind == "global":
+            # global agg escapes the query scope: sub-aggs run over the
+            # UNFILTERED frame (GlobalAggregationBuilder)
+            results[name] = df_unfiltered.agg(
+                F.count("*").alias("doc_count"), *metric_agg_cols(metrics))
             continue
         if kind == "histogram":
             out = histogram_agg(

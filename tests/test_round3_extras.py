@@ -167,3 +167,31 @@ def test_weighted_avg_and_percentile_ranks(spark):
     ranks = list(pr.pr[0])
     assert abs(ranks[0] - 100.0 / 3.0) < 1e-9   # 1 of 3 non-null ≤ 1.5
     assert abs(ranks[1] - 100.0) < 1e-9
+
+
+def test_filters_agg_single_pass_and_global(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "t": ["a", "a", "b", "b"], "v": [1.0, 3.0, 5.0, 7.0]}))
+    out = run_aggs(df, {"aggs": {"f": {
+        "filters": {"filters": {
+            "as": {"term": {"t": "a"}},
+            "big": {"range": {"v": {"gte": 3.0}}}}},
+        "aggs": {"v_sum": {"sum": {"field": "v"}}}}}})["f"].toPandas()
+    out = out.set_index("filter_key")
+    assert out.loc["as"].doc_count == 2 and out.loc["as"].v_sum == 4.0
+    # overlapping bucket: v=3 counts in both
+    assert out.loc["big"].doc_count == 3 and out.loc["big"].v_sum == 15.0
+
+    # global escapes the query scope
+    g = run_aggs(df, {"query": {"term": {"t": "a"}}, "aggs": {
+        "all": {"global": {}, "aggs": {"v_sum": {"sum": {"field": "v"}}}},
+    }})["all"].toPandas()
+    assert g.doc_count[0] == 4 and g.v_sum[0] == 16.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="filters sub-aggs"):
+        run_aggs(df, {"aggs": {"f": {
+            "filters": {"filters": {"as": {"term": {"t": "a"}}}},
+            "aggs": {"p": {"percentiles": {"field": "v"}}}}}})
