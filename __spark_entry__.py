@@ -497,6 +497,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("filter_key"))
     q["filters_named_buckets"] = filters_by_type
 
+    def sig_terms_fr(s, d):
+        """significant_terms (JLH, analyzed) — terms over-represented
+        in lang='fr' docs vs the whole corpus; fg/bg doc-frequency
+        join, no collect of term space."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        docs = _read(s, d, "documents")
+        out = run_aggs(docs, {
+            "query": {"term": {"lang": "fr"}},
+            "aggs": {"sig": {"significant_terms": {
+                "field": "text", "analyzed": True, "size": 10,
+                "min_doc_count": 3}}}})["sig"]
+        return out.select("term", "fg_count", "bg_count",
+                          F.round("score", 6).alias("score"))
+    q["significant_terms_fr"] = sig_terms_fr
+
     def top_hits_per_type(s, d):
         """top_hits per event_type: top-2 events by (value desc,
         event_id asc), flattened with hit_rank — one window rank, no
@@ -980,6 +995,32 @@ FROM grid g LEFT JOIN agg a USING (key) ORDER BY g.key
 SELECT count(*) AS doc_count
 FROM events
 WHERE (CASE WHEN value > 50 THEN NULL ELSE event_type END) IS NULL
+"""
+
+    sql["significant_terms_fr"] = rf"""
+WITH tok AS (
+  SELECT lang, unnest(list_distinct(
+           {_TOKEN_SQL.format(col='text')})) AS term
+  FROM documents),
+tot AS (
+  SELECT count(*) FILTER (lang = 'fr') AS fg_n, count(*) AS bg_n
+  FROM documents),
+cnt AS (
+  SELECT term,
+         count(*) FILTER (lang = 'fr') AS fg_count,
+         count(*) AS bg_count
+  FROM tok GROUP BY term),
+scored AS (
+  SELECT term, fg_count, bg_count,
+         (fg_count / CAST(tot.fg_n AS DOUBLE)
+          - bg_count / CAST(tot.bg_n AS DOUBLE))
+         * (fg_count / CAST(tot.fg_n AS DOUBLE))
+         / (bg_count / CAST(tot.bg_n AS DOUBLE)) AS score
+  FROM cnt CROSS JOIN tot
+  WHERE fg_count >= 3)
+SELECT term, fg_count, bg_count, round(score, 6) AS score
+FROM scored WHERE score > 0
+ORDER BY score DESC, term LIMIT 10
 """
 
     sql["filters_named_buckets"] = """

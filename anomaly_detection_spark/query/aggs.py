@@ -357,6 +357,57 @@ def date_range_agg(
     return out.orderBy("from_ms", "range_id")
 
 
+def significant_terms_agg(
+    background: DataFrame,
+    foreground: DataFrame,
+    field: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+    analyzed: bool = False,
+) -> DataFrame:
+    """``significant_terms``: terms over-represented in the foreground
+    (query scope) vs the background (index), scored with the JLH
+    heuristic ((fg% − bg%) · fg%/bg%, OpenSearch's default).
+
+    ``analyzed=True`` tokenizes a text column and counts each term once
+    per doc (doc frequency, like the terms enum); ``False`` treats the
+    field value itself as the term (keyword semantics).  Two term-count
+    aggregations (foreground and background) joined on term — fg terms
+    are a subset of bg terms because the foreground is a filter of the
+    background, which is how ``run_aggs`` calls it.
+    """
+    if analyzed:
+        from ..functions.tokenizer import tokenize_column
+
+        term_col = F.explode(F.array_distinct(tokenize_column(field)))
+    else:
+        term_col = F.col(field)
+
+    def counts(df: DataFrame, cname: str) -> DataFrame:
+        return (df.select(term_col.alias("term"))
+                .filter(F.col("term").isNotNull())
+                .groupBy("term").agg(F.count("*").alias(cname)))
+
+    fg_n = foreground.count()
+    bg_n = background.count()
+    if fg_n == 0 or bg_n == 0:
+        return counts(background, "bg_count").limit(0) \
+            .withColumn("fg_count", F.lit(0)) \
+            .withColumn("score", F.lit(0.0))
+    fg = counts(foreground, "fg_count")
+    bg = counts(background, "bg_count")
+    j = bg.join(fg, "term", "left").fillna({"fg_count": 0})
+    fg_pct = F.col("fg_count") / F.lit(float(fg_n))
+    bg_pct = F.col("bg_count") / F.lit(float(bg_n))
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    out = (j.filter(F.col("fg_count") >= min_doc_count)
+           .withColumn("score", score)
+           .filter(F.col("score") > 0))
+    return (out.select("term", "fg_count", "bg_count",
+                       F.col("score").cast("double").alias("score"))
+            .orderBy(F.desc("score"), F.asc("term")).limit(size))
+
+
 def range_agg(
     df: DataFrame,
     field: str,

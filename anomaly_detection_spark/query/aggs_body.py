@@ -262,6 +262,15 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         if kind == "missing":
             results[name] = missing_agg(df, kbody["field"], metrics)
             continue
+        if kind == "significant_terms":
+            from .aggs import significant_terms_agg
+
+            results[name] = significant_terms_agg(
+                df_unfiltered, df, kbody["field"],
+                size=kbody.get("size", 10),
+                min_doc_count=kbody.get("min_doc_count", 3),
+                analyzed=kbody.get("analyzed", False))
+            continue
         if kind == "filters":
             from .aggs import filters_agg
 

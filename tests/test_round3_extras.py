@@ -195,3 +195,22 @@ def test_filters_agg_single_pass_and_global(spark):
         run_aggs(df, {"aggs": {"f": {
             "filters": {"filters": {"as": {"term": {"t": "a"}}}},
             "aggs": {"p": {"percentiles": {"field": "v"}}}}}})
+
+
+def test_significant_terms_keyword_jlh(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "grp": ["a"] * 4 + ["b"] * 4,
+        "tag": ["x", "x", "x", "y", "y", "y", "y", "z"]}))
+    out = run_aggs(df, {
+        "query": {"term": {"grp": "a"}},
+        "aggs": {"sig": {"significant_terms": {
+            "field": "tag", "min_doc_count": 1}}}})["sig"].toPandas()
+    # x: fg 3/4 vs bg 3/8 -> strongly significant; y: fg 1/4 vs bg 5/8
+    # -> negative score, dropped; z: fg 0 -> dropped
+    assert list(out.term) == ["x"]
+    fg_pct, bg_pct = 3 / 4, 3 / 8
+    want = (fg_pct - bg_pct) * fg_pct / bg_pct
+    assert abs(out.score[0] - want) < 1e-12
+    assert out.fg_count[0] == 3 and out.bg_count[0] == 3
