@@ -301,3 +301,196 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
         "detector_id", "entity", "data_start_time", "data_end_time",
         *feats, "anomaly_score", "anomaly_grade", "confidence",
         *ent, "bucket_start")
+
+
+# --- historical (batch) analysis ---------------------------------------------
+#
+# The reference's historical analysis (ADBatchTaskRunner.java) walks a
+# [start, end) range in bounded pieces (MAX_BATCH_TASK_PIECE_SIZE =
+# 10_000 intervals per query, TimeSeriesSettings.java:99), carrying
+# model state across pieces and checkpointing progress so an
+# interrupted task resumes at the next piece.  The Spark analog below
+# reuses the run_once_stateful state table, scores each piece's
+# buckets SEQUENTIALLY per (entity, feature) inside one applyInPandas
+# pass, appends piece results to a parquet results dir with an atomic
+# done-marker per piece, and skips completed pieces on resume.
+
+
+def run_historical(
+    spark: SparkSession,
+    det: Detector,
+    start_ms: int,
+    end_ms: int,
+    state_dir: str,
+    results_dir: str,
+    piece_intervals: int = 128,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Batch detection over ``[start_ms, end_ms)`` in pieces.
+
+    Row-identical to :func:`preview` over the same span (same trailing-z
+    model, warm-up and confidence ramp) while scanning each raw event
+    exactly once; interruption loses at most one piece of work.
+    Returns the accumulated results frame (all completed pieces).
+    """
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .features import feature_matrix
+
+    k = det.shingle_size
+    start_ms = (start_ms // det.interval_ms) * det.interval_ms
+    end_ms = (end_ms // det.interval_ms) * det.interval_ms
+    ent = list(det.category_fields)
+    gcols = ent or ["_g"]
+    feats = sorted(det.feature_specs)
+    spath = _state_path(state_dir, det.detector_id)
+    os.makedirs(results_dir, exist_ok=True)
+
+    piece_ms = piece_intervals * det.interval_ms
+    n_pieces = max(1, -(-(end_ms - start_ms) // piece_ms))
+
+    src = load_table(spark, det.indices)
+    # group-col types from the source (gcols order preserved — the
+    # UDF's output columns are matched positionally against the schema)
+    gstruct = ([src.schema[c] for c in ent] if ent
+               else [T.StructField("_g", T.StringType())])
+    out_schema = T.StructType(
+        gstruct
+        + [T.StructField("_feat", T.StringType()),
+           T.StructField("bucket_ms", T.LongType()),
+           T.StructField("_z", T.DoubleType()),
+           T.StructField("cnt_after", T.LongType()),
+           T.StructField("vals", T.ArrayType(T.DoubleType()))])
+
+    for p in range(n_pieces):
+        marker = os.path.join(results_dir, f"_piece_{p}.done")
+        if os.path.exists(marker):
+            continue
+        lo = start_ms + p * piece_ms
+        hi = min(end_ms, lo + piece_ms)
+        rng = {"range": {det.time_field: {"gte": lo, "lt": hi}}}
+        q = ({"bool": {"filter": [rng, det.filter_query]}}
+             if det.filter_query else rng)
+        fm = feature_matrix(src, det.time_field, det.interval_ms,
+                            det.feature_specs,
+                            entity_cols=tuple(det.category_fields),
+                            filter_cond=compile_filter(src, q))
+        base = fm if ent else fm.withColumn("_g", F.lit("_"))
+        pairs = ", ".join(f"'{n}', cast(`{n}` as double)" for n in feats)
+        cur = base.select(
+            *gcols,
+            F.unix_millis(F.col("bucket_start").cast("timestamp"))
+            .alias("bucket_ms"),
+            F.expr(f"stack({len(feats)}, {pairs})").alias("_feat", "_v"))
+
+        if os.path.exists(spath):
+            state = spark.read.parquet(spath)
+        else:
+            state = spark.createDataFrame(
+                [], T.StructType(
+                    gstruct
+                    + [T.StructField("_feat", T.StringType()),
+                       T.StructField("vals",
+                                     T.ArrayType(T.DoubleType())),
+                       T.StructField("scored_cnt", T.LongType())]))
+        st = (state.withColumnRenamed("vals", "_st_vals")
+              .withColumnRenamed("scored_cnt", "_st_cnt"))
+        joined = cur.join(st, [*gcols, "_feat"], "full_outer")
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            srow = pdf.iloc[0]
+            vals = []
+            for v in pdf["_st_vals"]:
+                if v is not None and not (isinstance(v, float)
+                                          and pd.isna(v)):
+                    vals = list(v)
+                    break
+            cnt = int(pd.Series(pdf["_st_cnt"]).dropna().max() or 0) \
+                if pdf["_st_cnt"].notna().any() else 0
+            rows = pdf[pdf["bucket_ms"].notna()].sort_values("bucket_ms")
+            out = []
+            for _, r in rows.iterrows():
+                v = r["_v"]
+                z = np.nan
+                if v is not None and not pd.isna(v):
+                    if len(vals) == k:
+                        # same float sequence as zscore_scorer
+                        w = np.asarray(vals, dtype=np.float64)
+                        m = w.sum() / k
+                        m2 = (w * w).sum() / k
+                        std = np.sqrt(max(m2 - m * m, 0.0))
+                        z = (float(v) - m) / (std + eps)
+                        cnt += 1
+                    vals = (vals + [float(v)])[-k:]
+                out.append([*(srow[c] for c in gcols), srow["_feat"],
+                            int(r["bucket_ms"]), z, cnt, None])
+            # trailing state row (bucket_ms null)
+            out.append([*(srow[c] for c in gcols), srow["_feat"],
+                        None, None, cnt, vals])
+            return pd.DataFrame(
+                out, columns=[*gcols, "_feat", "bucket_ms", "_z",
+                              "cnt_after", "vals"])
+
+        upd = (joined.groupBy(*gcols, "_feat")
+               .applyInPandas(fn, schema=out_schema)
+               .localCheckpoint())
+
+        # state rewrite (tmp + swap, crash-safe like run_once_stateful)
+        new_state = (upd.filter(F.col("bucket_ms").isNull())
+                     .select(*gcols, "_feat", "vals",
+                             F.col("cnt_after").alias("scored_cnt")))
+        tmp, trash = spath + ".__tmp__", spath + ".__old__"
+        new_state.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.exists(spath):
+            shutil.move(spath, trash)
+        shutil.move(tmp, spath)
+        shutil.rmtree(trash, ignore_errors=True)
+
+        scored = upd.filter(F.col("_z").isNotNull())
+        zw = (scored.groupBy(*gcols, "bucket_ms")
+              .pivot("_feat", feats).agg(F.first("_z")))
+        for n in feats:
+            zw = zw.withColumnRenamed(n, f"_z_{n}")
+        cnt1 = (scored.groupBy(*gcols, "bucket_ms")
+                .agg(F.max("cnt_after").alias("_cnt")))
+        wide = base.withColumn(
+            "bucket_ms",
+            F.unix_millis(F.col("bucket_start").cast("timestamp")))
+        out = (wide.join(zw, [*gcols, "bucket_ms"])
+               .join(cnt1, [*gcols, "bucket_ms"]))
+        for n in feats:
+            out = out.filter(F.col(f"_z_{n}").isNotNull())
+        score = F.greatest(*[F.abs(F.col(f"_z_{n}")) for n in feats]) \
+            if len(feats) > 1 else F.abs(F.col(f"_z_{feats[0]}"))
+        conf = F.least(F.lit(1.0),
+                       F.col("_cnt") / F.lit(float(det.confidence_ramp)))
+        result = (out
+                  .withColumn("anomaly_score", F.round(score, 6))
+                  .withColumn("anomaly_grade", F.round(_grade(score), 6))
+                  .withColumn("confidence", F.round(conf, 6))
+                  .withColumn("detector_id", F.lit(det.detector_id))
+                  .withColumn("data_start_time", F.col("bucket_start"))
+                  .withColumn("data_end_time", F.timestamp_millis(
+                      F.col("bucket_ms") + det.interval_ms)))
+        if ent:
+            result = with_entity(result, {c: c for c in ent})
+        else:
+            result = result.withColumn(
+                "entity",
+                F.array().cast("array<struct<name:string,value:string>>"))
+        (result.select(
+            "detector_id", "entity", "data_start_time", "data_end_time",
+            *feats, "anomaly_score", "anomaly_grade", "confidence",
+            *ent, "bucket_start")
+         .write.mode("overwrite").parquet(
+             os.path.join(results_dir, f"piece={p}")))
+        with open(marker, "w") as f:
+            f.write("done")
+
+    return spark.read.parquet(os.path.join(results_dir, "piece=*"))

@@ -214,3 +214,78 @@ def test_significant_terms_keyword_jlh(spark):
     want = (fg_pct - bg_pct) * fg_pct / bg_pct
     assert abs(out.score[0] - want) < 1e-12
     assert out.fg_count[0] == 3 and out.bg_count[0] == 3
+
+
+# --- historical (batch) analysis: pieces ≡ preview, resumable ----------------
+
+
+HOUR = 3_600_000
+
+
+def test_run_historical_pieces_match_preview_and_resume(
+        spark, tmp_path_factory):
+    """run_historical over [start, end) in 7-interval pieces produces
+    rows identical to preview over the same span (scores, grades,
+    confidence), carries shingle state ACROSS piece boundaries, and
+    resumes: re-running skips completed pieces (results unchanged)."""
+    import os
+
+    from anomaly_detection_spark.detector import (
+        Detector, preview, run_historical)
+
+    base_ts = pd.Timestamp("2025-03-01")
+    rows = []
+    eid = 0
+    for ent in ("A", "B"):
+        for h in range(20):
+            n = 100 if (ent == "B" and h == 15) else 5
+            for i in range(n):
+                rows.append((eid, ent,
+                             base_ts + pd.Timedelta(hours=h, minutes=i % 50),
+                             float(10 + (i % 3))))
+                eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "service", "ts", "value"])
+    root = tmp_path_factory.mktemp("hist")
+    src = str(root / "events")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    det = Detector(
+        detector_id="det-h", indices=src,
+        feature_specs={"n_events": {"value_count": {"field": "event_id"}},
+                       "v_avg": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=HOUR,
+        category_fields=("service",), shingle_size=8)
+
+    want = preview(spark, det).toPandas()
+    want = want.set_index(
+        [want.service, want.bucket_start.map(pd.Timestamp)]).sort_index()
+
+    start = int(base_ts.value // 10**6)
+    end = start + 20 * HOUR
+    state_dir = str(root / "state")
+    results_dir = str(root / "results")
+    # 7-interval pieces: shingle windows MUST cross piece boundaries
+    got_df = run_historical(spark, det, start, end, state_dir,
+                            results_dir, piece_intervals=7)
+    got = got_df.toPandas()
+
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        w = want.loc[(r.service, pd.Timestamp(r.bucket_start))]
+        assert abs(r.anomaly_score - float(w.anomaly_score)) < 1e-9, r
+        assert abs(r.anomaly_grade - float(w.anomaly_grade)) < 1e-9
+        assert abs(r.confidence - float(w.confidence)) < 1e-9
+        assert r.n_events == int(w.n_events)
+    assert list(got[got.anomaly_grade > 0].service) == ["B"]
+
+    # resume: all pieces marked done -> rerun is a no-op with the same
+    # results, even with a poisoned state dir (it must not be re-read)
+    markers = sorted(f for f in os.listdir(results_dir)
+                     if f.endswith(".done"))
+    assert len(markers) == 3  # ceil(20 / 7)
+    again = run_historical(spark, det, start, end, state_dir,
+                           results_dir, piece_intervals=7).toPandas()
+    assert len(again) == len(got)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["service", "bucket_start"]).reset_index(drop=True),
+        again.sort_values(["service", "bucket_start"]).reset_index(drop=True))
