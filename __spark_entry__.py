@@ -513,15 +513,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["significant_terms_fr"] = sig_terms_fr
 
     def top_hits_per_type(s, d):
-        """top_hits per event_type: top-2 events by (value desc,
-        event_id asc), flattened with hit_rank — one window rank, no
-        per-group loops."""
-        from anomaly_detection_spark.query.aggs import top_hits_agg
+        """top_hits per event_type through the body compiler: top-2
+        events by (value desc, event_id asc), flattened with hit_rank —
+        one window rank, no per-group loops."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
         ev = _read(s, d, "events")
-        return (top_hits_agg(ev, ["event_type"],
-                             [("value", "desc"), ("event_id", "asc")],
-                             size=2, select=["event_id",
-                                             "value"])
+        return (run_aggs(ev, {"aggs": {"t": {
+            "terms": {"field": "event_type", "size": 10},
+            "aggs": {"h": {"top_hits": {
+                "size": 2,
+                "sort": [{"value": {"order": "desc"}},
+                         {"event_id": {"order": "asc"}}],
+                "_source": ["event_id", "value"]}}}}}})["t"]
                 .select("event_type",
                         F.col("hit_rank").cast("long").alias("hit_rank"),
                         "event_id", F.round("value", 6).alias("value"))

@@ -126,11 +126,11 @@ def _dh_bucket(kbody: dict[str, Any]) -> Column:
             else bucketize_calendar(kbody["field"], v))
 
 
-def _split(spec: dict[str, Any]) -> tuple[str, dict, dict, dict, dict]:
+def _split(spec: dict[str, Any]) -> tuple[str, dict, dict, dict, dict, dict]:
     """One named agg body → (kind, body, metric sub-aggs, pipeline aggs,
-    bucket sub-aggs).  One level of bucket-in-bucket is supported
-    (terms/date_histogram inside terms/date_histogram — the nested
-    shapes real detector JSON uses); deeper nesting raises."""
+    bucket sub-aggs, top_hits sub-aggs).  One level of bucket-in-bucket
+    is supported (terms/date_histogram inside terms/date_histogram —
+    the nested shapes real detector JSON uses); deeper nesting raises."""
     sub = dict(spec.get("aggs") or {})
     kinds = [k for k in spec if k != "aggs"]
     if len(kinds) != 1:
@@ -142,7 +142,10 @@ def _split(spec: dict[str, Any]) -> tuple[str, dict, dict, dict, dict]:
              if next(iter(k for k in s if k != "aggs")) in _PIPELINE_KINDS}
     buckets = {n: s for n, s in sub.items()
                if next(iter(k for k in s if k != "aggs")) in _BUCKET_KINDS}
-    unknown = set(sub) - set(metrics) - set(pipes) - set(buckets)
+    hits = {n: s for n, s in sub.items()
+            if next(iter(k for k in s if k != "aggs")) == "top_hits"}
+    unknown = (set(sub) - set(metrics) - set(pipes) - set(buckets)
+               - set(hits))
     if unknown:
         raise ValueError(f"unsupported sub-aggs: {sorted(unknown)}")
     if len(buckets) > 1:
@@ -150,7 +153,12 @@ def _split(spec: dict[str, Any]) -> tuple[str, dict, dict, dict, dict]:
             f"at most one bucket sub-agg supported: {sorted(buckets)}")
     if buckets and kind not in _BUCKET_KINDS:
         raise ValueError(f"bucket sub-agg under {kind!r} unsupported")
-    return kind, spec[kind], metrics, pipes, buckets
+    if hits and (len(hits) > 1 or metrics or pipes or buckets
+                 or kind not in _BUCKET_KINDS):
+        raise ValueError(
+            "top_hits is supported as the sole sub-agg of a "
+            "terms/date_histogram bucket")
+    return kind, spec[kind], metrics, pipes, buckets, hits
 
 
 def _apply_pipes(out: DataFrame, pipes: dict[str, dict],
@@ -245,7 +253,34 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         df = df.filter(compile_filter(df, query))
     results: dict[str, DataFrame] = {}
     for name, spec in (body.get("aggs") or {}).items():
-        kind, kbody, metrics, pipes, bsubs = _split(spec)
+        kind, kbody, metrics, pipes, bsubs, hits = _split(spec)
+        if hits:
+            # top_hits under a bucket agg: per-bucket top-N docs via
+            # one window rank over the bucket key (no per-bucket jobs)
+            from .aggs import top_hits_agg
+
+            (hname, hspec), = hits.items()
+            hb = hspec["top_hits"]
+            sort = [(list(s)[0], s[list(s)[0]].get("order", "asc"))
+                    for s in hb.get("sort", [])]
+            if not sort:
+                raise ValueError("top_hits requires a sort spec")
+            hsize = hb.get("size", 3)
+            sel = hb.get("_source")
+            if kind == "terms":
+                fld, tsize = kbody["field"], kbody.get("size", 10)
+                top = (df.groupBy(fld).agg(F.count("*").alias("_c"))
+                       .orderBy(F.desc("_c"), F.asc(fld)).limit(tsize)
+                       .select(fld))
+                scoped = df.join(F.broadcast(top), fld)
+                results[name] = top_hits_agg(scoped, [fld], sort,
+                                             size=hsize, select=sel)
+            else:  # date_histogram (guaranteed by _split)
+                scoped = df.withColumn("bucket_start", _dh_bucket(kbody))
+                results[name] = top_hits_agg(scoped, ["bucket_start"],
+                                             sort, size=hsize,
+                                             select=sel)
+            continue
         if bsubs:
             if metrics or pipes:
                 raise ValueError(

@@ -289,3 +289,26 @@ def test_run_historical_pieces_match_preview_and_resume(
     pd.testing.assert_frame_equal(
         got.sort_values(["service", "bucket_start"]).reset_index(drop=True),
         again.sort_values(["service", "bucket_start"]).reset_index(drop=True))
+
+
+def test_top_hits_body_sub_agg(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b"], "id": [1, 2, 3, 4, 5],
+        "v": [5.0, 9.0, 7.0, 1.0, 2.0]}))
+    out = run_aggs(df, {"aggs": {"t": {
+        "terms": {"field": "g", "size": 10},
+        "aggs": {"h": {"top_hits": {
+            "size": 2, "sort": [{"v": {"order": "desc"}}],
+            "_source": ["id", "v"]}}}}}})["t"].toPandas()
+    a = out[out.g == "a"].sort_values("hit_rank")
+    assert list(a.id) == [2, 3]
+    assert list(out[out.g == "b"].sort_values("hit_rank").id) == [5, 4]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sole sub-agg"):
+        run_aggs(df, {"aggs": {"t": {
+            "terms": {"field": "g"},
+            "aggs": {"h": {"top_hits": {"sort": [{"v": {}}]}},
+                     "m": {"avg": {"field": "v"}}}}}})
