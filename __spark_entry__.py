@@ -512,6 +512,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("score", 6).alias("score"))
     q["significant_terms_fr"] = sig_terms_fr
 
+    def rare_users(s, d):
+        """rare_terms — the long-tail complement of terms top-N."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        ev = _read(s, d, "events")
+        out = run_aggs(ev, {"aggs": {"r": {
+            "rare_terms": {"field": "user_id", "max_doc_count": 55},
+            "aggs": {"v_avg": {"avg": {"field": "value"}}}}}})["r"]
+        return out.select("user_id", "doc_count",
+                          F.round("v_avg", 6).alias("v_avg"))
+    q["rare_terms_users"] = rare_users
+
     def top_hits_per_type(s, d):
         """top_hits per event_type through the body compiler: top-2
         events by (value desc, event_id asc), flattened with hit_rank —
@@ -1024,6 +1035,13 @@ scored AS (
 SELECT term, fg_count, bg_count, round(score, 6) AS score
 FROM scored WHERE score > 0
 ORDER BY score DESC, term LIMIT 10
+"""
+
+    sql["rare_terms_users"] = """
+SELECT user_id, count(*) AS doc_count, round(avg(value), 6) AS v_avg
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id HAVING count(*) <= 55
+ORDER BY doc_count, user_id
 """
 
     sql["filters_named_buckets"] = """

@@ -467,6 +467,22 @@ def terms_agg(
     return aggd.orderBy(*order).limit(size)
 
 
+def rare_terms_agg(
+    df: DataFrame, fld: str, max_doc_count: int = 1,
+    sub_specs: dict[str, dict] | None = None,
+) -> DataFrame:
+    """``rare_terms``: buckets whose doc_count ≤ ``max_doc_count``,
+    ordered count asc then key asc (RareTermsAggregationBuilder's
+    long-tail view — the exact complement of terms top-N)."""
+    sub_specs = sub_specs or {}
+    aggd = (df.filter(F.col(fld).isNotNull())
+            .groupBy(fld)
+            .agg(F.count("*").alias("doc_count"),
+                 *metric_agg_cols(sub_specs)))
+    return (aggd.filter(F.col("doc_count") <= max_doc_count)
+            .orderBy(F.asc("doc_count"), F.asc(fld)))
+
+
 def composite_agg(
     df: DataFrame,
     sources: list[str | Column],

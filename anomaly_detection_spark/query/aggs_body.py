@@ -297,6 +297,14 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         if kind == "missing":
             results[name] = missing_agg(df, kbody["field"], metrics)
             continue
+        if kind == "rare_terms":
+            from .aggs import rare_terms_agg
+
+            results[name] = rare_terms_agg(
+                df, kbody["field"],
+                max_doc_count=kbody.get("max_doc_count", 1),
+                sub_specs=metrics)
+            continue
         if kind == "significant_terms":
             from .aggs import significant_terms_agg
 
