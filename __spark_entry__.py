@@ -462,6 +462,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("bucket_start"))
     q["pipeline_cumsum_mavg_deriv"] = pipes_hourly
 
+    def bucket_script_selector(s, d):
+        """bucket_script (per-bucket arithmetic over sibling metrics)
+        + bucket_selector (predicate keeps buckets) — painless-subset
+        scripts compiled to Column expressions."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        ev = _read(s, d, "events")
+        out = run_aggs(ev, {"aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+            "aggs": {
+                "v_sum": {"sum": {"field": "value"}},
+                "per_doc": {"bucket_script": {
+                    "buckets_path": {"s": "v_sum", "c": "doc_count"},
+                    "script": "params.s / params.c"}},
+                "keep": {"bucket_selector": {
+                    "buckets_path": {"c": "doc_count"},
+                    "script": "params.c >= 300"}},
+            }}}})["h"]
+        return (out.select("bucket_start", "doc_count",
+                           F.round("v_sum", 6).alias("v_sum"),
+                           F.round("per_doc", 6).alias("per_doc"))
+                .orderBy("bucket_start"))
+    q["bucket_script_selector_daily"] = bucket_script_selector
+
     def wavg_pranks(s, d):
         """weighted_avg + exact percentile_ranks global metrics (weight
         column derived identically on both sides)."""
@@ -1069,6 +1092,13 @@ SELECT bucket_start, doc_count,
                                   ROWS 2 PRECEDING), 6) AS mavg,
        doc_count - lag(doc_count) OVER (ORDER BY bucket_start) AS deriv
 FROM h ORDER BY bucket_start
+"""
+
+    sql["bucket_script_selector_daily"] = """
+SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % 86400000) AS bucket_start,
+       count(*) AS doc_count, round(sum(value), 6) AS v_sum,
+       round(sum(value) / count(*), 6) AS per_doc
+FROM events GROUP BY 1 HAVING count(*) >= 300 ORDER BY 1
 """
 
     sql["weighted_avg_percentile_ranks"] = """

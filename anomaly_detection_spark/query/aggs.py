@@ -556,6 +556,42 @@ def sibling_bucket(df: DataFrame, metric_col: str, stat: str) -> DataFrame:
     return df.agg(fns[stat](metric_col).alias(f"{stat}_{metric_col}"))
 
 
+def _compile_bucket_script(script: str, paths: dict[str, str],
+                           extra_ok: str = "") -> Column:
+    """Painless-subset bucket script → Column: ``params.X`` resolves to
+    the buckets_path column for X; what remains must be PURE arithmetic
+    (numbers + operators — the only shapes the plugin-era dashboards
+    use).  After substitution the backticked column refs are stripped
+    and any leftover identifier character rejects the script, so no
+    name other than the mapped columns can reach Catalyst."""
+    import re
+
+    expr = script
+    for var, col in sorted(paths.items(), key=lambda kv: -len(kv[0])):
+        expr = expr.replace(f"params.{var}", f"`{col}`")
+    bare = re.sub(r"`[^`]*`", "", expr)
+    if re.search(r"[A-Za-z_`]", bare) or \
+            not set(bare) <= set("0123456789. +-*/()%,<>=!&|" + extra_ok):
+        raise ValueError(f"unsupported bucket script: {script!r}")
+    return F.expr(expr)
+
+
+def bucket_script(df: DataFrame, paths: dict[str, str], script: str,
+                  alias: str) -> DataFrame:
+    """bucket_script pipeline agg: a new per-bucket column computed
+    from sibling metric columns (arithmetic painless subset)."""
+    return df.withColumn(alias,
+                         _compile_bucket_script(script, paths)
+                         .cast("double"))
+
+
+def bucket_selector(df: DataFrame, paths: dict[str, str],
+                    script: str) -> DataFrame:
+    """bucket_selector pipeline agg: keep buckets where the predicate
+    over sibling metrics holds (comparison/boolean painless subset)."""
+    return df.filter(_compile_bucket_script(script, paths))
+
+
 def derivative(df: DataFrame, metric_col: str, order_col: str,
                alias: str | None = None) -> DataFrame:
     """derivative pipeline agg ≡ serial_diff with lag 1

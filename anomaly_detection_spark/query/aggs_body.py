@@ -58,7 +58,8 @@ _METRIC_KINDS = {"max", "min", "avg", "sum", "value_count", "cardinality",
                  "percentile_ranks"}
 _PIPELINE_KINDS = {"serial_diff", "min_bucket", "max_bucket", "sum_bucket",
                    "avg_bucket", "bucket_sort", "derivative",
-                   "cumulative_sum", "moving_avg"}
+                   "cumulative_sum", "moving_avg", "bucket_script",
+                   "bucket_selector"}
 _BUCKET_KINDS = {"terms", "date_histogram"}
 
 _DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
@@ -182,6 +183,15 @@ def _apply_pipes(out: DataFrame, pipes: dict[str, dict],
 
             out = moving_avg(out, pb["buckets_path"], order_col,
                              window=pb.get("window", 5), alias=name)
+        elif pk == "bucket_script":
+            from .aggs import bucket_script
+
+            out = bucket_script(out, pb["buckets_path"],
+                                pb["script"], alias=name)
+        elif pk == "bucket_selector":
+            from .aggs import bucket_selector
+
+            out = bucket_selector(out, pb["buckets_path"], pb["script"])
         elif pk == "min_bucket":
             out = min_bucket(out, pb["buckets_path"])
         elif pk in ("max_bucket", "sum_bucket", "avg_bucket"):

@@ -312,3 +312,35 @@ def test_top_hits_body_sub_agg(spark):
             "terms": {"field": "g"},
             "aggs": {"h": {"top_hits": {"sort": [{"v": {}}]}},
                      "m": {"avg": {"field": "v"}}}}}})
+
+
+def test_bucket_script_and_selector(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.to_datetime(["2025-01-01 00:10", "2025-01-01 00:20",
+                              "2025-01-01 01:10", "2025-01-01 02:10",
+                              "2025-01-01 02:20", "2025-01-01 02:30"]),
+        "v": [2.0, 4.0, 6.0, 1.0, 1.0, 1.0]}))
+    out = run_aggs(df, {"aggs": {"h": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+        "aggs": {
+            "v_sum": {"sum": {"field": "v"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"s": "v_sum", "c": "doc_count"},
+                "script": "params.s / params.c"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"c": "doc_count"},
+                "script": "params.c >= 2"}},
+        }}}})["h"].toPandas().sort_values("bucket_start")
+    # hour 1 (single doc) dropped by the selector; per_doc = sum/count
+    assert list(out.doc_count) == [2, 3]
+    assert list(out.per_doc) == [3.0, 1.0]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unsupported bucket script"):
+        run_aggs(df, {"aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+            "aggs": {"x": {"bucket_script": {
+                "buckets_path": {"c": "doc_count"},
+                "script": "java.lang.Runtime.getRuntime()"}}}}}})
