@@ -253,6 +253,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "rank", "score"))
     q["multi_match_best_fields"] = multi_match_best
 
+    def phrase_scored(s, d):
+        """Scored match_phrase (Lucene PhraseQuery): tf = positional
+        phrase frequency (overlaps count), weight = Σ term idfs, BM25
+        saturation; occurrence count is a codegen higher-order-function
+        expression over the token array."""
+        from anomaly_detection_spark.query.planner import search
+        docs = _read(s, d, "documents").withColumnRenamed("doc_id", "docid")
+        top = search(docs, {"query": {"match_phrase": {
+            "text": "the data"}}, "size": 10})
+        out = top.select(F.col("docid").alias("doc_id"),
+                         F.round("score", 6).alias("score"))
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+                .select("doc_id", "rank", "score"))
+    q["match_phrase_scored"] = phrase_scored
+
     def match_contains(s, d):
         from anomaly_detection_spark.query.planner import compile_filter
         docs = _read(s, d, "documents")
@@ -1133,6 +1149,37 @@ WHERE hit_rank <= 2 ORDER BY event_type, hit_rank
     sql["prefix_source_counts"] = """
 SELECT source, count(*) AS doc_count FROM documents
 WHERE source LIKE 'src1%' GROUP BY source ORDER BY source
+"""
+
+    sql["match_phrase_scored"] = rf"""
+WITH tok AS (
+  SELECT doc_id, {_TOKEN_SQL.format(col='text')} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tok)
+  WHERE term IN ('the', 'data') GROUP BY term),
+idf AS (
+  SELECT sum(ln(1 + (stats.n - coalesce(dfq.df, 0) + 0.5)
+              / (coalesce(dfq.df, 0) + 0.5))) AS s
+  FROM (SELECT unnest(['the', 'data']) AS term) p
+  LEFT JOIN dfq USING (term) CROSS JOIN stats),
+pf AS (
+  SELECT t.doc_id,
+         len(list_filter(generate_series(1, len(ts) - 1),
+                         i -> ts[i : i + 1] = ['the', 'data'])) AS pf
+  FROM tok t WHERE len(ts) >= 2)
+SELECT doc_id,
+       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+       round(score, 6) AS score
+FROM (
+  SELECT pf.doc_id,
+         idf.s * (pf.pf * ({K1} + 1.0))
+         / (pf.pf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS score
+  FROM pf JOIN dl USING (doc_id) CROSS JOIN idf CROSS JOIN stats
+  WHERE pf.pf > 0)
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """
 
     sql["match_phrase_docs"] = rf"""

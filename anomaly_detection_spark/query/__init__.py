@@ -4,6 +4,7 @@ from .brute_force import (  # noqa: F401
     bm25_scores,
     bm25_topk_bruteforce,
     corpus_stats,
+    match_phrase_topk,
     multi_match_topk,
 )
 from .budget import QueryTimeoutError, time_budget  # noqa: F401

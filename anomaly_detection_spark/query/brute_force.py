@@ -167,6 +167,63 @@ def bm25_topk_bruteforce(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def match_phrase_topk(
+    analyzed: DataFrame,
+    phrase: str,
+    k: int = 10,
+    filter_cond: Column | None = None,
+    stats: CorpusStats | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    id_col: str = "docid",
+) -> DataFrame:
+    """Scored ``match_phrase`` (Lucene PhraseQuery, slop=0): tf = the
+    number of positions where the analyzed doc contains the full
+    phrase (overlapping occurrences count, like Lucene's position
+    enumeration), weight = Σ idf over the phrase's term positions
+    (duplicates counted per position), BM25 saturation over that tf.
+
+    The occurrence count is a pure codegen expression — ``filter`` +
+    ``slice`` higher-order functions over the token array — so the
+    scan stays JVM-side; only matching docs reach the top-k.
+    """
+    terms = tokenize_query(phrase)
+    if not terms:
+        return analyzed.select(
+            F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    m = len(terms)
+    stats = stats or corpus_stats(analyzed)
+    # Σ idf over phrase positions: df per UNIQUE term, summed with
+    # multiplicity.  The phrase has ≤ a handful of terms, so this is a
+    # scalar computed once (same posture as corpus_stats).
+    dfs = {r["term"]: r["df"]
+           for r in term_doc_freqs(analyzed, sorted(set(terms))).collect()}
+    import math
+
+    idf_sum = sum(
+        math.log(1.0 + (stats.n_docs - dfs.get(t, 0) + 0.5)
+                 / (dfs.get(t, 0) + 0.5))
+        for t in terms)
+
+    cand = analyzed if filter_cond is None else analyzed.filter(filter_cond)
+    toks = F.col("tokens")
+    arr = F.array(*[F.lit(t) for t in terms])
+    pf = F.when(
+        F.size(toks) < m, F.lit(0)
+    ).otherwise(F.size(F.filter(
+        F.sequence(F.lit(1), F.size(toks) - m + 1),
+        lambda i: F.slice(toks, i, m) == arr)))
+    scored = (cand.withColumn("_pf", pf)
+              .filter(F.col("_pf") > 0)
+              .withColumn(
+                  "score",
+                  F.lit(idf_sum) * (F.col("_pf") * (k1 + 1.0))
+                  / (F.col("_pf") + k1 * (1.0 - b + b * F.col("doc_len")
+                     / F.lit(max(stats.avgdl, 1e-12))))))
+    return (scored.select(id_col, "score")
+            .orderBy(F.desc("score"), F.asc(id_col)).limit(k))
+
+
 def multi_match_topk(
     docs: DataFrame,
     query_text: str,

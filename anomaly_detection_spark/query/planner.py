@@ -315,6 +315,27 @@ def search(
             tie_breaker=float(mm.get("tie_breaker", 0.0)))
         return _finish_search(out, size, timeout_s)
 
+    if set(query) == {"match_phrase"}:
+        # scored phrase (Lucene PhraseQuery): tf = positional phrase
+        # frequency, weight = Σ term idfs.  Brute-force targets only —
+        # the inverted index stores no positions (filter-context
+        # match_phrase works everywhere via compile_filter).
+        from .brute_force import analyze_docs, match_phrase_topk
+
+        if isinstance(target, IndexReader):
+            raise ValueError(
+                "scored match_phrase requires a docs DataFrame target "
+                "(the index stores no positions); use match_phrase "
+                "inside a bool filter for filter-context semantics")
+        (fld, spec), = query["match_phrase"].items()
+        text = _field_value(spec, key="query")
+        if isinstance(spec, dict) and spec.get("slop", 0) != 0:
+            raise ValueError("match_phrase slop != 0 is unsupported")
+        tgt = (target if "tokens" in target.columns
+               else analyze_docs(target, text_col=fld))
+        out = match_phrase_topk(tgt, text, k=size)
+        return _finish_search(out, size, timeout_s)
+
     plan = plan_query(schema_df, query)
     cond = plan.filter_cond
 

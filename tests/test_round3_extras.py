@@ -344,3 +344,30 @@ def test_bucket_script_and_selector(spark):
             "aggs": {"x": {"bucket_script": {
                 "buckets_path": {"c": "doc_count"},
                 "script": "java.lang.Runtime.getRuntime()"}}}}}})
+
+
+def test_match_phrase_scored_overlap_and_ranking(spark):
+    """Lucene PhraseQuery semantics: tf = POSITIONAL phrase frequency
+    (overlapping occurrences count), weight = sum of term idfs."""
+    import math
+
+    from anomaly_detection_spark.query import analyze_docs
+    from anomaly_detection_spark.query.planner import search
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "docid": [0, 1, 2, 3],
+        "text": ["go go go stop",      # "go go" occurs at 2 positions
+                 "go go stop",         # 1 occurrence
+                 "go stop go",         # 0 (not consecutive)
+                 "stop stop"]}))
+    an = analyze_docs(df)
+    out = search(an, {"query": {"match_phrase": {"text": "go go"}},
+                      "size": 10}).toPandas()
+    assert list(out.docid) == [0, 1]
+    # exact score check for doc 0: idf(go)*2, tf=2, dl=4, avgdl=13/4
+    n, df_go = 4, 3
+    idf2 = 2 * math.log(1 + (n - df_go + 0.5) / (df_go + 0.5))
+    k1, b = 1.2, 0.75
+    avgdl = (4 + 3 + 3 + 2) / 4
+    want = idf2 * (2 * (k1 + 1)) / (2 + k1 * (1 - b + b * 4 / avgdl))
+    assert abs(out.score[0] - want) < 1e-9
