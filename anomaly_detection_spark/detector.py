@@ -48,6 +48,13 @@ class Detector:
     shingle_size: int = 8
     confidence_ramp: int = 32               # intervals to full confidence
 
+    def __post_init__(self):
+        # feature names are interpolated into a stack() expr string by
+        # the scoring melt — reject names that could escape it
+        from .query.aggs import require_safe_names
+
+        require_safe_names(self.feature_specs, "feature names")
+
 
 def _grade(z: F.Column) -> F.Column:
     """|z| → anomaly grade in [0, 1]: 0 below 3σ, 1 at ≥6σ."""
@@ -87,6 +94,10 @@ def preview(spark: SparkSession, det: Detector,
     melted = base.select(
         *gcols, "bucket_start",
         F.expr(f"stack({len(feats)}, {pairs})").alias("_feat", "_v"))
+    # a null feature value (e.g. avg over an all-null bucket) is skipped
+    # — the window holds the last k SCORED values, exactly like the
+    # stateful paths, which never ingest a null
+    melted = melted.filter(F.col("_v").isNotNull())
     scored = score_entities(melted, "_v", scorer=scorer,
                             entity_cols=(*gcols, "_feat"), score_col="_z")
     zw = (scored.groupBy(*gcols, "bucket_start")
@@ -94,20 +105,25 @@ def preview(spark: SparkSession, det: Detector,
     for n in feats:
         zw = zw.withColumnRenamed(n, f"_z_{n}")
     out = base.join(zw, [*gcols, "bucket_start"])
+    # Confidence ramps with scored history per entity (the reference
+    # reports <1 confidence until the model is warm).  The count is the
+    # MIN across features of each feature's cumulative scored intervals
+    # — computed BEFORE the all-features filter so it agrees exactly
+    # with the per-feature scored_cnt state run_once_stateful and
+    # run_historical carry (min across features there too).
+    from pyspark.sql.window import Window
+
+    conf_w = Window.partitionBy(*gcols).orderBy("bucket_start")
+    cum = [F.count(F.col(f"_z_{n}")).over(conf_w) for n in feats]
+    out = out.withColumn("_cnt", F.least(*cum) if len(cum) > 1 else cum[0])
     for n in feats:
         # a bucket survives only if every feature scored (identical to
         # the previous per-feature inner joins)
         out = out.filter(F.col(f"_z_{n}").isNotNull())
     score = F.greatest(*[F.abs(F.col(f"_z_{n}")) for n in feats]) \
         if len(feats) > 1 else F.abs(F.col(f"_z_{feats[0]}"))
-    # Confidence ramps with scored history per entity (the reference
-    # reports <1 confidence until the model is warm): the i-th scored
-    # interval of an entity carries min(1, i / confidence_ramp).
-    from pyspark.sql.window import Window
-
-    conf_w = Window.partitionBy(*gcols).orderBy("bucket_start")
-    conf = F.least(F.lit(1.0), F.row_number().over(conf_w)
-                   / F.lit(float(det.confidence_ramp)))
+    conf = F.least(F.lit(1.0),
+                   F.col("_cnt") / F.lit(float(det.confidence_ramp)))
     result = (out
               .withColumn("anomaly_score", F.round(score, 6))
               .withColumn("anomaly_grade", F.round(_grade(score), 6))
@@ -179,6 +195,13 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
     bucket (same trailing-z model, same warm-up and confidence ramp)
     when called once per interval in order — but reads only the new
     interval's raw events, not ``history_intervals`` of history.
+
+    Idempotent per interval: the state rows carry the last-ingested
+    bucket (``last_ms``) and its score (``last_z``), so a retry of the
+    same interval (scheduler re-fire, downstream write failure after
+    the state swap) REPLAYS the stored score without appending the
+    value into the shingle window again.  A call for an interval older
+    than ``last_ms`` is a no-op (no mutation, no rows).
     """
     import numpy as np
     import pandas as pd
@@ -210,12 +233,18 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
     spath = _state_path(state_dir, det.detector_id)
     state_fields = ([f for f in cur.schema.fields if f.name != "_v"]
                     + [T.StructField("vals", T.ArrayType(T.DoubleType())),
-                       T.StructField("scored_cnt", T.LongType())])
+                       T.StructField("scored_cnt", T.LongType()),
+                       T.StructField("last_ms", T.LongType()),
+                       T.StructField("last_z", T.DoubleType())])
     state_schema = T.StructType(state_fields)
     import os
 
     if os.path.exists(spath):
         state = spark.read.parquet(spath)
+        # state written before the idempotency columns existed
+        for c, t in (("last_ms", "long"), ("last_z", "double")):
+            if c not in state.columns:
+                state = state.withColumn(c, F.lit(None).cast(t))
     else:
         state = spark.createDataFrame([], state_schema)
 
@@ -232,8 +261,14 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
             lens = np.fromiter((len(v) for v in vals_list), np.int64, n)
             v = pdf["_v"].to_numpy(dtype=np.float64)
             havev = ~np.isnan(v)
+            lm = pdf["last_ms"].to_numpy(dtype=np.float64)  # NaN = never
+            lz = pdf["last_z"].to_numpy(dtype=np.float64)
+            # already-ingested interval → replay stored score, no append;
+            # an older interval than last_ms → no-op (out-of-order call)
+            replay = havev & (lm == float(start))
+            ingest = havev & ~replay & ~(lm > float(start))
             z = np.full(n, np.nan)
-            idx = np.flatnonzero((lens == k) & havev)
+            idx = np.flatnonzero((lens == k) & ingest)
             if len(idx):
                 # same float sequence as zscore_scorer (sum/k twice)
                 W = np.array([vals_list[i] for i in idx], dtype=np.float64)
@@ -241,15 +276,21 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
                 m2 = (W * W).sum(axis=1) / k
                 std = np.sqrt(np.maximum(m2 - m * m, 0.0))
                 z[idx] = (v[idx] - m) / (std + eps)
+            z[replay] = lz[replay]
             newvals = [
-                (vals_list[i] + [float(v[i])])[-k:] if havev[i]
+                (vals_list[i] + [float(v[i])])[-k:] if ingest[i]
                 else vals_list[i]
                 for i in range(n)]
             cnt = pdf["scored_cnt"].fillna(0).to_numpy(dtype=np.int64)
-            cnt = cnt + (~np.isnan(z)).astype(np.int64)
-            out = pdf.drop(columns=["vals", "scored_cnt", "_v"]).copy()
+            cnt = cnt + ((~np.isnan(z)) & ingest).astype(np.int64)
+            new_lm = np.where(ingest, float(start), lm)
+            new_lz = np.where(ingest, z, lz)
+            out = pdf.drop(columns=["vals", "scored_cnt", "last_ms",
+                                    "last_z", "_v"]).copy()
             out["vals"] = newvals
             out["scored_cnt"] = cnt
+            out["last_ms"] = pd.Series(new_lm).astype("Int64")
+            out["last_z"] = new_lz
             out["_z"] = z
             yield out[[f.name for f in upd_schema.fields]]
 
@@ -274,8 +315,10 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
           .pivot("_feat", feats).agg(F.first("_z")))
     for n in feats:
         zw = zw.withColumnRenamed(n, f"_z_{n}")
+    # min across features = the preview definition of scored history
+    # (a feature that missed an interval holds the entity's count back)
     cnt1 = (scored.groupBy(*gcols)
-            .agg(F.max("scored_cnt").alias("_cnt")))
+            .agg(F.min("scored_cnt").alias("_cnt")))
     out = base.join(zw, gcols).join(cnt1, gcols)
     for n in feats:
         out = out.filter(F.col(f"_z_{n}").isNotNull())
@@ -332,6 +375,13 @@ def run_historical(
     model, warm-up and confidence ramp) while scanning each raw event
     exactly once; interruption loses at most one piece of work.
     Returns the accumulated results frame (all completed pieces).
+
+    The piece is the atomic unit: piece ``p`` reads piece ``p-1``'s
+    state SNAPSHOT (under ``results_dir``) and writes its own snapshot
+    + results + done-marker; the live state dir (``state_dir``) is
+    swapped only once, after every piece is done.  A crash anywhere
+    inside a piece re-runs that piece from the previous snapshot — the
+    state it ingests from can never have advanced past it.
     """
     import os
     import shutil
@@ -367,6 +417,9 @@ def run_historical(
            T.StructField("cnt_after", T.LongType()),
            T.StructField("vals", T.ArrayType(T.DoubleType()))])
 
+    def snap(p: int) -> str:
+        return os.path.join(results_dir, f"_state_piece_{p}")
+
     for p in range(n_pieces):
         marker = os.path.join(results_dir, f"_piece_{p}.done")
         if os.path.exists(marker):
@@ -388,8 +441,12 @@ def run_historical(
             .alias("bucket_ms"),
             F.expr(f"stack({len(feats)}, {pairs})").alias("_feat", "_v"))
 
-        if os.path.exists(spath):
-            state = spark.read.parquet(spath)
+        # piece p's input state: piece p-1's snapshot; piece 0 starts
+        # from the live state dir (e.g. a prior run_once_stateful)
+        in_state = snap(p - 1) if p > 0 and os.path.exists(snap(p - 1)) \
+            else spath
+        if os.path.exists(in_state):
+            state = spark.read.parquet(in_state)
         else:
             state = spark.createDataFrame(
                 [], T.StructType(
@@ -398,7 +455,8 @@ def run_historical(
                        T.StructField("vals",
                                      T.ArrayType(T.DoubleType())),
                        T.StructField("scored_cnt", T.LongType())]))
-        st = (state.withColumnRenamed("vals", "_st_vals")
+        st = (state.select(*gcols, "_feat", "vals", "scored_cnt")
+              .withColumnRenamed("vals", "_st_vals")
               .withColumnRenamed("scored_cnt", "_st_cnt"))
         joined = cur.join(st, [*gcols, "_feat"], "full_outer")
 
@@ -440,17 +498,13 @@ def run_historical(
                .applyInPandas(fn, schema=out_schema)
                .localCheckpoint())
 
-        # state rewrite (tmp + swap, crash-safe like run_once_stateful)
+        # piece-local state snapshot — the live state dir is untouched
+        # until every piece is done, so a crashed piece always re-runs
+        # against the state it started from
         new_state = (upd.filter(F.col("bucket_ms").isNull())
                      .select(*gcols, "_feat", "vals",
                              F.col("cnt_after").alias("scored_cnt")))
-        tmp, trash = spath + ".__tmp__", spath + ".__old__"
-        new_state.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(trash, ignore_errors=True)
-        if os.path.exists(spath):
-            shutil.move(spath, trash)
-        shutil.move(tmp, spath)
-        shutil.rmtree(trash, ignore_errors=True)
+        new_state.write.mode("overwrite").parquet(snap(p))
 
         scored = upd.filter(F.col("_z").isNotNull())
         zw = (scored.groupBy(*gcols, "bucket_ms")
@@ -458,7 +512,7 @@ def run_historical(
         for n in feats:
             zw = zw.withColumnRenamed(n, f"_z_{n}")
         cnt1 = (scored.groupBy(*gcols, "bucket_ms")
-                .agg(F.max("cnt_after").alias("_cnt")))
+                .agg(F.min("cnt_after").alias("_cnt")))
         wide = base.withColumn(
             "bucket_ms",
             F.unix_millis(F.col("bucket_start").cast("timestamp")))
@@ -492,5 +546,21 @@ def run_historical(
              os.path.join(results_dir, f"piece={p}")))
         with open(marker, "w") as f:
             f.write("done")
+
+    # finalize: publish the last piece's snapshot as the live state
+    # (tmp+swap), then drop the snapshots.  Re-running after a crash
+    # here re-publishes the same content — idempotent.
+    last = snap(n_pieces - 1)
+    if os.path.exists(last):
+        tmp, trash = spath + ".__tmp__", spath + ".__old__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(last, tmp)
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.exists(spath):
+            shutil.move(spath, trash)
+        shutil.move(tmp, spath)
+        shutil.rmtree(trash, ignore_errors=True)
+        for p in range(n_pieces):
+            shutil.rmtree(snap(p), ignore_errors=True)
 
     return spark.read.parquet(os.path.join(results_dir, "piece=*"))

@@ -44,6 +44,29 @@ from .storage import (
     write_meta,
 )
 
+def _run_overlapped(side_job, main_job) -> None:
+    """Run ``side_job`` on a thread while ``main_job`` runs inline, then
+    join.  The thread's exception is captured and re-raised after the
+    join — a failed side job (e.g. a norms write) must fail the batch
+    BEFORE its done-marker, or resume would skip a half-written batch."""
+    import threading
+
+    errs: list[BaseException] = []
+
+    def _guarded():
+        try:
+            side_job()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errs.append(e)
+
+    th = threading.Thread(target=_guarded, daemon=True)
+    th.start()
+    main_job()
+    th.join()
+    if errs:
+        raise errs[0]
+
+
 POSTING_SCHEMA = (
     "term string, seg_id int, block_id int, first_docid long, last_docid long, "
     "n int, gaps binary, tfs binary, max_tf int, sum_tf long, min_dl int, "
@@ -320,12 +343,7 @@ def _run_batch(spark, docs: DataFrame, paths: IndexPaths, k: int,
     # doc_stats parquet, not the token cache): run both concurrently
     # so the small job's fixed latency hides inside the big one —
     # exactly how independent stages pipeline on a real cluster.
-    import threading
-
-    th = threading.Thread(target=_run_norms, daemon=True)
-    th.start()
-    _run_postings()
-    th.join()
+    _run_overlapped(_run_norms, _run_postings)
     t_no, t_po = timing["t_no"], timing["t_po"]
     man_rows = man_box[0]
     analyzed.unpersist()
@@ -427,7 +445,6 @@ def _refresh_stats(spark, paths: IndexPaths, seg_size: int, block_size: int,
                    bucket_size: int, resume: bool) -> None:
     """term_stats (global df/cf) ∥ finalize meta (N, avgdl) —
     independent single-pass jobs over different tables, overlapped."""
-    import threading
 
     def _term_stats():
         if resume and is_done(paths, "term_stats"):
@@ -460,10 +477,7 @@ def _refresh_stats(spark, paths: IndexPaths, seg_size: int, block_size: int,
         log_metric(paths, "finalize", n_docs=int(row["n"]),
                    avgdl=float(row["avgdl"] or 0.0), wall_s=time.time() - t0)
 
-    th2 = threading.Thread(target=_finalize, daemon=True)
-    th2.start()
-    _term_stats()
-    th2.join()
+    _run_overlapped(_finalize, _term_stats)
 
 
 def append_index(

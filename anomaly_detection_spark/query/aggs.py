@@ -125,6 +125,20 @@ def missing_agg(df: DataFrame, field: str,
 _COND_METRIC_FNS = {"max": F.max, "min": F.min, "avg": F.avg, "sum": F.sum,
                     "value_count": F.count}
 
+_SAFE_IDENT = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def require_safe_names(names, what: str) -> None:
+    """Reject names that could escape a generated SQL expression
+    (quotes, backticks, spaces, leading digits).  Applied wherever a
+    user-supplied name is interpolated into an ``expr`` string — the
+    same strictness :func:`_compile_bucket_script` applies to scripts."""
+    bad = [n for n in names if not _SAFE_IDENT.match(str(n))]
+    if bad:
+        raise ValueError(
+            f"{what} must match [A-Za-z_][A-Za-z0-9_]* "
+            f"(no quotes/backticks/spaces): {bad}")
+
 
 def filters_agg(df: DataFrame, named_conds: dict[str, Column],
                 sub_specs: dict[str, dict] | None = None) -> DataFrame:
@@ -139,6 +153,8 @@ def filters_agg(df: DataFrame, named_conds: dict[str, Column],
         raise ValueError(
             f"filters sub-aggs support {sorted(_COND_METRIC_FNS)}; "
             f"got {bad}")
+    require_safe_names(named_conds, "filters bucket names")
+    require_safe_names(sub_specs, "filters sub-agg names")
     cols: list[Column] = []
     for fname, cond in named_conds.items():
         cond = F.coalesce(cond, F.lit(False))

@@ -1,0 +1,241 @@
+"""Round-4 advisor-item regression tests: stateful idempotency (A3),
+historical piece atomicity (A1), confidence unification across
+detector paths (A5), expr-injection hardening (A4), and builder
+side-thread error propagation (A2)."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.detector import (
+    Detector,
+    preview,
+    run_historical,
+    run_once_stateful,
+)
+
+HOUR = 3_600_000
+BASE = pd.Timestamp("2025-03-01")
+
+
+def _spiky_pdf(hours=20, null_value_hour=None):
+    """Two entities, hourly cadence; B spikes at h=15.  If
+    ``null_value_hour`` is set, entity A's ``value`` column is null for
+    that hour (so an avg feature misses a bucket a count feature has)."""
+    rows = []
+    eid = 0
+    for ent in ("A", "B"):
+        for h in range(hours):
+            n = 100 if (ent == "B" and h == 15) else 5
+            for i in range(n):
+                v = float(10 + (i % 3))
+                if ent == "A" and h == null_value_hour:
+                    v = None
+                rows.append((eid, ent,
+                             BASE + pd.Timedelta(hours=h, minutes=i % 50),
+                             v))
+                eid += 1
+    return pd.DataFrame(rows, columns=["event_id", "service", "ts", "value"])
+
+
+def _det(indices, **kw):
+    args = dict(
+        detector_id="det-r4", indices=indices,
+        feature_specs={"n_events": {"value_count": {"field": "event_id"}},
+                       "v_avg": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=HOUR,
+        category_fields=("service",), shingle_size=4)
+    args.update(kw)
+    return Detector(**args)
+
+
+def _write(spark, pdf, path):
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    return path
+
+
+# --- A3: run_once_stateful is idempotent per interval ------------------------
+
+
+def test_stateful_retry_same_interval_is_replay(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("replay")
+    pdf = _spiky_pdf()
+    src = _write(spark, pdf, str(root / "events"))
+    state_dir = str(root / "state")
+    det = _det(src)
+
+    want = preview(spark, det).toPandas()
+    want = want.set_index([want.service, want.bucket_start.map(pd.Timestamp)])
+
+    got = []
+    for h in range(20):
+        now_ms = int((BASE + pd.Timedelta(hours=h + 1)).value // 10**6) + 1
+        res = run_once_stateful(spark, det, now_ms, state_dir).toPandas()
+        if h == 10:
+            # simulate a scheduler re-fire / downstream write failure:
+            # the SAME interval runs again — must return the same rows
+            # and leave the state untouched (no double ingest)
+            st_before = (spark.read.parquet(state_dir + "/det-r4")
+                         .toPandas().sort_values(["service", "_feat"])
+                         .reset_index(drop=True))
+            res2 = run_once_stateful(spark, det, now_ms, state_dir).toPandas()
+            pd.testing.assert_frame_equal(
+                res.sort_values("service").reset_index(drop=True),
+                res2.sort_values("service").reset_index(drop=True))
+            st_after = (spark.read.parquet(state_dir + "/det-r4")
+                        .toPandas().sort_values(["service", "_feat"])
+                        .reset_index(drop=True))
+            pd.testing.assert_frame_equal(st_before, st_after)
+        got.append(res)
+    gotc = pd.concat(got, ignore_index=True)
+
+    # the retried sequence still matches preview exactly
+    assert len(gotc) == len(want)
+    for r in gotc.itertuples():
+        w = want.loc[(r.service, pd.Timestamp(r.bucket_start))]
+        assert abs(r.anomaly_score - float(w.anomaly_score)) < 1e-9, r
+        assert abs(r.confidence - float(w.confidence)) < 1e-9, r
+
+
+def test_stateful_out_of_order_interval_is_noop(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ooo")
+    src = _write(spark, _spiky_pdf(hours=8), str(root / "events"))
+    state_dir = str(root / "state")
+    det = _det(src)
+    for h in range(6):
+        now_ms = int((BASE + pd.Timedelta(hours=h + 1)).value // 10**6) + 1
+        run_once_stateful(spark, det, now_ms, state_dir)
+    st_before = (spark.read.parquet(state_dir + "/det-r4")
+                 .toPandas().sort_values(["service", "_feat"])
+                 .reset_index(drop=True))
+    # an interval OLDER than the last ingested one: no rows, no mutation
+    old_ms = int((BASE + pd.Timedelta(hours=3)).value // 10**6) + 1
+    res = run_once_stateful(spark, det, old_ms, state_dir)
+    assert res.count() == 0
+    st_after = (spark.read.parquet(state_dir + "/det-r4")
+                .toPandas().sort_values(["service", "_feat"])
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(st_before, st_after)
+
+
+# --- A1: run_historical pieces are atomic ------------------------------------
+
+
+def test_historical_crash_mid_piece_resumes_exactly(
+        spark, tmp_path_factory, monkeypatch):
+    """Crash after a piece's state snapshot is written but before its
+    results/marker land: the re-run must NOT double-ingest (the exact
+    hazard: state advanced past an incomplete piece)."""
+    root = tmp_path_factory.mktemp("crash")
+    pdf = _spiky_pdf()
+    src = _write(spark, pdf, str(root / "events"))
+    det = _det(src)
+    want = preview(spark, det).toPandas()
+    want = want.set_index([want.service, want.bucket_start.map(pd.Timestamp)])
+
+    start = int(BASE.value // 10**6)
+    end = start + 20 * HOUR
+    state_dir = str(root / "state")
+    results_dir = str(root / "results")
+
+    # first attempt "crashes" at finalize (after all pieces) so the
+    # per-piece snapshots survive for us to build the crash state from
+    real_copytree = shutil.copytree
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(shutil, "copytree", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_historical(spark, det, start, end, state_dir, results_dir,
+                       piece_intervals=7)
+    monkeypatch.setattr(shutil, "copytree", real_copytree)
+
+    # craft the advisor's scenario for piece 1: its snapshot exists
+    # (state "advanced") but its results and marker are gone
+    assert os.path.exists(os.path.join(results_dir, "_state_piece_1"))
+    os.remove(os.path.join(results_dir, "_piece_1.done"))
+    shutil.rmtree(os.path.join(results_dir, "piece=1"))
+
+    got = run_historical(spark, det, start, end, state_dir, results_dir,
+                         piece_intervals=7).toPandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        w = want.loc[(r.service, pd.Timestamp(r.bucket_start))]
+        assert abs(r.anomaly_score - float(w.anomaly_score)) < 1e-9, r
+        assert abs(r.confidence - float(w.confidence)) < 1e-9, r
+    # snapshots cleaned up, live state published once
+    assert not any(f.startswith("_state_piece_")
+                   for f in os.listdir(results_dir))
+    st = spark.read.parquet(state_dir + "/det-r4").toPandas()
+    assert (st.vals.map(len) == 4).all()
+
+
+# --- A5: confidence identical across paths when a feature misses -------------
+
+
+def test_confidence_agrees_when_one_feature_misses_a_bucket(
+        spark, tmp_path_factory):
+    """Entity A's v_avg aggregates to null at h=10 (all values null)
+    while n_events still counts — the exact case where preview's old
+    row_number confidence diverged from the stateful max(scored_cnt)."""
+    root = tmp_path_factory.mktemp("confmin")
+    pdf = _spiky_pdf(null_value_hour=10)
+    src = _write(spark, pdf, str(root / "events"))
+    det = _det(src)
+
+    want = preview(spark, det).toPandas()
+    want = want.set_index([want.service, want.bucket_start.map(pd.Timestamp)])
+
+    state_dir = str(root / "state")
+    got = []
+    for h in range(20):
+        now_ms = int((BASE + pd.Timedelta(hours=h + 1)).value // 10**6) + 1
+        got.append(run_once_stateful(
+            spark, det, now_ms, state_dir).toPandas())
+    gotc = pd.concat(got, ignore_index=True)
+
+    assert len(gotc) == len(want)
+    for r in gotc.itertuples():
+        w = want.loc[(r.service, pd.Timestamp(r.bucket_start))]
+        assert abs(r.anomaly_score - float(w.anomaly_score)) < 1e-9, r
+        assert abs(r.confidence - float(w.confidence)) < 1e-9, \
+            (r.service, r.bucket_start, r.confidence, float(w.confidence))
+
+
+# --- A4: unsafe names rejected before reaching expr strings ------------------
+
+
+def test_unsafe_feature_and_filter_names_rejected(spark):
+    with pytest.raises(ValueError, match="feature names"):
+        Detector(detector_id="d", indices="x",
+                 feature_specs={"a`b": {"avg": {"field": "v"}}})
+    with pytest.raises(ValueError, match="feature names"):
+        Detector(detector_id="d", indices="x",
+                 feature_specs={"a', 1) --": {"avg": {"field": "v"}}})
+
+    from anomaly_detection_spark.query.aggs import filters_agg
+
+    df = spark.range(3).withColumn("v", F.col("id").cast("double"))
+    with pytest.raises(ValueError, match="filters bucket names"):
+        filters_agg(df, {"x' or '1'='1": F.col("id") > 0})
+    with pytest.raises(ValueError, match="filters sub-agg names"):
+        filters_agg(df, {"ok": F.col("id") > 0},
+                    {"bad`name": {"avg": {"field": "v"}}})
+
+
+# --- A2: a failing side-thread job fails the batch ---------------------------
+
+
+def test_builder_side_thread_error_propagates():
+    from anomaly_detection_spark.index.builder import _run_overlapped
+
+    ran = []
+    with pytest.raises(RuntimeError, match="norms failed"):
+        _run_overlapped(
+            lambda: (_ for _ in ()).throw(RuntimeError("norms failed")),
+            lambda: ran.append(True))
+    assert ran == [True]
