@@ -113,6 +113,54 @@ def ngram_jaccard_pairs(
     return out.orderBy("id_a", "id_b")
 
 
+def _self_pairs_capped(stacked: DataFrame, key_cols: list[str],
+                       id_col: str, cap: int) -> DataFrame:
+    """All (id_a < id_b) pairs of rows sharing ``key_cols``, with every
+    join task bounded: buckets larger than ``cap`` rows are split into
+    triangular chunk-pair tasks of ≤ ``cap`` rows per side (the blocked
+    block-pair trick from :func:`embedding_neardup_pairs`, applied to a
+    bucket).  Web corpora hold thousands-deep near-duplicate classes —
+    without the split, one hot band value collapses a d²-pair blow-up
+    into a single task that AQE can re-split but never bound.
+
+    Pair COUNT is unchanged (each unordered pair appears exactly once:
+    chunks are id-ordered, so a cross-chunk pair lives in exactly one
+    (i, j) task); only per-task width is bounded.
+    """
+    from pyspark.sql import Window
+
+    cnt = stacked.groupBy(*key_cols).agg(F.count("*").alias("_bsz"))
+    st = stacked.join(cnt, key_cols)
+
+    small = st.filter(F.col("_bsz") <= cap).drop("_bsz")
+    a, b = small.alias("a"), small.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for kc in key_cols:
+        cond = (F.col(f"a.{kc}") == F.col(f"b.{kc}")) & cond
+    pairs_small = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+
+    big = st.filter(F.col("_bsz") > cap)
+    w = Window.partitionBy(*key_cols).orderBy(id_col)
+    big = (big.withColumn("_chunk",
+                          ((F.row_number().over(w) - 1) / cap).cast("int"))
+           .withColumn("_nch", ((F.col("_bsz") - 1) / cap).cast("int")))
+    left = (big.withColumn("_cj", F.explode(
+        F.sequence(F.col("_chunk"), F.col("_nch"))))
+        .withColumnRenamed("_chunk", "_ci"))
+    right = (big.withColumn("_ci", F.explode(
+        F.sequence(F.lit(0), F.col("_chunk"))))
+        .withColumnRenamed("_chunk", "_cj"))
+    a2, b2 = left.alias("a"), right.alias("b")
+    cond2 = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for kc in [*key_cols, "_ci", "_cj"]:
+        cond2 = (F.col(f"a.{kc}") == F.col(f"b.{kc}")) & cond2
+    pairs_big = a2.join(b2, cond2).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+
+    return pairs_small.unionByName(pairs_big)
+
+
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = np.random.RandomState(seed)
     return [(int(rng.randint(1, _MERSENNE_P)), int(rng.randint(0, _MERSENNE_P)))
@@ -152,18 +200,53 @@ def minhash_lsh_pairs(
     df: DataFrame, threshold: float = 0.5, num_hashes: int = 64,
     bands: int = 16, n: int = 3, seed: int = 7,
     text_col: str = "text", id_col: str = "doc_id",
+    bucket_cap: int = 1024, class_expand_cap: int = 64,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs, exact-Jaccard verified ≥ τ."""
+    """MinHash-LSH candidate pairs, exact-Jaccard verified ≥ τ.
+
+    Scale posture against duplicate-heavy web corpora (two independent
+    guards, both results-preserving for classes ≤ ``class_expand_cap``):
+
+    - **Exact-class pre-collapse**: docs with IDENTICAL shingle sets
+      (exact/normalized duplicates — the thousands-deep classes real
+      crawls contain) are collapsed to one representative before
+      banding, so a d-deep duplicate class contributes ONE row per band
+      bucket instead of d (which would mean d²/2 join rows on one key).
+      Members are re-expanded afterwards: intra-class pairs carry
+      jaccard 1 by construction; a verified representative pair expands
+      to its classes' member pairs (identical shingle sets ⇒ identical
+      jaccard).  Classes deeper than ``class_expand_cap`` are expanded
+      as a STAR to the representative plus representative-level cross
+      pairs — transitively equivalent under
+      :func:`duplicate_clusters` (the downstream consumer) without
+      materializing d² output rows.
+    - **Band-bucket chunk split**: remaining buckets larger than
+      ``bucket_cap`` distinct-class rows are joined as triangular
+      chunk-pair tasks (:func:`_self_pairs_capped`) — bounded task
+      width, identical pair set.
+    """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     par = max(4, df.sparkSession.sparkContext.defaultParallelism)
-    # shingle table is used three times (signatures, sizes, verification):
-    # compute once, spread across cores, keep it materialized
+    # shingle table is used four times (classes, signatures, sizes,
+    # verification): compute once, spread across cores, keep it
     df = df.repartition(par, id_col)
     sh_cached = df.select(
         F.col(id_col).alias("_id"),
         F.explode(_shingles(text_col, n)).alias("_s")).persist()
-    sig = (_with_shingle_hash(sh_cached).withColumnRenamed("_id", id_col)
+
+    # identical-shingle-set classes: key = hash of the sorted shingle set
+    cls = sh_cached.groupBy("_id").agg(
+        F.xxhash64(F.concat_ws("\x00", F.sort_array(F.collect_list("_s"))))
+        .alias("_cls"))
+    classes = cls.groupBy("_cls").agg(F.min("_id").alias("_rep"),
+                                      F.count("*").alias("_csz"))
+    members = cls.join(classes, "_cls") \
+        .select("_id", "_cls", "_rep", "_csz").persist()
+    reps = members.filter(F.col("_id") == F.col("_rep")).select("_id")
+    sh_reps = sh_cached.join(reps, "_id", "left_semi")
+
+    sig = (_with_shingle_hash(sh_reps).withColumnRenamed("_id", id_col)
            .groupBy(id_col)
            .agg(*_minhash_aggs(num_hashes, seed)))
     band_cols = [
@@ -176,29 +259,70 @@ def minhash_lsh_pairs(
         F.explode(F.array(*[
             F.struct(F.lit(bnd).alias("b"), F.col(f"band{bnd}").alias("v"))
             for bnd in range(bands)])).alias("bv"))
-    a, b = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bv") == F.col("b.bv"))
-               & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
-    # exact verification of candidates only (same cached shingle table)
-    sizes = sh_cached.groupBy("_id").agg(F.count("*").alias("_sz"))
-    sha = sh_cached.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
-    shb = sh_cached.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    cand = _self_pairs_capped(stacked, ["bv"], "_id", bucket_cap).distinct()
+
+    # exact verification of representative candidates (cached shingles)
+    sizes = sh_reps.groupBy("_id").agg(F.count("*").alias("_sz"))
+    sha = sh_reps.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    shb = sh_reps.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
     inter = (cand.join(sha, "id_a")
              .join(shb, (F.col("id_b") == F.col("_idb"))
                    & (F.col("_sa") == F.col("_sb")))
              .groupBy("id_a", "id_b").agg(F.count("*").alias("_inter")))
-    out = (inter
-           .join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
-           .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
-           .withColumn("jaccard", F.round(
-               F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")), 6))
-           .filter(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", "jaccard"))
+    rep_pairs = (inter
+                 .join(sizes.select(F.col("_id").alias("id_a"),
+                                    F.col("_sz").alias("_sza")), "id_a")
+                 .join(sizes.select(F.col("_id").alias("id_b"),
+                                    F.col("_sz").alias("_szb")), "id_b")
+                 .withColumn("jaccard", F.round(
+                     F.col("_inter")
+                     / (F.col("_sza") + F.col("_szb") - F.col("_inter")), 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+
+    out = _expand_class_pairs(rep_pairs, members, "jaccard", F.lit(1.0),
+                              class_expand_cap)
     return out.orderBy("id_a", "id_b")
+
+
+def _expand_class_pairs(rep_pairs: DataFrame, members: DataFrame,
+                        score_col: str, intra_score: F.Column,
+                        class_expand_cap: int) -> DataFrame:
+    """Re-expand representative-level verified pairs to member-level
+    pairs after an exact-class pre-collapse.
+
+    ``members``: (_id, _cls, _rep, _csz).  Classes with ≤
+    ``class_expand_cap`` members expand fully (every member pair, same
+    score — identical objects score identically); deeper classes are
+    represented by their representative plus an intra-class STAR
+    (rep ↔ member, score = ``intra_score``), which is cluster-equivalent
+    downstream without d² rows."""
+    expandable = members.filter((F.col("_csz") <= class_expand_cap)
+                                | (F.col("_id") == F.col("_rep")))
+    ma = expandable.select(F.col("_rep").alias("id_a"),
+                           F.col("_id").alias("_ida"))
+    mb = expandable.select(F.col("_rep").alias("id_b"),
+                           F.col("_id").alias("_idb"))
+    cross = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("_ida", "_idb").alias("id_a"),
+                     F.greatest("_ida", "_idb").alias("id_b"),
+                     score_col))
+
+    # intra-class pairs: full for small classes, star for deep ones
+    dup = members.filter(F.col("_csz") > 1)
+    small = dup.filter(F.col("_csz") <= class_expand_cap)
+    a, b = small.alias("a"), small.alias("b")
+    intra_small = (a.join(b, (F.col("a._cls") == F.col("b._cls"))
+                          & (F.col("a._id") < F.col("b._id")))
+                   .select(F.col("a._id").alias("id_a"),
+                           F.col("b._id").alias("id_b"),
+                           intra_score.alias(score_col)))
+    intra_star = (dup.filter((F.col("_csz") > class_expand_cap)
+                             & (F.col("_id") != F.col("_rep")))
+                  .select(F.col("_rep").alias("id_a"),
+                          F.col("_id").alias("id_b"),
+                          intra_score.alias(score_col)))
+    return cross.unionByName(intra_small).unionByName(intra_star)
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
@@ -212,18 +336,28 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(T.LongType())
     def _sim(hs: pd.Series, tfs: pd.Series) -> pd.Series:
-        out = np.zeros(len(hs), dtype=np.int64)
-        for i in range(len(hs)):
-            h = np.asarray(hs[i], dtype=np.int64).view(np.uint64)
-            w = np.asarray(tfs[i], dtype=np.float64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.float64)
-            score = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
-            fp = np.uint64(0)
-            for j in np.flatnonzero(score > 0):
-                fp |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(fp.astype(np.int64))
-        return pd.Series(out)
+        """Batch-vectorized: ONE (total_terms × 64) sign matrix and one
+        scatter-add per Arrow batch — no per-doc or per-bit Python loop.
+        All weights are integer tfs, so the per-bit sums are exact in
+        float64 regardless of accumulation order."""
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        lens = np.fromiter((len(h) for h in hs), np.int64, n)
+        flat_h = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hs]).view(np.uint64)
+        flat_w = np.concatenate(
+            [np.asarray(w, dtype=np.float64) for w in tfs])
+        doc = np.repeat(np.arange(n), lens)
+        bits = ((flat_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.float64)
+        signed = (bits * 2.0 - 1.0) * flat_w[:, None]
+        score = np.zeros((n, 64))
+        np.add.at(score, doc, signed)
+        pows = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        fp = ((score > 0).astype(np.uint64) * pows).sum(
+            axis=1, dtype=np.uint64)
+        return pd.Series(fp.view(np.int64))
 
     grouped = hashed.groupBy(id_col).agg(
         F.collect_list("_h").alias("_hs"), F.collect_list("_tf").alias("_tfs"))
@@ -233,27 +367,44 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
 def simhash_neardup_pairs(
     df: DataFrame, max_hamming: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    bucket_cap: int = 1024, class_expand_cap: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ t, candidates via 4×16-bit
-    chunk banding (complete for t ≤ 3 by pigeonhole)."""
+    chunk banding (complete for t ≤ 3 by pigeonhole).
+
+    Same duplicate-heavy-corpus guards as :func:`minhash_lsh_pairs`:
+    docs sharing a FINGERPRINT (hamming 0 — every exact-dup class lands
+    here) collapse to one representative before banding, and residual
+    chunk buckets above ``bucket_cap`` split into bounded triangular
+    tasks.  Classes ≤ ``class_expand_cap`` re-expand to all member
+    pairs (identical fingerprints ⇒ identical hammings); deeper classes
+    expand as a star to the representative."""
     fp = simhash_fingerprints(df, text_col, id_col)
-    chunks = fp.select(
-        F.col(id_col).alias("_id"), F.col("simhash"),
+    # fingerprint classes (one banding row per distinct fingerprint)
+    classes = fp.groupBy("simhash").agg(F.min(id_col).alias("_rep"),
+                                        F.count("*").alias("_csz"))
+    members = fp.join(classes, "simhash").select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_cls"),
+        "_rep", "_csz")
+    reps = classes.select(F.col("_rep").alias("_id"),
+                          F.col("simhash").alias("simhash"))
+    chunks = reps.select(
+        "_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("c"),
                      F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"))
             for c in range(4)])).alias("cv"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (a.join(b, (F.col("a.cv") == F.col("b.cv"))
-                   & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("id_a"), F.col("a.simhash").alias("_fa"),
-                    F.col("b._id").alias("id_b"), F.col("b.simhash").alias("_fb"))
-            .distinct())
+    cand = _self_pairs_capped(chunks, ["cv"], "_id", bucket_cap).distinct()
+    fa = reps.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_fa"))
+    fb = reps.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_fb"))
     ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
-    return (cand.withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming")
-            .orderBy("id_a", "id_b"))
+    rep_pairs = (cand.join(fa, "id_a").join(fb, "id_b")
+                 .withColumn("hamming", ham)
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))
+    out = _expand_class_pairs(rep_pairs, members, "hamming",
+                              F.lit(0).cast("int"), class_expand_cap)
+    return out.orderBy("id_a", "id_b")
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -304,7 +455,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding", id_col: str = "vec_id",
     method: str = "blocked", num_blocks: int | None = None,
     n_planes: int = 32, bands: int = 8, seed: int = 13,
-    dim: int | None = None,
+    dim: int | None = None, bucket_cap: int = 1024,
 ) -> DataFrame:
     """Cosine-similarity near-dup pairs (id_a < id_b, rounded cos ≥ τ).
 
@@ -327,7 +478,8 @@ def embedding_neardup_pairs(
     """
     if method == "lsh":
         return _embedding_neardup_lsh(df, threshold, vec_col, id_col,
-                                      n_planes, bands, seed, dim)
+                                      n_planes, bands, seed, dim,
+                                      bucket_cap)
     if method != "blocked":
         raise ValueError(f"unknown method {method!r}")
 
@@ -389,8 +541,11 @@ def embedding_neardup_pairs(
 def _embedding_neardup_lsh(
     df: DataFrame, threshold: float, vec_col: str, id_col: str,
     n_planes: int, bands: int, seed: int, dim: int | None,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
-    """Hyperplane-LSH candidate pairs, exact-cosine verified ≥ τ."""
+    """Hyperplane-LSH candidate pairs, exact-cosine verified ≥ τ.
+    Band buckets above ``bucket_cap`` split into bounded triangular
+    chunk-pair tasks (:func:`_self_pairs_capped`)."""
     from .similarity import _planes, band_hashes
 
     assert n_planes % bands == 0
@@ -402,11 +557,7 @@ def _embedding_neardup_lsh(
                   band_hashes(F.col(vec_col), planes, bands).alias("_bands")) \
         .filter(F.col("_n") > 0)
     stacked = v.select("_id", F.explode("_bands").alias("_bv"))
-    a, b = stacked.alias("a"), stacked.alias("b")
-    cand = (a.join(b, (F.col("a._bv") == F.col("b._bv"))
-                   & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .distinct())
+    cand = _self_pairs_capped(stacked, ["_bv"], "_id", bucket_cap).distinct()
     va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
                   F.col("_n").alias("_na"))
     vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),

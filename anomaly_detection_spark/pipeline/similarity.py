@@ -80,16 +80,32 @@ def cosine_topk_bruteforce(
     scored = joined.withColumn(
         "cosine", F.round(_dot(F.col("_qv"), F.col("_cv"))
                           / (F.col("_qn") * F.col("_cn")), 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "cosine")
-            .orderBy("query_id", "rank"))
+    return _topk_per_query(scored, k)
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k in two stages: partition-local heads first
+    (partitionBy(query, input partition)), then the global rank over
+    ≤ k × n_partitions survivors — so no single task ever sorts one
+    query's ENTIRE candidate set (a hot LSH bucket or a full-corpus
+    scan would otherwise funnel millions of rows into one window
+    task).  Ties break by vec_id in both stages → results identical
+    to the single-window form."""
+    order = [F.desc("cosine"), F.asc("vec_id")]
+    local_w = Window.partitionBy("query_id", "_part").orderBy(*order)
+    final_w = Window.partitionBy("query_id").orderBy(*order)
+    return (scored.withColumn("_part", F.spark_partition_id())
+            .withColumn("_r", F.row_number().over(local_w))
+            .filter(F.col("_r") <= k).drop("_r", "_part")
+            .withColumn("rank", F.row_number().over(final_w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine")
+            .orderBy("query_id", "rank"))
 
 
 def lsh_ann_topk(
@@ -132,8 +148,4 @@ def lsh_ann_topk(
     scored = cand.withColumn(
         "cosine", F.round(_dot(F.col("_qv"), F.col("_cv"))
                           / (F.col("_qn") * F.col("_cn")), 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "cosine")
-            .orderBy("query_id", "rank"))
+    return _topk_per_query(scored, k)

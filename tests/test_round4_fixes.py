@@ -239,3 +239,81 @@ def test_builder_side_thread_error_propagates():
             lambda: (_ for _ in ()).throw(RuntimeError("norms failed")),
             lambda: ran.append(True))
     assert ran == [True]
+
+
+# --- LSH duplicate-class guards (verdict #3) ---------------------------------
+
+
+def test_minhash_lsh_survives_deep_duplicate_class(spark):
+    """10k identical docs + a near-dup tail: banding must see ONE row
+    per duplicate class (no d² single-bucket blow-up), the deep class
+    comes back as a star to its representative, and tail recall vs
+    exact Jaccard is unchanged."""
+    from anomaly_detection_spark.pipeline import (
+        duplicate_clusters, minhash_lsh_pairs, ngram_jaccard_pairs)
+
+    base = ("spark builds the posting lists from transcript turns and "
+            "merges them by term shards")
+    rows = [(i, base) for i in range(10_000)]
+    # a small exact class (3 copies) → expands to all 3 pairs
+    small_txt = "a tiny exact duplicate class of three documents here"
+    rows += [(20_000 + i, small_txt) for i in range(3)]
+    # near-dup tail: 20 pairs of almost-identical sentences
+    for p in range(20):
+        t = (f"document number {p} talks about feature matrices windows "
+             f"imputation shingles and scoring in the detector engine")
+        rows.append((30_000 + 2 * p, t))
+        rows.append((30_001 + 2 * p, t.replace("scoring", "grading")))
+    # unrelated docs
+    for u in range(20):
+        rows.append((40_000 + u,
+                     f"totally unrelated text {u} with distinct words "
+                     f"alpha{u} beta{u} gamma{u} delta{u} epsilon{u}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = minhash_lsh_pairs(df, threshold=0.5, num_hashes=64, bands=16,
+                            n=3, bucket_cap=256).toPandas()
+
+    # deep class: star to the representative (doc 0), jaccard 1 — NOT
+    # the 10k·(10k-1)/2 all-pairs expansion
+    deep = got[(got.id_a < 10_000) & (got.id_b < 10_000)]
+    assert len(deep) == 9_999
+    assert (deep.id_a == 0).all() and (deep.jaccard == 1.0).all()
+    assert set(deep.id_b) == set(range(1, 10_000))
+
+    # small class: full expansion (3 pairs, jaccard 1)
+    small = got[(got.id_a >= 20_000) & (got.id_b < 30_000)]
+    assert sorted(zip(small.id_a, small.id_b)) == [
+        (20_000, 20_001), (20_000, 20_002), (20_001, 20_002)]
+    assert (small.jaccard == 1.0).all()
+
+    # tail recall unchanged vs exact jaccard on the tail alone
+    tail = df.filter((F.col("doc_id") >= 30_000) & (F.col("doc_id") < 40_000))
+    exact = ngram_jaccard_pairs(tail, threshold=0.5, n=3).toPandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    got_tail = set(zip(got[got.id_a >= 30_000].id_a,
+                       got[got.id_a >= 30_000].id_b))
+    assert exact_pairs, "tail must contain true near-dup pairs"
+    assert len(got_tail & exact_pairs) / len(exact_pairs) >= 0.9
+    # precision 1: every emitted tail pair is exact-verified
+    assert got_tail <= exact_pairs
+
+    # the star encoding clusters identically to all-pairs
+    clusters = duplicate_clusters(
+        spark.createDataFrame(got[["id_a", "id_b"]])).toPandas()
+    deep_cluster = clusters[clusters.doc_id < 10_000]
+    assert (deep_cluster.cluster_id == 0).all()
+    assert (deep_cluster.cluster_size == 10_000).all()
+
+
+def test_capped_self_pairs_equal_uncapped(spark):
+    """The triangular chunk split emits exactly the uncapped pair set."""
+    from anomaly_detection_spark.pipeline.dedup import _self_pairs_capped
+
+    rows = [(i, i % 3) for i in range(200)]
+    st = spark.createDataFrame(rows, "_id long, bv int")
+    capped = _self_pairs_capped(st, ["bv"], "_id", cap=10).toPandas()
+    want = {(a, b) for a in range(200) for b in range(200)
+            if a < b and a % 3 == b % 3}
+    got = set(zip(capped.id_a, capped.id_b))
+    assert got == want and len(capped) == len(want)
