@@ -47,8 +47,17 @@ class Detector:
     category_fields: tuple[str, ...] = ()   # empty = single-stream
     shingle_size: int = 8
     confidence_ramp: int = 32               # intervals to full confidence
+    # ImputationMethod.java:12-20 parity: zero | fixed_values |
+    # previous | linear (None = skip missing buckets, the default)
+    imputation_method: str | None = None
+    imputation_values: dict[str, float] | None = None
 
     def __post_init__(self):
+        if self.imputation_method not in (
+                None, "zero", "fixed_values", "previous", "linear"):
+            raise ValueError(
+                f"imputation_method must be zero/fixed_values/previous/"
+                f"linear, got {self.imputation_method!r}")
         # feature names are interpolated into a stack() expr string by
         # the scoring melt — reject names that could escape it
         from .query.aggs import require_safe_names
@@ -81,6 +90,21 @@ def preview(spark: SparkSession, det: Detector,
                         det.feature_specs,
                         entity_cols=det.category_fields,
                         filter_cond=cond)
+    if det.imputation_method:
+        # densify + fill missing buckets per the configured
+        # ImputationMethod before scoring (the reference imputes the
+        # feature series ahead of the model, FeatureManager.java:459-466)
+        from .features import impute_fill, impute_linear
+
+        if det.imputation_method == "linear":
+            fm = impute_linear(fm, det.interval_ms, feats,
+                               entity_cols=det.category_fields)
+        else:
+            fm = impute_fill(fm, det.interval_ms, feats,
+                             entity_cols=det.category_fields,
+                             method=det.imputation_method,
+                             fixed_values=det.imputation_values)
+        fm = fm.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
     # score each feature with the per-entity seam; join scores back.
     # single-stream detectors score as one constant entity group.
     ent = list(det.category_fields)
@@ -209,6 +233,12 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
 
     from .features import feature_matrix
 
+    if det.imputation_method:
+        raise NotImplementedError(
+            "imputation is a preview/run_historical-shape concern; the "
+            "single-interval stateful path sees one bucket and cannot "
+            "impute a gap it can't observe — run preview for imputed "
+            "series")
     k = det.shingle_size
     end = ((now_ms - det.window_delay_ms) // det.interval_ms) * det.interval_ms
     start = end - det.interval_ms
@@ -392,6 +422,10 @@ def run_historical(
 
     from .features import feature_matrix
 
+    if det.imputation_method:
+        raise NotImplementedError(
+            "run_historical scores observed buckets; configure "
+            "imputation on preview (whole-series shape) instead")
     k = det.shingle_size
     start_ms = (start_ms // det.interval_ms) * det.interval_ms
     end_ms = (end_ms // det.interval_ms) * det.interval_ms

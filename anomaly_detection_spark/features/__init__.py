@@ -1,5 +1,6 @@
 from .pipeline import (  # noqa: F401
     feature_matrix,
+    impute_fill,
     impute_linear,
     nearest_fill,
     shingles,

@@ -145,6 +145,56 @@ def impute_linear(
     return dense.drop("_idx", "_pidx", "_nidx", "_present", "_orig")
 
 
+def impute_fill(
+    features: DataFrame,
+    interval_ms: int,
+    value_cols: list[str],
+    entity_cols: tuple[str, ...] = (),
+    method: str = "zero",
+    fixed_values: dict[str, float] | None = None,
+) -> DataFrame:
+    """The reference's remaining imputation methods
+    (``ImputationMethod.java:12-20``): ``zero`` fills missing buckets
+    with 0, ``fixed_values`` with a per-feature constant
+    (``FixedValueImputer``), ``previous`` carries the last present
+    value forward (``PreviousValueImputer``; leading gaps stay null —
+    there is no previous sample to carry).  ``linear`` lives in
+    :func:`impute_linear`.  Same dense-grid/presence semantics as
+    :func:`nearest_fill`."""
+    if method not in ("zero", "fixed_values", "previous"):
+        raise ValueError(
+            f"impute_fill supports zero/fixed_values/previous; got "
+            f"{method!r} (linear → impute_linear, nearest → nearest_fill)")
+    if method == "fixed_values":
+        fixed_values = fixed_values or {}
+        missing = [c for c in value_cols if c not in fixed_values]
+        if missing:
+            raise ValueError(
+                f"fixed_values imputation needs a value per feature; "
+                f"missing {missing}")
+    ent = list(entity_cols)
+    grid = _dense_grid(features, interval_ms, entity_cols)
+    dense = grid.join(features.withColumn("_orig", F.lit(True)),
+                      [*ent, "bucket_start"], "left")
+    dense = dense.withColumn("_present", F.col("_orig").isNotNull())
+    present = F.col("_present")
+    if method == "previous":
+        w = (Window.partitionBy(*ent)
+             .orderBy((to_millis("bucket_start") / interval_ms).cast("long"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    for c in value_cols:
+        if method == "zero":
+            fill = F.lit(0.0)
+        elif method == "fixed_values":
+            fill = F.lit(float(fixed_values[c]))
+        else:
+            fill = F.last(F.when(present, F.col(c)), True).over(w)
+        dense = dense.withColumn(
+            c, F.when(present, F.col(c)).otherwise(fill))
+    dense = dense.withColumn("is_filled", ~present)
+    return dense.drop("_present", "_orig")
+
+
 def shingles(
     filled: DataFrame,
     value_cols: list[str],

@@ -56,10 +56,26 @@ def metric_agg_column(spec: dict[str, Any], alias: str) -> Column:
         # HLL++ in both systems (approximate, like OpenSearch cardinality)
         return F.approx_count_distinct(body["field"]).alias(alias)
     if kind == "percentiles":
+        # Default is APPROXIMATE (Spark's Greenwald-Khanna sketch) —
+        # the scale-faithful twin of OpenSearch's t-digest percentiles
+        # (AbstractRetriever.java:80-85): exact quantiles buffer every
+        # group value and cannot hold at corpus scale.  ``exact: true``
+        # opts into F.percentile for oracle-comparable small runs.
         pcts = [p / 100.0 for p in body.get("percents", [50.0])]
+        if body.get("exact"):
+            if len(pcts) == 1:
+                return F.percentile(body["field"],
+                                    F.lit(pcts[0])).alias(alias)
+            return F.percentile(
+                body["field"],
+                F.array(*[F.lit(p) for p in pcts])).alias(alias)
+        acc = F.lit(int(body.get("accuracy", 10_000)))
         if len(pcts) == 1:
-            return F.percentile(body["field"], F.lit(pcts[0])).alias(alias)
-        return F.percentile(body["field"], F.array(*[F.lit(p) for p in pcts])).alias(alias)
+            return F.percentile_approx(body["field"], F.lit(pcts[0]),
+                                       acc).alias(alias)
+        return F.percentile_approx(
+            body["field"], F.array(*[F.lit(p) for p in pcts]),
+            acc).alias(alias)
     if kind == "weighted_avg":
         v = F.col(body["value"]["field"])
         w = F.col(body["weight"]["field"])
@@ -239,9 +255,21 @@ def date_histogram(
     min_doc_count: int = 0,
     hard_bounds: tuple[int, int] | None = None,
     group_cols: list[str] | None = None,
+    dense: str = "global",
+    max_dense_cells: int = 50_000_000,
 ) -> DataFrame:
     """date_histogram(fixed_interval) with minDocCount(0) semantics:
-    empty buckets present (left join vs a generated sequence)."""
+    empty buckets present (left join vs a generated sequence).
+
+    High-cardinality guard: with ``group_cols`` and ``min_doc_count=0``,
+    the ``dense="global"`` grid materializes ``n_buckets × n_entities``
+    rows — at the reference's own benchmark shape (1M entities × 1008
+    buckets) that is 10⁹ rows, which OpenSearch itself never builds
+    (empty buckets exist only within a composite page).  The global
+    grid is therefore CAPPED at ``max_dense_cells`` (fail fast with
+    alternatives) and ``dense="entity_span"`` provides the scalable
+    shape: every present entity densified over its OWN [min, max]
+    extent — output linear in real per-entity activity spans."""
     group_cols = group_cols or []
     sub_specs = sub_specs or {}
     bucket = bucketize(ts_col, interval_ms).alias("bucket_start")
@@ -253,7 +281,48 @@ def date_histogram(
     if min_doc_count > 0:
         return aggd.filter(F.col("doc_count") >= min_doc_count)
 
+    step = F.lit(interval_ms)
+    if group_cols and dense == "entity_span":
+        # per-entity dense grid over each entity's own extent — no
+        # cross join, row count = Σ_entity span_buckets(entity)
+        ext = df.groupBy(*group_cols).agg(
+            F.min(to_millis(ts_col)).alias("lo"),
+            F.max(to_millis(ts_col)).alias("hi"))
+        grid = ext.select(
+            *group_cols,
+            F.explode(F.sequence(
+                F.col("lo") - F.pmod(F.col("lo"), step),
+                F.col("hi") - F.pmod(F.col("hi"), step),
+                step)).alias("bucket_ms")
+        ).select(*group_cols,
+                 F.timestamp_millis(F.col("bucket_ms")).alias("bucket_start"))
+        out = grid.join(aggd, [*group_cols, "bucket_start"], "left")
+        return out.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+
     # minDocCount=0: dense bucket grid over [lo, hi] (hard_bounds or data extent)
+    if group_cols:
+        # global dense grid × entities: bound the materialized cells
+        probe = [F.approx_count_distinct(F.struct(*group_cols))
+                 .alias("n_ents")]
+        if hard_bounds is None:
+            probe += [F.min(to_millis(ts_col)).alias("lo"),
+                      F.max(to_millis(ts_col)).alias("hi")]
+        row = df.agg(*probe).collect()[0]
+        lo, hi = (hard_bounds if hard_bounds is not None
+                  else (row["lo"], row["hi"]))
+        if lo is not None:
+            hb = hi - 1 if hard_bounds is not None else hi
+            n_buckets = ((hb - hb % interval_ms)
+                         - (lo - lo % interval_ms)) // interval_ms + 1
+            cells = n_buckets * int(row["n_ents"])
+            if cells > max_dense_cells:
+                raise ValueError(
+                    f"date_histogram(min_doc_count=0) dense grid would "
+                    f"materialize ~{cells:,} (bucket × entity) cells "
+                    f"(> max_dense_cells={max_dense_cells:,}).  Use "
+                    f"dense='entity_span' (per-entity extents), "
+                    f"min_doc_count=1, tighter hard_bounds, or raise "
+                    f"max_dense_cells explicitly.")
     if hard_bounds is not None:
         lo, hi = hard_bounds
         grid_src = df.sparkSession.range(1).select(
@@ -262,7 +331,6 @@ def date_histogram(
         grid_src = df.select(
             F.min(to_millis(ts_col)).alias("lo"),
             F.max(to_millis(ts_col)).alias("hi"))
-    step = F.lit(interval_ms)
     grid = grid_src.select(
         F.explode(F.sequence(F.col("lo") - F.pmod(F.col("lo"), step),
                              F.col("hi") - F.pmod(F.col("hi"), step),

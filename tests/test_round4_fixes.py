@@ -317,3 +317,151 @@ def test_capped_self_pairs_equal_uncapped(spark):
             if a < b and a % 3 == b % 3}
     got = set(zip(capped.id_a, capped.id_b))
     assert got == want and len(capped) == len(want)
+
+
+# --- percentiles scale to approx by default (verdict #6) ---------------------
+
+
+def test_percentiles_approx_default_exact_flag(spark):
+    from anomaly_detection_spark.query.aggs import metric_agg_column
+
+    df = spark.range(1, 10_001).select(F.col("id").cast("double").alias("v"))
+    exact = df.agg(metric_agg_column(
+        {"percentiles": {"field": "v", "percents": [50.0], "exact": True}},
+        "p50")).collect()[0]["p50"]
+    assert exact == 5000.5
+    approx = df.agg(metric_agg_column(
+        {"percentiles": {"field": "v", "percents": [50.0]}},
+        "p50")).collect()[0]["p50"]
+    assert abs(approx - 5000.5) <= 10  # GK sketch, accuracy 10k
+    # approximate is the DEFAULT plan (no full-value buffering)
+    plan = df.agg(metric_agg_column(
+        {"percentiles": {"field": "v"}}, "p"))._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "percentile_approx" in plan
+    multi = df.agg(metric_agg_column(
+        {"percentiles": {"field": "v", "percents": [25.0, 75.0]}},
+        "p")).collect()[0]["p"]
+    assert abs(multi[0] - 2500.75) <= 10 and abs(multi[1] - 7500.25) <= 10
+
+
+# --- HC dense grid bounded (verdict #5) --------------------------------------
+
+
+def test_hc_dense_grid_capped_and_entity_span(spark):
+    """100k entities over a 2001-bucket global span: the global dense
+    grid (2×10⁸ cells) fails fast; dense='entity_span' completes with
+    output linear in per-entity activity."""
+    from anomaly_detection_spark.query.aggs import date_histogram
+
+    hour = 3_600_000
+    base_ms = 1_740_787_200_000  # 2025-03-01T00:00Z
+    ents = spark.range(100_000)
+    ev = ents.select(
+        F.col("id").alias("ent"),
+        F.explode(F.array(
+            (F.col("id") % 50).cast("long"),
+            F.when(F.col("id") == 0, F.lit(2000)).otherwise(
+                (F.col("id") % 50) + 3).cast("long"))).alias("b"))
+    df = ev.select("ent", F.timestamp_millis(
+        F.lit(base_ms) + F.col("b") * hour).alias("ts"))
+
+    with pytest.raises(ValueError, match="max_dense_cells"):
+        date_histogram(df, "ts", hour, min_doc_count=0,
+                       group_cols=["ent"])
+
+    out = date_histogram(df, "ts", hour, min_doc_count=0,
+                         group_cols=["ent"], dense="entity_span")
+    # entity 0 spans 2001 buckets; all others span 4
+    assert out.count() == 99_999 * 4 + 2001
+    sums = out.groupBy().agg(
+        F.sum("doc_count").alias("docs"),
+        F.sum(F.when(F.col("doc_count") == 0, 1).otherwise(0)).alias("gaps")
+    ).collect()[0]
+    assert sums["docs"] == 200_000
+    assert sums["gaps"] == 99_999 * 2 + 1999
+
+    # small global grids still work (under the cap), identical shape
+    small = date_histogram(df.filter(F.col("ent") < 3), "ts", hour,
+                           min_doc_count=0, group_cols=["ent"])
+    n_b = small.select("bucket_start").distinct().count()
+    assert small.count() == 3 * n_b
+
+
+# --- imputation parity (verdict #7, ImputationMethod.java:12-20) -------------
+
+
+def test_impute_fill_reference_formulas(spark):
+    from anomaly_detection_spark.features import impute_fill, impute_linear
+
+    hour = 3_600_000
+    base = pd.Timestamp("2025-03-01")
+    # buckets 0,1,4,5 present; 2,3 missing; per-entity
+    rows = []
+    for ent in ("A", "B"):
+        off = 0.0 if ent == "A" else 100.0
+        for b, v in [(0, 10.0), (1, 20.0), (4, 50.0), (5, 60.0)]:
+            rows.append((ent, base + pd.Timedelta(hours=b), v + off))
+    fm = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ent", "bucket_start", "v"]))
+
+    def _series(df, ent):
+        p = df.toPandas()
+        p = p[p.ent == ent].sort_values("bucket_start")
+        return list(p.v), list(p.is_filled) if "is_filled" in p else None
+
+    z, zf = _series(impute_fill(fm, hour, ["v"], ("ent",), "zero"), "A")
+    assert z == [10.0, 20.0, 0.0, 0.0, 50.0, 60.0]
+    assert zf == [False, False, True, True, False, False]
+
+    fx, _ = _series(impute_fill(fm, hour, ["v"], ("ent",), "fixed_values",
+                                fixed_values={"v": -1.5}), "B")
+    assert fx == [110.0, 120.0, -1.5, -1.5, 150.0, 160.0]
+
+    pv, _ = _series(impute_fill(fm, hour, ["v"], ("ent",), "previous"), "A")
+    assert pv == [10.0, 20.0, 20.0, 20.0, 50.0, 60.0]
+
+    # linear (LinearUniformImputer.java:62-75): gap of 2 between 20→50
+    li = impute_linear(fm, hour, ["v"], ("ent",)).toPandas()
+    li = li[li.ent == "A"].sort_values("bucket_start")
+    assert list(li.v) == [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+
+    with pytest.raises(ValueError, match="missing"):
+        impute_fill(fm, hour, ["v"], ("ent",), "fixed_values")
+    with pytest.raises(ValueError, match="supports"):
+        impute_fill(fm, hour, ["v"], ("ent",), "nearest")
+
+
+def test_detector_imputation_dispatch(spark, tmp_path_factory):
+    """Detector config names an ImputationMethod → preview densifies and
+    scores the imputed series (a gap no longer drops shingle history)."""
+    from anomaly_detection_spark.detector import Detector, preview
+
+    root = tmp_path_factory.mktemp("imp")
+    pdf = _spiky_pdf(hours=20)
+    # remove ALL events of hour 12 → a missing bucket for both entities
+    pdf = pdf[~((pdf.ts >= BASE + pd.Timedelta(hours=12))
+                & (pdf.ts < BASE + pd.Timedelta(hours=13)))]
+    src = _write(spark, pdf, str(root / "events"))
+
+    det_skip = _det(src, feature_specs={"v_avg": {"avg": {"field": "value"}}})
+    det_prev = _det(src, feature_specs={"v_avg": {"avg": {"field": "value"}}},
+                    imputation_method="previous")
+    skip = preview(spark, det_skip).toPandas()
+    prev = preview(spark, det_prev).toPandas()
+    h12 = BASE + pd.Timedelta(hours=12)
+    assert h12 not in set(skip[skip.service == "A"]
+                          .bucket_start.map(pd.Timestamp))
+    a_prev = prev[prev.service == "A"]
+    got12 = a_prev[a_prev.bucket_start.map(pd.Timestamp) == h12]
+    assert len(got12) == 1  # imputed bucket is scored
+    # previous-value carry: the imputed v_avg equals hour 11's value
+    a11 = a_prev[a_prev.bucket_start.map(pd.Timestamp)
+                 == BASE + pd.Timedelta(hours=11)]
+    assert abs(float(got12.v_avg.iloc[0]) - float(a11.v_avg.iloc[0])) < 1e-9
+    # one more scored bucket per entity than the skipping detector
+    assert len(prev) == len(skip) + 2
+
+    from anomaly_detection_spark.detector import run_once_stateful
+    with pytest.raises(NotImplementedError):
+        run_once_stateful(spark, det_prev, 0, str(root / "st"))
