@@ -465,3 +465,66 @@ def test_detector_imputation_dispatch(spark, tmp_path_factory):
     from anomaly_detection_spark.detector import run_once_stateful
     with pytest.raises(NotImplementedError):
         run_once_stateful(spark, det_prev, 0, str(root / "st"))
+
+
+# --- insights anomaly correlation (verdict #8) -------------------------------
+
+
+def test_insights_correlated_clusters_recover_planted_groups(spark):
+    """Three detectors spike together around T1, two around T2, one
+    isolated at T3 → clusters {3, 2, 1} with the reference's similarity
+    (delta-dilated IoU × duration penalty) and event windows spanning
+    member intervals."""
+    from anomaly_detection_spark.insights import correlated_anomaly_clusters
+
+    m = 60_000
+    t1, t2, t3 = 1_000_000_000, 1_000_000_000 + 6 * 3_600_000, \
+        1_000_000_000 + 12 * 3_600_000
+    rows = [
+        # cluster 1: overlapping ~10-min anomalies, slightly offset
+        ("detA", t1, t1 + 10 * m, 0.9),
+        ("detB", t1 + 2 * m, t1 + 12 * m, 0.8),
+        ("detC", t1 + 3 * m, t1 + 11 * m, 0.7),
+        # cluster 2
+        ("detA", t2, t2 + 8 * m, 0.6),
+        ("detD", t2 + 1 * m, t2 + 9 * m, 0.5),
+        # singleton
+        ("detE", t3, t3 + 10 * m, 0.9),
+        # grade 0 rows are ignored entirely
+        ("detF", t1, t1 + 10 * m, 0.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["detector_id", "s", "e", "anomaly_grade"])
+    ).select(
+        "detector_id",
+        F.timestamp_millis("s").alias("data_start_time"),
+        F.timestamp_millis("e").alias("data_end_time"),
+        "anomaly_grade")
+
+    out = correlated_anomaly_clusters(df).toPandas()
+    assert len(out) == 6
+    by_cluster = {}
+    for r in out.itertuples():
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [1, 2, 3]
+    big = next(v for v in by_cluster.values() if len(v) == 3)
+    assert sorted(r.detector_id for r in big) == ["detA", "detB", "detC"]
+    assert all(r.cluster_size == 3 for r in big)
+    # event window spans earliest start .. latest end of raw intervals
+    assert big[0].window_start == t1 and big[0].window_end == t1 + 12 * m
+    mid = next(v for v in by_cluster.values() if len(v) == 2)
+    assert sorted(r.detector_id for r in mid) == ["detA", "detD"]
+    single = next(v for v in by_cluster.values() if len(v) == 1)
+    assert single[0].detector_id == "detE"
+
+    # include_singletons=False drops the uncorrelated anomaly (the
+    # Dashboard rendering mode, clusterWithEventWindows(..., false))
+    no_single = correlated_anomaly_clusters(
+        df, include_singletons=False).toPandas()
+    assert len(no_single) == 5 and "detE" not in set(no_single.detector_id)
+
+    # far-apart same-detector anomalies never bridge: detA appears in
+    # two different clusters
+    a_clusters = set(out[out.detector_id == "detA"].cluster_id)
+    assert len(a_clusters) == 2
