@@ -47,7 +47,8 @@ def _build_cached(docs, idx_dir, **kw):
 
 
 def _docs_index(spark: SparkSession, sf_dir: str):
-    """Build (once, resumable) the posting index over `documents`."""
+    """Build (once, resumable) the posting index over `documents` —
+    positional, so scored match_phrase runs on the index path."""
     from anomaly_detection_spark.query import IndexReader
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
@@ -55,8 +56,22 @@ def _docs_index(spark: SparkSession, sf_dir: str):
     docs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("docid"), "text", "lang", "source", "n_chars")
     _build_cached(docs, idx_dir, seg_size=4096, block_size=256,
-                  segments_per_batch=8,
+                  segments_per_batch=8, positions=True,
                   keep_cols=("lang", "source", "n_chars"))
+    return IndexReader(spark, idx_dir)
+
+
+def _docs_field_index(spark: SparkSession, sf_dir: str, field: str):
+    """Per-field posting index over `documents` (one Lucene field index
+    per multi_match field, with its own corpus statistics)."""
+    from anomaly_detection_spark.query import IndexReader
+
+    key = hashlib.md5(f"{sf_dir}:{field}".encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/adspark_docs_f_{field}_{key}"
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("docid"), field)
+    _build_cached(docs, idx_dir, seg_size=4096, block_size=256,
+                  segments_per_batch=8, text_col=field, keep_cols=())
     return IndexReader(spark, idx_dir)
 
 
@@ -201,9 +216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ---- BM25 / search (Q1, Q2, Q4, Q6; L1-L5) ----------------------------
-    q["bm25_topk_bruteforce"] = lambda s, d: _bm25_bruteforce_docs(
-        s, d, "spark query merge data", 10)
-
+    # (bm25_topk_bruteforce / bm25_topk_conjunctive fold into pytest —
+    # rank/score identity vs the indexed path is locked by
+    # tests/test_index.py and tests/test_brute_force.py; one driver row
+    # per distinct oracle keeps the checked set == the exported set.)
     def bm25_indexed(s, d):
         from anomaly_detection_spark.query import bm25_topk_indexed
         reader = _docs_index(s, d)
@@ -219,33 +235,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "table scan value", 10,
         filter_cond=F.col("source").isin("src1", "src2") & (F.col("n_chars") >= 150))
 
-    def bm25_conjunctive(s, d):
-        """Q6 operator:and — conjunctive scored match through the body
-        planner (every analyzed token must be present; BM25 scores
-        summed like OR, per Lucene)."""
-        from anomaly_detection_spark.query import analyze_docs
-        from anomaly_detection_spark.query.planner import search
-        docs = _read(s, d, "documents").withColumnRenamed("doc_id", "docid")
-        analyzed = analyze_docs(docs)
-        top = search(analyzed, {"query": {"match": {"text": {
-            "query": "spark merge", "operator": "and"}}}, "size": 10})
-        out = top.select(F.col("docid").alias("doc_id"),
-                         F.round("score", 6).alias("score"))
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
-                .select("doc_id", "rank", "score"))
-    q["bm25_topk_conjunctive"] = bm25_conjunctive
-
     def multi_match_best(s, d):
         """Q6 multi_match best_fields over (text, source) through the
-        body planner — each field scored with its own corpus stats
-        (per-field df/avgdl/dl, one Lucene match per field), combined
-        as DisMax + tie_breaker (MultiMatchQueryBuilder)."""
+        body planner on the INDEX path — one posting index per field,
+        each scored with its own corpus stats (per-field df/avgdl/dl,
+        one Lucene field index per field), combined as DisMax +
+        tie_breaker (MultiMatchQueryBuilder); only the query terms'
+        posting blocks are read, never a corpus re-analysis."""
         from anomaly_detection_spark.query.planner import search
-        docs = _read(s, d, "documents").withColumnRenamed("doc_id", "docid")
-        top = search(docs, {"query": {"multi_match": {
+        reader = _docs_index(s, d)
+        src_reader = _docs_field_index(s, d, "source")
+        top = search(reader, {"query": {"multi_match": {
             "query": "the src3 data", "fields": ["text", "source"],
-            "type": "best_fields", "tie_breaker": 0.3}}, "size": 10})
+            "type": "best_fields", "tie_breaker": 0.3}}, "size": 10},
+            field_readers={"text": reader, "source": src_reader})
         out = top.select(F.col("docid").alias("doc_id"),
                          F.round("score", 6).alias("score"))
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -254,13 +257,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multi_match_best_fields"] = multi_match_best
 
     def phrase_scored(s, d):
-        """Scored match_phrase (Lucene PhraseQuery): tf = positional
+        """Scored match_phrase (Lucene PhraseQuery) on the INDEX path:
+        positional postings (positions=True build) — tf = positional
         phrase frequency (overlaps count), weight = Σ term idfs, BM25
-        saturation; occurrence count is a codegen higher-order-function
-        expression over the token array."""
+        saturation; the plan reads only the phrase terms' posting
+        blocks + positions, not the corpus."""
         from anomaly_detection_spark.query.planner import search
-        docs = _read(s, d, "documents").withColumnRenamed("doc_id", "docid")
-        top = search(docs, {"query": {"match_phrase": {
+        reader = _docs_index(s, d)
+        top = search(reader, {"query": {"match_phrase": {
             "text": "the data"}}, "size": 10})
         out = top.select(F.col("docid").alias("doc_id"),
                          F.round("score", 6).alias("score"))
@@ -333,15 +337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["nested_exists_users"] = nested_exists
 
     # ---- bucket aggs (B1-B7) ----------------------------------------------
-    def hist0(s, d):
-        from anomaly_detection_spark.query.aggs import date_histogram
-        ev = _read(s, d, "events")
-        return date_histogram(ev, "ts", EVENTS_HOUR,
-                              {"v_sum": {"sum": {"field": "value"}}}) \
-            .select("bucket_start", "doc_count", F.round("v_sum", 6).alias("v_sum")) \
-            .orderBy("bucket_start")
-    q["date_histogram_hourly"] = hist0
-
+    # (plain hourly date_histogram folds into pytest + the pipeline /
+    # body entries below, which bucket hourly with the same helper)
     def hist_weekly(s, d):
         """date_histogram(calendar_interval=week) through the body
         compiler — calendar-boundary bucketing (weeks start Monday,
@@ -581,40 +578,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("event_type", "hit_rank"))
     q["top_hits_per_type"] = top_hits_per_type
 
-    def prefix_sources(s, d):
-        from anomaly_detection_spark.query.planner import compile_filter
-        docs = _read(s, d, "documents")
-        cond = compile_filter(docs, {"prefix": {"source": {"value": "src1"}}})
-        return (docs.filter(cond).groupBy("source")
-                .agg(F.count("*").alias("doc_count")).orderBy("source"))
-    q["prefix_source_counts"] = prefix_sources
-
-    def phrase_docs(s, d):
-        """match_phrase filter context: analyzed tokens consecutive
-        (slop=0, PhraseQuery semantics via the token-stream substring
-        identity — no positions index needed for filter context)."""
-        from anomaly_detection_spark.query.planner import compile_filter
-        docs = _read(s, d, "documents")
-        cond = compile_filter(docs, {"match_phrase": {"text": "the data"}})
-        return docs.filter(cond).select("doc_id").orderBy("doc_id")
-    q["match_phrase_docs"] = phrase_docs
-
+    # (prefix / filter-context match_phrase fold into pytest —
+    # tests/test_round3_extras.py; the scored phrase + wildcard entries
+    # keep the driver coverage of those operator families)
     def card(s, d):
         # approximate cardinality (HLL++) vs exact — exposed rows-only
         ev = _read(s, d, "events")
         return ev.agg(F.approx_count_distinct("user_id").alias("approx_users"))
     q["cardinality_approx"] = card
 
-    # ---- pipeline aggs (P1-P3) + shingle/impute (§2.7) --------------------
-    def sdiff(s, d):
-        from anomaly_detection_spark.query.aggs import date_histogram, serial_diff
+    def pct_approx(s, d):
+        """Scale-default percentiles: percentile_approx (GK sketch, the
+        t-digest analog — AbstractRetriever.java:80-85).  Rows-only by
+        design, like cardinality_approx; the exact twin stays green in
+        metric_aggs_global behind the exact flag."""
+        from anomaly_detection_spark.query.aggs import metric_agg_column
         ev = _read(s, d, "events")
-        h = date_histogram(ev, "ts", EVENTS_HOUR, min_doc_count=1)
-        return serial_diff(h, "doc_count", "bucket_start") \
-            .select("bucket_start", "doc_count", "doc_count_diff") \
-            .orderBy("bucket_start")
-    q["serial_diff_hourly"] = sdiff
+        return ev.agg(metric_agg_column(
+            {"percentiles": {"field": "value", "percents": [50.0, 95.0]}},
+            "v_pcts"))
+    q["percentiles_approx"] = pct_approx  # rows-only (sketch by design)
 
+    # ---- pipeline aggs (P1-P3) + shingle/impute (§2.7) --------------------
+    # (standalone hourly serial_diff folds into search_body_aggs, which
+    # runs the identical serial_diff over the identical histogram)
     def minb(s, d):
         from anomaly_detection_spark.query.aggs import date_histogram, min_bucket
         ev = _read(s, d, "events")
@@ -656,12 +643,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("v_avg", 6).alias("v_avg")).orderBy("bucket_start")
     q["impute_linear_hourly"] = impute
 
-    # ---- dedup / text / similarity ----------------------------------------
-    def dd_exact(s, d):
-        from anomaly_detection_spark.pipeline import exact_duplicates
-        return exact_duplicates(_read(s, d, "documents"))
-    q["dedup_exact"] = dd_exact
+    def impute_prev(s, d):
+        """PREVIOUS imputation (ImputationMethod.java:12-20 /
+        PreviousValueImputer): missing buckets carry the last present
+        value forward over the dense grid."""
+        from anomaly_detection_spark.features import feature_matrix, impute_fill
+        ev = _read(s, d, "events").filter(F.col("event_type") == "purchase")
+        fm = feature_matrix(ev, "ts", EVENTS_HOUR,
+                            {"v_avg": {"avg": {"field": "value"}}})
+        out = impute_fill(fm.select("bucket_start", "v_avg"), EVENTS_HOUR,
+                          ["v_avg"], method="previous")
+        return out.select("bucket_start",
+                          F.round("v_avg", 6).alias("v_avg")).orderBy("bucket_start")
+    q["impute_previous_hourly"] = impute_prev
 
+    # ---- dedup / text / similarity ----------------------------------------
+    # (exact_duplicates folds into pytest — 0 rows at this SF made the
+    # driver row vacuous; dedup_clusters keeps the groupBy-dedup family)
     def dd_jacc(s, d):
         from anomaly_detection_spark.pipeline import ngram_jaccard_pairs
         return ngram_jaccard_pairs(_read(s, d, "documents"), threshold=0.4, n=3)
@@ -709,26 +707,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_ann_topk(embs, queries_df, k=10, n_planes=16, bands=8)
     q["lsh_ann_topk"] = ann  # rows-only (approximate by design)
 
-    def lang(s, d):
-        from anomaly_detection_spark.pipeline import language_id
-        return language_id(_read(s, d, "documents")).orderBy("doc_id")
-    q["language_id"] = lang
-
-    def quality(s, d):
-        from anomaly_detection_spark.pipeline import quality_scores
-        return quality_scores(_read(s, d, "documents")).orderBy("doc_id")
-    q["quality_scores"] = quality
-
-    def tcounts(s, d):
-        from anomaly_detection_spark.pipeline import token_counts
-        return token_counts(_read(s, d, "documents")).orderBy("doc_id")
-    q["token_counts"] = tcounts
-
-    def fps(s, d):
-        from anomaly_detection_spark.pipeline import doc_fingerprints
-        return doc_fingerprints(_read(s, d, "documents")) \
-            .select("doc_id", "fp_md5").orderBy("doc_id")
-    q["fingerprint_md5"] = fps
+    def text_analysis(s, d):
+        """The text-analysis suite in ONE scan-side pass: language-ID
+        (stopword-hit heuristic), quality scoring (length/punct/stopword
+        ratios), token counting (whitespace + analyzer), and the MD5
+        document fingerprint — all pure-codegen columns joined on
+        doc_id.  One driver row checks all four operators; each is also
+        unit-tested standalone (tests/test_pipeline_ops.py)."""
+        from anomaly_detection_spark.pipeline import (
+            doc_fingerprints, language_id, quality_scores, token_counts)
+        docs = _read(s, d, "documents")
+        out = (language_id(docs)
+               .join(quality_scores(docs), "doc_id")
+               .join(token_counts(docs), "doc_id")
+               .join(doc_fingerprints(docs).select("doc_id", "fp_md5"),
+                     "doc_id"))
+        return out.orderBy("doc_id")
+    q["text_analysis"] = text_analysis
 
     # ---- reference query-path restatements (§3.1, §3.3) -------------------
     def top_entities(s, d):
@@ -824,20 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("rank", "entity_user", "max_severity", "doc_count"))
     q["composite_entity_script"] = comp_entity
 
-    def feature_vectors(s, d):
-        """CompositeRetriever page loop restated (B6): per-(entity,
-        interval) feature vectors in one groupBy."""
-        from anomaly_detection_spark.features import feature_matrix
-        ev = _read(s, d, "events")
-        fm = feature_matrix(ev, "ts", EVENTS_HOUR,
-                            {"v_avg": {"avg": {"field": "value"}},
-                             "v_sum": {"sum": {"field": "value"}}},
-                            entity_cols=("event_type",))
-        return fm.select("event_type", "bucket_start", "doc_count",
-                         F.round("v_avg", 6).alias("v_avg"),
-                         F.round("v_sum", 6).alias("v_sum"))
-    q["feature_vectors_hourly"] = feature_vectors
-
+    # (feature_vectors_hourly folds into body_composite_dh — the same
+    # B6 composite-over-date_histogram shape through the body compiler —
+    # plus tests/test_features_streaming.py for features.feature_matrix)
     def entity_scores(s, d):
         """§3.1 end-to-end: per-entity fan-out → pluggable scorer
         (ResultProcessor.java:204-331; z-score stands in for RCF).
@@ -875,17 +859,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("event_type", "bucket_start"))
     q["detector_preview_hourly"] = detector_preview
 
-    # ---- north-star shape: transcripts index + WAND (rows-only) -----------
-    def tx_wand(s, d):
-        from anomaly_detection_spark.query import bm25_topk_indexed, fetch_docs
-        reader = _tx_index(s)
-        top = bm25_topk_indexed(reader, "error spark merge query", k=10,
-                                filter_cond=F.col("role") == "user")
-        return fetch_docs(reader, top).select(
-            "docid", F.round("score", 6).alias("score"),
-            "conv_id", "turn_idx", "role")
-    q["transcripts_wand_topk"] = tx_wand  # rows-only (non-SQL corpus)
-
+    # (the transcripts-corpus WAND shape — filtered index search over
+    # generated transcripts — is pytest-locked end to end in
+    # tests/test_index.py and exercised per-round by bench.py; its
+    # rows-only driver row duplicated bm25_topk_indexed's coverage)
     return q
 
 
@@ -897,14 +874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     terms = ["spark", "query", "merge", "data"]
-    sql["bm25_topk_bruteforce"] = _bm25_sql(terms, 10)
     sql["bm25_topk_indexed"] = _bm25_sql(terms, 10)
     sql["bm25_topk_filtered"] = _bm25_sql(
         ["table", "scan", "value"], 10,
         cand_where="source IN ('src1','src2') AND n_chars >= 150")
-    sql["bm25_topk_conjunctive"] = _bm25_sql(
-        ["spark", "merge"], 10, require_all=True)
-
     sql["multi_match_best_fields"] = _mm_sql(
         ["the", "src3", "data"], ["text", "source"], 10, 0.3)
 
@@ -949,22 +922,6 @@ SELECT DISTINCT user_id FROM events
 WHERE event_type = 'error' AND value > 90 ORDER BY user_id
 """
 
-    sql["date_histogram_hourly"] = f"""
-WITH ext AS (
-  SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
-grid AS (
-  SELECT epoch_ms(unnest(generate_series(ext.lo - ext.lo % {EVENTS_HOUR},
-                                         ext.hi - ext.hi % {EVENTS_HOUR},
-                                         {EVENTS_HOUR}))) AS bucket_start
-  FROM ext),
-agg AS (
-  SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
-         count(*) AS doc_count, round(sum(value), 6) AS v_sum
-  FROM events GROUP BY 1)
-SELECT g.bucket_start, coalesce(a.doc_count, 0) AS doc_count, a.v_sum
-FROM grid g LEFT JOIN agg a USING (bucket_start)
-ORDER BY g.bucket_start
-"""
 
     sql["date_histogram_weekly"] = """
 SELECT date_trunc('week', ts) AS bucket_start,
@@ -1146,10 +1103,6 @@ FROM (SELECT event_type, event_id, value,
 WHERE hit_rank <= 2 ORDER BY event_type, hit_rank
 """
 
-    sql["prefix_source_counts"] = """
-SELECT source, count(*) AS doc_count FROM documents
-WHERE source LIKE 'src1%' GROUP BY source ORDER BY source
-"""
 
     sql["match_phrase_scored"] = rf"""
 WITH tok AS (
@@ -1182,23 +1135,7 @@ FROM (
 ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """
 
-    sql["match_phrase_docs"] = rf"""
-SELECT doc_id FROM documents
-WHERE ' ' || array_to_string(
-        regexp_extract_all(lower(coalesce(text, '')), '[\p{{L}}\p{{N}}_]+'),
-        ' ') || ' ' LIKE '% the data %'
-ORDER BY doc_id
-"""
 
-    sql["serial_diff_hourly"] = f"""
-WITH h AS (
-  SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
-         count(*) AS doc_count
-  FROM events GROUP BY 1)
-SELECT bucket_start, doc_count,
-       doc_count - lag(doc_count) OVER (ORDER BY bucket_start) AS doc_count_diff
-FROM h ORDER BY bucket_start
-"""
 
     sql["min_bucket_hourly"] = f"""
 WITH h AS (
@@ -1273,6 +1210,24 @@ SELECT epoch_ms(bms) AS bucket_start,
 FROM nb ORDER BY bms
 """
 
+    sql["impute_previous_hourly"] = f"""
+WITH src AS (SELECT * FROM events WHERE event_type = 'purchase'),
+agg AS (
+  SELECT epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR} AS bms,
+         avg(value) AS v FROM src GROUP BY 1),
+ext AS (SELECT min(bms) AS lo, max(bms) AS hi FROM agg),
+grid AS (
+  SELECT unnest(generate_series(ext.lo, ext.hi, {EVENTS_HOUR})) AS bms FROM ext),
+dense AS (
+  SELECT g.bms, a.v FROM grid g LEFT JOIN agg a USING (bms))
+SELECT epoch_ms(bms) AS bucket_start,
+       round(last_value(v IGNORE NULLS)
+             OVER (ORDER BY bms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS v_avg
+FROM dense ORDER BY bms
+"""
+
     sql["top_entities_by_severity"] = f"""
 WITH g AS (
   SELECT user_id, round(max(value), 6) AS max_severity,
@@ -1331,14 +1286,6 @@ SELECT row_number() OVER (ORDER BY max_severity DESC, entity_user) AS rank,
 FROM g ORDER BY max_severity DESC, entity_user LIMIT 10
 """
 
-    sql["feature_vectors_hourly"] = f"""
-SELECT event_type,
-       epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
-       count(*) AS doc_count,
-       round(avg(value), 6) AS v_avg,
-       round(sum(value), 6) AS v_sum
-FROM events GROUP BY 1, 2
-"""
 
     sql["entity_scores_hourly"] = f"""
 WITH h AS (
@@ -1386,18 +1333,6 @@ SELECT 'det-events' AS detector_id, event_type, bucket_start, n_events,
 FROM z ORDER BY event_type, bucket_start
 """
 
-    sql["dedup_exact"] = f"""
-WITH keyed AS (
-  SELECT doc_id,
-         array_to_string({_TOKEN_SQL.format(col='text')}, ' ') AS k
-  FROM documents),
-groups AS (
-  SELECT k, min(doc_id) AS group_id, count(*) AS group_size
-  FROM keyed GROUP BY k HAVING count(*) > 1)
-SELECT keyed.doc_id, groups.group_id, groups.group_size
-FROM keyed JOIN groups USING (k)
-ORDER BY groups.group_id, keyed.doc_id
-"""
 
     trigram = (
         "list_distinct(list_transform("
@@ -1485,7 +1420,7 @@ ORDER BY id_a, id_b
     best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
     pred_cases = " ".join(
         f"WHEN hits_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs)
-    sql["language_id"] = f"""
+    lang_sql = f"""
 WITH tok AS (
   SELECT doc_id, {_TOKEN_SQL.format(col='text')} AS ts FROM documents),
 hits AS (
@@ -1498,7 +1433,7 @@ FROM hits ORDER BY doc_id
 """
 
     en = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
-    sql["quality_scores"] = f"""
+    quality_sql = f"""
 WITH tok AS (
   SELECT doc_id, text, {_TOKEN_SQL.format(col='text')} AS ts FROM documents),
 base AS (
@@ -1524,7 +1459,7 @@ SELECT doc_id, n_words,
 FROM m ORDER BY doc_id
 """
 
-    sql["token_counts"] = f"""
+    tokens_sql = f"""
 SELECT doc_id,
        len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
                        x -> x != '')) AS ws_tokens,
@@ -1533,10 +1468,20 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
-    sql["fingerprint_md5"] = f"""
+    fp_sql = f"""
 SELECT doc_id,
        md5(array_to_string({_TOKEN_SQL.format(col='text')}, ' ')) AS fp_md5
 FROM documents ORDER BY doc_id
+"""
+
+    sql["text_analysis"] = f"""
+WITH l AS ({lang_sql.strip()}),
+q AS ({quality_sql.strip()}),
+t AS ({tokens_sql.strip()}),
+f AS ({fp_sql.strip()})
+SELECT * FROM l
+JOIN q USING (doc_id) JOIN t USING (doc_id) JOIN f USING (doc_id)
+ORDER BY doc_id
 """
 
     return sql

@@ -51,6 +51,15 @@ class Detector:
     # previous | linear (None = skip missing buckets, the default)
     imputation_method: str | None = None
     imputation_values: dict[str, float] | None = None
+    # Config "rules" parity (AbstractRuleTestCase.java:99-108 shape):
+    # [{"action": "ignore_anomaly", "conditions": [{"feature_name": ...,
+    #   "threshold_type": "actual_over_expected_margin" | "expected_over_
+    #   actual_margin" | "actual_over_expected_ratio" | "expected_over_
+    #   actual_ratio", "operator": "lte", "value": ...}, ...]}]
+    # — an anomaly is suppressed (grade forced to 0) when EVERY
+    # condition of a rule holds; "expected" is the model's trailing
+    # baseline (the scorer's window mean here).
+    suppression_rules: tuple = ()
 
     def __post_init__(self):
         if self.imputation_method not in (

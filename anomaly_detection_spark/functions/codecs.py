@@ -77,6 +77,24 @@ def delta_decode(gaps: np.ndarray, base: int = 0) -> np.ndarray:
         return np.cumsum(g) + np.uint64(base)
 
 
+def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Positional payload of one posting block → absolute in-document
+    token positions (flat, grouped per posting in posting order).
+
+    Encoding (see ``blocks_from_sorted``): per posting, the first
+    position is absolute and the rest are deltas to the previous
+    position — the Lucene proximity-payload shape.  ``tfs`` gives the
+    per-posting occurrence counts that delimit the flat stream."""
+    dp = varint_decode(blob).astype(np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if dp.size == 0:
+        return dp
+    c = np.cumsum(dp)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    base = c[starts] - dp[starts]
+    return c - np.repeat(base, tfs)
+
+
 def encode_postings(docids: np.ndarray, tfs: np.ndarray, base: int = 0) -> tuple[bytes, bytes]:
     """(sorted docids, tfs) → (gap varint bytes, tf varint bytes)."""
     return (

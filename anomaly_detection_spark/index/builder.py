@@ -71,24 +71,30 @@ POSTING_SCHEMA = (
     "term string, seg_id int, block_id int, first_docid long, last_docid long, "
     "n int, gaps binary, tfs binary, max_tf int, sum_tf long, min_dl int, "
     "bm_buckets array<int>, bm_tf array<int>, bm_dl array<int>, "
-    "blob_bytes int"
+    "blob_bytes int, pos binary"
 )
 
 
 _EMPTY_BLOCKS = pd.DataFrame(
     columns=["term", "seg_id", "block_id", "first_docid", "last_docid",
              "n", "gaps", "tfs", "max_tf", "sum_tf", "min_dl",
-             "bm_buckets", "bm_tf", "bm_dl", "blob_bytes"])
+             "bm_buckets", "bm_tf", "bm_dl", "blob_bytes", "pos"])
 
 
 def encode_segment_pdf(pdf: pd.DataFrame, block_size: int,
                        seg_size: int | None = None,
-                       bucket_size: int = 256) -> pd.DataFrame:
+                       bucket_size: int = 256,
+                       positions: bool = False) -> pd.DataFrame:
     """One segment's (seg_id, docid, tokens) rows → posting-block rows.
 
     Fully vectorized: one lexicographic groupby for tf, run/block
     boundary detection with numpy, a single varint encode per stream
     sliced at block boundaries.
+
+    ``positions=True`` additionally records every occurrence's token
+    position (the Lucene proximity data for ``text`` fields) as a
+    per-block varint payload — opt-in because it roughly doubles
+    posting bytes and only phrase/proximity queries read it.
     """
     seg_id = int(pdf["seg_id"].iloc[0])
     toks = pdf["tokens"]
@@ -99,14 +105,35 @@ def encode_segment_pdf(pdf: pd.DataFrame, block_size: int,
     exploded = toks.explode()
     terms_rep = exploded[exploded.notna()].to_numpy(dtype=object)
 
-    g = (
-        pd.DataFrame({"term": terms_rep, "docid": docids_rep})
-        .groupby(["term", "docid"], sort=True)
-        .size()
-    )
-    terms_u = g.index.get_level_values(0).to_numpy(dtype=object)
-    docs_u = g.index.get_level_values(1).to_numpy(dtype=np.int64)
-    tfs_u = g.to_numpy(dtype=np.int64)
+    pos_flat = None
+    if positions:
+        # same (term asc, docid asc) posting order as the groupby path,
+        # via one factorize + lexsort that keeps each occurrence's token
+        # position attached
+        total = int(lens.sum())
+        start_off = np.concatenate(([0], np.cumsum(lens[:-1])))
+        pos_rep = (np.arange(total, dtype=np.int64)
+                   - np.repeat(start_off, lens))
+        codes, uniq_terms = pd.factorize(terms_rep, sort=True)
+        order = np.lexsort((pos_rep, docids_rep, codes))
+        t_s, d_s, p_s = codes[order], docids_rep[order], pos_rep[order]
+        change = np.empty(total, dtype=bool)
+        change[0] = True
+        change[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(change)
+        tfs_u = np.diff(np.append(starts, total)).astype(np.int64)
+        terms_u = np.asarray(uniq_terms, dtype=object)[t_s[starts]]
+        docs_u = d_s[starts]
+        pos_flat = p_s
+    else:
+        g = (
+            pd.DataFrame({"term": terms_rep, "docid": docids_rep})
+            .groupby(["term", "docid"], sort=True)
+            .size()
+        )
+        terms_u = g.index.get_level_values(0).to_numpy(dtype=object)
+        docs_u = g.index.get_level_values(1).to_numpy(dtype=np.int64)
+        tfs_u = g.to_numpy(dtype=np.int64)
     # per-posting doc length (for block-level min_dl — tight BM25 UBs)
     seg_docids = pdf["docid"].to_numpy(dtype=np.int64)
     base = int(seg_docids.min())
@@ -115,7 +142,7 @@ def encode_segment_pdf(pdf: pd.DataFrame, block_size: int,
     dls_u = dl_lut[docs_u - base]
     return blocks_from_sorted(terms_u, docs_u, tfs_u, seg_id, block_size,
                               dls_u=dls_u, seg_size=seg_size,
-                              bucket_size=bucket_size)
+                              bucket_size=bucket_size, pos_flat=pos_flat)
 
 
 def blocks_from_sorted(
@@ -127,9 +154,15 @@ def blocks_from_sorted(
     dls_u: np.ndarray | None = None,
     seg_size: int | None = None,
     bucket_size: int = 256,
+    pos_flat: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """(term, docid, tf) rows already sorted by (term, docid) → posting
     block rows.  Shared by the segment builder and the segment merger.
+
+    ``pos_flat`` (optional): flat absolute token positions, grouped per
+    posting in posting order (Σ tf entries).  Encoded per block as
+    varints — first position of each posting absolute, the rest deltas
+    (see ``codecs.decode_positions``).
 
     Besides the block-level (max_tf, min_dl), each block carries a
     per-bucket impact table over ``bucket_size``-docid buckets
@@ -208,6 +241,24 @@ def blocks_from_sorted(
     blob_bytes = ((gap_off[blk_end] - gap_off[blk_start])
                   + (tf_off[blk_end] - tf_off[blk_start])).astype(np.int32)
 
+    if pos_flat is not None:
+        # positional payload: one varint stream, per-posting reset
+        # deltas, sliced at block boundaries (block boundaries are
+        # posting boundaries, so blocks decode independently)
+        p_off = np.concatenate(([0], np.cumsum(tfs_u)))  # posting → pos idx
+        dp = np.diff(np.asarray(pos_flat, dtype=np.int64), prepend=0)
+        dp[p_off[:-1]] = np.asarray(pos_flat, dtype=np.int64)[p_off[:-1]]
+        pos_bytes, pos_w = varint_encode_with_widths(dp.astype(np.uint64))
+        pw_off = np.concatenate(([0], np.cumsum(pos_w)))
+        pos_col = [pos_bytes[pw_off[p_off[blk_start[i]]]:
+                             pw_off[p_off[blk_end[i]]]]
+                   for i in range(n_blocks)]
+        blob_bytes = (blob_bytes
+                      + (pw_off[p_off[blk_end]] - pw_off[p_off[blk_start]])
+                      ).astype(np.int32)
+    else:
+        pos_col = [None] * n_blocks
+
     return pd.DataFrame({
         "term": blk_terms,
         "seg_id": np.full(n_blocks, seg_id, dtype=np.int32),
@@ -224,6 +275,7 @@ def blocks_from_sorted(
         "bm_tf": bm_tf,
         "bm_dl": bm_dl,
         "blob_bytes": blob_bytes,
+        "pos": pos_col,
     })
 
 
@@ -249,13 +301,15 @@ def encode_norms_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def _postings_from_analyzed(analyzed: DataFrame, seg_size: int,
                             block_size: int,
-                            bucket_size: int = 256) -> DataFrame:
+                            bucket_size: int = 256,
+                            positions: bool = False) -> DataFrame:
     """Analyzed (docid, tokens) rows → posting blocks, one pandas group
     per segment (parallelism = number of segments)."""
-    bs, ss, bk = block_size, seg_size, bucket_size
+    bs, ss, bk, ps = block_size, seg_size, bucket_size, positions
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        return encode_segment_pdf(pdf, bs, seg_size=ss, bucket_size=bk)
+        return encode_segment_pdf(pdf, bs, seg_size=ss, bucket_size=bk,
+                                  positions=ps)
 
     return (
         analyzed
@@ -270,7 +324,8 @@ def _run_batch(spark, docs: DataFrame, paths: IndexPaths, k: int,
                lo: int, hi: int, seg_size: int, block_size: int,
                segments_per_batch: int, bucket_size: int,
                text_col: str, keep_cols: tuple[str, ...],
-               stage: str = "segment_build") -> None:
+               stage: str = "segment_build",
+               positions: bool = False) -> None:
     """One build batch: doc_stats + (norms ∥ postings+manifest) for the
     docid range [lo, hi), written under ``batch={k}`` dirs."""
     t0 = time.time()
@@ -306,7 +361,8 @@ def _run_batch(spark, docs: DataFrame, paths: IndexPaths, k: int,
 
     def _run_postings():
         posts = _postings_from_analyzed(analyzed, seg_size, block_size,
-                                        bucket_size=bucket_size)
+                                        bucket_size=bucket_size,
+                                        positions=positions)
         # written straight from the encode tasks: each segment's
         # blocks come out (term, docid)-sorted already, so parquet
         # row-group min/max stats serve the term-IN pushdown without
@@ -374,8 +430,14 @@ def build_index(
     keep_cols: tuple[str, ...] = ("conv_id", "turn_idx", "role", "tool", "ts"),
     resume: bool = True,
     bucket_size: int = 256,
+    positions: bool = False,
 ) -> IndexPaths:
     """Build the full index under ``index_dir``; resume from checkpoints.
+
+    ``positions=True`` stores per-occurrence token positions in the
+    posting blocks (Lucene indexes positions for ``text`` fields) —
+    required for index-path scored ``match_phrase``; opt-in because it
+    roughly doubles posting bytes.
 
     ``docs`` must carry a stable dense ``docid`` (see
     :func:`anomaly_detection_spark.data.assign_docids`).
@@ -396,6 +458,7 @@ def build_index(
         # a resumed build must keep the original segment geometry
         prev = read_meta(index_dir)
         seg_size, bucket_size = prev.seg_size, prev.bucket_size
+        positions = prev.positions
     elif seg_size is None:
         # one segment per core is enough parallelism; prefer LARGE
         # segments — smaller ones multiply per-term block overhead
@@ -419,12 +482,13 @@ def build_index(
     # silently skip or re-map docid ranges
     pin_geometry(paths, "build_conf", resume, seg_size=seg_size,
                  block_size=block_size, segments_per_batch=segments_per_batch,
-                 bucket_size=bucket_size)
+                 bucket_size=bucket_size, positions=positions)
     if not (resume and is_done(paths, "finalize")):
         # draft meta only — never clobber a finalized one on resume
         write_meta(paths, IndexMeta(n_docs=n_docs, avgdl=0.0, seg_size=seg_size,
                                     block_size=block_size,
-                                    bucket_size=bucket_size))
+                                    bucket_size=bucket_size,
+                                    positions=positions))
 
     # --- per-batch: doc_stats + postings + manifest -------------------------
     for k in range(n_batches):
@@ -433,16 +497,18 @@ def build_index(
         lo = k * segments_per_batch * seg_size
         hi = min(n_docs, (k + 1) * segments_per_batch * seg_size)
         _run_batch(spark, docs, paths, k, lo, hi, seg_size, block_size,
-                   segments_per_batch, bucket_size, text_col, keep_cols)
+                   segments_per_batch, bucket_size, text_col, keep_cols,
+                   positions=positions)
         mark_done(paths, "batch", k, docid_lo=lo, docid_hi=hi)
 
     _refresh_stats(spark, paths, seg_size, block_size, bucket_size,
-                   resume=resume)
+                   resume=resume, positions=positions)
     return paths
 
 
 def _refresh_stats(spark, paths: IndexPaths, seg_size: int, block_size: int,
-                   bucket_size: int, resume: bool) -> None:
+                   bucket_size: int, resume: bool,
+                   positions: bool = False) -> None:
     """term_stats (global df/cf) ∥ finalize meta (N, avgdl) —
     independent single-pass jobs over different tables, overlapped."""
 
@@ -472,7 +538,7 @@ def _refresh_stats(spark, paths: IndexPaths, seg_size: int, block_size: int,
         write_meta(paths, IndexMeta(
             n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0),
             seg_size=seg_size, block_size=block_size,
-            bucket_size=bucket_size))
+            bucket_size=bucket_size, positions=positions))
         mark_done(paths, "finalize")
         log_metric(paths, "finalize", n_docs=int(row["n"]),
                    avgdl=float(row["avgdl"] or 0.0), wall_s=time.time() - t0)
@@ -506,6 +572,7 @@ def append_index(
     conf = read_ckpt(paths, "build_conf")
     seg_size, block_size = meta.seg_size, meta.block_size
     bucket_size = meta.bucket_size
+    positions = meta.positions
     spb = int(conf["segments_per_batch"])
 
     ext = docs_new.agg(F.min("docid").alias("lo"),
@@ -533,7 +600,7 @@ def append_index(
             continue
         _run_batch(spark, docs_new, paths, lo, lo, hi, seg_size, block_size,
                    spb, bucket_size, text_col, keep_cols,
-                   stage="segment_append")
+                   stage="segment_append", positions=positions)
         mark_done(paths, "append", lo, docid_lo=lo, docid_hi=hi)
 
     # stats/meta cover the grown corpus: force their recompute
@@ -543,5 +610,5 @@ def append_index(
         except FileNotFoundError:
             pass
     _refresh_stats(spark, paths, seg_size, block_size, bucket_size,
-                   resume=resume)
+                   resume=resume, positions=positions)
     return paths

@@ -44,7 +44,9 @@ from .storage import (
 
 def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
                    new_seg_size: int, bucket_size: int) -> pd.DataFrame:
-    """All posting blocks of one target segment → re-encoded blocks."""
+    """All posting blocks of one target segment → re-encoded blocks.
+    Positional payloads (``pos``), when present on every block, are
+    decoded per block and re-encoded on the merged block grid."""
     pdf = pdf.sort_values(["term", "seg_id", "block_id"], kind="mergesort")
     new_seg = int(pdf["new_seg"].iloc[0])
     firsts = pdf["first_docid"].to_numpy(dtype=np.int64)
@@ -56,14 +58,21 @@ def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
     # (schema-union null-fill) must take the no-bm path, not crash
     has_bm = ("bm_buckets" in pdf.columns
               and pdf["bm_buckets"].notna().all())
+    has_pos = "pos" in pdf.columns and pdf["pos"].notna().all()
 
-    doc_parts, tf_parts = [], []
+    doc_parts, tf_parts, pos_parts = [], [], []
     for i in range(len(pdf)):
         doc_parts.append(np.cumsum(varint_decode(gaps_col[i])).astype(np.int64)
                          + firsts[i])
-        tf_parts.append(varint_decode(tfs_col[i]).astype(np.int64))
+        tfs_i = varint_decode(tfs_col[i]).astype(np.int64)
+        tf_parts.append(tfs_i)
+        if has_pos:
+            from ..functions.codecs import decode_positions
+
+            pos_parts.append(decode_positions(pdf["pos"].iloc[i], tfs_i))
     docs_u = np.concatenate(doc_parts)
     tfs_u = np.concatenate(tf_parts)
+    pos_flat = np.concatenate(pos_parts) if has_pos else None
     terms_u = np.repeat(pdf["term"].to_numpy(dtype=object), ns)
     if has_bm:
         # per-posting dl lower bound from the source blocks' per-bucket
@@ -90,7 +99,7 @@ def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
         dls_u = np.repeat(pdf["min_dl"].to_numpy(dtype=np.int64), ns)
     return blocks_from_sorted(terms_u, docs_u, tfs_u, new_seg, block_size,
                               dls_u=dls_u, seg_size=new_seg_size,
-                              bucket_size=bucket_size)
+                              bucket_size=bucket_size, pos_flat=pos_flat)
 
 
 def merge_segments(
@@ -120,7 +129,7 @@ def merge_segments(
     write_meta(dst, IndexMeta(
         n_docs=src_meta.n_docs, avgdl=src_meta.avgdl,
         seg_size=new_seg_size, block_size=block_size,
-        bucket_size=src_meta.bucket_size))
+        bucket_size=src_meta.bucket_size, positions=src_meta.positions))
 
     posts = spark.read.parquet(src.postings).withColumn(
         "new_seg", (F.col("seg_id") / factor).cast("int"))

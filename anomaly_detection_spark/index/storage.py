@@ -31,6 +31,9 @@ class IndexMeta:
     # block-max pruning bucket width in docids (per-bucket impact tables
     # in the posting blocks are cut on this grid; must divide seg_size)
     bucket_size: int = 256
+    # per-occurrence token positions stored in posting blocks (Lucene
+    # positions for text fields) — phrase/proximity queries need them
+    positions: bool = False
     k1: float = 1.2
     b: float = 0.75
     analyzer: str = "lowercase+unicode-word-break"

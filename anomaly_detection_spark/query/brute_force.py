@@ -254,18 +254,37 @@ def multi_match_topk(
     ``id_col``; the final top-k is orderBy+limit (TakeOrderedAndProject,
     no global sort).
     """
+    if not fields:
+        raise ValueError("multi_match requires at least one field")
+    frames = []
+    for fld in fields:
+        an = analyze_docs(docs, text_col=fld)
+        frames.append(bm25_scores(an, query_text, filter_cond=filter_cond,
+                                  k1=k1, b=b, id_col=id_col))
+    return combine_field_scores(frames, match_type, tie_breaker,
+                                id_col=id_col, k=k)
+
+
+def combine_field_scores(
+    frames: list[DataFrame],
+    match_type: str,
+    tie_breaker: float,
+    id_col: str = "docid",
+    k: int = 10,
+) -> DataFrame:
+    """Combine per-field (id, score) frames the MultiMatchQuery way:
+    ``best_fields`` = max + tie_breaker × rest (DisjunctionMaxQuery),
+    ``most_fields`` = sum.  Shared by the brute-force and index paths.
+    Per-field frames hold only matching docs (tiny vs the corpus) and
+    combine through full outer joins on ``id_col``; the final top-k is
+    orderBy+limit (TakeOrderedAndProject, no global sort)."""
     if match_type not in ("best_fields", "most_fields"):
         raise ValueError(
             f"multi_match type {match_type!r} unsupported; "
             "best_fields / most_fields are implemented")
-    if not fields:
-        raise ValueError("multi_match requires at least one field")
     joined: DataFrame | None = None
     score_cols = []
-    for i, fld in enumerate(fields):
-        an = analyze_docs(docs, text_col=fld)
-        sc = bm25_scores(an, query_text, filter_cond=filter_cond,
-                         k1=k1, b=b, id_col=id_col)
+    for i, sc in enumerate(frames):
         col = f"_s{i}"
         sc = sc.withColumnRenamed("score", col)
         score_cols.append(col)

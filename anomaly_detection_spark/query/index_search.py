@@ -70,27 +70,11 @@ class IndexReader:
         return self.spark.read.parquet(self.paths.lineage)
 
 
-def _score_segment(
-    posts: pd.DataFrame,
-    docs: pd.DataFrame,
-    weights: dict[str, float],
-    seg_size: int,
-    avgdl: float,
-    k: int,
-    k1: float,
-    b: float,
-    prune: bool,
-    bucket: int = 1024,
-    quantize_norms: bool = False,
-    theta_init: float = -np.inf,
-    n_required: int = 0,
-) -> pd.DataFrame:
-    empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
-                          "score": pd.Series(dtype="float64")})
-    if len(posts) == 0 or len(docs) == 0:
-        return empty
-    seg_base = int(posts["seg_id"].iloc[0]) * seg_size
-
+def _segment_doclens(docs: pd.DataFrame, seg_base: int,
+                     seg_size: int, quantize_norms: bool) -> np.ndarray:
+    """Per-local-docid doc lengths for one segment (−1 = filtered out /
+    absent), from either compact norms blobs or filtered doc_stats
+    rows.  Shared by the BM25 and the positional phrase scorers."""
     dl = np.full(seg_size, -1.0)
     if "docid_gaps" in docs.columns:
         # compact per-segment norms blobs (no doc_stats shuffle).  A
@@ -110,6 +94,32 @@ def _score_segment(
 
         present = dl >= 0
         dl[present] = quantize_doc_len(dl[present].astype(np.int64))
+    return dl
+
+
+def _score_segment(
+    posts: pd.DataFrame,
+    docs: pd.DataFrame,
+    weights: dict[str, float],
+    seg_size: int,
+    avgdl: float,
+    k: int | None,
+    k1: float,
+    b: float,
+    prune: bool,
+    bucket: int = 1024,
+    quantize_norms: bool = False,
+    theta_init: float = -np.inf,
+    n_required: int = 0,
+) -> pd.DataFrame:
+    empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64")})
+    if len(posts) == 0 or len(docs) == 0:
+        return empty
+    if k is None:
+        prune = False  # all-candidates mode: dense scoring, no cut
+    seg_base = int(posts["seg_id"].iloc[0]) * seg_size
+    dl = _segment_doclens(docs, seg_base, seg_size, quantize_norms)
 
     terms = posts["term"].to_numpy(dtype=object)
     firsts = posts["first_docid"].to_numpy(dtype=np.int64)
@@ -350,8 +360,21 @@ def _score_segment(
             return empty
         sc = scores[cand]
 
+    if k is None:
+        return pd.DataFrame({"docid": cand + seg_base, "score": sc})
     order = np.lexsort((cand, -sc))[:k]
     return pd.DataFrame({"docid": cand[order] + seg_base, "score": sc[order]})
+
+
+def _docs_side(reader: IndexReader, filter_cond: Column | None) -> DataFrame:
+    """Doc-length side of a scored query: compact norms blobs (~1
+    byte/doc, no doc_stats shuffle) on pure match; filtered doc_stats
+    rows when a filter context restricts candidates."""
+    if filter_cond is None:
+        return reader.doc_norms().select("seg_id", "docid_gaps", "dls")
+    return reader.doc_stats().filter(filter_cond).select(
+        "docid", "doc_len",
+        (F.col("docid") / reader.meta.seg_size).cast("int").alias("seg_id"))
 
 
 def bm25_topk_indexed(
@@ -417,14 +440,7 @@ def bm25_topk_indexed(
     elif bucket is None:
         bucket = 1024
     posts = src.filter(F.col("term").isin(present)).select(*post_cols)
-    if filter_cond is None:
-        # pure match: per-segment norms blobs (~1 byte/doc) instead of a
-        # full doc_stats shuffle — the hot path at corpus scale
-        docs = reader.doc_norms().select("seg_id", "docid_gaps", "dls")
-    else:
-        docs = reader.doc_stats().filter(filter_cond).select(
-            "docid", "doc_len",
-            (F.col("docid") / meta.seg_size).cast("int").alias("seg_id"))
+    docs = _docs_side(reader, filter_cond)
 
     seg_size, avgdl = meta.seg_size, meta.avgdl
 
@@ -460,6 +476,181 @@ def bm25_topk_indexed(
 
     local = _cogroup_score(posts, docs)
     return local.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def bm25_scores_indexed(
+    reader: IndexReader,
+    query_text: str,
+    filter_cond: Column | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Per-doc BM25 scores of EVERY matching doc via the posting index
+    (no top-k cut) — the index twin of ``brute_force.bm25_scores``.
+    Cost is bounded by the query terms' posting lists (a scan of only
+    those parquet row groups), never a corpus re-analysis; the
+    combining consumer (multi_match) needs full score sets, so no
+    pruning applies.  Returns (docid, score), unordered."""
+    spark = reader.spark
+    meta = reader.meta
+    qcounts = Counter(tokenize_query(query_text))
+    uniq = sorted(qcounts)
+    empty = spark.createDataFrame([], "docid long, score double")
+    if not uniq:
+        return empty
+    stats = {r["term"]: r["df"] for r in reader.term_stats()
+             .filter(F.col("term").isin(uniq)).collect()}
+    present = [t for t in uniq if t in stats]
+    if not present:
+        return empty
+    weights = {t: float(bm25_idf(stats[t], meta.n_docs)) * qcounts[t]
+               for t in present}
+    post_cols = ["term", "seg_id", "first_docid", "last_docid", "gaps",
+                 "tfs", "max_tf", "n"]
+    posts = (reader.postings().filter(F.col("term").isin(present))
+             .select(*post_cols))
+    docs = _docs_side(reader, filter_cond)
+    seg_size, avgdl = meta.seg_size, meta.avgdl
+
+    def _score(p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        return _score_segment(p, d, weights, seg_size, avgdl, None,
+                              k1, b, prune=False)
+
+    return (posts.groupBy("seg_id").cogroup(docs.groupBy("seg_id"))
+            .applyInPandas(_score, schema="docid long, score double"))
+
+
+def match_phrase_topk_indexed(
+    reader: IndexReader,
+    phrase: str,
+    k: int = 10,
+    filter_cond: Column | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Scored ``match_phrase`` via positional postings (Lucene
+    PhraseQuery over the positions index): reads ONLY the phrase
+    terms' posting blocks + positions instead of re-analyzing the
+    corpus per query (the brute-force path's cost).  Score-identical
+    to ``brute_force.match_phrase_topk``: tf = positional phrase
+    frequency, weight = Σ idf over phrase positions, BM25 saturation.
+
+    Per segment: each phrase offset j contributes the set
+    {(docid, pos − j)} of its term's occurrences; the intersection
+    across offsets is exactly the phrase start positions (overlapping
+    occurrences counted, like Lucene's position enumeration) —
+    m−1 sorted ``intersect1d`` passes, fully vectorized."""
+    from ..functions.codecs import decode_positions
+
+    spark = reader.spark
+    meta = reader.meta
+    if not meta.positions:
+        raise ValueError(
+            f"index at {reader.index_dir} was built without positions; "
+            f"rebuild with build_index(..., positions=True) for scored "
+            f"match_phrase, or use the brute-force path")
+    terms = tokenize_query(phrase)
+    empty = spark.createDataFrame([], "docid long, score double")
+    if not terms:
+        return empty
+    m = len(terms)
+    uniq = sorted(set(terms))
+    stats = {r["term"]: r["df"] for r in reader.term_stats()
+             .filter(F.col("term").isin(uniq)).collect()}
+    if any(t not in stats for t in terms):
+        return empty  # a phrase term absent from the corpus ⇒ no match
+    import math
+
+    idf_sum = sum(
+        math.log(1.0 + (meta.n_docs - stats[t] + 0.5) / (stats[t] + 0.5))
+        for t in terms)
+
+    posts = (reader.postings().filter(F.col("term").isin(uniq))
+             .select("term", "seg_id", "first_docid", "gaps", "tfs", "pos"))
+    docs = _docs_side(reader, filter_cond)
+    seg_size, avgdl = meta.seg_size, meta.avgdl
+    kk1, bb = k1, b
+    STRIDE = np.int64(1) << np.int64(32)   # local docid ⊕ position key
+
+    def _phrase(p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                                  "score": pd.Series(dtype="float64")})
+        if len(p) == 0 or len(d) == 0:
+            return out_empty
+        seg_base = int(p["seg_id"].iloc[0]) * seg_size
+        dl = _segment_doclens(d, seg_base, seg_size, False)
+        # decode each term's (docid, position) occurrence stream
+        occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, grp in p.groupby("term", sort=False):
+            locs, poss = [], []
+            for i in range(len(grp)):
+                docids = (np.cumsum(varint_decode(grp["gaps"].iloc[i]))
+                          .astype(np.int64) + grp["first_docid"].iloc[i])
+                tfs = varint_decode(grp["tfs"].iloc[i]).astype(np.int64)
+                pos = decode_positions(grp["pos"].iloc[i], tfs)
+                locs.append(np.repeat(docids - seg_base, tfs))
+                poss.append(pos)
+            occ[t] = (np.concatenate(locs), np.concatenate(poss))
+        if any(t not in occ for t in terms):
+            return out_empty
+        keys = None
+        for j, t in enumerate(terms):
+            loc, pos = occ[t]
+            ok = pos >= j
+            # blocks arrive in arbitrary order (multiple batch dirs per
+            # segment) — sort each offset's key set before intersecting
+            kj = np.sort(loc[ok] * STRIDE + (pos[ok] - j))
+            keys = kj if keys is None else np.intersect1d(
+                keys, kj, assume_unique=True)
+            if len(keys) == 0:
+                return out_empty
+        loc = (keys // STRIDE).astype(np.int64)
+        cand, pf = np.unique(loc, return_counts=True)
+        dlv = dl[cand]
+        okd = dlv >= 0
+        cand, pf, dlv = cand[okd], pf[okd].astype(np.float64), dlv[okd]
+        if len(cand) == 0:
+            return out_empty
+        score = idf_sum * (pf * (kk1 + 1.0)) / (
+            pf + kk1 * (1.0 - bb + bb * dlv / max(avgdl, 1e-12)))
+        order = np.lexsort((cand, -score))[:k]
+        return pd.DataFrame({"docid": cand[order] + seg_base,
+                             "score": score[order]})
+
+    local = (posts.groupBy("seg_id").cogroup(docs.groupBy("seg_id"))
+             .applyInPandas(_phrase, schema="docid long, score double"))
+    return local.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def multi_match_topk_indexed(
+    readers: dict[str, IndexReader],
+    query_text: str,
+    fields: list[str],
+    k: int = 10,
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    filter_cond: Column | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """``multi_match`` over per-field posting indexes: each field is
+    scored with its OWN index's corpus statistics (n_docs, avgdl, df —
+    exactly one Lucene field index per field, like the brute-force
+    twin) via :func:`bm25_scores_indexed`, then combined best_fields /
+    most_fields.  No corpus re-analysis: per field, only the query
+    terms' posting blocks are read."""
+    from .brute_force import combine_field_scores
+
+    missing = [f for f in fields if f not in readers]
+    if missing:
+        raise ValueError(
+            f"multi_match over an index target needs one IndexReader "
+            f"per field; missing {missing}")
+    frames = [bm25_scores_indexed(readers[f], query_text,
+                                  filter_cond=filter_cond, k1=k1, b=b)
+              for f in fields]
+    return combine_field_scores(frames, match_type, tie_breaker,
+                                id_col="docid", k=k)
 
 
 def fetch_docs(reader: IndexReader, topk: DataFrame) -> DataFrame:

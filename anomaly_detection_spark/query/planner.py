@@ -267,6 +267,7 @@ def search(
     k: int | None = None,
     text_field: str = "text",
     timeout_s: float | None = None,
+    field_readers: dict[str, Any] | None = None,
 ):
     """Detector-style search entry: query JSON + size → DataFrame.
 
@@ -282,8 +283,10 @@ def search(
     SHOULD of term queries); conjunctive multi-match (``operator: and``
     across clauses) is out of the supported subset.  A top-level
     ``multi_match`` (best_fields / most_fields, tie_breaker) scores
-    every named field with its own corpus statistics — brute-force
-    targets only.
+    every named field with its own corpus statistics — over an index
+    target, pass ``field_readers`` (one IndexReader per field, like one
+    Lucene field index each).  A scored top-level ``match_phrase`` over
+    an index target needs the index built with ``positions=True``.
     """
     from .brute_force import bm25_topk_bruteforce
     from .index_search import IndexReader, bm25_topk_indexed, fetch_docs
@@ -298,42 +301,49 @@ def search(
     if set(query) == {"multi_match"}:
         # multi-field scored match (MultiMatchQueryBuilder) — each field
         # scored with its own corpus statistics, combined best_fields /
-        # most_fields.  Needs the raw field columns, so brute-force
-        # targets only (the inverted index covers one analyzed field,
-        # exactly like one Lucene field index).
-        from .brute_force import multi_match_topk
-
-        if isinstance(target, IndexReader):
-            raise ValueError(
-                "multi_match requires a docs DataFrame target (the "
-                "index covers the single analyzed field "
-                f"{text_field!r}); score each field or use match")
+        # most_fields (one Lucene field index per field).
         mm = dict(query["multi_match"])
-        out = multi_match_topk(
-            target, mm["query"], list(mm["fields"]), k=size,
-            match_type=mm.get("type", "best_fields"),
-            tie_breaker=float(mm.get("tie_breaker", 0.0)))
+        if isinstance(target, IndexReader):
+            from .index_search import multi_match_topk_indexed
+
+            readers = dict(field_readers or {})
+            readers.setdefault(text_field, target)
+            out = multi_match_topk_indexed(
+                readers, mm["query"], list(mm["fields"]), k=size,
+                match_type=mm.get("type", "best_fields"),
+                tie_breaker=float(mm.get("tie_breaker", 0.0)))
+        else:
+            from .brute_force import multi_match_topk
+
+            out = multi_match_topk(
+                target, mm["query"], list(mm["fields"]), k=size,
+                match_type=mm.get("type", "best_fields"),
+                tie_breaker=float(mm.get("tie_breaker", 0.0)))
         return _finish_search(out, size, timeout_s)
 
     if set(query) == {"match_phrase"}:
         # scored phrase (Lucene PhraseQuery): tf = positional phrase
-        # frequency, weight = Σ term idfs.  Brute-force targets only —
-        # the inverted index stores no positions (filter-context
-        # match_phrase works everywhere via compile_filter).
-        from .brute_force import analyze_docs, match_phrase_topk
-
-        if isinstance(target, IndexReader):
-            raise ValueError(
-                "scored match_phrase requires a docs DataFrame target "
-                "(the index stores no positions); use match_phrase "
-                "inside a bool filter for filter-context semantics")
+        # frequency, weight = Σ term idfs.  Over an index target this
+        # reads the positional posting lists (positions=True builds);
+        # otherwise a codegen scan of the analyzed corpus.
         (fld, spec), = query["match_phrase"].items()
         text = _field_value(spec, key="query")
         if isinstance(spec, dict) and spec.get("slop", 0) != 0:
             raise ValueError("match_phrase slop != 0 is unsupported")
-        tgt = (target if "tokens" in target.columns
-               else analyze_docs(target, text_col=fld))
-        out = match_phrase_topk(tgt, text, k=size)
+        if isinstance(target, IndexReader):
+            from .index_search import match_phrase_topk_indexed
+
+            if fld != text_field:
+                raise ValueError(
+                    f"scored match_phrase over an index target supports "
+                    f"the indexed text field {text_field!r}; got {fld!r}")
+            out = match_phrase_topk_indexed(target, text, k=size)
+        else:
+            from .brute_force import analyze_docs, match_phrase_topk
+
+            tgt = (target if "tokens" in target.columns
+                   else analyze_docs(target, text_col=fld))
+            out = match_phrase_topk(tgt, text, k=size)
         return _finish_search(out, size, timeout_s)
 
     plan = plan_query(schema_df, query)

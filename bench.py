@@ -110,10 +110,17 @@ def main() -> None:
     queries["segment_merge"] = round(time.time() - t0, 3)
 
     # ---- query latencies ----------------------------------------------------
+    # best-of-N per query (default 3): the recorded number is the claim,
+    # not a single draw from this host's 2-3× co-tenant variance
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+
     def timed(name, fn):
-        t = time.time()
-        fn()
-        queries[name] = round(time.time() - t, 3)
+        best = float("inf")
+        for _ in range(trials):
+            t = time.time()
+            fn()
+            best = min(best, time.time() - t)
+        queries[name] = round(best, 3)
 
     timed("wand_topk",
           lambda: bm25_topk_indexed(reader, "error spark merge query", k=10).collect())
@@ -162,6 +169,35 @@ def main() -> None:
           lambda: cosine_topk_bruteforce(embeddings, qv, k=10).collect())
     timed("embedding_neardup_blocked",
           lambda: embedding_neardup_pairs(embeddings, threshold=0.3).collect())
+
+    # positional index over `documents` (small corpus): scored phrase +
+    # per-field multi_match on the index path — the round-4 operators
+    from anomaly_detection_spark.query.index_search import (
+        match_phrase_topk_indexed,
+        multi_match_topk_indexed,
+    )
+    didx = f"/tmp/adspark_bench_docsidx_{cpus}"
+    # always rebuilt (tiny corpus): the timing IS the positional-build
+    # measurement, and a stale-format cache would trip the geometry pin
+    shutil.rmtree(didx, ignore_errors=True)
+    shutil.rmtree(didx + "_src", ignore_errors=True)
+    ddocs = documents.select(F.col("doc_id").alias("docid"), "text", "source")
+    t0 = time.time()
+    build_index(ddocs, didx, seg_size=8192, block_size=512,
+                segments_per_batch=8, positions=True, keep_cols=("source",))
+    queries["docs_index_build_positional"] = round(time.time() - t0, 3)
+    build_index(ddocs, didx + "_src", seg_size=8192, block_size=512,
+                segments_per_batch=8, text_col="source", keep_cols=())
+    dreader = IndexReader(spark, didx)
+    sreader = IndexReader(spark, didx + "_src")
+    timed("match_phrase_indexed",
+          lambda: match_phrase_topk_indexed(
+              dreader, "the data", k=10).collect())
+    timed("multi_match_indexed",
+          lambda: multi_match_topk_indexed(
+              {"text": dreader, "source": sreader}, "the src3 data",
+              ["text", "source"], k=10, match_type="best_fields",
+              tie_breaker=0.3).collect())
 
     print(json.dumps({
         "metric": "index-build throughput (turns/sec)",
