@@ -60,6 +60,9 @@ class Detector:
     # condition of a rule holds; "expected" is the model's trailing
     # baseline (the scorer's window mean here).
     suppression_rules: tuple = ()
+    # |z| at which anomaly_grade lifts off 0 (saturates at 2×); the
+    # z-score stand-in's default 3σ matches the oracle formula
+    anomaly_threshold: float = 3.0
 
     def __post_init__(self):
         if self.imputation_method not in (
@@ -74,9 +77,52 @@ class Detector:
         require_safe_names(self.feature_specs, "feature names")
 
 
-def _grade(z: F.Column) -> F.Column:
-    """|z| → anomaly grade in [0, 1]: 0 below 3σ, 1 at ≥6σ."""
-    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), (F.abs(z) - 3.0) / 3.0))
+def _grade(z: F.Column, thr: float = 3.0) -> F.Column:
+    """|z| → anomaly grade in [0, 1]: 0 below ``thr``σ, 1 at ≥2·thr σ."""
+    return F.greatest(F.lit(0.0),
+                      F.least(F.lit(1.0), (F.abs(z) - thr) / thr))
+
+
+def _rule_suppressed(det: Detector, feats: list[str]) -> F.Column:
+    """Compile ``det.suppression_rules`` to a boolean Column over the
+    per-feature actual (`<f>`) and expected (`_exp_<f>`) columns.
+
+    Reference semantics (the plugin's Config "rules", issued by e.g.
+    AbstractRuleTestCase.java:99-108): a rule with action
+    ``ignore_anomaly`` suppresses the anomaly when ALL its conditions
+    hold; threshold types compare the actual-vs-expected margin
+    (difference) or ratio against ``value`` with ``lte``/``gte``."""
+    any_rule = F.lit(False)
+    for rule in det.suppression_rules:
+        if rule.get("action") != "ignore_anomaly":
+            raise ValueError(f"unsupported rule action {rule.get('action')!r}")
+        all_conds = F.lit(True)
+        for cond in rule["conditions"]:
+            f = cond["feature_name"]
+            if f not in feats:
+                raise ValueError(f"rule names unknown feature {f!r}")
+            a, e = F.col(f).cast("double"), F.col(f"_exp_{f}")
+            tt = cond["threshold_type"]
+            if tt == "actual_over_expected_margin":
+                metric = a - e
+            elif tt == "expected_over_actual_margin":
+                metric = e - a
+            elif tt == "actual_over_expected_ratio":
+                metric = (a - e) / F.greatest(F.abs(e), F.lit(1e-12))
+            elif tt == "expected_over_actual_ratio":
+                metric = (e - a) / F.greatest(F.abs(e), F.lit(1e-12))
+            else:
+                raise ValueError(f"unsupported threshold_type {tt!r}")
+            op = cond.get("operator", "lte")
+            if op == "lte":
+                c = metric <= F.lit(float(cond["value"]))
+            elif op == "gte":
+                c = metric >= F.lit(float(cond["value"]))
+            else:
+                raise ValueError(f"unsupported rule operator {op!r}")
+            all_conds = all_conds & F.coalesce(c, F.lit(False))
+        any_rule = any_rule | all_conds
+    return any_rule
 
 
 def preview(spark: SparkSession, det: Detector,
@@ -131,12 +177,31 @@ def preview(spark: SparkSession, det: Detector,
     # — the window holds the last k SCORED values, exactly like the
     # stateful paths, which never ingest a null
     melted = melted.filter(F.col("_v").isNotNull())
+    if det.suppression_rules and not getattr(scorer, "returns_expected",
+                                             False):
+        # the model's expected value for rule margins: scorers that
+        # expose their own baseline (returns_expected) surface it
+        # through the seam as ``_exp``; otherwise it is the z-score
+        # stand-in's trailing-window mean (prior shingle_size points)
+        from pyspark.sql.window import Window as _W
+
+        wexp = (_W.partitionBy(*gcols, "_feat").orderBy("bucket_start")
+                .rowsBetween(-det.shingle_size, -1))
+        melted = melted.withColumn("_exp", F.avg("_v").over(wexp))
     scored = score_entities(melted, "_v", scorer=scorer,
                             entity_cols=(*gcols, "_feat"), score_col="_z")
-    zw = (scored.groupBy(*gcols, "bucket_start")
-          .pivot("_feat", feats).agg(F.first("_z")))
-    for n in feats:
-        zw = zw.withColumnRenamed(n, f"_z_{n}")
+    if det.suppression_rules:
+        zw = (scored.groupBy(*gcols, "bucket_start")
+              .pivot("_feat", feats)
+              .agg(F.first("_z").alias("z"), F.first("_exp").alias("exp")))
+        for n in feats:
+            zw = (zw.withColumnRenamed(f"{n}_z", f"_z_{n}")
+                  .withColumnRenamed(f"{n}_exp", f"_exp_{n}"))
+    else:
+        zw = (scored.groupBy(*gcols, "bucket_start")
+              .pivot("_feat", feats).agg(F.first("_z")))
+        for n in feats:
+            zw = zw.withColumnRenamed(n, f"_z_{n}")
     out = base.join(zw, [*gcols, "bucket_start"])
     # Confidence ramps with scored history per entity (the reference
     # reports <1 confidence until the model is warm).  The count is the
@@ -159,13 +224,21 @@ def preview(spark: SparkSession, det: Detector,
                    F.col("_cnt") / F.lit(float(det.confidence_ramp)))
     result = (out
               .withColumn("anomaly_score", F.round(score, 6))
-              .withColumn("anomaly_grade", F.round(_grade(score), 6))
+              .withColumn("anomaly_grade",
+                          F.round(_grade(score, det.anomaly_threshold), 6))
               .withColumn("confidence", F.round(conf, 6))
               .withColumn("detector_id", F.lit(det.detector_id))
               .withColumn("data_start_time", F.col("bucket_start"))
               .withColumn("data_end_time", F.timestamp_millis(
                   F.unix_millis(F.col("bucket_start").cast("timestamp"))
                   + det.interval_ms)))
+    if det.suppression_rules:
+        # ignore_anomaly: a matching rule forces the grade to 0 (the
+        # anomaly is reported as non-anomalous, like the reference)
+        result = result.withColumn(
+            "anomaly_grade",
+            F.when(_rule_suppressed(det, feats), F.lit(0.0))
+            .otherwise(F.col("anomaly_grade")))
     if ent:
         result = with_entity(result, {c: c for c in ent})
     else:
@@ -367,7 +440,8 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
                    F.col("_cnt") / F.lit(float(det.confidence_ramp)))
     result = (out
               .withColumn("anomaly_score", F.round(score, 6))
-              .withColumn("anomaly_grade", F.round(_grade(score), 6))
+              .withColumn("anomaly_grade",
+                          F.round(_grade(score, det.anomaly_threshold), 6))
               .withColumn("confidence", F.round(conf, 6))
               .withColumn("detector_id", F.lit(det.detector_id))
               .withColumn("bucket_start", F.timestamp_millis(F.lit(start)))
@@ -569,7 +643,8 @@ def run_historical(
                        F.col("_cnt") / F.lit(float(det.confidence_ramp)))
         result = (out
                   .withColumn("anomaly_score", F.round(score, 6))
-                  .withColumn("anomaly_grade", F.round(_grade(score), 6))
+                  .withColumn("anomaly_grade",
+                          F.round(_grade(score, det.anomaly_threshold), 6))
                   .withColumn("confidence", F.round(conf, 6))
                   .withColumn("detector_id", F.lit(det.detector_id))
                   .withColumn("data_start_time", F.col("bucket_start"))

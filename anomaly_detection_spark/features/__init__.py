@@ -5,4 +5,8 @@ from .pipeline import (  # noqa: F401
     nearest_fill,
     shingles,
 )
-from .scoring import score_entities, zscore_scorer  # noqa: F401
+from .scoring import (  # noqa: F401
+    score_entities,
+    seasonal_zscore_scorer,
+    zscore_scorer,
+)

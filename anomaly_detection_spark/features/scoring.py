@@ -53,6 +53,53 @@ def zscore_scorer(k: int = 8, eps: float = 1e-9,
     return score
 
 
+def seasonal_zscore_scorer(
+    period: int,
+    n_periods: int = 4,
+    resid_window: int = 288,
+    min_periods: int = 72,
+    eps: float = 1e-9,
+) -> Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]]:
+    """Seasonal-baseline scorer for periodic series (the shape RCF
+    learns through shingles): expected value = MEDIAN of the same slot
+    over the past ``n_periods`` periods (median so one anomalous period
+    can't poison the next period's baseline), residuals are RELATIVE
+    (``(v − exp)/|exp|`` — robust to trend/level drift), and the score
+    is the residual's z against a trailing ``resid_window`` of
+    residuals whose mean absorbs steady drift.
+
+    Returns ``(z, expected_adj)`` where ``expected_adj`` is the
+    drift-corrected expected value (``exp · (1 + resid_mean)``) — the
+    "expected" the suppression rules compare margins against.  NaN
+    until one full period plus ``min_periods`` residuals exist.
+
+    The series must be on a DENSE time grid (one value per interval):
+    pair with the detector's imputation for gappy entities."""
+
+    def score(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        n = len(values)
+        exp = np.full(n, np.nan)
+        lags = np.full((n_periods, n), np.nan)
+        for j in range(1, n_periods + 1):
+            off = j * period
+            if off < n:
+                lags[j - 1, off:] = values[:n - off]
+        with np.errstate(all="ignore"):
+            exp = np.nanmedian(lags, axis=0)
+        rr = (values - exp) / np.maximum(np.abs(exp), 1.0)
+        s = pd.Series(rr)
+        rm = s.rolling(resid_window, min_periods=min_periods) \
+            .mean().shift(1).to_numpy()
+        rs = s.rolling(resid_window, min_periods=min_periods) \
+            .std().shift(1).to_numpy()
+        z = (rr - rm) / (rs + eps)
+        exp_adj = exp * (1.0 + rm)
+        return z, exp_adj
+
+    score.returns_expected = True
+    return score
+
+
 def score_entities(
     features: DataFrame,
     value_col: str,
@@ -72,15 +119,27 @@ def score_entities(
     """
     scorer = scorer or zscore_scorer()
     ent = list(entity_cols)
+    # a scorer may also return its expected baseline per point
+    # (returns_expected attribute) — surfaced as an ``_exp`` column for
+    # rule suppression (actual-vs-expected margins)
+    ret_exp = getattr(scorer, "returns_expected", False)
     # copy, don't .add(): DataFrame.schema is cached and add() mutates it
-    out_schema = T.StructType(
-        list(features.schema.fields)
-        + [T.StructField(score_col, T.DoubleType())])
+    fields = list(features.schema.fields)
+    if ret_exp:
+        fields.append(T.StructField("_exp", T.DoubleType()))
+    out_schema = T.StructType(fields + [T.StructField(score_col,
+                                                      T.DoubleType())])
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(bucket_col).reset_index(drop=True)
         vals = pdf[value_col].to_numpy(dtype=np.float64)
-        pdf[score_col] = scorer(vals)
-        return pdf[pdf[score_col].notna()]
+        if ret_exp:
+            z, exp = scorer(vals)
+            pdf["_exp"] = exp
+            pdf[score_col] = z
+        else:
+            pdf[score_col] = scorer(vals)
+        out = pdf[pdf[score_col].notna()]
+        return out[[f.name for f in out_schema.fields]]
 
     return features.groupBy(*ent).applyInPandas(fn, schema=out_schema)
