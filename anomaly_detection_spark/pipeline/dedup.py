@@ -129,6 +129,11 @@ def _self_pairs_capped(stacked: DataFrame, key_cols: list[str],
     """
     from pyspark.sql import Window
 
+    # the banded frame is read three times (bucket sizes, small-bucket
+    # join, big-bucket join) and its lineage usually contains the
+    # expensive signature aggregation — materialize it once.  Size is
+    # bands × n_rows (hashes only), tiny relative to the corpus.
+    stacked = stacked.localCheckpoint(eager=False)
     cnt = stacked.groupBy(*key_cols).agg(F.count("*").alias("_bsz"))
     st = stacked.join(cnt, key_cols)
 
@@ -228,25 +233,42 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     par = max(4, df.sparkSession.sparkContext.defaultParallelism)
-    # shingle table is used four times (classes, signatures, sizes,
+    # shingle table is used several times (classes, signatures, sizes,
     # verification): compute once, spread across cores, keep it
     df = df.repartition(par, id_col)
     sh_cached = df.select(
         F.col(id_col).alias("_id"),
         F.explode(_shingles(text_col, n)).alias("_s")).persist()
 
-    # identical-shingle-set classes: key = hash of the sorted shingle set
-    cls = sh_cached.groupBy("_id").agg(
-        F.xxhash64(F.concat_ws("\x00", F.sort_array(F.collect_list("_s"))))
-        .alias("_cls"))
+    # identical-shingle-set class key: a commutative combination of the
+    # per-shingle hashes (count + bounded sum + bit_xor — shingles are
+    # already distinct per doc, so this fingerprints the SET) — no
+    # per-doc sort, and the same pass yields the set sizes verification
+    # needs.  Operands stay < 2^31 so the sum is ANSI-overflow-safe.
+    cls = (sh_cached.withColumn("_h", F.pmod(F.xxhash64("_s"),
+                                             F.lit(1 << 31)))
+           .groupBy("_id")
+           .agg(F.count("*").alias("_sz"),
+                F.sum("_h").alias("_h1"),
+                F.expr("bit_xor(_h)").alias("_h2")))
+    cls = cls.select("_id", "_sz",
+                     F.xxhash64("_sz", "_h1", "_h2").alias("_cls")).persist()
     classes = cls.groupBy("_cls").agg(F.min("_id").alias("_rep"),
                                       F.count("*").alias("_csz"))
-    members = cls.join(classes, "_cls") \
-        .select("_id", "_cls", "_rep", "_csz").persist()
-    reps = members.filter(F.col("_id") == F.col("_rep")).select("_id")
-    sh_reps = sh_cached.join(reps, "_id", "left_semi")
+    # adaptive: a corpus with NO exact-duplicate classes (the common
+    # case for already-cleaned tables) skips the collapse/expansion
+    # machinery entirely — one tiny agg over the cached shingle table
+    # decides, and the duplicate-heavy path only pays when it must
+    has_dups = classes.filter(F.col("_csz") > 1).limit(1).count() > 0
+    if has_dups:
+        members = cls.join(classes, "_cls") \
+            .select("_id", "_cls", "_rep", "_csz")
+        reps = members.filter(F.col("_id") == F.col("_rep")).select("_id")
+        sh_verify = sh_cached.join(reps, "_id", "left_semi")
+    else:
+        sh_verify = sh_cached
 
-    sig = (_with_shingle_hash(sh_reps).withColumnRenamed("_id", id_col)
+    sig = (_with_shingle_hash(sh_verify).withColumnRenamed("_id", id_col)
            .groupBy(id_col)
            .agg(*_minhash_aggs(num_hashes, seed)))
     band_cols = [
@@ -261,10 +283,11 @@ def minhash_lsh_pairs(
             for bnd in range(bands)])).alias("bv"))
     cand = _self_pairs_capped(stacked, ["bv"], "_id", bucket_cap).distinct()
 
-    # exact verification of representative candidates (cached shingles)
-    sizes = sh_reps.groupBy("_id").agg(F.count("*").alias("_sz"))
-    sha = sh_reps.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
-    shb = sh_reps.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    # exact verification of candidates (cached shingles; sizes reuse
+    # the class-key pass)
+    sizes = cls.select("_id", "_sz")
+    sha = sh_verify.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    shb = sh_verify.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
     inter = (cand.join(sha, "id_a")
              .join(shb, (F.col("id_b") == F.col("_idb"))
                    & (F.col("_sa") == F.col("_sb")))
@@ -280,6 +303,8 @@ def minhash_lsh_pairs(
                  .filter(F.col("jaccard") >= threshold)
                  .select("id_a", "id_b", "jaccard"))
 
+    if not has_dups:
+        return rep_pairs.orderBy("id_a", "id_b")
     out = _expand_class_pairs(rep_pairs, members, "jaccard", F.lit(1.0),
                               class_expand_cap)
     return out.orderBy("id_a", "id_b")
