@@ -241,10 +241,40 @@ def to_millis(c: str | Column) -> Column:
     return F.unix_millis(c.cast("timestamp"))
 
 
-def bucketize(ts_col: str | Column, interval_ms: int) -> Column:
-    """Fixed-interval date_histogram bucket key (epoch-millis floor)."""
+def bucketize(ts_col: str | Column, interval_ms: int,
+              shift_ms: int = 0) -> Column:
+    """Fixed-interval date_histogram bucket key (epoch-millis floor).
+
+    ``shift_ms`` moves the rounding grid (OpenSearch ``time_zone`` +
+    ``offset`` on date_histogram): boundaries sit at
+    ``k·interval − shift`` in UTC — i.e. rounding happens in a frame
+    shifted by ``shift_ms`` and the key is reported back in UTC."""
     millis = to_millis(ts_col)
+    if shift_ms:
+        m2 = millis + F.lit(shift_ms)
+        return F.timestamp_millis(
+            m2 - F.pmod(m2, F.lit(interval_ms)) - F.lit(shift_ms))
     return F.timestamp_millis((millis - F.pmod(millis, F.lit(interval_ms))))
+
+
+def tz_offset_ms(time_zone: str) -> int:
+    """Fixed-offset ``time_zone`` string (``+HH:MM`` / ``-HH:MM`` /
+    ``UTC``) → milliseconds.  Named DST zones are supported only for
+    calendar intervals (where ``convert_timezone`` rounds on true
+    local boundaries); fixed intervals with a named zone raise, like
+    the subset of Rounding.java this engine implements."""
+    import re as _re
+
+    if time_zone in ("UTC", "Z", "+00:00", "-00:00"):
+        return 0
+    m = _re.fullmatch(r"([+-])(\d{2}):(\d{2})", time_zone)
+    if not m:
+        raise ValueError(
+            f"fixed-interval date_histogram supports fixed-offset "
+            f"time_zone (+HH:MM); got {time_zone!r} (named zones are "
+            f"supported on calendar intervals)")
+    sign = 1 if m.group(1) == "+" else -1
+    return sign * (int(m.group(2)) * 3600_000 + int(m.group(3)) * 60_000)
 
 
 def date_histogram(
@@ -257,9 +287,15 @@ def date_histogram(
     group_cols: list[str] | None = None,
     dense: str = "global",
     max_dense_cells: int = 50_000_000,
+    offset_ms: int = 0,
+    time_zone: str | None = None,
 ) -> DataFrame:
     """date_histogram(fixed_interval) with minDocCount(0) semantics:
     empty buckets present (left join vs a generated sequence).
+
+    ``time_zone`` (fixed offset, ``+HH:MM``) and ``offset_ms`` shift
+    the rounding grid like OpenSearch Rounding: boundaries at local
+    midnight + offset, keys reported in UTC.
 
     High-cardinality guard: with ``group_cols`` and ``min_doc_count=0``,
     the ``dense="global"`` grid materializes ``n_buckets × n_entities``
@@ -272,7 +308,10 @@ def date_histogram(
     extent — output linear in real per-entity activity spans."""
     group_cols = group_cols or []
     sub_specs = sub_specs or {}
-    bucket = bucketize(ts_col, interval_ms).alias("bucket_start")
+    # OpenSearch applies tz rounding first, then offset: grid boundary
+    # = k·I − tz + offset in UTC ⇒ one combined shift
+    shift_ms = (tz_offset_ms(time_zone) if time_zone else 0) - offset_ms
+    bucket = bucketize(ts_col, interval_ms, shift_ms).alias("bucket_start")
     aggd = (
         df.groupBy(*group_cols, bucket)
         .agg(F.count("*").alias("doc_count"),
@@ -282,6 +321,7 @@ def date_histogram(
         return aggd.filter(F.col("doc_count") >= min_doc_count)
 
     step = F.lit(interval_ms)
+    shift = F.lit(shift_ms)
     if group_cols and dense == "entity_span":
         # per-entity dense grid over each entity's own extent — no
         # cross join, row count = Σ_entity span_buckets(entity)
@@ -291,8 +331,10 @@ def date_histogram(
         grid = ext.select(
             *group_cols,
             F.explode(F.sequence(
-                F.col("lo") - F.pmod(F.col("lo"), step),
-                F.col("hi") - F.pmod(F.col("hi"), step),
+                F.col("lo") + shift - F.pmod(F.col("lo") + shift, step)
+                - shift,
+                F.col("hi") + shift - F.pmod(F.col("hi") + shift, step)
+                - shift,
                 step)).alias("bucket_ms")
         ).select(*group_cols,
                  F.timestamp_millis(F.col("bucket_ms")).alias("bucket_start"))
@@ -332,9 +374,10 @@ def date_histogram(
             F.min(to_millis(ts_col)).alias("lo"),
             F.max(to_millis(ts_col)).alias("hi"))
     grid = grid_src.select(
-        F.explode(F.sequence(F.col("lo") - F.pmod(F.col("lo"), step),
-                             F.col("hi") - F.pmod(F.col("hi"), step),
-                             step)).alias("bucket_ms")
+        F.explode(F.sequence(
+            F.col("lo") + shift - F.pmod(F.col("lo") + shift, step) - shift,
+            F.col("hi") + shift - F.pmod(F.col("hi") + shift, step) - shift,
+            step)).alias("bucket_ms")
     ).select(F.timestamp_millis(F.col("bucket_ms")).alias("bucket_start"))
     if group_cols:
         grid = grid.crossJoin(df.select(*group_cols).distinct())
@@ -355,10 +398,20 @@ _CAL_STEP = {"week": "interval 1 week", "month": "interval 1 month",
              "quarter": "interval 3 months", "year": "interval 1 year"}
 
 
-def bucketize_calendar(ts_col: str | Column, unit: str) -> Column:
-    """Calendar-interval date_histogram bucket key (UTC boundary)."""
+def bucketize_calendar(ts_col: str | Column, unit: str,
+                       time_zone: str | None = None) -> Column:
+    """Calendar-interval date_histogram bucket key.  Default = UTC
+    boundaries; with ``time_zone`` (named zones incl. DST, any Java/
+    Spark tz id), the truncation happens on TRUE local calendar
+    boundaries and the key is reported back in UTC — OpenSearch
+    Rounding's tz-aware calendar rounding."""
     c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    return F.date_trunc(CALENDAR_UNITS[unit], c.cast("timestamp"))
+    c = c.cast("timestamp")
+    if time_zone:
+        local = F.convert_timezone(F.lit("UTC"), F.lit(time_zone), c)
+        trunc = F.date_trunc(CALENDAR_UNITS[unit], local)
+        return F.convert_timezone(F.lit(time_zone), F.lit("UTC"), trunc)
+    return F.date_trunc(CALENDAR_UNITS[unit], c)
 
 
 def date_histogram_calendar(
@@ -367,15 +420,18 @@ def date_histogram_calendar(
     unit: str,
     sub_specs: dict[str, dict] | None = None,
     min_doc_count: int = 0,
+    time_zone: str | None = None,
 ) -> DataFrame:
     """date_histogram(calendar_interval) for variable-width units
     (week/month/quarter/year).  Same shape as :func:`date_histogram`;
     the minDocCount(0) dense grid steps by the calendar interval
     (``sequence`` with a month/year step follows calendar boundaries,
-    so a Jan-31 start never lands mid-month)."""
+    so a Jan-31 start never lands mid-month).  ``time_zone`` rounds on
+    local calendar boundaries (named zones, DST-correct)."""
     unit = CALENDAR_UNITS[unit]
     sub_specs = sub_specs or {}
-    bucket = bucketize_calendar(ts_col, unit).alias("bucket_start")
+    bucket = bucketize_calendar(ts_col, unit, time_zone) \
+        .alias("bucket_start")
     aggd = (
         df.groupBy(bucket)
         .agg(F.count("*").alias("doc_count"),
@@ -383,12 +439,34 @@ def date_histogram_calendar(
     )
     if min_doc_count > 0:
         return aggd.filter(F.col("doc_count") >= min_doc_count)
-    grid = (
-        df.select(bucketize_calendar(F.min(F.col(ts_col)), unit).alias("lo"),
-                  bucketize_calendar(F.max(F.col(ts_col)), unit).alias("hi"))
-        .select(F.explode(F.expr(
-            f"sequence(lo, hi, {_CAL_STEP[unit]})")).alias("bucket_start"))
-    )
+    if time_zone:
+        # step the grid in LOCAL time (a calendar step across a DST
+        # change is not a fixed UTC width), convert keys back to UTC
+        grid = (
+            df.select(
+                F.convert_timezone(
+                    F.lit("UTC"), F.lit(time_zone),
+                    bucketize_calendar(F.min(F.col(ts_col)), unit,
+                                       time_zone)).alias("lo"),
+                F.convert_timezone(
+                    F.lit("UTC"), F.lit(time_zone),
+                    bucketize_calendar(F.max(F.col(ts_col)), unit,
+                                       time_zone)).alias("hi"))
+            .select(F.explode(F.expr(
+                f"sequence(lo, hi, {_CAL_STEP[unit]})")).alias("_local"))
+            .select(F.convert_timezone(
+                F.lit(time_zone), F.lit("UTC"),
+                F.col("_local")).alias("bucket_start"))
+        )
+    else:
+        grid = (
+            df.select(bucketize_calendar(F.min(F.col(ts_col)), unit)
+                      .alias("lo"),
+                      bucketize_calendar(F.max(F.col(ts_col)), unit)
+                      .alias("hi"))
+            .select(F.explode(F.expr(
+                f"sequence(lo, hi, {_CAL_STEP[unit]})")).alias("bucket_start"))
+        )
     out = grid.join(aggd, ["bucket_start"], "left")
     return out.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
 

@@ -361,7 +361,8 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
 
                 out = date_histogram_calendar(
                     df, kbody["field"], v, sub_specs=metrics,
-                    min_doc_count=kbody.get("min_doc_count", 0))
+                    min_doc_count=kbody.get("min_doc_count", 0),
+                    time_zone=kbody.get("time_zone"))
             else:
                 out = date_histogram(
                     df, kbody["field"], v,
@@ -370,7 +371,10 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                     hard_bounds=(
                         (kbody["hard_bounds"]["min"],
                          kbody["hard_bounds"]["max"])
-                        if "hard_bounds" in kbody else None))
+                        if "hard_bounds" in kbody else None),
+                    offset_ms=(interval_ms(kbody["offset"])
+                               if "offset" in kbody else 0),
+                    time_zone=kbody.get("time_zone"))
             results[name] = _apply_pipes(out, pipes, "bucket_start")
             continue
         if kind == "auto_date_histogram":

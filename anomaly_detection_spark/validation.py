@@ -1,0 +1,182 @@
+"""Detector config validation + interval suggestion.
+
+Restates the reference's validate/suggest surface
+(``rest/handler/ModelValidationActionHandler.java`` /
+``rest/handler/IntervalCalculation.java``) on DataFrames:
+
+- :func:`suggest_interval` — the adaptive median-interval discovery
+  (``IntervalCalculation.findMedianIntervalAdaptive`` +
+  ``refineGap``, faithfully): a coarse estimate (span / doc count)
+  refined by a bidirectional zoom over ≤256-bucket date_histograms,
+  stopping when the MEDIAN gap between consecutive non-empty buckets'
+  first timestamps is within a factor of two of the bucket width;
+  falls back to an auto_date_histogram minimum-gap estimate past the
+  depth cap (``runAutoDate``).
+- :func:`validate_detector` — the config checks a user hits before a
+  detector runs: sources resolve and are non-empty, the time field
+  exists and is a timestamp, the filter query and every feature
+  aggregation compile, and an interval recommendation.
+
+Each refinement step is one tiny aggregation job over a ≤256-bucket
+window — driver-side looping is the right shape here (the reference
+does the same over sequential search requests); this is a validation
+utility, not a hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .query.aggs import to_millis
+
+BUCKET_CAP = 256            # IntervalCalculation.java:57
+MAX_SPLIT_DEPTH = 10        # IntervalCalculation.java:58
+MINUTE_MS = 60_000
+
+
+def _ceil_minutes(ms: float) -> int:
+    return max(1, int(math.ceil(ms / MINUTE_MS)))
+
+
+def _bucket_gaps(base: DataFrame, ts_col: str, bucket_ms: int,
+                 lo_ms: int, hi_ms: int) -> tuple[float, bool]:
+    """One refinement probe: histogram at ``bucket_ms`` over
+    [lo_ms, hi_ms], min(first_ts) per bucket → (median gap between
+    consecutive non-empty buckets' first timestamps, whether empty
+    buckets sit BETWEEN non-empty ones)."""
+    ms = to_millis(ts_col)
+    rows = (base.filter((ms >= lo_ms) & (ms <= hi_ms))
+            .groupBy((F.floor(ms / bucket_ms)).alias("_b"))
+            .agg(F.min(ms).alias("_first"))
+            .orderBy("_b")
+            .collect())
+    if len(rows) < 2:
+        return float("nan"), False
+    bs = [r["_b"] for r in rows]
+    # non-empty buckets come back as rows; empties between = index gaps
+    has_empty_between = any(b2 - b1 > 1 for b1, b2 in zip(bs, bs[1:]))
+    firsts = [r["_first"] for r in rows]
+    gaps = sorted(g for g in
+                  (b - a for a, b in zip(firsts, firsts[1:])) if g > 0)
+    if not gaps:
+        return float("nan"), has_empty_between
+    mid = len(gaps) // 2
+    med = (float(gaps[mid]) if len(gaps) % 2
+           else (gaps[mid - 1] + gaps[mid]) / 2.0)
+    return med, has_empty_between
+
+
+def suggest_interval(
+    df: DataFrame,
+    ts_col: str = "ts",
+    filter_cond=None,
+    min_bucket_mins: int = 1,
+    bucket_cap: int = BUCKET_CAP,
+    max_depth: int = MAX_SPLIT_DEPTH,
+) -> int | None:
+    """Recommended detection interval in MINUTES, or None when the
+    data cannot support one (< 2 docs / zero span) — the
+    ``findMedianIntervalAdaptive`` contract."""
+    base = df.filter(filter_cond) if filter_cond is not None else df
+    ms = to_millis(ts_col)
+    row = base.agg(F.min(ms).alias("lo"), F.max(ms).alias("hi"),
+                   F.count("*").alias("n")).collect()[0]
+    if row["lo"] is None or row["n"] < 2 or row["lo"] == row["hi"]:
+        return None
+    lo, hi, total = int(row["lo"]), int(row["hi"]), int(row["n"])
+
+    bucket_mins = max(min_bucket_mins, _ceil_minutes((hi - lo) / total))
+    zoom = -1
+    for _ in range(max_depth + 1):
+        bucket_ms = bucket_mins * MINUTE_MS
+        # keep ≤ bucket_cap buckets: probe the trailing window only
+        probe_lo = max(lo, hi - bucket_ms * bucket_cap) \
+            if (hi - lo) // bucket_ms > bucket_cap else lo
+        med, empty_between = _bucket_gaps(base, ts_col, bucket_ms,
+                                          probe_lo, hi)
+        if not math.isnan(med) and med > 0:
+            gap_mins = _ceil_minutes(med)
+            if bucket_mins / 2.0 < gap_mins < bucket_mins * 2.0:
+                return max(1, gap_mins)
+        if zoom < 0:
+            if empty_between or bucket_mins <= min_bucket_mins:
+                zoom = 1
+                bucket_mins *= 2
+            else:
+                bucket_mins = max(min_bucket_mins, bucket_mins // 2)
+        else:
+            bucket_mins *= 2
+
+    # fallback (runAutoDate): auto histogram at ≤ bucket_cap buckets,
+    # shortest positive gap between non-empty buckets' first timestamps
+    span = hi - lo + 1
+    auto_ms = max(MINUTE_MS, int(math.ceil(span / bucket_cap)))
+    rows = (base.groupBy((F.floor(ms / auto_ms)).alias("_b"))
+            .agg(F.min(ms).alias("_first")).orderBy("_b").collect())
+    firsts = [r["_first"] for r in rows]
+    gaps = [b - a for a, b in zip(firsts, firsts[1:]) if b - a > 0]
+    return _ceil_minutes(min(gaps)) if gaps else None
+
+
+def validate_detector(spark: SparkSession, det) -> dict:
+    """Pre-flight config validation (ModelValidationActionHandler's
+    user-facing checks).  Returns ``{"issues": {aspect: message, ...},
+    "suggested_interval_minutes": int | None}`` — empty issues =
+    config is runnable."""
+    from .query.planner import compile_filter
+    from .sources import load_table
+
+    issues: dict[str, str] = {}
+    src = None
+    try:
+        src = load_table(spark, det.indices)
+        if not src.head(1):
+            issues["indices"] = f"source {det.indices!r} is empty"
+    except Exception as e:  # noqa: BLE001 — surfaced to the user
+        issues["indices"] = f"cannot resolve source {det.indices!r}: {e}"
+
+    suggested = None
+    if src is not None and "indices" not in issues:
+        from pyspark.sql import types as T
+
+        if det.time_field not in src.columns:
+            issues["time_field"] = (
+                f"time field {det.time_field!r} not in source columns "
+                f"{src.columns}")
+        elif not isinstance(src.schema[det.time_field].dataType,
+                            (T.TimestampType, T.TimestampNTZType)):
+            issues["time_field"] = (
+                f"time field {det.time_field!r} must be a timestamp, "
+                f"got {src.schema[det.time_field].dataType.simpleString()}")
+
+        cond = None
+        if det.filter_query is not None:
+            try:
+                cond = compile_filter(src, det.filter_query)
+            except Exception as e:  # noqa: BLE001
+                issues["filter_query"] = f"filter query rejected: {e}"
+
+        from .query.aggs import metric_agg_column
+
+        for name, spec in det.feature_specs.items():
+            try:
+                src.agg(metric_agg_column(spec, name))
+            except Exception as e:  # noqa: BLE001
+                issues[f"feature:{name}"] = f"aggregation rejected: {e}"
+
+        for c in det.category_fields:
+            if c not in src.columns:
+                issues[f"category:{c}"] = "category field not in source"
+
+        if "time_field" not in issues:
+            suggested = suggest_interval(src, det.time_field,
+                                         filter_cond=cond)
+            if suggested is None:
+                issues["interval"] = (
+                    "not enough data to infer an interval (< 2 docs "
+                    "or zero time span)")
+
+    return {"issues": issues, "suggested_interval_minutes": suggested}

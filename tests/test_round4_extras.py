@@ -1,0 +1,142 @@
+"""Round-4 extras: date_histogram time_zone/offset, interval
+suggestion, and detector config validation."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+HOUR = 3_600_000
+DAY = 24 * HOUR
+
+
+def _events(spark, stamps_ms, values=None):
+    rows = [(i, int(t), float(values[i] if values else i))
+            for i, t in enumerate(stamps_ms)]
+    return spark.createDataFrame(rows, "event_id long, ms long, v double") \
+        .select("event_id", F.timestamp_millis("ms").alias("ts"), "v")
+
+
+# --- date_histogram time_zone / offset ---------------------------------------
+
+
+def test_date_histogram_fixed_offset_and_timezone(spark):
+    from anomaly_detection_spark.query.aggs import date_histogram
+
+    base = 1_740_787_200_000  # 2025-03-01T00:00:00Z (midnight UTC)
+    # events at 22:00 and 23:30 UTC on the previous day + 00:30 today
+    df = _events(spark, [base - 2 * HOUR, base - HOUR // 2,
+                         base + HOUR // 2])
+
+    # daily buckets at UTC midnight: events split 2 | 1
+    utc = date_histogram(df, "ts", DAY, min_doc_count=1).toPandas()
+    assert sorted(utc.doc_count) == [1, 2]
+
+    # +02:00: local midnight = 22:00 UTC → boundaries at 22:00; all
+    # three events land in ONE local day [22:00, 22:00+24h)
+    tz = date_histogram(df, "ts", DAY, min_doc_count=1,
+                        time_zone="+02:00").toPandas()
+    assert list(tz.doc_count) == [3]
+    assert pd.Timestamp(tz.bucket_start.iloc[0]) == pd.Timestamp(
+        base - 2 * HOUR, unit="ms")
+
+    # offset shifts the grid the other way (boundary at 00:30 UTC)
+    off = date_histogram(df, "ts", DAY, min_doc_count=1,
+                         offset_ms=HOUR // 2).toPandas()
+    off = off.sort_values("bucket_start").reset_index(drop=True)
+    assert list(off.doc_count) == [2, 1]
+    assert pd.Timestamp(off.bucket_start.iloc[1]) == pd.Timestamp(
+        base + HOUR // 2, unit="ms")
+
+    # minDocCount(0) dense grid sits on the shifted boundaries too
+    dense = date_histogram(df, "ts", DAY, time_zone="+02:00").toPandas()
+    assert list(dense.doc_count) == [3]
+
+    with pytest.raises(ValueError, match="fixed-offset"):
+        date_histogram(df, "ts", DAY, time_zone="America/Los_Angeles")
+
+
+def test_calendar_histogram_named_timezone_dst(spark):
+    from anomaly_detection_spark.query.aggs import date_histogram_calendar
+
+    # US DST change 2025-03-09: America/Los_Angeles is UTC-8 before,
+    # UTC-7 after.  Events at 07:30 UTC on Mar 8 (23:30 local Mar 7!)
+    # and 07:30 UTC on Mar 10 (00:30 local Mar 10).
+    t1 = int(pd.Timestamp("2025-03-08T07:30:00Z").value // 10**6)
+    t2 = int(pd.Timestamp("2025-03-10T07:30:00Z").value // 10**6)
+    df = _events(spark, [t1, t2])
+    out = date_histogram_calendar(
+        df, "ts", "month", time_zone="America/Los_Angeles").toPandas()
+    # both fall in local March; the month bucket starts at local
+    # Mar-1 midnight = 08:00 UTC (PST)
+    assert list(out.doc_count) == [2]
+    assert pd.Timestamp(out.bucket_start.iloc[0]) == pd.Timestamp(
+        "2025-03-01T08:00:00")
+
+    # body compiler wiring
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    got = run_aggs(df, {"aggs": {"m": {"date_histogram": {
+        "field": "ts", "calendar_interval": "month",
+        "time_zone": "America/Los_Angeles"}}}})["m"].toPandas()
+    assert list(got.doc_count) == [2]
+
+
+# --- suggest_interval (IntervalCalculation parity) ---------------------------
+
+
+def test_suggest_interval_recovers_cadence(spark):
+    from anomaly_detection_spark.validation import suggest_interval
+
+    base = 1_740_787_200_000
+    # clean 10-minute cadence, 500 points
+    ten = _events(spark, [base + i * 600_000 for i in range(500)])
+    got = suggest_interval(ten, "ts")
+    assert got is not None and 5 <= got <= 20, got
+
+    # hourly cadence with jitter ±2 min
+    import random
+
+    rng = random.Random(7)
+    hourly = _events(spark, [base + i * HOUR
+                             + rng.randint(-120_000, 120_000)
+                             for i in range(300)])
+    got_h = suggest_interval(hourly, "ts")
+    assert got_h is not None and 30 <= got_h <= 120, got_h
+
+    # degenerate inputs → None
+    assert suggest_interval(_events(spark, [base]), "ts") is None
+    assert suggest_interval(_events(spark, [base, base]), "ts") is None
+
+
+def test_validate_detector_reports_issues_and_interval(spark, tmp_path):
+    from anomaly_detection_spark.detector import Detector
+    from anomaly_detection_spark.validation import validate_detector
+
+    base = 1_740_787_200_000
+    src = str(tmp_path / "ev")
+    _events(spark, [base + i * 600_000 for i in range(200)]) \
+        .write.parquet(src)
+
+    ok = Detector(detector_id="d", indices=src,
+                  feature_specs={"v_avg": {"avg": {"field": "v"}}},
+                  time_field="ts")
+    rep = validate_detector(spark, ok)
+    assert rep["issues"] == {}
+    assert 5 <= rep["suggested_interval_minutes"] <= 20
+
+    bad = Detector(detector_id="d", indices=src,
+                   feature_specs={"f": {"avg": {"field": "nope"}},
+                                  "g": {"median": {"field": "v"}}},
+                   time_field="event_id",
+                   filter_query={"frobnicate": {"x": 1}},
+                   category_fields=("missing_col",))
+    rep2 = validate_detector(spark, bad)
+    assert "time_field" in rep2["issues"]
+    assert "filter_query" in rep2["issues"]
+    assert "feature:f" in rep2["issues"] and "feature:g" in rep2["issues"]
+    assert "category:missing_col" in rep2["issues"]
+
+    gone = validate_detector(spark, Detector(
+        detector_id="d", indices=str(tmp_path / "nope"),
+        feature_specs={"v": {"avg": {"field": "v"}}}))
+    assert "indices" in gone["issues"]
