@@ -75,18 +75,6 @@ def _docs_field_index(spark: SparkSession, sf_dir: str, field: str):
     return IndexReader(spark, idx_dir)
 
 
-def _tx_index(spark: SparkSession, n_turns: int = 20000):
-    """Deterministic transcripts corpus + its index (north-star shape)."""
-    from anomaly_detection_spark.data import assign_docids, generate_transcripts
-    from anomaly_detection_spark.query import IndexReader
-
-    idx_dir = f"/tmp/adspark_tx_idx_{n_turns}"
-    docs = assign_docids(generate_transcripts(spark, n_turns, seed=42))
-    _build_cached(docs, idx_dir, seg_size=8192, block_size=512,
-                  segments_per_batch=4)
-    return IndexReader(spark, idx_dir)
-
-
 def _bm25_bruteforce_docs(spark, sf_dir, text, k, filter_cond=None):
     from anomaly_detection_spark.query import analyze_docs, bm25_topk_bruteforce
 
