@@ -7,7 +7,13 @@ from .dedup import (  # noqa: F401
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
-from .similarity import cosine_topk_bruteforce, lsh_ann_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk_bruteforce,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_centroids,
+    lsh_ann_topk,
+)
 from .text import (  # noqa: F401
     doc_fingerprints,
     language_id,

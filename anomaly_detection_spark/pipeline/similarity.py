@@ -108,6 +108,134 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_size: int = 10_000,
+    n_iter: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """Train IVF coarse-quantizer centroids (unit-normalized, cosine
+    metric) on a bounded DETERMINISTIC sample — the FAISS posture:
+    k-means quality saturates on a sample long before corpus scale, so
+    training cost is O(train_size), independent of the corpus.  Sample
+    = first ``train_size`` non-zero vectors by id (stable across runs
+    and cluster layouts); seeded k-means++ init, ``n_iter`` Lloyd
+    steps in one numpy batch on the driver."""
+    rows = (corpus.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).alias("_v"))
+            .filter(_norm(F.col("_v")) > 0)
+            .orderBy("_id").limit(train_size).collect())
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    n_lists = min(n_lists, len(X))
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    cent = [X[rng.randint(len(X))]]
+    d2 = np.full(len(X), np.inf)
+    for _ in range(1, n_lists):
+        d2 = np.minimum(d2, 1.0 - X @ cent[-1])
+        probs = np.maximum(d2, 1e-12)
+        cent.append(X[rng.choice(len(X), p=probs / probs.sum())])
+    C = np.array(cent)
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 0:
+                    C[j] = c / nrm
+    return C
+
+
+def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Add ``_list`` (nearest-centroid id, cosine) — one Arrow matmul
+    per batch, the distributed IVF list assignment."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.array(vs.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / np.maximum(nrm, 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    return corpus.withColumn("_list", _assign(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 64,
+    n_probe: int = 8,
+    train_size: int = 10_000,
+    seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: coarse-quantize the corpus into
+    ``n_lists`` inverted lists, probe each query's ``n_probe`` nearest
+    lists, rerank candidates exactly.  The scale path that prunes by
+    CLUSTER STRUCTURE (vs ``lsh_ann_topk``'s random hyperplanes):
+    candidate generation is an equi-join on the list id — per query
+    only ~``n_probe/n_lists`` of the corpus is touched, and lists are
+    hash-partitioned (no N×N work).  Recall < 1 by design, measured in
+    tests.  Pass ``centroids``/``assigned`` (from
+    :func:`ivf_centroids` / :func:`ivf_assign`, persisted) to amortize
+    the index across query batches."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_lists=n_lists,
+                                  vec_col=vec_col, id_col=id_col,
+                                  train_size=train_size, seed=seed)
+    C = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(C))
+
+    c = (assigned if assigned is not None
+         else ivf_assign(corpus, C, vec_col)) \
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
+                _norm(F.col(vec_col)).alias("_cn"), "_list") \
+        .filter(F.col("_cn") > 0)
+
+    npb = n_probe
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(vs.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / np.maximum(nrm, 1e-12)
+        sims = M @ C.T
+        top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+        return pd.Series([row.astype(np.int32) for row in top])
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"), _norm(F.col(vec_col)).alias("_qn"),
+        _probes(F.col(vec_col)).alias("_probes")) \
+        .filter(F.col("_qn") > 0) \
+        .select("query_id", "_qv", "_qn",
+                F.explode("_probes").alias("_list"))
+
+    cand = (c.join(F.broadcast(q), "_list")
+            .filter(F.col("vec_id") != F.col("query_id")))
+    scored = cand.withColumn(
+        "cosine", F.round(_dot(F.col("_qv"), F.col("_cv"))
+                          / (F.col("_qn") * F.col("_cn")), 6))
+    return _topk_per_query(scored, k)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

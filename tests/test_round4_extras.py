@@ -140,3 +140,51 @@ def test_validate_detector_reports_issues_and_interval(spark, tmp_path):
         detector_id="d", indices=str(tmp_path / "nope"),
         feature_specs={"v": {"avg": {"field": "v"}}}))
     assert "indices" in gone["issues"]
+
+
+# --- IVF ANN (the clustering-structure scale path) ---------------------------
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    from anomaly_detection_spark.pipeline import (
+        cosine_topk_bruteforce, ivf_ann_topk, ivf_assign, ivf_centroids)
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk_bruteforce(embs, queries, k=5).toPandas()
+
+    got = ivf_ann_topk(embs, queries, k=5, n_lists=16, n_probe=6,
+                       seed=13).toPandas()
+    # candidates are exact-reranked → emitted (query, vec, cosine)
+    # triples are a subset of the truth's score values
+    exact_pairs = {(r.query_id, r.vec_id): r.cosine
+                   for r in exact.itertuples()}
+    hits = sum((r.query_id, r.vec_id) in exact_pairs
+               for r in got.itertuples())
+    recall = hits / len(exact)
+    assert recall >= 0.6, recall
+    for r in got.itertuples():
+        if (r.query_id, r.vec_id) in exact_pairs:
+            assert abs(r.cosine - exact_pairs[(r.query_id, r.vec_id)]) < 1e-9
+
+    # deterministic: same seed → identical results
+    again = ivf_ann_topk(embs, queries, k=5, n_lists=16, n_probe=6,
+                         seed=13).toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), again.reset_index(drop=True))
+
+    # probing every list ≡ brute force (sanity: rerank is exact)
+    full = ivf_ann_topk(embs, queries, k=5, n_lists=8, n_probe=8,
+                        seed=13).toPandas()
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), exact.reset_index(drop=True))
+
+    # amortized index reuse path gives identical answers
+    cents = ivf_centroids(embs, n_lists=16, seed=13)
+    assigned = ivf_assign(embs, cents).persist()
+    reuse = ivf_ann_topk(embs, queries, k=5, n_probe=6,
+                         centroids=cents, assigned=assigned).toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), reuse.reset_index(drop=True))
+    assigned.unpersist()
