@@ -75,3 +75,146 @@ def streaming_shingles(
     return (features.groupBy(entity_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+_STREAM_AGGS = ("value_count", "sum", "avg", "min", "max")
+
+
+def streaming_detector(
+    events: DataFrame,
+    ts_col: str,
+    interval_ms: int,
+    agg: str,
+    value_col: str,
+    entity_col: str,
+    k: int = 8,
+    confidence_ramp: int = 32,
+    anomaly_threshold: float = 3.0,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Realtime detection as ONE stateful stream over RAW events:
+    bucket aggregation, the per-entity trailing window, and the scored
+    count all live in streaming state — the ``run_once_stateful``
+    model (CheckpointDao analog) as a single
+    ``applyInPandasWithState`` operator.
+
+    Spark cannot chain ``applyInPandasWithState`` after a streaming
+    aggregation in append mode, so the operator owns the bucketing
+    itself: state holds MERGEABLE partials (count/sum/min/max) per
+    open interval; an interval closes — is scored and emitted — when
+    the event-time watermark passes its end, driven by data arrival or
+    an event-time TIMEOUT (so quiet entities still flush).  Late
+    events for closed intervals are dropped, the watermark contract.
+
+    ``events`` must carry ``withWatermark(ts_col, ...)`` (the
+    ``window_delay`` analog).  Scores are the same float sequence as
+    the batch paths (prior-k z, grade lift-off at
+    ``anomaly_threshold`` σ, scored-count confidence ramp), so the
+    emitted rows match ``detector.preview`` exactly (tested).  State
+    survives restarts via the streaming checkpoint."""
+    if agg not in _STREAM_AGGS:
+        raise ValueError(f"agg must be one of {_STREAM_AGGS}; got {agg!r}")
+    out_schema = (f"{entity_col} string, bucket_start timestamp, "
+                  "v double, anomaly_score double, "
+                  "anomaly_grade double, confidence double")
+    state_schema = ("open_ms array<long>, open_cnt array<long>, "
+                    "open_sum array<double>, open_min array<double>, "
+                    "open_max array<double>, "
+                    "values array<double>, scored_cnt long")
+    thr = float(anomaly_threshold)
+    iv = int(interval_ms)
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            o_ms, o_cnt, o_sum, o_min, o_max, win, cnt0 = state.get
+            opens = {int(m): [int(c), float(s), float(lo), float(hi)]
+                     for m, c, s, lo, hi
+                     in zip(o_ms, o_cnt, o_sum, o_min, o_max)}
+            win = list(win)
+            cnt0 = int(cnt0)
+        else:
+            opens, win, cnt0 = {}, [], 0
+
+        wm_in = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows[rows[value_col].notna()]
+            if len(rows):
+                ms = (pd.to_datetime(rows[ts_col])
+                      .to_numpy(dtype="datetime64[ms]").astype(np.int64))
+                vals = rows[value_col].to_numpy(dtype=np.float64)
+                bk = ms - ms % iv
+                # drop events for already-closed intervals (late beyond
+                # the watermark) — they must not re-open a bucket
+                live = bk + iv > wm_in
+                bk, vals = bk[live], vals[live]
+            if len(rows) and len(bk):
+                # one in-batch partial per bucket, merged into state
+                order = np.argsort(bk, kind="stable")
+                bk, vals = bk[order], vals[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], bk[1:] != bk[:-1])))
+                ends = np.append(starts[1:], len(bk))
+                for s, e in zip(starts, ends):
+                    b = int(bk[s])
+                    seg = vals[s:e]
+                    p = opens.setdefault(
+                        b, [0, 0.0, float("inf"), float("-inf")])
+                    p[0] += int(e - s)
+                    p[1] += float(seg.sum())
+                    p[2] = min(p[2], float(seg.min()))
+                    p[3] = max(p[3], float(seg.max()))
+
+        wm = state.getCurrentWatermarkMs()
+        closed = sorted(b for b in opens if b + iv <= wm)
+        emit_rows = []
+        for b in closed:
+            c, s, lo, hi = opens.pop(b)
+            if agg == "value_count":
+                v = float(c)
+            elif agg == "sum":
+                v = s
+            elif agg == "avg":
+                v = s / c
+            elif agg == "min":
+                v = lo
+            else:
+                v = hi
+            z = np.nan
+            if len(win) == k:
+                w = np.asarray(win, dtype=np.float64)
+                m = w.sum() / k
+                m2 = (w * w).sum() / k
+                std = np.sqrt(max(m2 - m * m, 0.0))
+                z = (v - m) / (std + eps)
+                cnt0 += 1
+                az = abs(z)
+                emit_rows.append((
+                    key[0], pd.Timestamp(b, unit="ms"), v,
+                    round(az, 6),
+                    round(min(max((az - thr) / thr, 0.0), 1.0), 6),
+                    round(min(1.0, cnt0 / float(confidence_ramp)), 6)))
+            win = (win + [v])[-k:]
+
+        ob = sorted(opens)
+        state.update((
+            ob,
+            [opens[b][0] for b in ob], [opens[b][1] for b in ob],
+            [opens[b][2] for b in ob], [opens[b][3] for b in ob],
+            win, cnt0))
+        if ob:
+            # flush the earliest open interval when the watermark
+            # passes its end, even if no new data arrives for this key
+            state.setTimeoutTimestamp(ob[0] + iv)
+        if not emit_rows:
+            return iter(())
+        return iter([pd.DataFrame(
+            emit_rows,
+            columns=[entity_col, "bucket_start", "v", "anomaly_score",
+                     "anomaly_grade", "confidence"])])
+
+    return (events.groupBy(entity_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))

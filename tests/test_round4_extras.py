@@ -188,3 +188,91 @@ def test_ivf_ann_recall_and_determinism(spark):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), reuse.reset_index(drop=True))
     assigned.unpersist()
+
+
+# --- streaming detector (realtime detection as one stateful stream) ----------
+
+
+def test_streaming_detector_matches_preview(spark, tmp_path):
+    """Raw events stream → one applyInPandasWithState operator doing
+    bucket partials + trailing-z scoring in state; emitted rows must
+    match detector.preview exactly.  Files arrive one per trigger so
+    the watermark advances across micro-batches and event-time
+    timeouts flush quiet entities."""
+    from anomaly_detection_spark.detector import Detector, preview
+    from anomaly_detection_spark.streaming.stateful import streaming_detector
+
+    base = pd.Timestamp("2025-03-01")
+    rows = []
+    eid = 0
+    for ent in ("A", "B"):
+        for h in range(20):
+            n = 100 if (ent == "B" and h == 15) else 5
+            for i in range(n):
+                rows.append((eid, ent,
+                             base + pd.Timedelta(hours=h, minutes=i % 50),
+                             float(10 + i % 3)))
+                eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "service", "ts", "value"])
+    src_path = str(tmp_path / "stream_src")
+    # several single files in STRICT time order (explicit mtimes: the
+    # file source orders by modification time, and a late-arriving
+    # early file would be dropped by the watermark) → several
+    # micro-batches → the watermark actually advances between triggers
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    os.makedirs(src_path)
+    t0 = _time.time()
+    for part, lo in enumerate(range(0, 20, 4)):
+        chunk = pdf[(pdf.ts >= base + pd.Timedelta(hours=lo))
+                    & (pdf.ts < base + pd.Timedelta(hours=lo + 4))]
+        wtmp = str(tmp_path / f"_w{part}")
+        spark.createDataFrame(chunk).coalesce(1) \
+            .write.mode("overwrite").parquet(wtmp)
+        pf = glob.glob(wtmp + "/part-*.parquet")[0]
+        dst = os.path.join(src_path, f"chunk-{part:03d}.parquet")
+        shutil.copy(pf, dst)
+        os.utime(dst, (t0 + part, t0 + part))
+
+    det = Detector(
+        detector_id="d", indices=src_path,
+        feature_specs={"v_avg": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=3_600_000,
+        category_fields=("service",), shingle_size=8)
+    want = preview(spark, det).toPandas()
+    want = want.set_index([want.service, want.bucket_start.map(pd.Timestamp)])
+
+    batch_schema = spark.read.parquet(src_path).schema
+    stream = (spark.readStream.schema(batch_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_path))
+    scored = streaming_detector(
+        stream.withWatermark("ts", "1 minute"),
+        ts_col="ts", interval_ms=3_600_000, agg="avg",
+        value_col="value", entity_col="service", k=8)
+    q = (scored.writeStream.outputMode("append").format("memory")
+         .queryName("det_stream_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from det_stream_out").toPandas()
+
+    # the final interval can stay open (watermark never passes it);
+    # everything emitted must match preview bit-for-bit
+    assert len(got) >= len(want) - 2, (len(got), len(want))
+    for r in got.itertuples():
+        w = want.loc[(r.service, pd.Timestamp(r.bucket_start))]
+        assert abs(r.v - float(w.v_avg)) < 1e-9, r
+        assert abs(r.anomaly_score - float(w.anomaly_score)) < 1e-9, r
+        assert abs(r.anomaly_grade - float(w.anomaly_grade)) < 1e-9
+        assert abs(r.confidence - float(w.confidence)) < 1e-9
+    # the spike hour is flagged in-stream
+    spike = got[got.anomaly_grade > 0]
+    assert list(spike.service) == ["B"]
+    assert pd.Timestamp(spike.bucket_start.iloc[0]) == base + pd.Timedelta(
+        hours=15)
