@@ -168,3 +168,53 @@ def test_positions_decode_roundtrip():
         got.append(decode_positions(r.pos, tfd))
     flat = np.concatenate(got)
     assert list(flat) == [0, 7, 4, 1, 5, 9, 2, 3]
+
+
+def test_positional_resume_and_append(spark, tiny_transcripts):
+    """Resume keeps the positions flag (geometry pin); append_index on a
+    positional index carries positions through the new batch dirs —
+    build(A∪B) and build(A);append(B) answer phrases identically."""
+    import tempfile
+
+    from anomaly_detection_spark.index import build_index
+    from anomaly_detection_spark.index.builder import append_index
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="adspark_posapp_")
+    try:
+        full_dir, part_dir = f"{tmp}/full", f"{tmp}/part"
+        docs = tiny_transcripts
+        n = docs.count()
+        cut = (n // 2) | 1
+        build_index(docs, full_dir, seg_size=512, block_size=64,
+                    segments_per_batch=2, positions=True)
+        build_index(docs.filter(F.col("docid") < cut), part_dir,
+                    seg_size=512, block_size=64, segments_per_batch=2,
+                    positions=True)
+        append_index(docs.filter(F.col("docid") >= cut), part_dir)
+
+        freader = IndexReader(spark, full_dir)
+        preader = IndexReader(spark, part_dir)
+        assert preader.meta.positions is True
+
+        an = analyze_docs(docs)
+        row = an.filter(F.size("tokens") >= 4).orderBy("docid").first()
+        phrases = [" ".join(row["tokens"][0:2]),
+                   " ".join(row["tokens"][1:4]), "the the"]
+        for ph in phrases:
+            a = match_phrase_topk_indexed(freader, ph, k=10).toPandas()
+            b = match_phrase_topk_indexed(preader, ph, k=10).toPandas()
+            assert list(a.docid) == list(b.docid), ph
+            if len(a):
+                assert (a.score - b.score).abs().max() < 1e-9, ph
+
+        # resume no-op keeps the positional meta + answers
+        build_index(docs, full_dir, seg_size=512, block_size=64,
+                    segments_per_batch=2, positions=True)
+        r2 = IndexReader(spark, full_dir)
+        assert r2.meta.positions is True
+        a2 = match_phrase_topk_indexed(r2, phrases[0], k=10).toPandas()
+        a1 = match_phrase_topk_indexed(freader, phrases[0], k=10).toPandas()
+        assert list(a1.docid) == list(a2.docid)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
