@@ -80,7 +80,10 @@ def correlated_anomaly_clusters(
         anoms = anoms.filter(s_ms >= F.lit(start_ms))
     if end_ms is not None:
         anoms = anoms.filter(e_ms <= F.lit(end_ms))
-    # stable scalar anomaly key for pairing/clustering
+    # stable scalar anomaly key for pairing/clustering — rows that tie
+    # on (id_cols, interval) are the SAME logical anomaly and rightly
+    # collapse; make id_cols include the entity/model id when several
+    # streams share a detector_id
     aid = F.xxhash64(*id_cols, s_ms, e_ms)
     base = anoms.select(
         aid.alias("_aid"), *id_cols,
