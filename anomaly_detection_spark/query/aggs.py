@@ -194,6 +194,72 @@ def filters_agg(df: DataFrame, named_conds: dict[str, Column],
         f"AS ({out_cols})")
 
 
+def adjacency_matrix_agg(df: DataFrame,
+                         named_conds: dict[str, Column]) -> DataFrame:
+    """``adjacency_matrix``: doc_count of every named filter and every
+    pairwise intersection (OpenSearch AdjacencyMatrixAggregationBuilder
+    keys: ``a``, ``a&b``).  ONE conditional-aggregation pass over the
+    scan — 0/1 indicator columns summed alone and pairwise — then a
+    stack unpivot; empty intersections are omitted like OpenSearch."""
+    require_safe_names(named_conds, "adjacency_matrix filter names")
+    names = sorted(named_conds)
+    ind = {n: F.coalesce(named_conds[n], F.lit(False)).cast("int")
+           for n in names}
+    cols = [F.sum(ind[n]).alias(f"__{n}") for n in names]
+    keys = list(names)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            keys.append(f"{a}&{b}")
+            cols.append(F.sum(ind[a] * ind[b]).alias(f"__{a}&{b}"))
+    wide = df.agg(*cols)
+    parts = ", ".join(f"'{k}', `__{k}`" for k in keys)
+    out = wide.selectExpr(
+        f"stack({len(keys)}, {parts}) AS (key, doc_count)")
+    return out.filter(F.col("doc_count") > 0).orderBy("key")
+
+
+def top_metrics_agg(df: DataFrame, metrics: list[str], sort_col: str,
+                    order: str = "desc",
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """``top_metrics``: the metric columns' values AT the row where
+    ``sort_col`` is extreme (TopMetricsAggregationBuilder, size=1) —
+    `max_by`/`min_by`, a streaming aggregate (no row buffering)."""
+    fn = F.max_by if order.lower() == "desc" else F.min_by
+    agg_cols = [(F.max(sort_col) if order.lower() == "desc"
+                 else F.min(sort_col)).alias(f"{sort_col}_top"),
+                *[fn(m, sort_col).alias(m) for m in metrics]]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*agg_cols)
+    return df.agg(*agg_cols)
+
+
+def multi_terms_agg(df: DataFrame, fields: list[str], size: int = 10,
+                    sub_specs: dict[str, dict] | None = None) -> DataFrame:
+    """``multi_terms``: top-N composite keys by doc count (count desc,
+    then keys asc — MultiTermsAggregationBuilder order); null keys drop
+    like OpenSearch terms."""
+    cond = None
+    for f_ in fields:
+        c = F.col(f_).isNotNull()
+        cond = c if cond is None else cond & c
+    aggd = (df.filter(cond).groupBy(*fields)
+            .agg(F.count("*").alias("doc_count"),
+                 *metric_agg_cols(sub_specs or {})))
+    return aggd.orderBy(F.desc("doc_count"),
+                        *[F.asc(f_) for f_ in fields]).limit(size)
+
+
+def rate_agg(bucketed: DataFrame, interval_ms: int, unit_ms: int,
+             metric_col: str = "doc_count",
+             alias: str | None = None) -> DataFrame:
+    """``rate`` sub-agg of a date_histogram: the bucket metric rescaled
+    to a per-``unit`` rate (RateAggregationBuilder) — pure arithmetic
+    over already-bucketed rows."""
+    alias = alias or f"{metric_col}_rate"
+    return bucketed.withColumn(
+        alias, F.col(metric_col) * (float(unit_ms) / float(interval_ms)))
+
+
 def histogram_agg(
     df: DataFrame,
     field: str,

@@ -331,6 +331,34 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                      for fn, fq in kbody["filters"].items()}
             results[name] = filters_agg(df, named, sub_specs=metrics)
             continue
+        if kind == "adjacency_matrix":
+            from .aggs import adjacency_matrix_agg
+
+            named = {fn: compile_filter(df, fq)
+                     for fn, fq in kbody["filters"].items()}
+            results[name] = adjacency_matrix_agg(df, named)
+            continue
+        if kind == "multi_terms":
+            from .aggs import multi_terms_agg
+
+            flds = [t["field"] for t in kbody["terms"]]
+            results[name] = multi_terms_agg(
+                df, flds, size=kbody.get("size", 10), sub_specs=metrics)
+            continue
+        if kind == "top_metrics":
+            from .aggs import top_metrics_agg
+
+            srt = kbody["sort"]
+            if isinstance(srt, list):
+                srt = srt[0]
+            (sort_fld, order), = srt.items()
+            if isinstance(order, dict):
+                order = order.get("order", "desc")
+            ms = kbody["metrics"]
+            ms = [m["field"] for m in ms] if isinstance(ms, list) \
+                else [ms["field"]]
+            results[name] = top_metrics_agg(df, ms, sort_fld, order=order)
+            continue
         if kind == "global":
             # global agg escapes the query scope: sub-aggs run over the
             # UNFILTERED frame (GlobalAggregationBuilder)

@@ -182,6 +182,26 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         (fld, spec), = body.items()
         return QueryPlan(F.col(fld).startswith(F.lit(_field_value(spec))))
 
+    if kind == "regexp":
+        # Lucene RegexpQuery is FULLY ANCHORED (the pattern must match
+        # the whole keyword value); Spark rlike is substring — anchor it
+        (fld, spec), = body.items()
+        pat = _field_value(spec)
+        return QueryPlan(F.col(fld).rlike(f"^(?:{pat})$"))
+
+    if kind == "fuzzy":
+        # FuzzyQuery: Damerau-Levenshtein ≤ fuzziness on the keyword
+        # value (Spark's levenshtein is plain edit distance — a valid
+        # superset bound that differs only on adjacent transpositions,
+        # which it counts as 2; "AUTO" maps to the Lucene length rules)
+        (fld, spec), = body.items()
+        val = str(_field_value(spec))
+        fz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) else "AUTO"
+        if fz == "AUTO":
+            fz = 0 if len(val) <= 2 else (1 if len(val) <= 5 else 2)
+        return QueryPlan(
+            F.levenshtein(F.col(fld), F.lit(val)) <= F.lit(int(fz)))
+
     if kind == "ids":
         # IdsQueryBuilder — docid membership (get-by-id's query twin)
         return QueryPlan(F.col(body.get("field", "docid"))

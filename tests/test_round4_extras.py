@@ -276,3 +276,85 @@ def test_streaming_detector_matches_preview(spark, tmp_path):
     assert list(spike.service) == ["B"]
     assert pd.Timestamp(spike.bucket_start.iloc[0]) == base + pd.Timedelta(
         hours=15)
+
+
+# --- second user-surface ring: adjacency_matrix / top_metrics / multi_terms /
+# --- rate aggs + regexp / fuzzy queries --------------------------------------
+
+
+def test_adjacency_matrix_and_multi_terms(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "t": ["a", "a", "b", "b", "c", None],
+        "u": ["x", "y", "x", "x", "y", "x"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}))
+    adj = run_aggs(df, {"aggs": {"m": {"adjacency_matrix": {"filters": {
+        "hot": {"range": {"v": {"gte": 3.0}}},
+        "ax": {"term": {"u": "x"}},
+    }}}}})["m"].toPandas().set_index("key")
+    # ax: u=x → rows 0,2,3,5 (4); hot: v>=3 → rows 2,3,4,5 (4);
+    # ax&hot: rows 2,3,5 (3)
+    assert adj.loc["ax"].doc_count == 4
+    assert adj.loc["hot"].doc_count == 4
+    assert adj.loc["ax&hot"].doc_count == 3
+
+    mt = run_aggs(df, {"aggs": {"m": {
+        "multi_terms": {"terms": [{"field": "t"}, {"field": "u"}],
+                        "size": 2},
+        "aggs": {"v_sum": {"sum": {"field": "v"}}}}}})["m"].toPandas()
+    # (b,x) count 2 first; null t dropped; ties broken by keys asc
+    assert (mt.iloc[0].t, mt.iloc[0].u, mt.iloc[0].doc_count) == ("b", "x", 2)
+    assert mt.iloc[0].v_sum == 7.0
+    assert len(mt) == 2 and mt.iloc[1].doc_count == 1
+
+
+def test_top_metrics_and_rate(spark):
+    from anomaly_detection_spark.query.aggs import date_histogram, rate_agg
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["a", "a", "b", "b"],
+        "s": [1.0, 9.0, 5.0, 2.0],
+        "v": [10.0, 20.0, 30.0, 40.0]}))
+    tm = run_aggs(df, {"aggs": {"t": {"top_metrics": {
+        "metrics": [{"field": "v"}], "sort": {"s": "desc"}}}}})["t"] \
+        .toPandas()
+    assert tm.s_top.iloc[0] == 9.0 and tm.v.iloc[0] == 20.0
+
+    from anomaly_detection_spark.query.aggs import top_metrics_agg
+
+    per_g = top_metrics_agg(df, ["v"], "s", order="asc",
+                            group_cols=["g"]).toPandas().set_index("g")
+    assert per_g.loc["a"].v == 10.0 and per_g.loc["b"].v == 40.0
+
+    base = 1_740_787_200_000
+    ev = spark.createDataFrame(
+        [(i, base + i * 60_000) for i in range(120)],
+        "id long, ms long").select(
+        "id", F.timestamp_millis("ms").alias("ts"))
+    h = date_histogram(ev, "ts", HOUR, min_doc_count=1)
+    r = rate_agg(h, HOUR, 60_000).toPandas()  # per-minute rate
+    assert (r.doc_count_rate == r.doc_count / 60.0).all()
+
+
+def test_regexp_and_fuzzy_queries(spark):
+    from anomaly_detection_spark.query.planner import compile_filter
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": ["src1", "src10", "source", "src2", "abc"]}))
+    # Lucene regexp is fully anchored: src[0-9] must NOT match src10
+    got = df.filter(compile_filter(
+        df, {"regexp": {"k": {"value": "src[0-9]"}}})).toPandas()
+    assert sorted(got.k) == ["src1", "src2"]
+    got2 = df.filter(compile_filter(
+        df, {"regexp": {"k": "src.*"}})).toPandas()
+    assert sorted(got2.k) == ["src1", "src10", "src2"]
+
+    # fuzzy AUTO: len 4 → distance 1
+    fz = df.filter(compile_filter(
+        df, {"fuzzy": {"k": {"value": "srcX"}}})).toPandas()
+    assert sorted(fz.k) == ["src1", "src2"]
+    fz2 = df.filter(compile_filter(
+        df, {"fuzzy": {"k": {"value": "source", "fuzziness": 2}}})).toPandas()
+    assert sorted(fz2.k) == ["source"]
