@@ -77,7 +77,75 @@ def delta_decode(gaps: np.ndarray, base: int = 0) -> np.ndarray:
         return np.cumsum(g) + np.uint64(base)
 
 
-def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+def for_encode(values: np.ndarray) -> bytes:
+    """Frame-of-reference bit packing (the PForDelta family without the
+    exception patch list): one header byte = bit width b (the max value
+    width in the block), then all values packed at b bits, little
+    endian.  Decode is pure word shifts/masks — no per-byte
+    continuation scanning — which is why Lucene-family engines pack
+    posting blocks this way; posting GAPS within a block are
+    near-uniform, so per-block max-width costs little vs true PFor.
+
+    Empty input → b'' ; all-zero input → header 0, no payload."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    mx = int(v.max())
+    b = max(int(mx).bit_length(), 0)
+    if b == 0:
+        return bytes([0]) + n.to_bytes(4, "little")
+    pos = np.arange(n, dtype=np.uint64) * np.uint64(b)
+    word = (pos >> np.uint64(6)).astype(np.int64)
+    off = pos & np.uint64(63)
+    nwords = int((n * b + 63) // 64) + 1
+    w = np.zeros(nwords, dtype=np.uint64)
+    np.bitwise_or.at(w, word, v << off)
+    # high bits that crossed the word boundary ((64-off)%64 keeps the
+    # shift count defined when off==0; the where() discards that lane)
+    sh = (np.uint64(64) - off) & np.uint64(63)
+    hi = np.where(off != 0, v >> sh, np.uint64(0))
+    np.bitwise_or.at(w, word + 1, hi)
+    return bytes([b]) + n.to_bytes(4, "little") + w.tobytes()
+
+
+def for_decode(blob: bytes) -> np.ndarray:
+    """Inverse of :func:`for_encode` → uint64 array."""
+    if len(blob) == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = blob[0]
+    n = int.from_bytes(blob[1:5], "little")
+    if b == 0:
+        return np.zeros(n, dtype=np.uint64)
+    w = np.frombuffer(blob[5:], dtype=np.uint64)
+    pos = np.arange(n, dtype=np.uint64) * np.uint64(b)
+    word = (pos >> np.uint64(6)).astype(np.int64)
+    off = pos & np.uint64(63)
+    lo = w[word] >> off
+    sh = (np.uint64(64) - off) & np.uint64(63)
+    hi = np.where(off != 0, w[word + 1] << sh, np.uint64(0))
+    mask = (np.uint64(1) << np.uint64(b)) - np.uint64(1) if b < 64 \
+        else np.uint64(0xFFFFFFFFFFFFFFFF)
+    return (lo | hi) & mask
+
+
+# posting-blob codec registry: "leb128" (byte varints, default) and
+# "for" (frame-of-reference bit packing — faster word-aligned decode).
+# meta.codec strings are "delta-gap+<name>".
+BLOB_DECODERS = {"leb128": varint_decode, "for": for_decode}
+
+
+def codec_name(meta_codec: str) -> str:
+    """IndexMeta.codec string → registry key ("delta-gap+for" → "for");
+    unknown codecs fail fast rather than mis-decode."""
+    name = meta_codec.rsplit("+", 1)[-1]
+    if name not in BLOB_DECODERS:
+        raise ValueError(f"unknown posting codec {meta_codec!r}")
+    return name
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray,
+                     codec: str = "leb128") -> np.ndarray:
     """Positional payload of one posting block → absolute in-document
     token positions (flat, grouped per posting in posting order).
 
@@ -85,7 +153,7 @@ def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
     position is absolute and the rest are deltas to the previous
     position — the Lucene proximity-payload shape.  ``tfs`` gives the
     per-posting occurrence counts that delimit the flat stream."""
-    dp = varint_decode(blob).astype(np.int64)
+    dp = BLOB_DECODERS[codec](blob).astype(np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     if dp.size == 0:
         return dp

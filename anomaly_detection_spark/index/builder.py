@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.codecs import codec_name as _codec_name
 from ..functions.codecs import varint_encode_with_widths
 from ..query.brute_force import analyze_docs
 from .storage import (
@@ -84,7 +85,8 @@ _EMPTY_BLOCKS = pd.DataFrame(
 def encode_segment_pdf(pdf: pd.DataFrame, block_size: int,
                        seg_size: int | None = None,
                        bucket_size: int = 256,
-                       positions: bool = False) -> pd.DataFrame:
+                       positions: bool = False,
+                       codec: str = "leb128") -> pd.DataFrame:
     """One segment's (seg_id, docid, tokens) rows → posting-block rows.
 
     Fully vectorized: one lexicographic groupby for tf, run/block
@@ -142,7 +144,8 @@ def encode_segment_pdf(pdf: pd.DataFrame, block_size: int,
     dls_u = dl_lut[docs_u - base]
     return blocks_from_sorted(terms_u, docs_u, tfs_u, seg_id, block_size,
                               dls_u=dls_u, seg_size=seg_size,
-                              bucket_size=bucket_size, pos_flat=pos_flat)
+                              bucket_size=bucket_size, pos_flat=pos_flat,
+                              codec=codec)
 
 
 def blocks_from_sorted(
@@ -155,6 +158,7 @@ def blocks_from_sorted(
     seg_size: int | None = None,
     bucket_size: int = 256,
     pos_flat: np.ndarray | None = None,
+    codec: str = "leb128",
 ) -> pd.DataFrame:
     """(term, docid, tf) rows already sorted by (term, docid) → posting
     block rows.  Shared by the segment builder and the segment merger.
@@ -226,38 +230,62 @@ def blocks_from_sorted(
     # gaps relative to each block's first docid (gap at block start = 0)
     gaps = np.diff(docs_u, prepend=np.int64(0)).astype(np.uint64)
     gaps[blk_start] = 0
-    gap_bytes, gap_w = varint_encode_with_widths(gaps)
-    tf_bytes, tf_w = varint_encode_with_widths(tfs_u.astype(np.uint64))
-    gap_off = np.concatenate(([0], np.cumsum(gap_w)))
-    tf_off = np.concatenate(([0], np.cumsum(tf_w)))
-
-    gaps_col, tfs_col = [], []
-    for i in range(n_blocks):
-        s, e = blk_start[i], blk_end[i]
-        gaps_col.append(gap_bytes[gap_off[s]:gap_off[e]])
-        tfs_col.append(tf_bytes[tf_off[s]:tf_off[e]])
-    # blob byte totals precomputed per block so the manifest agg can sum
-    # a 4-byte column instead of re-reading every gaps/tfs payload
-    blob_bytes = ((gap_off[blk_end] - gap_off[blk_start])
-                  + (tf_off[blk_end] - tf_off[blk_start])).astype(np.int32)
-
     if pos_flat is not None:
-        # positional payload: one varint stream, per-posting reset
-        # deltas, sliced at block boundaries (block boundaries are
-        # posting boundaries, so blocks decode independently)
+        # positional payload: per-posting reset deltas, sliced at block
+        # boundaries (block boundaries are posting boundaries, so
+        # blocks decode independently)
         p_off = np.concatenate(([0], np.cumsum(tfs_u)))  # posting → pos idx
         dp = np.diff(np.asarray(pos_flat, dtype=np.int64), prepend=0)
         dp[p_off[:-1]] = np.asarray(pos_flat, dtype=np.int64)[p_off[:-1]]
-        pos_bytes, pos_w = varint_encode_with_widths(dp.astype(np.uint64))
-        pw_off = np.concatenate(([0], np.cumsum(pos_w)))
-        pos_col = [pos_bytes[pw_off[p_off[blk_start[i]]]:
-                             pw_off[p_off[blk_end[i]]]]
+        dp = dp.astype(np.uint64)
+
+    if codec == "for":
+        from ..functions.codecs import for_encode
+
+        tfs64 = tfs_u.astype(np.uint64)
+        gaps_col = [for_encode(gaps[blk_start[i]:blk_end[i]])
+                    for i in range(n_blocks)]
+        tfs_col = [for_encode(tfs64[blk_start[i]:blk_end[i]])
                    for i in range(n_blocks)]
-        blob_bytes = (blob_bytes
-                      + (pw_off[p_off[blk_end]] - pw_off[p_off[blk_start]])
-                      ).astype(np.int32)
+        blob_bytes = np.fromiter(
+            (len(g) + len(t) for g, t in zip(gaps_col, tfs_col)),
+            np.int64, n_blocks)
+        if pos_flat is not None:
+            pos_col = [for_encode(dp[p_off[blk_start[i]]:
+                                     p_off[blk_end[i]]])
+                       for i in range(n_blocks)]
+            blob_bytes = blob_bytes + np.fromiter(
+                (len(p) for p in pos_col), np.int64, n_blocks)
+        else:
+            pos_col = [None] * n_blocks
+        blob_bytes = blob_bytes.astype(np.int32)
     else:
-        pos_col = [None] * n_blocks
+        gap_bytes, gap_w = varint_encode_with_widths(gaps)
+        tf_bytes, tf_w = varint_encode_with_widths(tfs_u.astype(np.uint64))
+        gap_off = np.concatenate(([0], np.cumsum(gap_w)))
+        tf_off = np.concatenate(([0], np.cumsum(tf_w)))
+
+        gaps_col, tfs_col = [], []
+        for i in range(n_blocks):
+            s, e = blk_start[i], blk_end[i]
+            gaps_col.append(gap_bytes[gap_off[s]:gap_off[e]])
+            tfs_col.append(tf_bytes[tf_off[s]:tf_off[e]])
+        # blob byte totals precomputed per block so the manifest agg can
+        # sum a 4-byte column instead of re-reading every payload
+        blob_bytes = ((gap_off[blk_end] - gap_off[blk_start])
+                      + (tf_off[blk_end] - tf_off[blk_start])).astype(np.int32)
+
+        if pos_flat is not None:
+            pos_bytes, pos_w = varint_encode_with_widths(dp)
+            pw_off = np.concatenate(([0], np.cumsum(pos_w)))
+            pos_col = [pos_bytes[pw_off[p_off[blk_start[i]]]:
+                                 pw_off[p_off[blk_end[i]]]]
+                       for i in range(n_blocks)]
+            blob_bytes = (blob_bytes
+                          + (pw_off[p_off[blk_end]]
+                             - pw_off[p_off[blk_start]])).astype(np.int32)
+        else:
+            pos_col = [None] * n_blocks
 
     return pd.DataFrame({
         "term": blk_terms,
@@ -302,14 +330,15 @@ def encode_norms_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 def _postings_from_analyzed(analyzed: DataFrame, seg_size: int,
                             block_size: int,
                             bucket_size: int = 256,
-                            positions: bool = False) -> DataFrame:
+                            positions: bool = False,
+                            codec: str = "leb128") -> DataFrame:
     """Analyzed (docid, tokens) rows → posting blocks, one pandas group
     per segment (parallelism = number of segments)."""
-    bs, ss, bk, ps = block_size, seg_size, bucket_size, positions
+    bs, ss, bk, ps, cd = block_size, seg_size, bucket_size, positions, codec
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         return encode_segment_pdf(pdf, bs, seg_size=ss, bucket_size=bk,
-                                  positions=ps)
+                                  positions=ps, codec=cd)
 
     return (
         analyzed
@@ -325,7 +354,8 @@ def _run_batch(spark, docs: DataFrame, paths: IndexPaths, k: int,
                segments_per_batch: int, bucket_size: int,
                text_col: str, keep_cols: tuple[str, ...],
                stage: str = "segment_build",
-               positions: bool = False) -> None:
+               positions: bool = False,
+               codec: str = "leb128") -> None:
     """One build batch: doc_stats + (norms ∥ postings+manifest) for the
     docid range [lo, hi), written under ``batch={k}`` dirs."""
     t0 = time.time()
@@ -362,7 +392,7 @@ def _run_batch(spark, docs: DataFrame, paths: IndexPaths, k: int,
     def _run_postings():
         posts = _postings_from_analyzed(analyzed, seg_size, block_size,
                                         bucket_size=bucket_size,
-                                        positions=positions)
+                                        positions=positions, codec=codec)
         # written straight from the encode tasks: each segment's
         # blocks come out (term, docid)-sorted already, so parquet
         # row-group min/max stats serve the term-IN pushdown without
@@ -431,6 +461,7 @@ def build_index(
     resume: bool = True,
     bucket_size: int = 256,
     positions: bool = False,
+    codec: str = "leb128",
 ) -> IndexPaths:
     """Build the full index under ``index_dir``; resume from checkpoints.
 
@@ -459,6 +490,7 @@ def build_index(
         prev = read_meta(index_dir)
         seg_size, bucket_size = prev.seg_size, prev.bucket_size
         positions = prev.positions
+        codec = _codec_name(prev.codec)
     elif seg_size is None:
         # one segment per core is enough parallelism; prefer LARGE
         # segments — smaller ones multiply per-term block overhead
@@ -480,15 +512,18 @@ def build_index(
     # a resumed build must also keep the original batch geometry — batch
     # markers are keyed by batch index, so a different batching would
     # silently skip or re-map docid ranges
+    if codec not in ("leb128", "for"):
+        raise ValueError(f"codec must be leb128 or for; got {codec!r}")
     pin_geometry(paths, "build_conf", resume, seg_size=seg_size,
                  block_size=block_size, segments_per_batch=segments_per_batch,
-                 bucket_size=bucket_size, positions=positions)
+                 bucket_size=bucket_size, positions=positions, codec=codec)
     if not (resume and is_done(paths, "finalize")):
         # draft meta only — never clobber a finalized one on resume
         write_meta(paths, IndexMeta(n_docs=n_docs, avgdl=0.0, seg_size=seg_size,
                                     block_size=block_size,
                                     bucket_size=bucket_size,
-                                    positions=positions))
+                                    positions=positions,
+                                    codec=f"delta-gap+{codec}"))
 
     # --- per-batch: doc_stats + postings + manifest -------------------------
     for k in range(n_batches):
@@ -498,17 +533,18 @@ def build_index(
         hi = min(n_docs, (k + 1) * segments_per_batch * seg_size)
         _run_batch(spark, docs, paths, k, lo, hi, seg_size, block_size,
                    segments_per_batch, bucket_size, text_col, keep_cols,
-                   positions=positions)
+                   positions=positions, codec=codec)
         mark_done(paths, "batch", k, docid_lo=lo, docid_hi=hi)
 
     _refresh_stats(spark, paths, seg_size, block_size, bucket_size,
-                   resume=resume, positions=positions)
+                   resume=resume, positions=positions, codec=codec)
     return paths
 
 
 def _refresh_stats(spark, paths: IndexPaths, seg_size: int, block_size: int,
                    bucket_size: int, resume: bool,
-                   positions: bool = False) -> None:
+                   positions: bool = False,
+                   codec: str = "leb128") -> None:
     """term_stats (global df/cf) ∥ finalize meta (N, avgdl) —
     independent single-pass jobs over different tables, overlapped."""
 
@@ -538,7 +574,8 @@ def _refresh_stats(spark, paths: IndexPaths, seg_size: int, block_size: int,
         write_meta(paths, IndexMeta(
             n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0),
             seg_size=seg_size, block_size=block_size,
-            bucket_size=bucket_size, positions=positions))
+            bucket_size=bucket_size, positions=positions,
+            codec=f"delta-gap+{codec}"))
         mark_done(paths, "finalize")
         log_metric(paths, "finalize", n_docs=int(row["n"]),
                    avgdl=float(row["avgdl"] or 0.0), wall_s=time.time() - t0)
@@ -573,6 +610,7 @@ def append_index(
     seg_size, block_size = meta.seg_size, meta.block_size
     bucket_size = meta.bucket_size
     positions = meta.positions
+    codec = _codec_name(meta.codec)
     spb = int(conf["segments_per_batch"])
 
     ext = docs_new.agg(F.min("docid").alias("lo"),
@@ -600,7 +638,7 @@ def append_index(
             continue
         _run_batch(spark, docs_new, paths, lo, lo, hi, seg_size, block_size,
                    spb, bucket_size, text_col, keep_cols,
-                   stage="segment_append", positions=positions)
+                   stage="segment_append", positions=positions, codec=codec)
         mark_done(paths, "append", lo, docid_lo=lo, docid_hi=hi)
 
     # stats/meta cover the grown corpus: force their recompute
@@ -610,5 +648,5 @@ def append_index(
         except FileNotFoundError:
             pass
     _refresh_stats(spark, paths, seg_size, block_size, bucket_size,
-                   resume=resume, positions=positions)
+                   resume=resume, positions=positions, codec=codec)
     return paths

@@ -43,7 +43,8 @@ from .storage import (
 
 
 def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
-                   new_seg_size: int, bucket_size: int) -> pd.DataFrame:
+                   new_seg_size: int, bucket_size: int,
+                   codec: str = "leb128") -> pd.DataFrame:
     """All posting blocks of one target segment → re-encoded blocks.
     Positional payloads (``pos``), when present on every block, are
     decoded per block and re-encoded on the merged block grid."""
@@ -60,16 +61,20 @@ def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
               and pdf["bm_buckets"].notna().all())
     has_pos = "pos" in pdf.columns and pdf["pos"].notna().all()
 
+    from ..functions.codecs import BLOB_DECODERS
+
+    dec = BLOB_DECODERS[codec]
     doc_parts, tf_parts, pos_parts = [], [], []
     for i in range(len(pdf)):
-        doc_parts.append(np.cumsum(varint_decode(gaps_col[i])).astype(np.int64)
+        doc_parts.append(np.cumsum(dec(gaps_col[i])).astype(np.int64)
                          + firsts[i])
-        tfs_i = varint_decode(tfs_col[i]).astype(np.int64)
+        tfs_i = dec(tfs_col[i]).astype(np.int64)
         tf_parts.append(tfs_i)
         if has_pos:
             from ..functions.codecs import decode_positions
 
-            pos_parts.append(decode_positions(pdf["pos"].iloc[i], tfs_i))
+            pos_parts.append(decode_positions(pdf["pos"].iloc[i], tfs_i,
+                                              codec=codec))
     docs_u = np.concatenate(doc_parts)
     tfs_u = np.concatenate(tf_parts)
     pos_flat = np.concatenate(pos_parts) if has_pos else None
@@ -99,7 +104,8 @@ def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
         dls_u = np.repeat(pdf["min_dl"].to_numpy(dtype=np.int64), ns)
     return blocks_from_sorted(terms_u, docs_u, tfs_u, new_seg, block_size,
                               dls_u=dls_u, seg_size=new_seg_size,
-                              bucket_size=bucket_size, pos_flat=pos_flat)
+                              bucket_size=bucket_size, pos_flat=pos_flat,
+                              codec=codec)
 
 
 def merge_segments(
@@ -129,7 +135,8 @@ def merge_segments(
     write_meta(dst, IndexMeta(
         n_docs=src_meta.n_docs, avgdl=src_meta.avgdl,
         seg_size=new_seg_size, block_size=block_size,
-        bucket_size=src_meta.bucket_size, positions=src_meta.positions))
+        bucket_size=src_meta.bucket_size, positions=src_meta.positions,
+        codec=src_meta.codec))
 
     posts = spark.read.parquet(src.postings).withColumn(
         "new_seg", (F.col("seg_id") / factor).cast("int"))
@@ -141,9 +148,12 @@ def merge_segments(
         lo, hi = k * segments_per_batch, (k + 1) * segments_per_batch
         sub = posts.filter((F.col("new_seg") >= lo) & (F.col("new_seg") < hi))
 
+        from ..functions.codecs import codec_name as _cn
+
         def _m(pdf: pd.DataFrame) -> pd.DataFrame:
             return _merge_new_seg(pdf, block_size, src_meta.seg_size,
-                                  new_seg_size, src_meta.bucket_size)
+                                  new_seg_size, src_meta.bucket_size,
+                                  codec=_cn(src_meta.codec))
 
         from .builder import POSTING_SCHEMA
 

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.bm25 import B_DEFAULT, K1_DEFAULT, bm25_idf
-from ..functions.codecs import varint_decode
+from ..functions.codecs import BLOB_DECODERS, codec_name, varint_decode
 from ..functions.tokenizer import tokenize_query
 from ..index.storage import IndexMeta, IndexPaths, read_meta
 
@@ -111,6 +111,7 @@ def _score_segment(
     quantize_norms: bool = False,
     theta_init: float = -np.inf,
     n_required: int = 0,
+    decode=varint_decode,
 ) -> pd.DataFrame:
     empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float64")})
@@ -151,9 +152,9 @@ def _score_segment(
     def decode_block(i: int) -> tuple[np.ndarray, np.ndarray]:
         """(local docids, BM25 contributions) of one posting block,
         filter mask (dl < 0) applied."""
-        d = np.cumsum(varint_decode(gaps_col[i])).astype(np.int64) + firsts[i]
+        d = np.cumsum(decode(gaps_col[i])).astype(np.int64) + firsts[i]
         loc = d - seg_base
-        tf = varint_decode(tfs_col[i]).astype(np.float64)
+        tf = decode(tfs_col[i]).astype(np.float64)
         dlv = dl[loc]
         ok = dlv >= 0
         loc, tf, dlv = loc[ok], tf[ok], dlv[ok]
@@ -443,6 +444,7 @@ def bm25_topk_indexed(
     docs = _docs_side(reader, filter_cond)
 
     seg_size, avgdl = meta.seg_size, meta.avgdl
+    dec = BLOB_DECODERS[codec_name(meta.codec)]
 
     n_required = len(uniq) if conjunctive else 0
 
@@ -452,7 +454,7 @@ def bm25_topk_indexed(
                                   k, k1, b, prune, bucket=bucket,
                                   quantize_norms=quantize_norms,
                                   theta_init=theta_init,
-                                  n_required=n_required)
+                                  n_required=n_required, decode=dec)
 
         return (p.groupBy("seg_id").cogroup(d.groupBy("seg_id"))
                 .applyInPandas(_score, schema="docid long, score double"))
@@ -511,10 +513,11 @@ def bm25_scores_indexed(
              .select(*post_cols))
     docs = _docs_side(reader, filter_cond)
     seg_size, avgdl = meta.seg_size, meta.avgdl
+    dec = BLOB_DECODERS[codec_name(meta.codec)]
 
     def _score(p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
         return _score_segment(p, d, weights, seg_size, avgdl, None,
-                              k1, b, prune=False)
+                              k1, b, prune=False, decode=dec)
 
     return (posts.groupBy("seg_id").cogroup(docs.groupBy("seg_id"))
             .applyInPandas(_score, schema="docid long, score double"))
@@ -569,6 +572,8 @@ def match_phrase_topk_indexed(
              .select("term", "seg_id", "first_docid", "gaps", "tfs", "pos"))
     docs = _docs_side(reader, filter_cond)
     seg_size, avgdl = meta.seg_size, meta.avgdl
+    cname = codec_name(meta.codec)
+    dec = BLOB_DECODERS[cname]
     kk1, bb = k1, b
     STRIDE = np.int64(1) << np.int64(32)   # local docid ⊕ position key
 
@@ -584,10 +589,10 @@ def match_phrase_topk_indexed(
         for t, grp in p.groupby("term", sort=False):
             locs, poss = [], []
             for i in range(len(grp)):
-                docids = (np.cumsum(varint_decode(grp["gaps"].iloc[i]))
+                docids = (np.cumsum(dec(grp["gaps"].iloc[i]))
                           .astype(np.int64) + grp["first_docid"].iloc[i])
-                tfs = varint_decode(grp["tfs"].iloc[i]).astype(np.int64)
-                pos = decode_positions(grp["pos"].iloc[i], tfs)
+                tfs = dec(grp["tfs"].iloc[i]).astype(np.int64)
+                pos = decode_positions(grp["pos"].iloc[i], tfs, codec=cname)
                 locs.append(np.repeat(docids - seg_base, tfs))
                 poss.append(pos)
             occ[t] = (np.concatenate(locs), np.concatenate(poss))
