@@ -126,8 +126,11 @@ def pin_geometry(paths: IndexPaths, stage: str, resume: bool, **geom) -> None:
     resume would corrupt the index instead of erroring."""
     if resume and is_done(paths, stage):
         pinned = read_ckpt(paths, stage)
-        diff = {k: (pinned.get(k), v) for k, v in geom.items()
-                if pinned.get(k) != v}
+        # keys ABSENT from an old checkpoint were never pinned (the
+        # format predates them) — the on-disk meta governs those, so a
+        # resume of a pre-upgrade index must not fail on new keys
+        diff = {k: (pinned[k], v) for k, v in geom.items()
+                if k in pinned and pinned[k] != v}
         if diff:
             raise ValueError(
                 f"resume geometry mismatch for {paths.root} ({stage}): "

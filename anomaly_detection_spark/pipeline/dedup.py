@@ -241,18 +241,26 @@ def minhash_lsh_pairs(
         F.explode(_shingles(text_col, n)).alias("_s")).persist()
 
     # identical-shingle-set class key: a commutative combination of the
-    # per-shingle hashes (count + bounded sum + bit_xor — shingles are
-    # already distinct per doc, so this fingerprints the SET) — no
-    # per-doc sort, and the same pass yields the set sizes verification
-    # needs.  Operands stay < 2^31 so the sum is ANSI-overflow-safe.
-    cls = (sh_cached.withColumn("_h", F.pmod(F.xxhash64("_s"),
-                                             F.lit(1 << 31)))
+    # per-shingle hashes (count + TWO independent bounded sums + a
+    # full-width bit_xor — shingles are already distinct per doc, so
+    # this fingerprints the SET).  A sum+xor pair alone is not
+    # injective ({1,6} vs {2,5} ties the sum); four independent
+    # functions put accidental collisions at ~2^-120 per pair.  No
+    # per-doc sort, and the same pass yields the set sizes
+    # verification needs.  Sum operands stay < 2^31 (ANSI-safe).
+    cls = (sh_cached
+           .withColumn("_ha", F.pmod(F.xxhash64("_s"), F.lit(1 << 31)))
+           .withColumn("_hb", F.pmod(F.xxhash64("_s", F.lit(2)),
+                                     F.lit(1 << 31)))
+           .withColumn("_hx", F.xxhash64("_s", F.lit(3)))
            .groupBy("_id")
            .agg(F.count("*").alias("_sz"),
-                F.sum("_h").alias("_h1"),
-                F.expr("bit_xor(_h)").alias("_h2")))
+                F.sum("_ha").alias("_h1"),
+                F.sum("_hb").alias("_h2"),
+                F.expr("bit_xor(_hx)").alias("_h3")))
     cls = cls.select("_id", "_sz",
-                     F.xxhash64("_sz", "_h1", "_h2").alias("_cls")).persist()
+                     F.xxhash64("_sz", "_h1", "_h2", "_h3")
+                     .alias("_cls")).persist()
     classes = cls.groupBy("_cls").agg(F.min("_id").alias("_rep"),
                                       F.count("*").alias("_csz"))
     # adaptive: a corpus with NO exact-duplicate classes (the common
@@ -374,11 +382,18 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
         flat_w = np.concatenate(
             [np.asarray(w, dtype=np.float64) for w in tfs])
         doc = np.repeat(np.arange(n), lens)
-        bits = ((flat_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.float64)
-        signed = (bits * 2.0 - 1.0) * flat_w[:, None]
         score = np.zeros((n, 64))
-        np.add.at(score, doc, signed)
+        # the (terms × 64) sign matrix is built in bounded slices —
+        # an Arrow batch of 10k docs × 500 terms would otherwise
+        # materialize multi-GB temporaries per task
+        CH = 1 << 17
+        bitsel = np.arange(64, dtype=np.uint64)[None, :]
+        for s in range(0, len(flat_h), CH):
+            e = min(s + CH, len(flat_h))
+            bits = ((flat_h[s:e, None] >> bitsel)
+                    & np.uint64(1)).astype(np.float64)
+            signed = (bits * 2.0 - 1.0) * flat_w[s:e, None]
+            np.add.at(score, doc[s:e], signed)
         pows = np.uint64(1) << np.arange(64, dtype=np.uint64)
         fp = ((score > 0).astype(np.uint64) * pows).sum(
             axis=1, dtype=np.uint64)

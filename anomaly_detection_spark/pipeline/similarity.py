@@ -128,6 +128,10 @@ def ivf_centroids(
                           F.col(vec_col).alias("_v"))
             .filter(_norm(F.col("_v")) > 0)
             .orderBy("_id").limit(train_size).collect())
+    if not rows:
+        raise ValueError(
+            "ivf_centroids: no non-zero vectors to train on (empty "
+            "corpus or all-zero embeddings)")
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     n_lists = min(n_lists, len(X))

@@ -141,19 +141,22 @@ def missing_agg(df: DataFrame, field: str,
 _COND_METRIC_FNS = {"max": F.max, "min": F.min, "avg": F.avg, "sum": F.sum,
                     "value_count": F.count}
 
-_SAFE_IDENT = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+_SAFE_IDENT = __import__("re").compile(r"[A-Za-z_][-A-Za-z0-9_]*\Z")
 
 
 def require_safe_names(names, what: str) -> None:
     """Reject names that could escape a generated SQL expression
-    (quotes, backticks, spaces, leading digits).  Applied wherever a
-    user-supplied name is interpolated into an ``expr`` string — the
-    same strictness :func:`_compile_bucket_script` applies to scripts."""
+    (quotes, backticks, whitespace, leading digits).  ``-`` is allowed
+    — every interpolation site backtick-quotes the name or
+    single-quotes it as a string literal, so only quote characters can
+    actually escape, and metric names like ``p95-latency`` keep
+    working.  ``.`` stays rejected: downstream ``F.col`` parses dots
+    as struct-field access.  Same posture as ``_compile_bucket_script``."""
     bad = [n for n in names if not _SAFE_IDENT.match(str(n))]
     if bad:
         raise ValueError(
-            f"{what} must match [A-Za-z_][A-Za-z0-9_]* "
-            f"(no quotes/backticks/spaces): {bad}")
+            f"{what} must match [A-Za-z_][-A-Za-z0-9_]* "
+            f"(no quotes/backticks/dots/whitespace): {bad}")
 
 
 def filters_agg(df: DataFrame, named_conds: dict[str, Column],
@@ -390,10 +393,19 @@ def date_histogram(
     shift = F.lit(shift_ms)
     if group_cols and dense == "entity_span":
         # per-entity dense grid over each entity's own extent — no
-        # cross join, row count = Σ_entity span_buckets(entity)
+        # cross join, row count = Σ_entity span_buckets(entity).
+        # hard_bounds clamp each entity's extent (entities with no
+        # overlap drop), so the requested window is honored here too.
         ext = df.groupBy(*group_cols).agg(
             F.min(to_millis(ts_col)).alias("lo"),
             F.max(to_millis(ts_col)).alias("hi"))
+        if hard_bounds is not None:
+            hb_lo, hb_hi = hard_bounds
+            ext = (ext.select(
+                *group_cols,
+                F.greatest("lo", F.lit(hb_lo)).alias("lo"),
+                F.least("hi", F.lit(hb_hi - 1)).alias("hi"))
+                .filter(F.col("lo") <= F.col("hi")))
         grid = ext.select(
             *group_cols,
             F.explode(F.sequence(
@@ -408,6 +420,7 @@ def date_histogram(
         return out.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
 
     # minDocCount=0: dense bucket grid over [lo, hi] (hard_bounds or data extent)
+    probed_extent = None
     if group_cols:
         # global dense grid × entities: bound the materialized cells
         probe = [F.approx_count_distinct(F.struct(*group_cols))
@@ -418,6 +431,10 @@ def date_histogram(
         row = df.agg(*probe).collect()[0]
         lo, hi = (hard_bounds if hard_bounds is not None
                   else (row["lo"], row["hi"]))
+        if hard_bounds is None and lo is not None:
+            # the guard already scanned min/max — reuse them for the
+            # grid instead of re-aggregating the table a second time
+            probed_extent = (int(lo), int(hi))
         if lo is not None:
             hb = hi - 1 if hard_bounds is not None else hi
             n_buckets = ((hb - hb % interval_ms)
@@ -435,6 +452,10 @@ def date_histogram(
         lo, hi = hard_bounds
         grid_src = df.sparkSession.range(1).select(
             F.lit(lo).alias("lo"), F.lit(hi - 1).alias("hi"))
+    elif probed_extent is not None:
+        grid_src = df.sparkSession.range(1).select(
+            F.lit(probed_extent[0]).alias("lo"),
+            F.lit(probed_extent[1]).alias("hi"))
     else:
         grid_src = df.select(
             F.min(to_millis(ts_col)).alias("lo"),

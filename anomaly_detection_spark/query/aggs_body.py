@@ -348,6 +348,11 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         if kind == "top_metrics":
             from .aggs import top_metrics_agg
 
+            if kbody.get("size", 1) != 1:
+                raise ValueError(
+                    "top_metrics size > 1 is unsupported (max_by/min_by "
+                    "return the single extreme row); use top_hits for "
+                    "multi-row results")
             srt = kbody["sort"]
             if isinstance(srt, list):
                 srt = srt[0]

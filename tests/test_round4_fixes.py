@@ -528,3 +528,80 @@ def test_insights_correlated_clusters_recover_planted_groups(spark):
     # two different clusters
     a_clusters = set(out[out.detector_id == "detA"].cluster_id)
     assert len(a_clusters) == 2
+
+
+# --- self-review fixes (round-4 code review) ---------------------------------
+
+
+def test_pin_geometry_tolerates_pre_upgrade_checkpoints(tmp_path):
+    """An index checkpointed before new geometry keys existed must
+    resume cleanly — absent pinned keys are governed by the meta, not
+    treated as a mismatch."""
+    from anomaly_detection_spark.index.storage import (
+        IndexPaths, mark_done, pin_geometry)
+
+    paths = IndexPaths(str(tmp_path / "idx"))
+    # old-format checkpoint: no positions/codec keys
+    mark_done(paths, "build_conf", seg_size=512, block_size=64,
+              segments_per_batch=2, bucket_size=256)
+    pin_geometry(paths, "build_conf", resume=True, seg_size=512,
+                 block_size=64, segments_per_batch=2, bucket_size=256,
+                 positions=False, codec="leb128")  # must not raise
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        pin_geometry(paths, "build_conf", resume=True, seg_size=1024,
+                     block_size=64, segments_per_batch=2,
+                     bucket_size=256)
+
+
+def test_hyphen_feature_names_allowed_dots_rejected(spark, tmp_path):
+    from anomaly_detection_spark.detector import Detector, preview
+
+    pdf = _spiky_pdf(hours=12)
+    src = _write(spark, pdf, str(tmp_path / "ev"))
+    det = Detector(
+        detector_id="d", indices=src,
+        feature_specs={"n-events": {"value_count": {"field": "event_id"}}},
+        time_field="ts", interval_ms=HOUR,
+        category_fields=("service",), shingle_size=4)
+    out = preview(spark, det).toPandas()
+    assert "n-events" in out.columns and len(out) > 0
+    with pytest.raises(ValueError, match="feature names"):
+        Detector(detector_id="d", indices=src,
+                 feature_specs={"a.b": {"avg": {"field": "value"}}})
+
+
+def test_entity_span_honors_hard_bounds(spark):
+    from anomaly_detection_spark.query.aggs import date_histogram
+
+    base_ms = 1_740_787_200_000
+    ev = spark.createDataFrame(
+        [(e, base_ms + b * HOUR) for e, b in
+         [("A", 0), ("A", 5), ("B", 2), ("B", 3), ("C", 10)]],
+        "ent string, ms long").select(
+        "ent", F.timestamp_millis("ms").alias("ts"))
+    out = date_histogram(
+        ev, "ts", HOUR, min_doc_count=0, group_cols=["ent"],
+        dense="entity_span",
+        hard_bounds=(base_ms + 1 * HOUR, base_ms + 5 * HOUR)).toPandas()
+    # A clamps to [1h,5h) → buckets 1..4 (its own extent is 0..5);
+    # B keeps 2..3; C (bucket 10) has no overlap and drops
+    assert set(out.ent) == {"A", "B"}
+    assert len(out[out.ent == "A"]) == 4
+    assert len(out[out.ent == "B"]) == 2
+
+
+def test_class_key_distinguishes_sum_xor_ties(spark):
+    """Docs whose shingle multisets tie a naive sum+xor combination
+    must NOT collapse into one exact-duplicate class."""
+    from anomaly_detection_spark.pipeline import minhash_lsh_pairs
+
+    rows = [(1, "alpha beta gamma delta one two three"),
+            (2, "alpha beta gamma delta four five six"),
+            (3, "alpha beta gamma delta one two three")]  # 1 ≡ 3 exactly
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_lsh_pairs(df, threshold=0.2, num_hashes=64, bands=16,
+                            n=3).toPandas()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert pairs[(1, 3)] == 1.0
+    # 1-2 and 2-3 are near-dups, NOT exact: jaccard strictly < 1
+    assert 0 < pairs[(1, 2)] < 1.0 and pairs[(1, 2)] == pairs[(2, 3)]
