@@ -805,6 +805,29 @@ def sibling_bucket(df: DataFrame, metric_col: str, stat: str) -> DataFrame:
     return df.agg(fns[stat](metric_col).alias(f"{stat}_{metric_col}"))
 
 
+def stats_bucket(df: DataFrame, metric_col: str) -> DataFrame:
+    """``stats_bucket``: count/min/max/avg/sum of a metric across
+    sibling buckets (StatsBucketPipelineAggregationBuilder)."""
+    return df.agg(F.count(metric_col).alias(f"{metric_col}_count"),
+                  F.min(metric_col).alias(f"{metric_col}_min"),
+                  F.max(metric_col).alias(f"{metric_col}_max"),
+                  F.avg(metric_col).alias(f"{metric_col}_avg"),
+                  F.sum(metric_col).alias(f"{metric_col}_sum"))
+
+
+def percentiles_bucket(df: DataFrame, metric_col: str,
+                       percents: list[float] | None = None) -> DataFrame:
+    """``percentiles_bucket``: percentiles of a metric across sibling
+    buckets.  EXACT here (pipeline aggs consume already-reduced bucket
+    rows — thousands at most — so the per-group buffering that rules
+    out exact percentiles on raw documents doesn't apply)."""
+    pcts = [p / 100.0 for p in (percents or [50.0])]
+    col = (F.percentile(metric_col, F.lit(pcts[0])) if len(pcts) == 1
+           else F.percentile(metric_col,
+                             F.array(*[F.lit(p) for p in pcts])))
+    return df.agg(col.alias(f"{metric_col}_percentiles"))
+
+
 def _compile_bucket_script(script: str, paths: dict[str, str],
                            extra_ok: str = "") -> Column:
     """Painless-subset bucket script → Column: ``params.X`` resolves to

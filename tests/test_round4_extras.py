@@ -358,3 +358,19 @@ def test_regexp_and_fuzzy_queries(spark):
     fz2 = df.filter(compile_filter(
         df, {"fuzzy": {"k": {"value": "source", "fuzziness": 2}}})).toPandas()
     assert sorted(fz2.k) == ["source"]
+
+
+def test_stats_and_percentiles_bucket(spark):
+    from anomaly_detection_spark.query.aggs import (
+        percentiles_bucket, stats_bucket)
+
+    buckets = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 20, 30, 40, 100])],
+        "b long, m double")
+    st = stats_bucket(buckets, "m").toPandas().iloc[0]
+    assert (st.m_count, st.m_min, st.m_max, st.m_sum) == (5, 10.0, 100.0, 200.0)
+    assert abs(st.m_avg - 40.0) < 1e-9
+    p = percentiles_bucket(buckets, "m", [50.0]).toPandas().iloc[0]
+    assert p.m_percentiles == 30.0
+    p2 = percentiles_bucket(buckets, "m", [25.0, 75.0]).toPandas().iloc[0]
+    assert list(p2.m_percentiles) == [20.0, 40.0]
