@@ -111,8 +111,12 @@ def _score_segment(
     quantize_norms: bool = False,
     theta_init: float = -np.inf,
     n_required: int = 0,
-    decode=varint_decode,
+    decode=None,
 ) -> pd.DataFrame:
+    if decode is None:
+        # resolved at CALL time through the module global so test
+        # instrumentation (and future codec swaps) see every decode
+        decode = varint_decode
     empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float64")})
     if len(posts) == 0 or len(docs) == 0:
