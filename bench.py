@@ -80,10 +80,22 @@ def main() -> None:
         shutil.rmtree(idx, ignore_errors=True)
     seg_size = int(os.environ["BENCH_SEG_SIZE"]) \
         if os.environ.get("BENCH_SEG_SIZE") else None
-    t0 = time.time()
-    build_index(docs, idx, seg_size=seg_size, block_size=1 << 12,
-                segments_per_batch=64)
-    build_s = time.time() - t0
+    # the HEADLINE is best-of-N full builds (wiped between trials):
+    # a single draw on this shared host can be 50% cold-cache/co-tenant
+    # noise, which would be the recorded claim otherwise.  Scaling
+    # studies (BENCH_ONLY_BUILD) keep 1 trial — they take best-of at
+    # the harness level.
+    build_trials = 1 if (os.environ.get("BENCH_ONLY_BUILD")
+                         or os.environ.get("BENCH_KEEP_INDEX")) else int(
+        os.environ.get("BENCH_BUILD_TRIALS", "2"))
+    build_s = float("inf")
+    for _ in range(build_trials):
+        if not os.environ.get("BENCH_KEEP_INDEX"):
+            shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        build_index(docs, idx, seg_size=seg_size, block_size=1 << 12,
+                    segments_per_batch=64)
+        build_s = min(build_s, time.time() - t0)
     queries["index_build"] = round(build_s, 3)
     turns_per_sec = actual_turns / build_s
 
@@ -145,6 +157,20 @@ def main() -> None:
           lambda: bm25_topk_bruteforce(
               analyzed, "error spark merge query", k=10, stats=stats).collect())
     analyzed.unpersist()
+
+    # FOR-codec twin of the transcripts index: bit-packed posting
+    # blocks (codec="for") — records the decode fast path's query wall
+    fidx = idx + "_for"
+    if not os.environ.get("BENCH_KEEP_INDEX"):
+        shutil.rmtree(fidx, ignore_errors=True)
+    t0 = time.time()
+    build_index(docs, fidx, seg_size=seg_size, block_size=1 << 12,
+                segments_per_batch=64, codec="for")
+    queries["index_build_for_codec"] = round(time.time() - t0, 3)
+    freader = IndexReader(spark, fidx)
+    timed("wand_topk_for_codec",
+          lambda: bm25_topk_indexed(
+              freader, "error spark merge query", k=10).collect())
 
     from anomaly_detection_spark.features import feature_matrix
 
