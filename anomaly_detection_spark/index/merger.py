@@ -44,10 +44,15 @@ from .storage import (
 
 def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
                    new_seg_size: int, bucket_size: int,
-                   codec: str = "leb128") -> pd.DataFrame:
+                   codec: str = "leb128",
+                   positions_expected: bool = False) -> pd.DataFrame:
     """All posting blocks of one target segment → re-encoded blocks.
     Positional payloads (``pos``), when present on every block, are
-    decoded per block and re-encoded on the merged block grid."""
+    decoded per block and re-encoded on the merged block grid.  When
+    the source meta advertises positions (``positions_expected``), a
+    group mixing positional and null-pos blocks raises instead of
+    silently re-encoding without positions — the merged meta would
+    still say ``positions=True`` and phrase queries would miss docs."""
     pdf = pdf.sort_values(["term", "seg_id", "block_id"], kind="mergesort")
     new_seg = int(pdf["new_seg"].iloc[0])
     firsts = pdf["first_docid"].to_numpy(dtype=np.int64)
@@ -60,6 +65,14 @@ def _merge_new_seg(pdf: pd.DataFrame, block_size: int, src_seg_size: int,
     has_bm = ("bm_buckets" in pdf.columns
               and pdf["bm_buckets"].notna().all())
     has_pos = "pos" in pdf.columns and pdf["pos"].notna().all()
+    if positions_expected and not has_pos:
+        n_null = (int(pdf["pos"].isna().sum()) if "pos" in pdf.columns
+                  else len(pdf))
+        raise ValueError(
+            f"merge group (target seg {new_seg}) mixes positional and "
+            f"non-positional blocks ({n_null}/{len(pdf)} lack pos) while "
+            f"the source meta says positions=True; rebuild the source "
+            f"segments with positions or merge with positions=False meta")
 
     from ..functions.codecs import BLOB_DECODERS
 
@@ -153,7 +166,9 @@ def merge_segments(
         def _m(pdf: pd.DataFrame) -> pd.DataFrame:
             return _merge_new_seg(pdf, block_size, src_meta.seg_size,
                                   new_seg_size, src_meta.bucket_size,
-                                  codec=_cn(src_meta.codec))
+                                  codec=_cn(src_meta.codec),
+                                  positions_expected=bool(
+                                      getattr(src_meta, "positions", False)))
 
         from .builder import POSTING_SCHEMA
 

@@ -223,14 +223,24 @@ def adjacency_matrix_agg(df: DataFrame,
 
 def top_metrics_agg(df: DataFrame, metrics: list[str], sort_col: str,
                     order: str = "desc",
-                    group_cols: list[str] | None = None) -> DataFrame:
+                    group_cols: list[str] | None = None,
+                    tie_breaker_col: str | None = None) -> DataFrame:
     """``top_metrics``: the metric columns' values AT the row where
     ``sort_col`` is extreme (TopMetricsAggregationBuilder, size=1) —
-    `max_by`/`min_by`, a streaming aggregate (no row buffering)."""
+    `max_by`/`min_by`, a streaming aggregate (no row buffering).
+
+    Tie behavior: when several rows tie on ``sort_col``, ``max_by`` /
+    ``min_by`` pick an arbitrary one — per metric independently — so
+    repeated runs can differ.  Pass ``tie_breaker_col`` (a unique row
+    id, e.g. ``docid``) to break ties deterministically AND from one
+    single row across all metrics (the extreme struct(sort, tie) row).
+    """
     fn = F.max_by if order.lower() == "desc" else F.min_by
+    key = (F.struct(F.col(sort_col), F.col(tie_breaker_col))
+           if tie_breaker_col else F.col(sort_col))
     agg_cols = [(F.max(sort_col) if order.lower() == "desc"
                  else F.min(sort_col)).alias(f"{sort_col}_top"),
-                *[fn(m, sort_col).alias(m) for m in metrics]]
+                *[fn(F.col(m), key).alias(m) for m in metrics]]
     if group_cols:
         return df.groupBy(*group_cols).agg(*agg_cols)
     return df.agg(*agg_cols)

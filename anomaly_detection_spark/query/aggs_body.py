@@ -75,6 +75,24 @@ def interval_ms(spec: str | int) -> int:
     return int(m.group(1)) * _DUR_MS[m.group(2)]
 
 
+def offset_ms(spec: str | int) -> int:
+    """date_histogram ``offset`` → signed milliseconds.  OpenSearch
+    accepts a leading sign (``"-1h"`` shifts bucket starts back an
+    hour); ``interval_ms`` itself stays unsigned for intervals."""
+    if isinstance(spec, int):
+        return spec
+    s = spec.strip()
+    sign = 1
+    if s[:1] in "+-":
+        sign = -1 if s[0] == "-" else 1
+        s = s[1:]
+    try:
+        return sign * interval_ms(s)
+    except ValueError:
+        raise ValueError(f"unsupported date_histogram offset {spec!r}") \
+            from None
+
+
 # Calendar intervals that are fixed-width in a UTC session (the engine
 # pins UTC): second/minute/hour/day.  week/month/quarter/year are
 # anchor-dependent in OpenSearch (weeks start Monday; months vary) and
@@ -334,6 +352,11 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         if kind == "adjacency_matrix":
             from .aggs import adjacency_matrix_agg
 
+            if metrics or pipes:
+                # OpenSearch computes sub-aggs per intersection bucket;
+                # returning doc_count-only silently would diverge
+                raise ValueError(
+                    "adjacency_matrix sub-aggregations are unsupported")
             named = {fn: compile_filter(df, fq)
                      for fn, fq in kbody["filters"].items()}
             results[name] = adjacency_matrix_agg(df, named)
@@ -405,7 +428,7 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                         (kbody["hard_bounds"]["min"],
                          kbody["hard_bounds"]["max"])
                         if "hard_bounds" in kbody else None),
-                    offset_ms=(interval_ms(kbody["offset"])
+                    offset_ms=(offset_ms(kbody["offset"])
                                if "offset" in kbody else 0),
                     time_zone=kbody.get("time_zone"))
             results[name] = _apply_pipes(out, pipes, "bucket_start")

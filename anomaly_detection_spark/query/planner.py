@@ -190,17 +190,24 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         return QueryPlan(F.col(fld).rlike(f"^(?:{pat})$"))
 
     if kind == "fuzzy":
-        # FuzzyQuery: Damerau-Levenshtein ≤ fuzziness on the keyword
-        # value (Spark's levenshtein is plain edit distance — a valid
-        # superset bound that differs only on adjacent transpositions,
-        # which it counts as 2; "AUTO" maps to the Lucene length rules)
+        # FuzzyQuery (transpositions=true default): OSA edit distance ≤
+        # fuzziness on the keyword value — adjacent transposition = ONE
+        # edit, matching Lucene's transposition automaton ('ab'~'ba' at
+        # fuzziness 1 matches; plain levenshtein would miss it).  Edits
+        # of 0 shortcut to equality (pure codegen, no UDF).
+        from ..functions.fuzzy import osa_distance, parse_fuzziness
+
         (fld, spec), = body.items()
         val = str(_field_value(spec))
         fz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) else "AUTO"
-        if fz == "AUTO":
-            fz = 0 if len(val) <= 2 else (1 if len(val) <= 5 else 2)
-        return QueryPlan(
-            F.levenshtein(F.col(fld), F.lit(val)) <= F.lit(int(fz)))
+        max_edits = parse_fuzziness(fz, val)
+        if max_edits == 0:
+            return QueryPlan(F.col(fld) == F.lit(val))
+        # cheap codegen pre-filter: |len(a)-len(b)| > f ⇒ distance > f,
+        # so the Arrow UDF only sees length-plausible candidates
+        len_ok = F.abs(F.length(fld) - F.lit(len(val))) <= F.lit(max_edits)
+        return QueryPlan(len_ok
+                         & (osa_distance(fld, val) <= F.lit(max_edits)))
 
     if kind == "ids":
         # IdsQueryBuilder — docid membership (get-by-id's query twin)
