@@ -481,6 +481,7 @@ def run_historical(
     results_dir: str,
     piece_intervals: int = 128,
     eps: float = 1e-9,
+    scorer_factory=None,
 ) -> DataFrame:
     """Batch detection over ``[start_ms, end_ms)`` in pieces.
 
@@ -495,6 +496,16 @@ def run_historical(
     swapped only once, after every piece is done.  A crash anywhere
     inside a piece re-runs that piece from the previous snapshot — the
     state it ingests from can never have advanced past it.
+
+    ``scorer_factory`` swaps the trailing-z model for a checkpointable
+    streaming model (the reference's historical task likewise restores
+    the entity's RCF checkpoint per piece, ``ADBatchTaskRunner.java``):
+    a callable returning a fresh stream with ``update(v) -> (z,
+    expected)`` and ``to_bytes()``, plus a ``restore(bytes)`` attribute
+    — e.g. :func:`~anomaly_detection_spark.features.rcf_stream_factory`.
+    The per-(entity, feature) model bytes ride in the state snapshot's
+    ``model`` column.  ``det.suppression_rules`` are honored in both
+    modes (margins against the model's expected value, like preview).
     """
     import os
     import shutil
@@ -531,8 +542,10 @@ def run_historical(
         + [T.StructField("_feat", T.StringType()),
            T.StructField("bucket_ms", T.LongType()),
            T.StructField("_z", T.DoubleType()),
+           T.StructField("_exp", T.DoubleType()),
            T.StructField("cnt_after", T.LongType()),
-           T.StructField("vals", T.ArrayType(T.DoubleType()))])
+           T.StructField("vals", T.ArrayType(T.DoubleType())),
+           T.StructField("model", T.BinaryType())])
 
     def snap(p: int) -> str:
         return os.path.join(results_dir, f"_state_piece_{p}")
@@ -564,6 +577,9 @@ def run_historical(
             else spath
         if os.path.exists(in_state):
             state = spark.read.parquet(in_state)
+            if "model" not in state.columns:
+                # snapshot written before the model column existed
+                state = state.withColumn("model", F.lit(None).cast("binary"))
         else:
             state = spark.createDataFrame(
                 [], T.StructType(
@@ -571,47 +587,70 @@ def run_historical(
                     + [T.StructField("_feat", T.StringType()),
                        T.StructField("vals",
                                      T.ArrayType(T.DoubleType())),
-                       T.StructField("scored_cnt", T.LongType())]))
-        st = (state.select(*gcols, "_feat", "vals", "scored_cnt")
-              .withColumnRenamed("vals", "_st_vals")
-              .withColumnRenamed("scored_cnt", "_st_cnt"))
-        joined = cur.join(st, [*gcols, "_feat"], "full_outer")
+                       T.StructField("scored_cnt", T.LongType()),
+                       T.StructField("model", T.BinaryType())]))
+        st = state.select(*gcols, "_feat", "vals", "scored_cnt", "model")
 
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            srow = pdf.iloc[0]
-            vals = []
-            for v in pdf["_st_vals"]:
-                if v is not None and not (isinstance(v, float)
-                                          and pd.isna(v)):
-                    vals = list(v)
-                    break
-            cnt = int(pd.Series(pdf["_st_cnt"]).dropna().max() or 0) \
-                if pdf["_st_cnt"].notna().any() else 0
-            rows = pdf[pdf["bucket_ms"].notna()].sort_values("bucket_ms")
+        # COGROUP, not a full-outer join: a serialized model checkpoint
+        # is ~MBs, and joining it onto every bucket row would shuffle
+        # piece_intervals copies of it per entity (measured: a 1.7 MB
+        # RCF blob × 4096 buckets = 14 GB for a 2-entity piece).  With
+        # cogroup the state row crosses the wire exactly once per key.
+        def fn(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            vals: list = []
+            model_b = None
+            cnt = 0
+            if len(rpdf):
+                r0 = rpdf.iloc[0]
+                if r0["vals"] is not None and not (
+                        isinstance(r0["vals"], float)
+                        and pd.isna(r0["vals"])):
+                    vals = list(r0["vals"])
+                if r0["model"] is not None and not (
+                        isinstance(r0["model"], float)
+                        and pd.isna(r0["model"])):
+                    model_b = bytes(r0["model"])
+                if not pd.isna(r0["scored_cnt"]):
+                    cnt = int(r0["scored_cnt"])
+            stream = None
+            if scorer_factory is not None:
+                stream = (scorer_factory() if model_b is None
+                          else scorer_factory.restore(model_b))
+            rows = lpdf.sort_values("bucket_ms")
             out = []
             for _, r in rows.iterrows():
                 v = r["_v"]
                 z = np.nan
+                exp = np.nan
                 if v is not None and not pd.isna(v):
-                    if len(vals) == k:
-                        # same float sequence as zscore_scorer
-                        w = np.asarray(vals, dtype=np.float64)
-                        m = w.sum() / k
-                        m2 = (w * w).sum() / k
-                        std = np.sqrt(max(m2 - m * m, 0.0))
-                        z = (float(v) - m) / (std + eps)
-                        cnt += 1
-                    vals = (vals + [float(v)])[-k:]
-                out.append([*(srow[c] for c in gcols), srow["_feat"],
-                            int(r["bucket_ms"]), z, cnt, None])
+                    if stream is not None:
+                        z, exp = stream.update(float(v))
+                        if not np.isnan(z):
+                            cnt += 1
+                    else:
+                        if len(vals) == k:
+                            # same float sequence as zscore_scorer;
+                            # expected = the prior-window mean, the same
+                            # baseline preview uses for rule margins
+                            w = np.asarray(vals, dtype=np.float64)
+                            m = w.sum() / k
+                            m2 = (w * w).sum() / k
+                            std = np.sqrt(max(m2 - m * m, 0.0))
+                            z = (float(v) - m) / (std + eps)
+                            exp = m
+                            cnt += 1
+                        vals = (vals + [float(v)])[-k:]
+                out.append([*key, int(r["bucket_ms"]), z, exp, cnt,
+                            None, None])
             # trailing state row (bucket_ms null)
-            out.append([*(srow[c] for c in gcols), srow["_feat"],
-                        None, None, cnt, vals])
+            out.append([*key, None, None, None, cnt, vals,
+                        stream.to_bytes() if stream is not None else None])
             return pd.DataFrame(
-                out, columns=[*gcols, "_feat", "bucket_ms", "_z",
-                              "cnt_after", "vals"])
+                out, columns=[*gcols, "_feat", "bucket_ms", "_z", "_exp",
+                              "cnt_after", "vals", "model"])
 
-        upd = (joined.groupBy(*gcols, "_feat")
+        upd = (cur.groupBy(*gcols, "_feat")
+               .cogroup(st.groupBy(*gcols, "_feat"))
                .applyInPandas(fn, schema=out_schema)
                .localCheckpoint())
 
@@ -620,14 +659,24 @@ def run_historical(
         # against the state it started from
         new_state = (upd.filter(F.col("bucket_ms").isNull())
                      .select(*gcols, "_feat", "vals",
-                             F.col("cnt_after").alias("scored_cnt")))
+                             F.col("cnt_after").alias("scored_cnt"),
+                             "model"))
         new_state.write.mode("overwrite").parquet(snap(p))
 
         scored = upd.filter(F.col("_z").isNotNull())
-        zw = (scored.groupBy(*gcols, "bucket_ms")
-              .pivot("_feat", feats).agg(F.first("_z")))
-        for n in feats:
-            zw = zw.withColumnRenamed(n, f"_z_{n}")
+        if det.suppression_rules:
+            zw = (scored.groupBy(*gcols, "bucket_ms")
+                  .pivot("_feat", feats)
+                  .agg(F.first("_z").alias("z"),
+                       F.first("_exp").alias("exp")))
+            for n in feats:
+                zw = (zw.withColumnRenamed(f"{n}_z", f"_z_{n}")
+                      .withColumnRenamed(f"{n}_exp", f"_exp_{n}"))
+        else:
+            zw = (scored.groupBy(*gcols, "bucket_ms")
+                  .pivot("_feat", feats).agg(F.first("_z")))
+            for n in feats:
+                zw = zw.withColumnRenamed(n, f"_z_{n}")
         cnt1 = (scored.groupBy(*gcols, "bucket_ms")
                 .agg(F.min("cnt_after").alias("_cnt")))
         wide = base.withColumn(
@@ -650,6 +699,11 @@ def run_historical(
                   .withColumn("data_start_time", F.col("bucket_start"))
                   .withColumn("data_end_time", F.timestamp_millis(
                       F.col("bucket_ms") + det.interval_ms)))
+        if det.suppression_rules:
+            result = result.withColumn(
+                "anomaly_grade",
+                F.when(_rule_suppressed(det, feats), F.lit(0.0))
+                .otherwise(F.col("anomaly_grade")))
         if ent:
             result = with_entity(result, {c: c for c in ent})
         else:

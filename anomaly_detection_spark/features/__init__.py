@@ -5,6 +5,12 @@ from .pipeline import (  # noqa: F401
     nearest_fill,
     shingles,
 )
+from .rcf import (  # noqa: F401
+    RCFStream,
+    StreamingRCF,
+    rcf_scorer,
+    rcf_stream_factory,
+)
 from .scoring import (  # noqa: F401
     score_entities,
     seasonal_zscore_scorer,

@@ -1,0 +1,542 @@
+"""Streaming Random Cut Forest scorer — the reference's model family,
+re-implemented from the published algorithm.
+
+The reference scores every (entity, interval) feature point with a
+ThresholdedRandomCutForest (``ADModelManager.java:272-298``) configured
+by ``TimeSeriesSettings.java:195-205``: NUM_TREES=50,
+NUM_SAMPLES_PER_TREE=256, recency emphasis 10·256 (time-decayed
+reservoir), NUM_MIN_SAMPLES=32, shingle size 8.  This module implements
+that model from public knowledge only — the RRCF insert/delete/score
+algorithms of Guha, Mishra, Roy, Schrijvers, "Robust Random Cut Forest
+Based Anomaly Detection on Streams" (ICML 2016) — with the
+expected-inverse-depth scoring shape the OpenSearch model uses
+(separation-probability traversal, unseen score 1/(depth+1), seen
+score damped by duplicate mass, normalized by log2(tree mass)), and a
+streaming thresholder that turns raw scores into the z-like values the
+detector surface grades (BasicThresholder analog: discounted deviation
+of the score sequence).
+
+Everything is per-entity sequential state driven from inside the
+``score_entities`` ``applyInPandas`` seam — one pandas batch per
+entity, plain-Python tree ops (the model is a few hundred nodes; numpy
+per-node would be slower than scalars), no per-row Python touching
+Spark rows.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import pickle
+import random
+
+import numpy as np
+
+__all__ = ["RandomCutTree", "StreamingRCF", "rcf_scorer", "RCFStream",
+           "rcf_stream_factory"]
+
+
+class RandomCutTree:
+    """One random-cut tree over points of fixed dimension.
+
+    Flat parallel-list storage; node ids are list indices with a free
+    list.  Leaves carry ``point`` (tuple) + duplicate ``mass``;
+    internal nodes carry the random cut (dim, value) and the bounding
+    box of their subtree.  Insert/delete follow the RRCF paper's
+    InsertPoint/ForgetPoint, which keep the tree distributed as if
+    freshly built on the current sample.
+    """
+
+    __slots__ = ("dims", "rng", "left", "right", "parent", "cutdim",
+                 "cutval", "bbmin", "bbmax", "point", "mass", "root",
+                 "free")
+
+    def __init__(self, dims: int, rng: random.Random):
+        self.dims = dims
+        self.rng = rng
+        self.left: list[int] = []
+        self.right: list[int] = []
+        self.parent: list[int] = []
+        self.cutdim: list[int] = []
+        self.cutval: list[float] = []
+        self.bbmin: list[list[float]] = []
+        self.bbmax: list[list[float]] = []
+        self.point: list[tuple | None] = []
+        self.mass: list[int] = []
+        self.root = -1
+        self.free: list[int] = []
+
+    # -- node allocation ---------------------------------------------------
+
+    def _new_node(self) -> int:
+        if self.free:
+            return self.free.pop()
+        self.left.append(-1)
+        self.right.append(-1)
+        self.parent.append(-1)
+        self.cutdim.append(-1)
+        self.cutval.append(0.0)
+        self.bbmin.append([0.0] * self.dims)
+        self.bbmax.append([0.0] * self.dims)
+        self.point.append(None)
+        self.mass.append(0)
+        return len(self.left) - 1
+
+    def _new_leaf(self, p: tuple, parent: int) -> int:
+        nid = self._new_node()
+        self.point[nid] = p
+        self.mass[nid] = 1
+        self.parent[nid] = parent
+        self.left[nid] = -1
+        self.bbmin[nid] = list(p)
+        self.bbmax[nid] = list(p)
+        return nid
+
+    @property
+    def total_mass(self) -> int:
+        return self.mass[self.root] if self.root >= 0 else 0
+
+    # -- insert ------------------------------------------------------------
+
+    def insert(self, p: tuple) -> int:
+        """RRCF InsertPoint; returns the leaf id holding ``p``."""
+        if self.root < 0:
+            self.root = self._new_leaf(p, -1)
+            return self.root
+        rng_random = self.rng.random
+        node = self.root
+        while True:
+            bmin, bmax = self.bbmin[node], self.bbmax[node]
+            # merged bbox span of (node subtree ∪ p)
+            total = 0.0
+            for d in range(self.dims):
+                lo = bmin[d] if bmin[d] < p[d] else p[d]
+                hi = bmax[d] if bmax[d] > p[d] else p[d]
+                total += hi - lo
+            if total <= 0.0:
+                # identical point (only reachable at a leaf): duplicate
+                # mass, like the reference's sequential points
+                n = node
+                while n >= 0:
+                    self.mass[n] += 1
+                    n = self.parent[n]
+                return node
+            # draw the random cut over the merged box (uniform along
+            # the summed side lengths, per the paper)
+            r = rng_random() * total
+            cutd, cutv = -1, 0.0
+            acc = 0.0
+            for d in range(self.dims):
+                lo = bmin[d] if bmin[d] < p[d] else p[d]
+                hi = bmax[d] if bmax[d] > p[d] else p[d]
+                w = hi - lo
+                if r <= acc + w or d == self.dims - 1:
+                    cutd = d
+                    cutv = lo + (r - acc)
+                    if cutv >= hi:      # float edge: clamp inside
+                        cutv = hi - 1e-12 * (1.0 + abs(hi))
+                    break
+                acc += w
+            if cutv < bmin[cutd] or cutv >= bmax[cutd]:
+                # the cut separates p from the node's box → new parent
+                # here (paper: the displayed tree is as if p had been
+                # in the sample all along)
+                newp = self._new_node()
+                leaf = self._new_leaf(p, newp)
+                self.cutdim[newp] = cutd
+                self.cutval[newp] = cutv
+                self.point[newp] = None
+                old_parent = self.parent[node]
+                if p[cutd] <= cutv:
+                    self.left[newp], self.right[newp] = leaf, node
+                else:
+                    self.left[newp], self.right[newp] = node, leaf
+                self.parent[newp] = old_parent
+                self.parent[node] = newp
+                nbmin, nbmax = self.bbmin[newp], self.bbmax[newp]
+                for d in range(self.dims):
+                    nbmin[d] = bmin[d] if bmin[d] < p[d] else p[d]
+                    nbmax[d] = bmax[d] if bmax[d] > p[d] else p[d]
+                self.mass[newp] = self.mass[node] + 1
+                if old_parent < 0:
+                    self.root = newp
+                else:
+                    if self.left[old_parent] == node:
+                        self.left[old_parent] = newp
+                    else:
+                        self.right[old_parent] = newp
+                    # grow ancestor boxes / masses
+                    n = old_parent
+                    while n >= 0:
+                        self.mass[n] += 1
+                        abmin, abmax = self.bbmin[n], self.bbmax[n]
+                        for d in range(self.dims):
+                            if p[d] < abmin[d]:
+                                abmin[d] = p[d]
+                            elif p[d] > abmax[d]:
+                                abmax[d] = p[d]
+                        n = self.parent[n]
+                return leaf
+            # no separation: descend along the node's existing cut
+            # (bbox/mass grow on the way down; leaf case never reaches
+            # here because a differing point always separates from a
+            # zero-volume box)
+            child = (self.left[node] if p[self.cutdim[node]]
+                     <= self.cutval[node] else self.right[node])
+            node = child
+
+    # -- delete ------------------------------------------------------------
+
+    def delete(self, leaf: int) -> None:
+        """RRCF ForgetPoint for the point at ``leaf``."""
+        if self.mass[leaf] > 1:
+            n = leaf
+            while n >= 0:
+                self.mass[n] -= 1
+                n = self.parent[n]
+            return
+        parent = self.parent[leaf]
+        if parent < 0:                    # tree had exactly this leaf
+            self.root = -1
+            self.free.append(leaf)
+            return
+        sib = (self.right[parent] if self.left[parent] == leaf
+               else self.left[parent])
+        grand = self.parent[parent]
+        self.parent[sib] = grand
+        if grand < 0:
+            self.root = sib
+        else:
+            if self.left[grand] == parent:
+                self.left[grand] = sib
+            else:
+                self.right[grand] = sib
+            # shrink ancestor boxes: recompute as union of children
+            n = grand
+            while n >= 0:
+                self.mass[n] -= 1
+                l_, r_ = self.left[n], self.right[n]
+                lbmin, lbmax = self.bbmin[l_], self.bbmax[l_]
+                rbmin, rbmax = self.bbmin[r_], self.bbmax[r_]
+                nbmin, nbmax = self.bbmin[n], self.bbmax[n]
+                for d in range(self.dims):
+                    nbmin[d] = lbmin[d] if lbmin[d] < rbmin[d] else rbmin[d]
+                    nbmax[d] = lbmax[d] if lbmax[d] > rbmax[d] else rbmax[d]
+                n = self.parent[n]
+        self.free.append(leaf)
+        self.free.append(parent)
+        self.point[leaf] = None
+        self.point[parent] = None
+
+    # -- score -------------------------------------------------------------
+
+    def score(self, p: tuple) -> tuple[float, float]:
+        """Simulated-insertion anomaly score + the nearest leaf's
+        current-slot value (last coordinate) for expected-value
+        estimation.
+
+        Separation-probability traversal: at each node the probability
+        the random cut of (box ∪ p) separates p is extra/(span+extra);
+        separated-at-depth-d contributes 1/(d+1) (unseen score), an
+        exact duplicate contributes the mass-damped seen score.  The
+        result is normalized by log2(1 + tree mass) so a typical inlier
+        scores ≈ 1 — the scale the reference thresholds on."""
+        node = self.root
+        if node < 0:
+            return 0.0, float("nan")
+        depth = 0
+        pr = 1.0
+        s = 0.0
+        while self.point[node] is None:
+            bmin, bmax = self.bbmin[node], self.bbmax[node]
+            span = 0.0
+            extra = 0.0
+            for d in range(self.dims):
+                span += bmax[d] - bmin[d]
+                if p[d] < bmin[d]:
+                    extra += bmin[d] - p[d]
+                elif p[d] > bmax[d]:
+                    extra += p[d] - bmax[d]
+            if extra > 0.0:
+                psep = extra / (span + extra)
+                s += pr * psep / (depth + 1.0)
+                pr *= 1.0 - psep
+            node = (self.left[node] if p[self.cutdim[node]]
+                    <= self.cutval[node] else self.right[node])
+            depth += 1
+        leaf_pt = self.point[node]
+        if leaf_pt == p:
+            tm = self.mass[self.root]
+            lm = self.mass[node]
+            damp = 1.0 - lm / (2.0 * tm)
+            s += pr * damp / (depth + math.log2(1.0 + lm))
+        else:
+            s += pr / (depth + 1.0)
+        return s * math.log2(1.0 + self.mass[self.root]), leaf_pt[-1]
+
+
+class StreamingRCF:
+    """Forest of :class:`RandomCutTree` with per-tree time-decayed
+    reservoir sampling (the reference's CompactSampler posture:
+    ``timeDecay = 1/recency_emphasis``, default recency emphasis
+    10·sample_size per ``TimeSeriesSettings.DEFAULT_RECENCY_EMPHASIS``).
+
+    ``score_and_update(p)`` scores the point against the current model
+    THEN offers it to every tree's sampler — the reference likewise
+    scores before ingesting (``getThresholdingResult`` semantics).
+    """
+
+    def __init__(self, dims: int, n_trees: int = 50,
+                 sample_size: int = 256, time_decay: float | None = None,
+                 seed: int = 11):
+        self.dims = dims
+        self.n_trees = n_trees
+        self.sample_size = sample_size
+        self.time_decay = (time_decay if time_decay is not None
+                           else 1.0 / (10.0 * sample_size))
+        master = random.Random(seed)
+        self.trees = [RandomCutTree(dims, random.Random(master.getrandbits(64)))
+                      for _ in range(n_trees)]
+        self.rngs = [random.Random(master.getrandbits(64))
+                     for _ in range(n_trees)]
+        # per-tree max-heaps of (-logkey, counter, leaf_id): the top is
+        # the WORST (largest-key) retained sample — A-ExpJ weighted
+        # reservoir with weight exp(decay·seq) in log domain
+        self.heaps: list[list] = [[] for _ in range(n_trees)]
+        self.seq = 0
+        self._ctr = 0
+
+    def score(self, p: tuple) -> tuple[float, float]:
+        """(normalized anomaly score, expected current-slot value)."""
+        tot = 0.0
+        n = 0
+        exps: list[float] = []
+        for t in self.trees:
+            if t.root < 0:
+                continue
+            s, e = t.score(p)
+            tot += s
+            exps.append(e)
+            n += 1
+        if n == 0:
+            return 0.0, float("nan")
+        exps.sort()
+        m = len(exps)
+        med = (exps[m // 2] if m % 2 else
+               0.5 * (exps[m // 2 - 1] + exps[m // 2]))
+        return tot / n, med
+
+    def update(self, p: tuple) -> None:
+        """Offer ``p`` to every tree's time-decayed reservoir."""
+        lam = self.time_decay
+        seq = self.seq
+        self.seq += 1
+        for i, tree in enumerate(self.trees):
+            rng = self.rngs[i]
+            heap = self.heaps[i]
+            # log of the exponential race key: ln(-ln U) − λ·seq;
+            # smaller is better.  Heap is a max-heap via negation.
+            u = rng.random()
+            while u <= 0.0:
+                u = rng.random()
+            logkey = math.log(-math.log(u)) - lam * seq
+            if len(heap) < self.sample_size:
+                leaf = tree.insert(p)
+                self._ctr += 1
+                heapq.heappush(heap, (-logkey, self._ctr, leaf))
+            elif -logkey > heap[0][0]:
+                # better than the current worst: evict it
+                _, _, old_leaf = heapq.heappop(heap)
+                tree.delete(old_leaf)
+                leaf = tree.insert(p)
+                self._ctr += 1
+                heapq.heappush(heap, (-logkey, self._ctr, leaf))
+
+    def score_and_update(self, p: tuple) -> tuple[float, float]:
+        s, e = self.score(p)
+        self.update(p)
+        return s, e
+
+
+class RCFStream:
+    """Single-series streaming wrapper: shingling + forest + the
+    thresholder that turns raw scores into z-like values.
+
+    ``update(v) -> (z, expected)`` — NaN during warm-up (shingle not
+    full, or fewer than ``min_samples`` scores observed, matching
+    ``TimeSeriesSettings.NUM_MIN_SAMPLES``).  The thresholder is the
+    BasicThresholder shape: discounted deviation of the raw score
+    sequence, z = (score − mean)/std computed against the state BEFORE
+    the current score is absorbed.  Picklable — the historical runner
+    checkpoints it between pieces.
+    """
+
+    def __init__(self, shingle: int = 8, n_trees: int = 50,
+                 sample_size: int = 256, time_decay: float | None = None,
+                 min_samples: int = 32, seed: int = 11,
+                 thr_discount: float = 1.0 / 256.0, eps: float = 1e-9,
+                 normalize: bool = True,
+                 norm_discount: float = 1.0 / 1024.0,
+                 clip: float = 10.0,
+                 alert_once: bool = True, alert_threshold: float = 3.0,
+                 realert_factor: float = 1.2):
+        self.shingle = shingle
+        self.min_samples = min_samples
+        self.eps = eps
+        self.thr_discount = thr_discount
+        # alertOnce(true) analog (ADColdStart.java:207): inside one
+        # anomaly run (consecutive points above alert_threshold), only
+        # the first point — or a point substantially MORE anomalous
+        # than the run's max (×realert_factor) — alerts; the rest
+        # report 0 (the reference reports grade 0 for continuations of
+        # an already-alerted anomaly)
+        self.alert_once = alert_once
+        self.alert_threshold = alert_threshold
+        self.realert_factor = realert_factor
+        self.run_max = 0.0
+        self.in_run = False
+        self.forest = StreamingRCF(shingle, n_trees=n_trees,
+                                   sample_size=sample_size,
+                                   time_decay=time_decay, seed=seed)
+        self.buf: list[float] = []
+        self.n_scored = 0
+        self.s_mean = 0.0
+        self.s_var = 0.0
+        # TransformMethod.NORMALIZE analog (ADColdStart.java:206): each
+        # input value is standardized against discounted streaming
+        # mean/std BEFORE shingling, clipped like the library's
+        # preprocessor — a level spike then stands out against an O(1)
+        # bounding box instead of the raw data range
+        self.normalize = normalize
+        self.norm_discount = norm_discount
+        self.clip = clip
+        self.n_in = 0
+        self.in_mean = 0.0
+        self.in_var = 0.0
+
+    def _transform(self, v: float) -> float:
+        if not self.normalize:
+            return v
+        if self.n_in < 2:
+            xn = 0.0
+        else:
+            xn = (v - self.in_mean) / (math.sqrt(self.in_var) + self.eps)
+            if xn > self.clip:
+                xn = self.clip
+            elif xn < -self.clip:
+                xn = -self.clip
+        # absorb v into the discounted stats AFTER transforming (the
+        # model scores a point against the state before ingesting it)
+        if self.n_in == 0:
+            self.in_mean = v
+            self.in_var = 0.0
+        else:
+            a = max(self.norm_discount, 1.0 / (self.n_in + 1.0))
+            d = v - self.in_mean
+            self.in_mean += a * d
+            self.in_var = (1.0 - a) * (self.in_var + a * d * d)
+        self.n_in += 1
+        return xn
+
+    def _inverse(self, xn: float) -> float:
+        if not self.normalize:
+            return xn
+        return self.in_mean + xn * (math.sqrt(self.in_var) + self.eps)
+
+    def update(self, v: float) -> tuple[float, float]:
+        x = self._transform(float(v))
+        self.buf.append(x)
+        if len(self.buf) > self.shingle:
+            self.buf.pop(0)
+        if len(self.buf) < self.shingle:
+            return float("nan"), float("nan")
+        p = tuple(self.buf)
+        s, exp = self.forest.score_and_update(p)
+        exp = self._inverse(exp)
+        z = float("nan")
+        if self.n_scored >= self.min_samples:
+            z = (s - self.s_mean) / (math.sqrt(self.s_var) + self.eps)
+            if self.alert_once:
+                az = abs(z)
+                if az > self.alert_threshold:
+                    if self.in_run and az <= self.run_max * self.realert_factor:
+                        z = 0.0          # suppressed continuation
+                    self.run_max = max(self.run_max, az)
+                    self.in_run = True
+                else:
+                    self.in_run = False
+                    self.run_max = 0.0
+        # absorb the score into the discounted deviation AFTER z
+        if self.n_scored == 0:
+            self.s_mean = s
+            self.s_var = 0.0
+        else:
+            a = max(self.thr_discount, 1.0 / (self.n_scored + 1.0))
+            d = s - self.s_mean
+            self.s_mean += a * d
+            self.s_var = (1.0 - a) * (self.s_var + a * d * d)
+        self.n_scored += 1
+        return z, exp
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "RCFStream":
+        obj = pickle.loads(b)
+        if not isinstance(obj, RCFStream):
+            raise ValueError("not an RCFStream checkpoint")
+        return obj
+
+
+def rcf_stream_factory(**kwargs):
+    """Factory for :func:`~anomaly_detection_spark.detector.
+    run_historical`'s ``scorer_factory`` seam: calling it yields a
+    fresh :class:`RCFStream`; ``restore(bytes)`` revives a checkpoint
+    (the reference's per-entity RCF checkpoint round-trip,
+    ``CheckpointDao.java``)."""
+
+    def make() -> RCFStream:
+        return RCFStream(**kwargs)
+
+    make.restore = RCFStream.from_bytes
+    return make
+
+
+def rcf_scorer(shingle: int = 8, n_trees: int = 50,
+               sample_size: int = 256, time_decay: float | None = None,
+               min_samples: int = 32, seed: int = 11,
+               thr_discount: float = 1.0 / 256.0,
+               normalize: bool = True,
+               norm_discount: float = 1.0 / 1024.0,
+               alert_once: bool = True, alert_threshold: float = 3.0,
+               realert_factor: float = 1.2):
+    """Per-entity scorer for the :func:`~anomaly_detection_spark.
+    features.scoring.score_entities` seam: values → (z, expected).
+
+    Defaults mirror the reference model config
+    (``TimeSeriesSettings.java:195-205``: 50 trees × 256 samples,
+    shingle 8, recency emphasis 10·256, min 32 samples).  Reduced
+    configs (e.g. ``n_trees=20, sample_size=128``) trade a noisier
+    score distribution for ~3× less compute — the quality floors in
+    ``tests/test_rcf_floors.py`` pass at the reduced setting.
+    """
+
+    def score(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        n = len(values)
+        z = np.full(n, np.nan)
+        exp = np.full(n, np.nan)
+        stream = RCFStream(shingle=shingle, n_trees=n_trees,
+                           sample_size=sample_size, time_decay=time_decay,
+                           min_samples=min_samples, seed=seed,
+                           thr_discount=thr_discount, normalize=normalize,
+                           norm_discount=norm_discount,
+                           alert_once=alert_once,
+                           alert_threshold=alert_threshold,
+                           realert_factor=realert_factor)
+        for i in range(n):
+            z[i], exp[i] = stream.update(float(values[i]))
+        return z, exp
+
+    score.returns_expected = True
+    return score

@@ -1,0 +1,196 @@
+"""Random Cut Forest internals: tree invariants under insert/delete,
+reservoir bounds, determinism, duplicate handling, checkpoint
+round-trip, and anomaly response on a planted spike."""
+
+import pickle
+import random
+
+import numpy as np
+import pytest
+
+from anomaly_detection_spark.features.rcf import (
+    RandomCutTree,
+    RCFStream,
+    StreamingRCF,
+    rcf_scorer,
+)
+
+
+def _check_tree(t: RandomCutTree):
+    """Masses = leaf counts below; bboxes = union of points below."""
+    if t.root < 0:
+        return 0
+
+    def rec(n):
+        if t.point[n] is not None:
+            assert t.mass[n] >= 1
+            assert t.bbmin[n] == list(t.point[n])
+            return t.mass[n], list(t.point[n]), list(t.point[n])
+        lm, lmin, lmax = rec(t.left[n])
+        rm, rmin, rmax = rec(t.right[n])
+        assert t.parent[t.left[n]] == n and t.parent[t.right[n]] == n
+        assert t.mass[n] == lm + rm, "internal mass mismatch"
+        want_min = [min(a, b) for a, b in zip(lmin, rmin)]
+        want_max = [max(a, b) for a, b in zip(lmax, rmax)]
+        assert t.bbmin[n] == pytest.approx(want_min)
+        assert t.bbmax[n] == pytest.approx(want_max)
+        # children straddle the cut
+        d, c = t.cutdim[n], t.cutval[n]
+        assert t.bbmax[t.left[n]][d] <= c < t.bbmax[n][d] + 1e-9
+        assert t.bbmin[t.right[n]][d] > c
+        return lm + rm, want_min, want_max
+
+    m, _, _ = rec(t.root)
+    return m
+
+
+def test_tree_invariants_random_insert_delete():
+    rng = random.Random(3)
+    nrng = np.random.default_rng(5)
+    t = RandomCutTree(3, rng)
+    live = []
+    for step in range(600):
+        if live and (rng.random() < 0.4 or len(live) > 80):
+            i = rng.randrange(len(live))
+            leaf, p = live.pop(i)
+            t.delete(leaf)
+        else:
+            p = tuple(np.round(nrng.normal(0, 1, 3), 3).tolist())
+            live.append((t.insert(p), p))
+        if step % 97 == 0:
+            assert _check_tree(t) == len(live)
+    assert _check_tree(t) == len(live)
+
+
+def test_tree_duplicate_mass():
+    t = RandomCutTree(2, random.Random(1))
+    p = (1.0, 2.0)
+    ids = [t.insert(p) for _ in range(5)]
+    assert len(set(ids)) == 1
+    assert t.total_mass == 5
+    t.insert((0.0, 0.0))
+    assert t.total_mass == 6
+    for _ in range(4):
+        t.delete(ids[0])
+    assert t.total_mass == 2
+    assert _check_tree(t) == 2
+
+
+def test_forest_reservoir_bounded_and_deterministic():
+    f1 = StreamingRCF(2, n_trees=5, sample_size=32, seed=7)
+    f2 = StreamingRCF(2, n_trees=5, sample_size=32, seed=7)
+    rng = np.random.default_rng(0)
+    pts = [tuple(x) for x in rng.normal(0, 1, (300, 2))]
+    s1 = [f1.score_and_update(p)[0] for p in pts]
+    s2 = [f2.score_and_update(p)[0] for p in pts]
+    assert s1 == s2, "same seed must replay identically"
+    for t in f1.trees:
+        assert t.total_mass <= 32
+
+
+def test_stream_flags_planted_spike():
+    rng = np.random.default_rng(42)
+    vals = rng.normal(100.0, 2.0, 600)
+    vals[500] = 160.0                       # 30-sigma spike
+    sc = rcf_scorer(shingle=8, n_trees=15, sample_size=64)
+    z, exp = sc(vals)
+    assert np.isnan(z[:7]).all()            # shingle warm-up
+    assert abs(z[500]) > 3.0, z[500]
+    normal = np.abs(np.nan_to_num(z[:499]))
+    assert (normal > abs(z[500])).sum() == 0
+    # expected value tracks the normal level, not the spike
+    assert abs(exp[500] - 100.0) < 20.0
+
+
+def test_stream_checkpoint_roundtrip_identical():
+    rng = np.random.default_rng(9)
+    vals = rng.normal(0, 1, 300)
+    a = RCFStream(shingle=4, n_trees=5, sample_size=32, seed=3)
+    b = RCFStream(shingle=4, n_trees=5, sample_size=32, seed=3)
+    for v in vals[:150]:
+        a.update(v)
+        b.update(v)
+    b = RCFStream.from_bytes(b.to_bytes())   # checkpoint + restore
+    za = [a.update(v) for v in vals[150:]]
+    zb = [b.update(v) for v in vals[150:]]
+    assert za == zb
+
+
+def test_stream_constant_series_no_blowup():
+    sc = rcf_scorer(shingle=4, n_trees=5, sample_size=16, min_samples=8)
+    z, exp = sc(np.full(200, 7.0))
+    z = np.nan_to_num(z)
+    assert (np.abs(z) < 3.0).all()
+
+
+def test_alert_once_suppresses_continuation():
+    rng = np.random.default_rng(1)
+    vals = rng.normal(50.0, 1.0, 400)
+    vals[300:310] = 90.0                    # sustained shift
+    sc = rcf_scorer(shingle=8, n_trees=15, sample_size=64)
+    z, _ = sc(vals)
+    run = np.abs(np.nan_to_num(z[300:310]))
+    assert run[0] > 3.0                     # onset alerts
+    assert (run > 3.0).sum() <= 3, run      # continuations suppressed
+
+
+def test_from_bytes_rejects_garbage():
+    with pytest.raises(Exception):
+        RCFStream.from_bytes(pickle.dumps({"not": "a stream"}))
+
+
+def test_rcf_preview_equals_historical(spark, tmp_path_factory):
+    """preview (whole-series scorer) and run_historical (piece-wise with
+    checkpoint/restore between pieces) must produce identical scores —
+    the checkpoint round-trip is exact, so piecing cannot change z."""
+    import pandas as pd
+
+    from anomaly_detection_spark.detector import (
+        Detector,
+        preview,
+        run_historical,
+    )
+    from anomaly_detection_spark.features import (
+        rcf_scorer,
+        rcf_stream_factory,
+    )
+
+    rng = np.random.default_rng(7)
+    n, interval_ms = 500, 60_000
+    base = pd.Timestamp("2025-01-01")
+    vals = 50.0 + 5.0 * np.sin(np.arange(n) / 20.0) + rng.normal(0, 1, n)
+    vals[400] += 40.0
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(milliseconds=i * interval_ms)
+               for i in range(n)],
+        "v": vals,
+    })
+    path = str(tmp_path_factory.mktemp("rcfid") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    det = Detector(
+        detector_id="rcf-id", indices=path,
+        feature_specs={"f": {"avg": {"field": "v"}}},
+        time_field="ts", interval_ms=interval_ms, anomaly_threshold=3.0)
+    conf = dict(shingle=8, n_trees=5, sample_size=32)
+
+    res_p = (preview(spark, det, scorer=rcf_scorer(**conf))
+             .select("bucket_start", "anomaly_score", "anomaly_grade",
+                     "confidence").toPandas()
+             .sort_values("bucket_start").reset_index(drop=True))
+    wd = tmp_path_factory.mktemp("rcfhist")
+    start_ms = int(base.value // 10**6)
+    res_h = (run_historical(
+        spark, det, start_ms, start_ms + n * interval_ms,
+        state_dir=str(wd / "state"), results_dir=str(wd / "results"),
+        piece_intervals=137,           # uneven pieces on purpose
+        scorer_factory=rcf_stream_factory(**conf))
+        .select("bucket_start", "anomaly_score", "anomaly_grade",
+                "confidence").toPandas()
+        .sort_values("bucket_start").reset_index(drop=True))
+
+    assert len(res_p) == len(res_h) > 400
+    assert (res_p.bucket_start == res_h.bucket_start).all()
+    assert np.allclose(res_p.anomaly_score, res_h.anomaly_score)
+    assert np.allclose(res_p.anomaly_grade, res_h.anomaly_grade)
+    assert np.allclose(res_p.confidence, res_h.confidence)
+    assert (res_p.anomaly_grade > 0).sum() >= 1   # the spike alerts
