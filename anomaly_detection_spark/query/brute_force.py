@@ -167,6 +167,128 @@ def bm25_topk_bruteforce(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def sloppy_phrase_freq(toks: Column, terms: list[str],
+                       slop: int) -> Column:
+    """Sloppy-phrase frequency as a PURE CODEGEN expression over the
+    analyzed token array (no UDF) — the engine's ``slop > 0`` phrase
+    semantics, shared by the scored path, the filter-context planner,
+    and the DuckDB oracle (same formula in list-lambda SQL).
+
+    Anchor-nearest semantics: with adjusted position sets
+    ``A_j = {p − j : tokens[p] = term_j}``, each anchor ``a ∈ A_0``
+    has matchLength ``Σ_{j≥1} min_{x∈A_j} |x − a|``; it matches when
+    matchLength ≤ slop and contributes ``1/(1 + matchLength)`` — the
+    Lucene SloppyPhraseScorer freq shape.  For two-term phrases the
+    distances coincide with Lucene's documented behavior ("a ? b"
+    needs slop 1, a transposed pair needs slop 2,
+    PhraseQuery#setSlop docs); for longer phrases Lucene's greedy
+    repositioning can assign a different matchLength to the same
+    occurrence set — this anchor-nearest form is the documented,
+    oracle-checkable semantics here.  ``slop=0`` degenerates to the
+    exact-phrase occurrence count.  A doc missing any phrase term
+    yields 0 (``array_min`` of an empty set propagates null into the
+    match test)."""
+    def _adj(t: str, j: int) -> Column:
+        return F.filter(
+            F.transform(toks,
+                        lambda x, i: F.when(x == F.lit(t), i - F.lit(j))),
+            lambda v: v.isNotNull())
+
+    A = [_adj(t, j) for j, t in enumerate(terms)]
+
+    def match_len(a: Column) -> Column:
+        total = None
+        for j in range(1, len(terms)):
+            dj = F.array_min(F.transform(A[j], lambda x: F.abs(x - a)))
+            total = dj if total is None else total + dj
+        return F.lit(0) if total is None else total
+
+    weights = F.transform(
+        A[0],
+        lambda a: F.when(match_len(a) <= F.lit(int(slop)),
+                         1.0 / (1.0 + match_len(a))).otherwise(F.lit(0.0)))
+    return F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def phrase_prefix_expansions(analyzed: DataFrame, prefix: str,
+                             max_expansions: int = 50) -> list[str]:
+    """The terms a trailing-prefix expands to: the first
+    ``max_expansions`` corpus terms starting with ``prefix`` in term-
+    dictionary (lexicographic) order — Lucene MultiPhraseQuery's
+    expansion rule (maxExpansions=50 default)."""
+    rows = (analyzed.select(F.explode(F.array_distinct("tokens"))
+                            .alias("term"))
+            .filter(F.col("term").startswith(prefix))
+            .select("term").distinct()
+            .orderBy("term").limit(max_expansions).collect())
+    return [r["term"] for r in rows]
+
+
+def match_phrase_prefix_topk(
+    analyzed: DataFrame,
+    phrase: str,
+    k: int = 10,
+    filter_cond: Column | None = None,
+    stats: CorpusStats | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    id_col: str = "docid",
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Scored ``match_phrase_prefix``: the analyzed phrase whose LAST
+    term is a prefix, expanded to the first ``max_expansions``
+    dictionary terms (Lucene MultiPhraseQuery posture).  tf = count of
+    positions where the m−1 exact terms are followed by ANY expansion;
+    weight = Σ idf(exact terms) + idf(max df among expansions) — the
+    SynonymQuery blended-df shape for the expanded slot.  Engine-
+    defined but deterministic, and score-identical to the index twin
+    ``match_phrase_prefix_topk_indexed``."""
+    terms = tokenize_query(phrase)
+    if not terms:
+        return analyzed.select(
+            F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    first, prefix = terms[:-1], terms[-1]
+    m = len(terms)
+    stats = stats or corpus_stats(analyzed)
+    exps = phrase_prefix_expansions(analyzed, prefix, max_expansions)
+    if not exps:
+        return analyzed.select(
+            F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    import math
+
+    dfs = {r["term"]: r["df"] for r in term_doc_freqs(
+        analyzed, sorted(set(first) | set(exps))).collect()}
+
+    def _idf(df: int) -> float:
+        return math.log(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5))
+
+    idf_sum = sum(_idf(dfs.get(t, 0)) for t in first) \
+        + _idf(max(dfs.get(t, 0) for t in exps))
+
+    cand = analyzed if filter_cond is None else analyzed.filter(filter_cond)
+    toks = F.col("tokens")
+    exp_arr = F.array(*[F.lit(t) for t in exps])
+    if m == 1:
+        pf = F.size(F.filter(toks, lambda t: F.array_contains(exp_arr, t)))
+    else:
+        head = F.array(*[F.lit(t) for t in first])
+        pf = F.when(F.size(toks) < m, F.lit(0)).otherwise(
+            F.size(F.filter(
+                F.sequence(F.lit(1), F.size(toks) - m + 1),
+                lambda i: (F.slice(toks, i, m - 1) == head)
+                & F.array_contains(exp_arr,
+                                   F.element_at(toks, i + m - 1)))))
+    scored = (cand.withColumn("_pf", pf)
+              .filter(F.col("_pf") > 0)
+              .withColumn(
+                  "score",
+                  F.lit(idf_sum) * (F.col("_pf") * (k1 + 1.0))
+                  / (F.col("_pf") + k1 * (1.0 - b + b * F.col("doc_len")
+                     / F.lit(max(stats.avgdl, 1e-12))))))
+    return (scored.select(id_col, "score")
+            .orderBy(F.desc("score"), F.asc(id_col)).limit(k))
+
+
 def match_phrase_topk(
     analyzed: DataFrame,
     phrase: str,
@@ -176,12 +298,15 @@ def match_phrase_topk(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     id_col: str = "docid",
+    slop: int = 0,
 ) -> DataFrame:
-    """Scored ``match_phrase`` (Lucene PhraseQuery, slop=0): tf = the
-    number of positions where the analyzed doc contains the full
-    phrase (overlapping occurrences count, like Lucene's position
+    """Scored ``match_phrase`` (Lucene PhraseQuery): tf = the number of
+    positions where the analyzed doc contains the full phrase
+    (overlapping occurrences count, like Lucene's position
     enumeration), weight = Σ idf over the phrase's term positions
     (duplicates counted per position), BM25 saturation over that tf.
+    With ``slop > 0``, tf is the sloppy frequency from
+    :func:`sloppy_phrase_freq` (weighted 1/(1+matchLength) matches).
 
     The occurrence count is a pure codegen expression — ``filter`` +
     ``slice`` higher-order functions over the token array — so the
@@ -207,12 +332,15 @@ def match_phrase_topk(
 
     cand = analyzed if filter_cond is None else analyzed.filter(filter_cond)
     toks = F.col("tokens")
-    arr = F.array(*[F.lit(t) for t in terms])
-    pf = F.when(
-        F.size(toks) < m, F.lit(0)
-    ).otherwise(F.size(F.filter(
-        F.sequence(F.lit(1), F.size(toks) - m + 1),
-        lambda i: F.slice(toks, i, m) == arr)))
+    if slop > 0:
+        pf = sloppy_phrase_freq(toks, terms, slop)
+    else:
+        arr = F.array(*[F.lit(t) for t in terms])
+        pf = F.when(
+            F.size(toks) < m, F.lit(0)
+        ).otherwise(F.size(F.filter(
+            F.sequence(F.lit(1), F.size(toks) - m + 1),
+            lambda i: F.slice(toks, i, m) == arr)))
     scored = (cand.withColumn("_pf", pf)
               .filter(F.col("_pf") > 0)
               .withColumn(

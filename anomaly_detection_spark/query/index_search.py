@@ -534,6 +534,7 @@ def match_phrase_topk_indexed(
     filter_cond: Column | None = None,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    slop: int = 0,
 ) -> DataFrame:
     """Scored ``match_phrase`` via positional postings (Lucene
     PhraseQuery over the positions index): reads ONLY the phrase
@@ -546,7 +547,16 @@ def match_phrase_topk_indexed(
     {(docid, pos − j)} of its term's occurrences; the intersection
     across offsets is exactly the phrase start positions (overlapping
     occurrences counted, like Lucene's position enumeration) —
-    m−1 sorted ``intersect1d`` passes, fully vectorized."""
+    m−1 sorted ``intersect1d`` passes, fully vectorized.
+
+    ``slop > 0`` switches to the sloppy anchor-nearest semantics of
+    :func:`~anomaly_detection_spark.query.brute_force.
+    sloppy_phrase_freq` (score-identical to that brute-force twin):
+    instead of intersecting, each anchor key of offset 0 looks up its
+    NEAREST neighbor in every other offset's sorted key set (two
+    ``searchsorted`` probes per offset), matchLength = Σ distances,
+    tf = Σ 1/(1+matchLength) over anchors within slop — still one
+    pass over only the phrase terms' postings."""
     from ..functions.codecs import decode_positions
 
     spark = reader.spark
@@ -602,17 +612,169 @@ def match_phrase_topk_indexed(
             occ[t] = (np.concatenate(locs), np.concatenate(poss))
         if any(t not in occ for t in terms):
             return out_empty
+        if slop > 0:
+            # sloppy: anchors are offset-0 keys; every other offset
+            # contributes its nearest same-doc neighbor's distance.
+            # Keys pack (local docid, adjusted pos + m) so adjusted
+            # positions (≥ −m) stay non-negative; a neighbor from a
+            # different doc lands ≥ STRIDE−2m away and can never pass
+            # a sane slop.
+            sets = []
+            for j, t in enumerate(terms):
+                loc, pos = occ[t]
+                sets.append(np.sort(loc * STRIDE + (pos - j) + m))
+            anchors = sets[0]
+            ml = np.zeros(len(anchors), dtype=np.float64)
+            for kj in sets[1:]:
+                idx = np.searchsorted(kj, anchors)
+                left = np.abs(anchors - kj[np.clip(idx - 1, 0, len(kj) - 1)])
+                right = np.abs(kj[np.clip(idx, 0, len(kj) - 1)] - anchors)
+                ml += np.minimum(left, right).astype(np.float64)
+            w = np.where(ml <= slop, 1.0 / (1.0 + ml), 0.0)
+            keep = w > 0.0
+            if not keep.any():
+                return out_empty
+            loc = (anchors[keep] // STRIDE).astype(np.int64)
+            cand, inv = np.unique(loc, return_inverse=True)
+            pf = np.bincount(inv, weights=w[keep])
+        else:
+            keys = None
+            for j, t in enumerate(terms):
+                loc, pos = occ[t]
+                ok = pos >= j
+                # blocks arrive in arbitrary order (multiple batch dirs
+                # per segment) — sort each offset's key set before
+                # intersecting
+                kj = np.sort(loc[ok] * STRIDE + (pos[ok] - j))
+                keys = kj if keys is None else np.intersect1d(
+                    keys, kj, assume_unique=True)
+                if len(keys) == 0:
+                    return out_empty
+            loc = (keys // STRIDE).astype(np.int64)
+            cand, pf = np.unique(loc, return_counts=True)
+        dlv = dl[cand]
+        okd = dlv >= 0
+        cand, pf, dlv = cand[okd], pf[okd].astype(np.float64), dlv[okd]
+        if len(cand) == 0:
+            return out_empty
+        score = idf_sum * (pf * (kk1 + 1.0)) / (
+            pf + kk1 * (1.0 - bb + bb * dlv / max(avgdl, 1e-12)))
+        order = np.lexsort((cand, -score))[:k]
+        return pd.DataFrame({"docid": cand[order] + seg_base,
+                             "score": score[order]})
+
+    local = (posts.groupBy("seg_id").cogroup(docs.groupBy("seg_id"))
+             .applyInPandas(_phrase, schema="docid long, score double"))
+    return local.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def match_phrase_prefix_topk_indexed(
+    reader: IndexReader,
+    phrase: str,
+    k: int = 10,
+    filter_cond: Column | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Scored ``match_phrase_prefix`` over positional postings: the
+    trailing prefix expands to the first ``max_expansions`` dictionary
+    terms from term_stats (Lucene MultiPhraseQuery), the m−1 exact
+    offsets intersect positionally as in
+    :func:`match_phrase_topk_indexed`, and the last offset's key set
+    is the UNION of the expansions' occurrence streams.  tf and the
+    blended idf match the brute-force twin
+    ``brute_force.match_phrase_prefix_topk`` exactly."""
+    from ..functions.codecs import decode_positions
+
+    spark = reader.spark
+    meta = reader.meta
+    if not meta.positions:
+        raise ValueError(
+            f"index at {reader.index_dir} was built without positions; "
+            f"rebuild with build_index(..., positions=True) for scored "
+            f"match_phrase_prefix, or use the brute-force path")
+    terms = tokenize_query(phrase)
+    empty = spark.createDataFrame([], "docid long, score double")
+    if not terms:
+        return empty
+    first, prefix = terms[:-1], terms[-1]
+    m = len(terms)
+    exps = [r["term"] for r in reader.term_stats()
+            .filter(F.col("term").startswith(prefix))
+            .select("term").orderBy("term").limit(max_expansions)
+            .collect()]
+    if not exps:
+        return empty
+    uniq = sorted(set(first) | set(exps))
+    stats = {r["term"]: r["df"] for r in reader.term_stats()
+             .filter(F.col("term").isin(uniq)).collect()}
+    if any(t not in stats for t in first):
+        return empty
+    import math
+
+    def _idf(df: int) -> float:
+        return math.log(1.0 + (meta.n_docs - df + 0.5) / (df + 0.5))
+
+    idf_sum = sum(_idf(stats[t]) for t in first) \
+        + _idf(max(stats.get(t, 0) for t in exps))
+
+    posts = (reader.postings().filter(F.col("term").isin(uniq))
+             .select("term", "seg_id", "first_docid", "gaps", "tfs", "pos"))
+    docs = _docs_side(reader, filter_cond)
+    seg_size, avgdl = meta.seg_size, meta.avgdl
+    cname = codec_name(meta.codec)
+    dec = BLOB_DECODERS[cname]
+    kk1, bb = k1, b
+    exp_set = set(exps)
+    STRIDE = np.int64(1) << np.int64(32)
+
+    def _pp(p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                                  "score": pd.Series(dtype="float64")})
+        if len(p) == 0 or len(d) == 0:
+            return out_empty
+        seg_base = int(p["seg_id"].iloc[0]) * seg_size
+        dl = _segment_doclens(d, seg_base, seg_size, False)
+        occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, grp in p.groupby("term", sort=False):
+            locs, poss = [], []
+            for i in range(len(grp)):
+                docids = (np.cumsum(dec(grp["gaps"].iloc[i]))
+                          .astype(np.int64) + grp["first_docid"].iloc[i])
+                tfs = dec(grp["tfs"].iloc[i]).astype(np.int64)
+                pos = decode_positions(grp["pos"].iloc[i], tfs, codec=cname)
+                locs.append(np.repeat(docids - seg_base, tfs))
+                poss.append(pos)
+            occ[t] = (np.concatenate(locs), np.concatenate(poss))
+        if any(t not in occ for t in first):
+            return out_empty
         keys = None
-        for j, t in enumerate(terms):
+        for j, t in enumerate(first):
             loc, pos = occ[t]
             ok = pos >= j
-            # blocks arrive in arbitrary order (multiple batch dirs per
-            # segment) — sort each offset's key set before intersecting
             kj = np.sort(loc[ok] * STRIDE + (pos[ok] - j))
             keys = kj if keys is None else np.intersect1d(
                 keys, kj, assume_unique=True)
             if len(keys) == 0:
                 return out_empty
+        # last offset: union of the expansions' adjusted keys
+        j = m - 1
+        parts = []
+        for t in exp_set:
+            if t in occ:
+                loc, pos = occ[t]
+                ok = pos >= j
+                parts.append(loc[ok] * STRIDE + (pos[ok] - j))
+        if not parts:
+            return out_empty
+        # expansions are distinct terms: a position can host only one
+        # term, so the union is duplicate-free
+        klast = np.sort(np.concatenate(parts))
+        keys = (klast if keys is None
+                else np.intersect1d(keys, klast, assume_unique=True))
+        if len(keys) == 0:
+            return out_empty
         loc = (keys // STRIDE).astype(np.int64)
         cand, pf = np.unique(loc, return_counts=True)
         dlv = dl[cand]
@@ -627,7 +789,7 @@ def match_phrase_topk_indexed(
                              "score": score[order]})
 
     local = (posts.groupBy("seg_id").cogroup(docs.groupBy("seg_id"))
-             .applyInPandas(_phrase, schema="docid long, score double"))
+             .applyInPandas(_pp, schema="docid long, score double"))
     return local.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
 

@@ -243,17 +243,60 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         # on them), so consecutiveness ≡ substring match on the
         # space-joined token stream with boundary sentinels — pure
         # codegen, no positions index needed for filter context.
+        # slop > 0: the sloppy anchor-nearest freq expression
+        # (brute_force.sloppy_phrase_freq) > 0, still pure codegen.
         (fld, spec), = body.items()
         text = _field_value(spec, key="query")
-        if isinstance(spec, dict) and spec.get("slop", 0) != 0:
-            raise ValueError("match_phrase slop != 0 is unsupported")
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+        if slop < 0:
+            raise ValueError(f"match_phrase slop must be >= 0: {slop}")
         toks = tokenize_query(text)
         if not toks:
             return QueryPlan(F.lit(False))
+        if slop > 0:
+            from .brute_force import sloppy_phrase_freq
+
+            return QueryPlan(
+                sloppy_phrase_freq(tokenize_column(fld), toks, slop) > 0)
         joined = F.concat(F.lit(" "),
                           F.array_join(tokenize_column(fld), " "),
                           F.lit(" "))
         return QueryPlan(joined.contains(" " + " ".join(toks) + " "))
+
+    if kind == "match_phrase_prefix":
+        # filter-context: the m−1 exact analyzed terms consecutively,
+        # followed by a token starting with the trailing prefix — pure
+        # codegen over the analyzed token array
+        (fld, spec), = body.items()
+        text = _field_value(spec, key="query")
+        toks = tokenize_query(text)
+        if not toks:
+            return QueryPlan(F.lit(False))
+        first, prefix = toks[:-1], toks[-1]
+        m = len(toks)
+        doc_toks = tokenize_column(fld)
+        if m == 1:
+            return QueryPlan(
+                F.exists(doc_toks, lambda t: t.startswith(F.lit(prefix))))
+        head = F.array(*[F.lit(t) for t in first])
+        return QueryPlan(
+            (F.size(doc_toks) >= m)
+            & F.exists(
+                F.sequence(F.lit(1), F.size(doc_toks) - m + 1),
+                lambda i: (F.slice(doc_toks, i, m - 1) == head)
+                & F.element_at(doc_toks, i + m - 1)
+                .startswith(F.lit(prefix))))
+
+    if kind in ("query_string", "simple_query_string"):
+        # Lucene query-string syntaxes → compiled to the engine's own
+        # DSL, then planned like any other query (one parser, zero new
+        # execution paths)
+        from .query_string import compile_query_string
+
+        return plan_query(
+            df, compile_query_string(body, simple=kind ==
+                                     "simple_query_string"),
+            scoring=scoring)
 
     if kind == "nested":
         path = body["path"]
@@ -325,6 +368,42 @@ def search(
     else:
         schema_df = target
 
+    if set(query) & {"query_string", "simple_query_string"}:
+        # compile the Lucene syntax down to DSL FIRST, so a compiled
+        # match_phrase / match_phrase_prefix takes its dedicated scored
+        # branch below
+        from .query_string import compile_query_string
+
+        (kind, spec), = query.items()
+        query = compile_query_string(
+            spec, simple=kind == "simple_query_string",
+            text_field=text_field)
+
+    if set(query) == {"match_phrase_prefix"}:
+        # scored phrase-prefix (Lucene MultiPhraseQuery expansion)
+        (fld, spec), = query["match_phrase_prefix"].items()
+        text = _field_value(spec, key="query")
+        maxe = (spec.get("max_expansions", 50)
+                if isinstance(spec, dict) else 50)
+        if isinstance(target, IndexReader):
+            from .index_search import match_phrase_prefix_topk_indexed
+
+            if fld != text_field:
+                raise ValueError(
+                    f"scored match_phrase_prefix over an index target "
+                    f"supports the indexed text field {text_field!r}; "
+                    f"got {fld!r}")
+            out = match_phrase_prefix_topk_indexed(
+                target, text, k=size, max_expansions=maxe)
+        else:
+            from .brute_force import analyze_docs, match_phrase_prefix_topk
+
+            tgt = (target if "tokens" in target.columns
+                   else analyze_docs(target, text_col=fld))
+            out = match_phrase_prefix_topk(tgt, text, k=size,
+                                           max_expansions=maxe)
+        return _finish_search(out, size, timeout_s)
+
     if set(query) == {"multi_match"}:
         # multi-field scored match (MultiMatchQueryBuilder) — each field
         # scored with its own corpus statistics, combined best_fields /
@@ -350,13 +429,15 @@ def search(
 
     if set(query) == {"match_phrase"}:
         # scored phrase (Lucene PhraseQuery): tf = positional phrase
-        # frequency, weight = Σ term idfs.  Over an index target this
+        # frequency (slop=0) or the sloppy anchor-nearest frequency
+        # (slop>0), weight = Σ term idfs.  Over an index target this
         # reads the positional posting lists (positions=True builds);
         # otherwise a codegen scan of the analyzed corpus.
         (fld, spec), = query["match_phrase"].items()
         text = _field_value(spec, key="query")
-        if isinstance(spec, dict) and spec.get("slop", 0) != 0:
-            raise ValueError("match_phrase slop != 0 is unsupported")
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+        if slop < 0:
+            raise ValueError(f"match_phrase slop must be >= 0: {slop}")
         if isinstance(target, IndexReader):
             from .index_search import match_phrase_topk_indexed
 
@@ -364,13 +445,14 @@ def search(
                 raise ValueError(
                     f"scored match_phrase over an index target supports "
                     f"the indexed text field {text_field!r}; got {fld!r}")
-            out = match_phrase_topk_indexed(target, text, k=size)
+            out = match_phrase_topk_indexed(target, text, k=size,
+                                            slop=slop)
         else:
             from .brute_force import analyze_docs, match_phrase_topk
 
             tgt = (target if "tokens" in target.columns
                    else analyze_docs(target, text_col=fld))
-            out = match_phrase_topk(tgt, text, k=size)
+            out = match_phrase_topk(tgt, text, k=size, slop=slop)
         return _finish_search(out, size, timeout_s)
 
     plan = plan_query(schema_df, query)

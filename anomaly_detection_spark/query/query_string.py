@@ -1,0 +1,282 @@
+"""``query_string`` / ``simple_query_string`` → query-DSL compiler.
+
+The reference exposes Lucene's query-string syntaxes as user-surface
+query types (the plugin itself never issues them, but detector users
+write them in ``filter_query`` routinely).  This module parses the
+supported subset into the engine's OWN query-DSL dicts, so the whole
+planner/scorer machinery (``plan_query`` / ``search``) is reused —
+the compiler produces ``bool`` / ``match`` / ``match_phrase`` /
+``match_phrase_prefix`` / ``term`` / ``prefix`` / ``wildcard`` /
+``fuzzy`` leaves and nothing else.
+
+Supported subset (``query_string``):
+- bare terms on the default field (analyzed ``match``)
+- ``"quoted phrases"`` with optional ``~N`` slop suffix
+- ``field:value`` (non-analyzed fields → ``term``; analyzed → match)
+- trailing ``*`` → ``match_phrase_prefix`` (analyzed) / ``prefix``
+- embedded ``*``/``?`` on non-analyzed fields → ``wildcard``
+- ``value~N`` fuzziness on non-analyzed fields → ``fuzzy``
+- ``AND`` / ``OR`` / ``NOT`` (and ``&&`` ``||`` ``!``), parentheses,
+  ``+``/``-`` clause modifiers; NOT binds tightest, then AND, then OR;
+  adjacency = ``default_operator`` (OR, like OpenSearch).
+
+``simple_query_string`` uses the same machinery with its operator set
+(``+`` = and, ``|`` = or, ``-`` = not, quotes, trailing ``*``,
+parentheses) and NEVER raises: any input that fails to parse
+degrades to an OR bag of its plain terms, mirroring the reference's
+lenient behavior.
+
+Out of scope (raise in query_string, ignored in simple_query_string):
+ranges (``[a TO b]``), boosts (``^2``), fuzzy/wildcard on analyzed
+fields (needs per-token expansion at parse time).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN = re.compile(r"""
+    \s*(
+        \(|\)
+      | "(?:[^"\\]|\\.)*"(?:~\d+)?
+      | &&|\|\|
+      | [^\s()"]+
+    )""", re.VERBOSE)
+
+
+def _tokenize(q: str) -> list[str]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN.match(q, i)
+        if not m:
+            break
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[str], default_field: str,
+                 analyzed_fields: set[str], simple: bool,
+                 default_operator: str):
+        self.toks = toks
+        self.i = 0
+        self.default_field = default_field
+        self.analyzed = analyzed_fields
+        self.simple = simple
+        self.default_op = default_operator.lower()
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    # grammar: or_expr := and_expr ((OR | implicit-default) and_expr)*
+    #          and_expr := not_expr (AND not_expr)*
+    #          not_expr := NOT not_expr | clause
+    #          clause := [+|-] atom ;  atom := '(' expr ')' | leaf
+    def parse(self) -> dict:
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise ValueError(f"unparsed query_string tail at "
+                             f"{self.toks[self.i:]}")
+        return node
+
+    def _is_or(self, t: str) -> bool:
+        return (t == "|" if self.simple else t in ("OR", "||"))
+
+    def _is_and(self, t: str) -> bool:
+        return (t == "+" if self.simple else t in ("AND", "&&"))
+
+    def _is_not(self, t: str) -> bool:
+        return (t == "-" if self.simple else t in ("NOT", "!", "-"))
+
+    def or_expr(self) -> dict:
+        groups = [[self.and_expr()]]
+        while True:
+            t = self.peek()
+            if t is None or t == ")":
+                break
+            if self._is_or(t):
+                self.next()
+                groups.append([self.and_expr()])
+            elif self.default_op == "or":
+                groups.append([self.and_expr()])
+            else:
+                groups[-1].append(self.and_expr())
+        shoulds = [self._and_of(g) for g in groups]
+        return self._bag(shoulds)
+
+    def and_expr(self) -> dict:
+        parts = [self.not_expr()]
+        while True:
+            t = self.peek()
+            if t is not None and self._is_and(t):
+                self.next()
+                parts.append(self.not_expr())
+            else:
+                break
+        return self._and_of(parts)
+
+    def not_expr(self) -> dict:
+        t = self.peek()
+        if t is not None and self._is_not(t):
+            self.next()
+            return {"bool": {"must_not": [self.not_expr()]}}
+        return self.clause()
+
+    def clause(self) -> dict:
+        t = self.peek()
+        if not self.simple and t in ("+", "-"):
+            # Lucene modifiers: +required / -prohibited
+            self.next()
+            atom = self.clause()
+            if t == "-":
+                return {"bool": {"must_not": [atom]}}
+            return {"bool": {"must": [atom]}}
+        if not self.simple and t and t.startswith("+") and len(t) > 1:
+            self.toks[self.i] = t[1:]
+            return {"bool": {"must": [self.clause()]}}
+        if t and t.startswith("-") and len(t) > 1:
+            # attached negation: Lucene -term, simple_query_string -term
+            self.toks[self.i] = t[1:]
+            return {"bool": {"must_not": [self.clause()]}}
+        if t == "(":
+            self.next()
+            node = self.or_expr()
+            if self.peek() != ")":
+                raise ValueError("unbalanced parentheses in query_string")
+            self.next()
+            return node
+        return self.leaf(self.next())
+
+    # -- leaves ------------------------------------------------------------
+
+    def leaf(self, tok: str) -> dict:
+        field = self.default_field
+        body = tok
+        if not tok.startswith('"') and ":" in tok:
+            field, body = tok.split(":", 1)
+        if body.startswith('"'):
+            m = re.fullmatch(r'"((?:[^"\\]|\\.)*)"(?:~(\d+))?', body)
+            if not m:
+                raise ValueError(f"bad phrase {body!r}")
+            text = m.group(1).replace('\\"', '"')
+            slop = int(m.group(2)) if m.group(2) else 0
+            return {"match_phrase": {field: {"query": text, "slop": slop}}}
+        if body[:1] in ("[", "{"):
+            raise ValueError("query_string ranges [a TO b] unsupported; "
+                             "use a range query")
+        analyzed = field in self.analyzed
+        fz = re.fullmatch(r"(.+?)~(\d+)?", body)
+        if fz and not body.endswith("*"):
+            if analyzed:
+                raise ValueError(
+                    f"fuzzy ~ on the analyzed field {field!r} is "
+                    f"unsupported (needs per-token expansion)")
+            return {"fuzzy": {field: {
+                "value": fz.group(1),
+                "fuzziness": int(fz.group(2)) if fz.group(2) else "AUTO"}}}
+        if body.endswith("*") and "*" not in body[:-1] \
+                and "?" not in body[:-1]:
+            stem = body[:-1]
+            if analyzed:
+                return {"match_phrase_prefix": {field: {"query": stem}}}
+            return {"prefix": {field: stem}}
+        if "*" in body or "?" in body:
+            if analyzed:
+                raise ValueError(
+                    f"embedded wildcard on the analyzed field {field!r} "
+                    f"is unsupported (trailing * is)")
+            return {"wildcard": {field: body}}
+        if analyzed:
+            return {"match": {field: body}}
+        return {"term": {field: body}}
+
+    # -- combinators -------------------------------------------------------
+
+    def _and_of(self, parts: list[dict]) -> dict:
+        if len(parts) == 1:
+            return parts[0]
+        # merge plain matches on the same analyzed field into ONE
+        # conjunctive match so "a AND b" scores as operator:and
+        merged: dict[str, list[str]] = {}
+        rest = []
+        for p in parts:
+            if set(p) == {"match"}:
+                (f, spec), = p["match"].items()
+                if isinstance(spec, str):
+                    merged.setdefault(f, []).append(spec)
+                    continue
+            rest.append(p)
+        must = list(rest)
+        for f, texts in merged.items():
+            if len(texts) == 1:
+                must.append({"match": {f: texts[0]}})
+            else:
+                must.append({"match": {f: {"query": " ".join(texts),
+                                           "operator": "and"}}})
+        if len(must) == 1:
+            return must[0]
+        return {"bool": {"must": must}}
+
+    def _bag(self, shoulds: list[dict]) -> dict:
+        if len(shoulds) == 1:
+            return shoulds[0]
+        # hoist must/must_not-only children (the +term/-term modifiers)
+        # into the enclosing bool, like Lucene's flat clause list
+        must, must_not, plain = [], [], []
+        for s in shoulds:
+            if set(s) == {"bool"}:
+                b = s["bool"]
+                if set(b) <= {"must", "must_not"}:
+                    must.extend(b.get("must", []))
+                    must_not.extend(b.get("must_not", []))
+                    continue
+            plain.append(s)
+        out: dict = {}
+        if plain:
+            out["should"] = plain
+        if must:
+            out["must"] = must
+        if must_not:
+            out["must_not"] = must_not
+        if set(out) == {"should"}:
+            out["minimum_should_match"] = 1
+        return {"bool": out}
+
+
+def compile_query_string(spec: dict, simple: bool = False,
+                         text_field: str = "text") -> dict:
+    """``query_string`` / ``simple_query_string`` body → query DSL.
+
+    ``spec``: {"query": str, "default_field"?: str, "fields"?: [str],
+    "default_operator"?: "or"|"and", "analyzed_fields"?: [str]}.
+    ``analyzed_fields`` defaults to {default_field} — fields whose
+    leaves compile to analyzed match/phrase instead of keyword term.
+    """
+    q = spec["query"]
+    default_field = spec.get("default_field")
+    if default_field is None:
+        flds = spec.get("fields")
+        default_field = flds[0] if flds else text_field
+    analyzed = set(spec.get("analyzed_fields", [default_field]))
+    default_op = spec.get("default_operator", "or")
+    toks = _tokenize(q)
+    if not toks:
+        return {"match_all": {}}
+    try:
+        return _Parser(toks, default_field, analyzed, simple,
+                       default_op).parse()
+    except ValueError:
+        if not simple:
+            raise
+        # simple_query_string never raises: degrade to an OR bag of the
+        # plain terms (syntax characters stripped), like the reference
+        words = [w for w in re.split(r'[\s+|()"*~-]+', q) if w]
+        if not words:
+            return {"match_all": {}}
+        return {"match": {default_field: " ".join(words)}}

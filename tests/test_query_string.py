@@ -1,0 +1,150 @@
+"""query_string / simple_query_string compiler + match_phrase_prefix
+(round 5): parser → DSL shapes, filter-context evaluation, scored
+routing, brute/index identity for phrase-prefix."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.index import build_index
+from anomaly_detection_spark.query import (
+    IndexReader,
+    analyze_docs,
+    compile_query_string,
+    corpus_stats,
+    match_phrase_prefix_topk,
+)
+from anomaly_detection_spark.query.index_search import (
+    match_phrase_prefix_topk_indexed,
+)
+from anomaly_detection_spark.query.planner import compile_filter, search
+
+
+# -------------------------------------------------------- parser → DSL
+
+def test_compile_plain_terms_or_bag():
+    dsl = compile_query_string({"query": "spark data engine"})
+    assert dsl == {"bool": {
+        "should": [{"match": {"text": "spark"}},
+                   {"match": {"text": "data"}},
+                   {"match": {"text": "engine"}}],
+        "minimum_should_match": 1}}
+
+
+def test_compile_and_merges_conjunctive_match():
+    dsl = compile_query_string({"query": "spark AND data"})
+    assert dsl == {"match": {"text": {"query": "spark data",
+                                      "operator": "and"}}}
+
+
+def test_compile_not_field_phrase_prefix():
+    dsl = compile_query_string(
+        {"query": 'role:user AND "exact phrase"~2 AND quer* NOT role:tool'})
+    b = dsl["bool"]
+    assert {"term": {"role": "user"}} in b["must"]
+    assert {"match_phrase": {"text": {"query": "exact phrase",
+                                      "slop": 2}}} in b["must"]
+    assert {"match_phrase_prefix": {"text": {"query": "quer"}}} in b["must"]
+    # NOT hoists into the enclosing bool's must_not (A AND B NOT C)
+    assert b["must_not"] == [{"term": {"role": "tool"}}]
+
+
+def test_compile_modifiers_and_wildcard_fuzzy():
+    dsl = compile_query_string(
+        {"query": "+required -banned plain src:ab?c src:fuzz~1"})
+    b = dsl["bool"]
+    assert {"match": {"text": "required"}} in b["must"]
+    assert {"match": {"text": "banned"}} in b["must_not"]
+    assert {"match": {"text": "plain"}} in b["should"]
+    assert {"wildcard": {"src": "ab?c"}} in b["should"]
+    assert {"fuzzy": {"src": {"value": "fuzz", "fuzziness": 1}}} \
+        in b["should"]
+
+
+def test_compile_query_string_raises_on_ranges():
+    with pytest.raises(ValueError, match="range"):
+        compile_query_string({"query": "v:[1 TO 5]"})
+
+
+def test_simple_query_string_never_raises():
+    # unbalanced parens + range syntax → degrades to a term bag
+    dsl = compile_query_string({"query": '((broken v:[1 TO'},
+                               simple=True)
+    assert set(dsl) <= {"match", "bool", "match_all"}
+    dsl2 = compile_query_string({"query": "a | b +c -d"}, simple=True)
+    assert "bool" in dsl2 or "match" in dsl2
+
+
+# -------------------------------------------------- filter-context eval
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "user", "the quick brown fox jumps"),
+        (1, "tool", "quick query data"),
+        (2, "user", "slow query engine"),
+        (3, "user", "nothing relevant"),
+    ]
+    return spark.createDataFrame(rows, ["docid", "role", "text"]).persist()
+
+
+def test_query_string_filter_context(docs):
+    got = sorted(r["docid"] for r in docs.filter(compile_filter(
+        docs, {"query_string": {
+            "query": "quick OR engine"}})).collect())
+    assert got == [0, 1, 2]
+    got2 = sorted(r["docid"] for r in docs.filter(compile_filter(
+        docs, {"query_string": {
+            "query": "query AND role:user"}})).collect())
+    assert got2 == [2]
+    got3 = sorted(r["docid"] for r in docs.filter(compile_filter(
+        docs, {"query_string": {"query": "qu* NOT brown"}})).collect())
+    assert got3 == [1, 2]
+
+
+def test_match_phrase_prefix_filter_context(docs):
+    got = sorted(r["docid"] for r in docs.filter(compile_filter(
+        docs, {"match_phrase_prefix": {"text": {"query": "quick qu"}}}
+    )).collect())
+    assert got == [1]
+    got1 = sorted(r["docid"] for r in docs.filter(compile_filter(
+        docs, {"match_phrase_prefix": {"text": "qui"}})).collect())
+    assert got1 == [0, 1]
+
+
+def test_scored_query_string_topk(docs):
+    an = analyze_docs(docs)
+    out = search(an, {"query": {"query_string": {
+        "query": "quick query"}}, "size": 10}).toPandas()
+    assert set(out.docid) == {0, 1, 2}
+    assert list(out.docid)[0] == 1      # both terms → top
+
+
+# ----------------------------------------- phrase-prefix brute ≡ index
+
+def test_phrase_prefix_index_matches_bruteforce(spark, tiny_transcripts):
+    tmp = tempfile.mkdtemp(prefix="adspark_pp_")
+    try:
+        paths = build_index(tiny_transcripts, f"{tmp}/idx", seg_size=512,
+                            block_size=64, segments_per_batch=2,
+                            positions=True)
+        reader = IndexReader(spark, paths.root)
+        analyzed = analyze_docs(tiny_transcripts).persist()
+        stats = corpus_stats(analyzed)
+        rows = (analyzed.filter(F.size("tokens") >= 6)
+                .orderBy("docid").limit(3).collect())
+        cases = [" ".join(r["tokens"][1:3])[:-1] or r["tokens"][1]
+                 for r in rows]
+        cases += [rows[0]["tokens"][0][:2]]      # single prefix term
+        for phrase in cases:
+            want = match_phrase_prefix_topk(
+                analyzed, phrase, k=10, stats=stats).toPandas()
+            got = match_phrase_prefix_topk_indexed(
+                reader, phrase, k=10).toPandas()
+            assert list(got.docid) == list(want.docid), phrase
+            assert np.allclose(got.score, want.score), phrase
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
