@@ -1,0 +1,119 @@
+"""Profile / state introspection (ProfileRunner analog).
+
+The reference exposes detector profiles — init progress, model
+counts/sizes, entity counts, task state —
+(``timeseries/ProfileRunner.java:68``, ``ad/ProfileRunner``: init
+progress = model updates / required samples; entity + model-size
+summaries from the cache/checkpoint layer).  The engine already
+persists the equivalent substrates: the per-(entity, feature) model
+state table written by ``run_once_stateful`` / ``run_historical``
+(shingle window, scored counts, optional serialized model bytes) and
+the index's manifest + lineage + metrics parquet.  This module
+summarizes them into plain dicts — driver-side aggregates of a few
+rows, the same shape a profile API response carries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .detector import Detector, _state_path
+
+
+def profile_detector(spark: SparkSession, det: Detector,
+                     state_dir: str) -> dict:
+    """Detector profile from the checkpointed state table.
+
+    Fields (ProfileRunner parity, engine-shaped):
+    - ``state``: INIT (no state yet) / RUNNING (some entity still in
+      warm-up) / READY (every entity fully warm)
+    - ``init_progress``: min over entities of scored_cnt /
+      confidence_ramp, capped at 1.0 (the reference reports
+      rcfTotalUpdates / requiredSamples)
+    - ``entity_count`` / ``model_count`` (state rows, one per
+      (entity, feature)) / ``total_model_bytes`` (serialized RCF
+      checkpoints, 0 for the z-state whose window IS the state)
+    - ``last_data_time_ms``: newest ingested interval across entities
+    """
+    spath = _state_path(state_dir, det.detector_id)
+    ent = list(det.category_fields)
+    if not os.path.exists(spath):
+        return {"detector_id": det.detector_id, "state": "INIT",
+                "init_progress": 0.0, "entity_count": 0,
+                "model_count": 0, "total_model_bytes": 0,
+                "last_data_time_ms": None}
+    st = spark.read.parquet(spath)
+    aggs = [F.count("*").alias("models"),
+            F.min("scored_cnt").alias("min_cnt"),
+            F.max("scored_cnt").alias("max_cnt")]
+    if "model" in st.columns:
+        aggs.append(F.sum(F.coalesce(F.length("model"), F.lit(0)))
+                    .alias("model_bytes"))
+    else:
+        aggs.append(F.lit(0).alias("model_bytes"))
+    if "last_ms" in st.columns:
+        aggs.append(F.max("last_ms").alias("last_ms"))
+    else:
+        aggs.append(F.lit(None).cast("long").alias("last_ms"))
+    row = st.agg(*aggs).collect()[0]
+    n_entities = (st.select(*ent).distinct().count() if ent
+                  else min(1, row["models"]))
+    min_cnt = row["min_cnt"] or 0
+    progress = min(1.0, min_cnt / float(det.confidence_ramp))
+    state = ("READY" if progress >= 1.0
+             else ("RUNNING" if row["models"] else "INIT"))
+    return {
+        "detector_id": det.detector_id,
+        "state": state,
+        "init_progress": round(progress, 6),
+        "entity_count": int(n_entities),
+        "model_count": int(row["models"]),
+        "total_model_bytes": int(row["model_bytes"] or 0),
+        "last_data_time_ms": (int(row["last_ms"])
+                              if row["last_ms"] is not None else None),
+    }
+
+
+def profile_index(spark: SparkSession, index_dir: str) -> dict:
+    """Index profile from meta + manifest + lineage + metrics parquet:
+    segment/term/posting/byte counts, docid extent, and per-stage
+    wall-time totals — the introspection a profile API serves without
+    touching a posting block."""
+    from .index.storage import IndexPaths, read_meta
+
+    paths = IndexPaths(index_dir)
+    meta = read_meta(index_dir)
+    man = spark.read.parquet(paths.manifest)
+    row = man.agg(
+        F.countDistinct("seg_id").alias("segments"),
+        F.sum("n_terms").alias("terms"),
+        F.sum("n_postings").alias("postings"),
+        F.sum("bytes").alias("bytes"),
+        F.min("docid_min").alias("docid_lo"),
+        F.max("docid_max").alias("docid_hi"),
+    ).collect()[0]
+    out = {
+        "n_docs": meta.n_docs,
+        "avgdl": meta.avgdl,
+        "seg_size": meta.seg_size,
+        "positions": bool(getattr(meta, "positions", False)),
+        "codec": getattr(meta, "codec", "leb128") or "leb128",
+        "segments": int(row["segments"] or 0),
+        "terms": int(row["terms"] or 0),
+        "postings": int(row["postings"] or 0),
+        "postings_bytes": int(row["bytes"] or 0),
+        "docid_range": [int(row["docid_lo"] or 0),
+                        int(row["docid_hi"] or -1) + 1],
+    }
+    try:
+        lin = spark.read.parquet(paths.lineage)
+        out["stage_walls_s"] = {
+            r["stage"]: round(r["wall"], 3)
+            for r in lin.groupBy("stage")
+            .agg(F.sum("wall_s").alias("wall")).collect()}
+    except Exception:
+        out["stage_walls_s"] = {}
+    return out

@@ -1,0 +1,131 @@
+"""Forecast seam (round 5): result schema parity with the reference's
+forecast-results mapping, planted-trend accuracy for the Holt
+forecaster, seasonal accuracy + bound coverage for seasonal-naive,
+and per-entity fan-out."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomaly_detection_spark.forecast import (
+    Forecaster,
+    holt_forecaster,
+    run_forecast,
+    seasonal_naive_forecaster,
+)
+
+INTERVAL = 600_000
+BASE = pd.Timestamp("2025-02-01")
+
+
+def _write(spark, tmp_path_factory, frames):
+    pdf = pd.concat(frames, ignore_index=True)
+    path = str(tmp_path_factory.mktemp("fcst") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    return path
+
+
+def _series(entity, values):
+    return pd.DataFrame({
+        "service": entity,
+        "ts": [BASE + pd.Timedelta(milliseconds=i * INTERVAL)
+               for i in range(len(values))],
+        "value": values,
+    })
+
+
+def test_holt_recovers_planted_trend(spark, tmp_path_factory):
+    n = 200
+    vals = 10.0 + 0.5 * np.arange(n)          # exact linear trend
+    path = _write(spark, tmp_path_factory, [_series("A", vals)])
+    fc = Forecaster(
+        forecaster_id="fc-trend", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL, horizon=12,
+        category_fields=("service",))
+    now = int(BASE.value // 10**6) + n * INTERVAL + 1
+    res = run_forecast(spark, fc, now,
+                       forecaster=holt_forecaster(12)).toPandas()
+    assert len(res) == 12
+    truth = 10.0 + 0.5 * (n - 1 + np.arange(1, 13))
+    got = res.sort_values("horizon_index").forecast_value.to_numpy()
+    assert np.abs(got - truth).max() < 0.5    # noise-free trend: tight
+    # mapping fields present and sane
+    for c in ("forecaster_id", "entity", "feature_name", "horizon_index",
+              "forecast_value", "forecast_lower_bound",
+              "forecast_upper_bound", "confidence_interval_width",
+              "data_end_time", "forecast_data_start_time",
+              "forecast_data_end_time"):
+        assert c in res.columns, c
+    r1 = res[res.horizon_index == 1].iloc[0]
+    assert pd.Timestamp(r1.forecast_data_start_time) == \
+        pd.Timestamp(r1.data_end_time)
+    assert (res.forecast_upper_bound >= res.forecast_value).all()
+    assert (res.forecast_lower_bound <= res.forecast_value).all()
+    assert (res.confidence_interval_width >= 0).all()
+
+
+def test_seasonal_naive_accuracy_and_coverage(spark, tmp_path_factory):
+    rng = np.random.default_rng(5)
+    period, n = 48, 48 * 8
+    t = np.arange(n + 48)
+    full = 100.0 + 20.0 * np.sin(2 * np.pi * t / period) \
+        + rng.normal(0, 2.0, n + 48)
+    hist, future = full[:n], full[n:]
+    path = _write(spark, tmp_path_factory, [_series("A", hist)])
+    fc = Forecaster(
+        forecaster_id="fc-seasonal", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL, horizon=48,
+        category_fields=("service",))
+    now = int(BASE.value // 10**6) + n * INTERVAL + 1
+    res = (run_forecast(spark, fc, now,
+                        forecaster=seasonal_naive_forecaster(
+                            period, 48, ci=0.9))
+           .toPandas().sort_values("horizon_index"))
+    assert len(res) == 48
+    got = res.forecast_value.to_numpy()
+    assert np.abs(got - future).mean() < 4.0   # ~2x noise sigma
+    cover = ((future >= res.forecast_lower_bound.to_numpy())
+             & (future <= res.forecast_upper_bound.to_numpy())).mean()
+    assert cover >= 0.75, cover                # 90% CI, finite sample
+
+
+def test_forecast_fans_out_per_entity(spark, tmp_path_factory):
+    path = _write(spark, tmp_path_factory, [
+        _series("A", 5.0 + 0.1 * np.arange(60)),
+        _series("B", 50.0 - 0.2 * np.arange(60)),
+    ])
+    fc = Forecaster(
+        forecaster_id="fc-hc", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL, horizon=4,
+        category_fields=("service",))
+    now = int(BASE.value // 10**6) + 60 * INTERVAL + 1
+    res = run_forecast(spark, fc, now).toPandas()
+    assert len(res) == 8
+    a = res[res.service == "A"].sort_values("horizon_index")
+    b = res[res.service == "B"].sort_values("horizon_index")
+    assert (np.diff(a.forecast_value) > 0).all()    # rising trend
+    assert (np.diff(b.forecast_value) < 0).all()    # falling trend
+    ent = a.iloc[0]["entity"]
+    assert ent[0]["name"] == "service" and ent[0]["value"] == "A"
+
+
+def test_short_history_yields_no_rows(spark, tmp_path_factory):
+    path = _write(spark, tmp_path_factory, [_series("A", np.arange(3.0))])
+    fc = Forecaster(
+        forecaster_id="fc-short", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL, horizon=4,
+        category_fields=("service",))
+    now = int(BASE.value // 10**6) + 3 * INTERVAL + 1
+    res = run_forecast(spark, fc, now).toPandas()
+    assert len(res) == 0
+
+
+def test_bad_horizon_rejected(spark):
+    with pytest.raises(ValueError, match="horizon"):
+        Forecaster(forecaster_id="x", indices="p",
+                   feature_specs={"v": {"avg": {"field": "value"}}},
+                   horizon=0)

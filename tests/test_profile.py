@@ -1,0 +1,99 @@
+"""Profile surface (round 5): detector state summary against a seeded
+stateful run, and index profile against a built index."""
+
+import numpy as np
+import pandas as pd
+
+from anomaly_detection_spark.detector import (
+    Detector,
+    run_historical,
+    run_once_stateful,
+)
+from anomaly_detection_spark.profile import profile_detector, profile_index
+
+INTERVAL = 600_000
+BASE = pd.Timestamp("2025-03-01")
+
+
+def _events(spark, tmp_path_factory, n=40):
+    rng = np.random.default_rng(3)
+    frames = []
+    for svc in ("A", "B"):
+        frames.append(pd.DataFrame({
+            "service": svc,
+            "ts": [BASE + pd.Timedelta(milliseconds=i * INTERVAL)
+                   for i in range(n)],
+            "value": rng.normal(10.0, 1.0, n),
+        }))
+    path = str(tmp_path_factory.mktemp("prof") / "events")
+    spark.createDataFrame(pd.concat(frames)).write.parquet(path)
+    return path
+
+
+def test_profile_detector_lifecycle(spark, tmp_path_factory):
+    path = _events(spark, tmp_path_factory)
+    state = str(tmp_path_factory.mktemp("prof_state"))
+    det = Detector(
+        detector_id="prof-det", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL,
+        category_fields=("service",), shingle_size=4, confidence_ramp=8)
+    p0 = profile_detector(spark, det, state)
+    assert p0["state"] == "INIT" and p0["init_progress"] == 0.0
+
+    base_ms = int(BASE.value // 10**6)
+    # ingest 6 intervals: shingle 4 → 2 scored < ramp 8 → RUNNING
+    for i in range(6):
+        run_once_stateful(spark, det, base_ms + (i + 1) * INTERVAL + 1,
+                          state).count()
+    p1 = profile_detector(spark, det, state)
+    assert p1["state"] == "RUNNING"
+    assert 0.0 < p1["init_progress"] < 1.0
+    assert p1["entity_count"] == 2 and p1["model_count"] == 2
+    assert p1["last_data_time_ms"] == base_ms + 5 * INTERVAL
+
+    for i in range(6, 14):
+        run_once_stateful(spark, det, base_ms + (i + 1) * INTERVAL + 1,
+                          state).count()
+    p2 = profile_detector(spark, det, state)
+    assert p2["state"] == "READY" and p2["init_progress"] == 1.0
+
+
+def test_profile_detector_rcf_model_bytes(spark, tmp_path_factory):
+    from anomaly_detection_spark.features import rcf_stream_factory
+
+    path = _events(spark, tmp_path_factory)
+    wd = tmp_path_factory.mktemp("prof_hist")
+    det = Detector(
+        detector_id="prof-rcf", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL,
+        category_fields=("service",), confidence_ramp=8)
+    base_ms = int(BASE.value // 10**6)
+    run_historical(
+        spark, det, base_ms, base_ms + 40 * INTERVAL,
+        state_dir=str(wd / "state"), results_dir=str(wd / "results"),
+        piece_intervals=64,
+        scorer_factory=rcf_stream_factory(
+            shingle=4, n_trees=3, sample_size=16, min_samples=4)).count()
+    p = profile_detector(spark, det, str(wd / "state"))
+    assert p["model_count"] == 2
+    assert p["total_model_bytes"] > 1000     # serialized RCF checkpoints
+    assert p["state"] == "READY"
+
+
+def test_profile_index(spark, tiny_transcripts, tmp_path_factory):
+    from anomaly_detection_spark.index import build_index
+
+    tmp = str(tmp_path_factory.mktemp("prof_idx"))
+    paths = build_index(tiny_transcripts, f"{tmp}/idx", seg_size=512,
+                        block_size=64, segments_per_batch=2,
+                        positions=True)
+    n_docs = tiny_transcripts.count()
+    p = profile_index(spark, paths.root)
+    assert p["n_docs"] == n_docs
+    assert p["positions"] is True
+    assert p["segments"] >= 1 and p["terms"] > 0 and p["postings"] > 0
+    assert p["postings_bytes"] > 0
+    assert p["docid_range"] == [0, n_docs]
+    assert "index_postings" in p["stage_walls_s"] or p["stage_walls_s"]
