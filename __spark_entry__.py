@@ -261,12 +261,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "rank", "score"))
     q["match_phrase_scored"] = phrase_scored
 
-    def match_contains(s, d):
-        from anomaly_detection_spark.query.planner import compile_filter
-        docs = _read(s, d, "documents")
-        cond = compile_filter(docs, {"match": {"text": "spark merge"}})
-        return docs.filter(cond).select("doc_id").orderBy("doc_id")
-    q["match_contains_unscored"] = match_contains
+    # (filter-context match folds into pytest —
+    # tests/test_planner_aggs.py::test_match_filter_context locks the
+    # any-token containment semantics; the scored entries keep the
+    # match family's driver coverage)
+    def qs_topk(s, d):
+        """query_string compiled to the engine DSL and scored on the
+        INDEX path: 'data AND merge' → one conjunctive match
+        (operator and) → BM25 over only those two terms' posting
+        blocks, docs required to contain both."""
+        from anomaly_detection_spark.query.planner import search
+        reader = _docs_index(s, d)
+        top = search(reader, {"query": {"query_string": {
+            "query": "data AND merge", "default_field": "text"}},
+            "size": 10})
+        out = top.select(F.col("docid").alias("doc_id"),
+                         F.round("score", 6).alias("score"))
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+                .select("doc_id", "rank", "score"))
+    q["query_string_topk"] = qs_topk
 
     # ---- filters (Q2, Q3, Q4, Q7, Q8, Q9) ---------------------------------
     def term_filter_stats(s, d):
@@ -568,18 +582,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # (prefix / filter-context match_phrase fold into pytest —
     # tests/test_round3_extras.py; the scored phrase + wildcard entries
-    # keep the driver coverage of those operator families)
-    def card(s, d):
-        # approximate cardinality (HLL++) vs exact — exposed rows-only
-        ev = _read(s, d, "events")
-        return ev.agg(F.approx_count_distinct("user_id").alias("approx_users"))
-    q["cardinality_approx"] = card
+    # keep the driver coverage of those operator families.  A3
+    # cardinality folds into pytest — tests/test_round5_fixes.py::
+    # test_cardinality_hll_accuracy locks the HLL estimate against the
+    # exact distinct count; its rows-only driver row carried no oracle
+    # signal by design.)
+    def phrase_sloppy(s, d):
+        """Scored sloppy match_phrase (slop=2) on the positional INDEX
+        path: anchor-nearest semantics (Lucene's documented two-term
+        distances — one word between = 1, transposed = 2), tf =
+        Σ 1/(1+matchLength), BM25 saturation; reads only the phrase
+        terms' posting blocks + positions.  The DuckDB oracle computes
+        the identical formula with list lambdas."""
+        from anomaly_detection_spark.query.planner import search
+        reader = _docs_index(s, d)
+        top = search(reader, {"query": {"match_phrase": {"text": {
+            "query": "the data", "slop": 2}}}, "size": 10})
+        out = top.select(F.col("docid").alias("doc_id"),
+                         F.round("score", 6).alias("score"))
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+                .select("doc_id", "rank", "score"))
+    q["match_phrase_sloppy"] = phrase_sloppy
 
     def pct_approx(s, d):
         """Scale-default percentiles: percentile_approx (GK sketch, the
         t-digest analog — AbstractRetriever.java:80-85).  Rows-only by
-        design, like cardinality_approx; the exact twin stays green in
-        metric_aggs_global behind the exact flag."""
+        design (a sketch has no exact oracle); the exact twin stays
+        green in metric_aggs_global behind the exact flag."""
         from anomaly_detection_spark.query.aggs import metric_agg_column
         ev = _read(s, d, "events")
         return ev.agg(metric_agg_column(
@@ -631,19 +661,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("v_avg", 6).alias("v_avg")).orderBy("bucket_start")
     q["impute_linear_hourly"] = impute
 
-    def impute_prev(s, d):
-        """PREVIOUS imputation (ImputationMethod.java:12-20 /
-        PreviousValueImputer): missing buckets carry the last present
-        value forward over the dense grid."""
-        from anomaly_detection_spark.features import feature_matrix, impute_fill
-        ev = _read(s, d, "events").filter(F.col("event_type") == "purchase")
-        fm = feature_matrix(ev, "ts", EVENTS_HOUR,
-                            {"v_avg": {"avg": {"field": "value"}}})
-        out = impute_fill(fm.select("bucket_start", "v_avg"), EVENTS_HOUR,
-                          ["v_avg"], method="previous")
-        return out.select("bucket_start",
-                          F.round("v_avg", 6).alias("v_avg")).orderBy("bucket_start")
-    q["impute_previous_hourly"] = impute_prev
+    # (previous-imputation folds into pytest — tests/test_round4_fixes.
+    # py::test_impute_fill_reference_formulas locks zero/fixed/previous
+    # against the reference formulas; impute_linear_hourly keeps the
+    # imputation family's driver row)
+    def forecast_trend(s, d):
+        """Forecast seam over the hourly event-count series: Holt
+        linear-trend, horizon 8 with √h-widening bounds.  Rows-only by
+        design — the Holt recursion is iterative state, not
+        SQL-expressible; accuracy/coverage are pytest-locked in
+        tests/test_forecast.py."""
+        from anomaly_detection_spark.forecast import (
+            Forecaster,
+            holt_forecaster,
+            run_forecast,
+        )
+        ev = _read(s, d, "events")
+        hi = ev.agg(F.max(F.unix_millis(
+            F.col("ts").cast("timestamp")))).collect()[0][0]
+        fc = Forecaster(
+            forecaster_id="fc-events", indices=f"{d}/events.parquet",
+            feature_specs={"n_events": {"value_count": {"field": "event_id"}}},
+            time_field="ts", interval_ms=EVENTS_HOUR, horizon=8)
+        res = run_forecast(s, fc, hi + EVENTS_HOUR,
+                           history_intervals=100_000,
+                           forecaster=holt_forecaster(8))
+        return (res.select(
+            "horizon_index",
+            F.round("forecast_value", 6).alias("forecast_value"),
+            F.round("forecast_lower_bound", 6).alias("lower"),
+            F.round("forecast_upper_bound", 6).alias("upper"))
+            .orderBy("horizon_index"))
+    q["forecast_trend_horizon"] = forecast_trend  # rows-only (iterative)
 
     # ---- dedup / text / similarity ----------------------------------------
     # (exact_duplicates folds into pytest — 0 rows at this SF made the
@@ -869,12 +918,8 @@ def oracle_sql() -> dict[str, str]:
     sql["multi_match_best_fields"] = _mm_sql(
         ["the", "src3", "data"], ["text", "source"], 10, 0.3)
 
-    sql["match_contains_unscored"] = f"""
-SELECT doc_id FROM (
-  SELECT doc_id, {_TOKEN_SQL.format(col='text')} AS ts FROM documents)
-WHERE len(list_intersect(ts, ['spark','merge'])) > 0
-ORDER BY doc_id
-"""
+    sql["query_string_topk"] = _bm25_sql(["data", "merge"], 10,
+                                         require_all=True)
 
     sql["term_filter_stats"] = """
 SELECT count(*) AS doc_count,
@@ -1198,22 +1243,47 @@ SELECT epoch_ms(bms) AS bucket_start,
 FROM nb ORDER BY bms
 """
 
-    sql["impute_previous_hourly"] = f"""
-WITH src AS (SELECT * FROM events WHERE event_type = 'purchase'),
-agg AS (
-  SELECT epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR} AS bms,
-         avg(value) AS v FROM src GROUP BY 1),
-ext AS (SELECT min(bms) AS lo, max(bms) AS hi FROM agg),
-grid AS (
-  SELECT unnest(generate_series(ext.lo, ext.hi, {EVENTS_HOUR})) AS bms FROM ext),
-dense AS (
-  SELECT g.bms, a.v FROM grid g LEFT JOIN agg a USING (bms))
-SELECT epoch_ms(bms) AS bucket_start,
-       round(last_value(v IGNORE NULLS)
-             OVER (ORDER BY bms
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             6) AS v_avg
-FROM dense ORDER BY bms
+    sql["match_phrase_sloppy"] = rf"""
+WITH tok AS (
+  SELECT doc_id, {_TOKEN_SQL.format(col='text')} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tok)
+  WHERE term IN ('the', 'data') GROUP BY term),
+idf AS (
+  SELECT sum(ln(1 + (stats.n - coalesce(dfq.df, 0) + 0.5)
+              / (coalesce(dfq.df, 0) + 0.5))) AS s
+  FROM (SELECT unnest(['the', 'data']) AS term) p
+  LEFT JOIN dfq USING (term) CROSS JOIN stats),
+adj AS (
+  SELECT doc_id,
+         list_filter(list_transform(ts, (x, i) ->
+             CASE WHEN x = 'the' THEN i - 1 END),
+             v -> v IS NOT NULL) AS a0,
+         list_filter(list_transform(ts, (x, i) ->
+             CASE WHEN x = 'data' THEN i - 2 END),
+             v -> v IS NOT NULL) AS a1
+  FROM tok),
+pf AS (
+  SELECT doc_id,
+         list_sum(list_transform(a0, a ->
+             CASE WHEN list_min(list_transform(a1, x -> abs(x - a))) <= 2
+                  THEN 1.0 / (1 + list_min(
+                       list_transform(a1, x -> abs(x - a))))
+                  ELSE 0.0 END)) AS pf
+  FROM adj)
+SELECT doc_id,
+       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank,
+       round(score, 6) AS score
+FROM (
+  SELECT pf.doc_id,
+         idf.s * (pf.pf * ({K1} + 1.0))
+         / (pf.pf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) AS score
+  FROM pf JOIN dl USING (doc_id) CROSS JOIN idf CROSS JOIN stats
+  WHERE pf.pf > 0)
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """
 
     sql["top_entities_by_severity"] = f"""

@@ -188,3 +188,17 @@ def test_duplicate_clusters_multi_components_unchanged(spark):
     assert out[1] == (1, 3) and out[3] == (1, 3)
     assert out[11] == (10, 2)
     assert out[20] == (20, 3) and out[22] == (20, 3)
+
+
+# ------------------------------------------------- cardinality fold
+
+def test_cardinality_hll_accuracy(spark):
+    """A3 cardinality (HLL++): the approx_count_distinct estimate must
+    land within the default rsd (~5%, 3-sigma margin) of the exact
+    distinct count — the gate entry folded into this check."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    approx = ev.agg(F.approx_count_distinct("user_id")).collect()[0][0]
+    exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(approx - exact) <= max(3, 0.15 * exact), (approx, exact)
