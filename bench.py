@@ -224,6 +224,30 @@ def main() -> None:
               {"text": dreader, "source": sreader}, "the src3 data",
               ["text", "source"], k=10, match_type="best_fields",
               tie_breaker=0.3).collect())
+    # round-5 operators: sloppy phrase + phrase-prefix on the same
+    # positional index (nearest-neighbor / expansion kernels)
+    from anomaly_detection_spark.query.index_search import (
+        match_phrase_prefix_topk_indexed,
+    )
+    timed("match_phrase_sloppy_indexed",
+          lambda: match_phrase_topk_indexed(
+              dreader, "the data", k=10, slop=2).collect())
+    timed("match_phrase_prefix_indexed",
+          lambda: match_phrase_prefix_topk_indexed(
+              dreader, "the dat", k=10).collect())
+
+    # RCF scoring throughput: one entity-stream of 10k points at the
+    # floors' config (30 trees × 128 samples, shingle 8) — the
+    # per-entity sequential cost that bounds detector scoring fan-out
+    import numpy as np
+
+    from anomaly_detection_spark.features import rcf_scorer
+
+    rcf_vals = (100.0 + 10.0 * np.cos(2 * np.pi * np.arange(10_000)
+                                      / 288.0)
+                + np.random.default_rng(7).normal(0, 2.0, 10_000))
+    timed("rcf_stream_10k", lambda: rcf_scorer(
+        shingle=8, n_trees=30, sample_size=128)(rcf_vals))
 
     print(json.dumps({
         "metric": "index-build throughput (turns/sec)",
