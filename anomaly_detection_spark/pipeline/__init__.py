@@ -12,7 +12,10 @@ from .similarity import (  # noqa: F401
     ivf_ann_topk,
     ivf_assign,
     ivf_centroids,
+    ivfpq_ann_topk,
     lsh_ann_topk,
+    pq_encode,
+    pq_train_books,
 )
 from .text import (  # noqa: F401
     doc_fingerprints,

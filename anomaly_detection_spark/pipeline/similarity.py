@@ -281,3 +281,223 @@ def lsh_ann_topk(
         "cosine", F.round(_dot(F.col("_qv"), F.col("_cv"))
                           / (F.col("_qn") * F.col("_cn")), 6))
     return _topk_per_query(scored, k)
+
+
+# --------------------------------------------------------------- IVF-PQ
+
+
+def pq_train_books(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    m_sub: int | None = None,
+    n_codes: int = 256,
+    train_size: int = 10_000,
+    n_iter: int = 10,
+    seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train product-quantizer codebooks on coarse-quantization
+    RESIDUALS (the FAISS IVFPQ posture): the same bounded deterministic
+    sample as :func:`ivf_centroids`, residual r = x̂ − c_list, dims
+    split into ``m_sub`` subspaces (default d/2 → 2 dims each, 8×
+    compression at 8-bit codes vs float32), seeded Lloyd k-means per
+    subspace — all one numpy batch on the driver, O(train_size)
+    regardless of corpus scale.  Returns ``books[m_sub, n_codes,
+    d_sub]`` (unused code slots repeat the last trained codeword so
+    lookups stay dense)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    rows = (corpus.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).alias("_v"))
+            .filter(_norm(F.col("_v")) > 0)
+            .orderBy("_id").limit(train_size).collect())
+    if not rows:
+        raise ValueError("pq_train_books: no non-zero vectors to train on")
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    M = m_sub if m_sub is not None else d // 2
+    if d % M != 0:
+        raise ValueError(f"dim {d} not divisible by m_sub {M}")
+    dsub = d // M
+    R = X - C[np.argmax(X @ C.T, axis=1)]
+    rng = np.random.RandomState(seed)
+    books = np.empty((M, n_codes, dsub))
+    for m in range(M):
+        sub = R[:, m * dsub:(m + 1) * dsub]
+        kk = min(n_codes, len(sub))
+        init = rng.choice(len(sub), size=kk, replace=False)
+        B = sub[init].copy()
+        for _ in range(n_iter):
+            # squared-L2 assignment, vectorized: argmin ||r − b||²
+            d2 = (-2.0 * sub @ B.T
+                  + (B * B).sum(axis=1)[None, :])
+            assign = np.argmin(d2, axis=1)
+            for j in range(kk):
+                msk = assign == j
+                if msk.any():
+                    B[j] = sub[msk].mean(axis=0)
+        books[m, :kk] = B
+        if kk < n_codes:
+            books[m, kk:] = B[kk - 1]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode the corpus to (vec_id, _list, _code): coarse list id +
+    one byte per subquantizer (binary column — the ≥8× compressed
+    representation that ships instead of raw vectors).  One Arrow
+    matmul batch per partition; zero-norm vectors are dropped like the
+    exact path."""
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(books, dtype=np.float64)
+    M, n_codes, dsub = B.shape
+    if n_codes > 256:
+        raise ValueError("pq_encode packs one byte per subquantizer; "
+                         "n_codes must be <= 256")
+    out_schema = T.StructType([
+        T.StructField("vec_id", corpus.schema[id_col].dataType),
+        T.StructField("_list", T.IntegerType()),
+        T.StructField("_code", T.BinaryType()),
+    ])
+    # flat (M·n_codes, dsub) codebook with per-row squared norms: one
+    # argmin per subspace over a strided view
+    Bn2 = (B * B).sum(axis=2)                     # (M, n_codes)
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(X, axis=1)
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            X = X[keep] / nrm[keep, None]
+            lists = np.argmax(X @ C.T, axis=1)
+            R = X - C[lists]
+            n = len(X)
+            codes = np.empty((n, M), dtype=np.uint8)
+            for m in range(M):
+                sub = R[:, m * dsub:(m + 1) * dsub]
+                d2 = -2.0 * sub @ B[m].T + Bn2[m][None, :]
+                codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy()[keep],
+                "_list": lists.astype(np.int32),
+                "_code": [c.tobytes() for c in codes],
+            })
+
+    src = corpus.select(F.col(id_col).alias(id_col),
+                        F.col(vec_col).alias("_v"))
+    return src.mapInPandas(enc, schema=out_schema)
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 64,
+    n_probe: int = 8,
+    m_sub: int | None = None,
+    train_size: int = 10_000,
+    seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: np.ndarray | None = None,
+    books: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k by inner product of normalized vectors
+    (≈ cosine): probe ``n_probe`` lists per query, score candidates by
+    asymmetric distance computation — score = q·c_list + Σ_m
+    table_q[m, code_m] with per-query lookup tables q_m · books[m]ᵀ —
+    WITHOUT touching raw vectors (the 100 TB memory posture: the
+    encoded corpus is the ~8×-compressed codes, nothing is reranked
+    raw).  Deterministic end to end; recall floors measured in
+    tests/test_pipeline_ops.py.  Pass ``centroids``/``books``/
+    ``encoded`` to amortize the index across query batches."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_lists=n_lists,
+                                  vec_col=vec_col, id_col=id_col,
+                                  train_size=train_size, seed=seed)
+    C = np.asarray(centroids, dtype=np.float64)
+    if books is None:
+        books = pq_train_books(corpus, C, m_sub=m_sub,
+                               train_size=train_size, seed=seed,
+                               vec_col=vec_col, id_col=id_col)
+    B = np.asarray(books, dtype=np.float64)
+    M, n_codes, dsub = B.shape
+    n_probe = min(n_probe, len(C))
+    enc = encoded if encoded is not None \
+        else pq_encode(corpus, C, B, vec_col=vec_col, id_col=id_col)
+
+    # driver-side query prep (queries are the small broadcast side):
+    # normalized vectors, probe lists, ADC tables per query
+    qrows = (queries.select(F.col(query_id_col).alias("_qid"),
+                            F.col(vec_col).alias("_qv"))
+             .filter(_norm(F.col("_qv")) > 0).collect())
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {queries.schema[query_id_col].dataType.simpleString()},"
+                f" rank long, vec_id {corpus.schema[id_col].dataType.simpleString()},"
+                f" score double")
+    qids = [r["_qid"] for r in qrows]
+    Q = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qc = Q @ C.T                                   # (nq, n_lists)
+    probes = np.argpartition(-qc, n_probe - 1, axis=1)[:, :n_probe]
+    # tables[i]: (M, n_codes) — q_m · books[m]ᵀ
+    tables = np.einsum("qmd,mcd->qmc",
+                       Q.reshape(len(Q), M, dsub), B)
+    spark = corpus.sparkSession
+    probe_rows = [(qid, int(l)) for i, qid in enumerate(qids)
+                  for l in probes[i]]
+    qdf = spark.createDataFrame(probe_rows, ["query_id", "_list"])
+
+    cand = enc.join(F.broadcast(qdf), "_list") \
+        .filter(F.col("vec_id") != F.col("query_id"))
+    qindex = {qid: i for i, qid in enumerate(qids)}
+
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[query_id_col].dataType),
+        T.StructField("vec_id", corpus.schema[id_col].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["_code"]), dtype=np.uint8).reshape(-1, M)
+            qi = pdf["query_id"].map(qindex).to_numpy(np.int64)
+            lists = pdf["_list"].to_numpy(np.int64)
+            s = qc[qi, lists]
+            cols = np.arange(M)
+            s = s + tables[qi[:, None], cols[None, :],
+                           codes.astype(np.int64)].sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "vec_id": pdf["vec_id"],
+                                "score": s})
+
+    scored = cand.mapInPandas(score, schema=out_schema) \
+        .withColumn("score", F.round("score", 6))
+    w_local = Window.partitionBy("query_id", "_p").orderBy(
+        F.desc("score"), F.asc("vec_id"))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("_p", F.spark_partition_id())
+            .withColumn("_r", F.row_number().over(w_local))
+            .filter(F.col("_r") <= k).drop("_r", "_p")
+            .withColumn("rank", F.row_number().over(w_final).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "score")
+            .orderBy("query_id", "rank"))
