@@ -79,9 +79,14 @@ def test_match_phrase_filter(spark):
     got = sorted(r["i"] for r in df.filter(cond).collect())
     assert got == [0, 2]
 
+    # slop supported since r5: one word between / transposition match
+    cond2 = compile_filter(df, {"match_phrase": {
+        "text": {"query": "the quick", "slop": 2}}})
+    got2 = sorted(r["i"] for r in df.filter(cond2).collect())
+    assert got2 == [0, 1, 2]
     with pytest.raises(ValueError, match="slop"):
         compile_filter(df, {"match_phrase": {
-            "text": {"query": "the quick", "slop": 2}}})
+            "text": {"query": "the quick", "slop": -1}}})
 
 
 def test_prefix_and_ids_queries(spark):
