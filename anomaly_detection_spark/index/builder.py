@@ -492,13 +492,17 @@ def build_index(
         positions = prev.positions
         codec = _codec_name(prev.codec)
     elif seg_size is None:
-        # one segment per core is enough parallelism; prefer LARGE
-        # segments — smaller ones multiply per-term block overhead
-        # (every term pays ≥1 block per segment it appears in), which
-        # measurably beats the extra task slack (probed at 2.4M turns:
-        # 37.5k-doc segments were ~1.6× slower than 65k at local[32])
+        # one segment per core is enough parallelism, but segments must
+        # stay SMALL enough that `parallelism` concurrent encode groups
+        # fit the python workers comfortably: each group materializes
+        # seg_size × avgdl exploded (term, docid) rows as one pandas
+        # frame, and 32 concurrent 64k-doc groups (~1.6M rows each,
+        # object-dtype terms) thrash allocator + page cache.  Measured
+        # at 6M turns / local[32]: 65536-doc segments built at 13.8k
+        # turns/s, 16384-doc segments at 52.7k (3.8×) — the per-term
+        # block overhead of smaller segments is noise next to that.
         par = max(4, spark.sparkContext.defaultParallelism)
-        seg_size = int(min(1 << 16, max(1 << 12, n_docs // par or 1)))
+        seg_size = int(min(1 << 14, max(1 << 12, n_docs // par or 1)))
     # bucket grid must align across segments: seg_size % bucket_size == 0.
     # Round seg_size UP to a multiple of the requested grid rather than
     # shrinking the grid via gcd — an odd auto-chosen seg_size would
