@@ -294,7 +294,8 @@ def _state_path(state_dir: str, detector_id: str) -> str:
 
 
 def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
-                      state_dir: str, eps: float = 1e-9) -> DataFrame:
+                      state_dir: str, eps: float = 1e-9,
+                      scorer_factory=None) -> DataFrame:
     """One realtime interval using checkpointed per-entity state.
 
     Produces rows identical to :func:`preview`'s output at the same
@@ -308,6 +309,15 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
     the state swap) REPLAYS the stored score without appending the
     value into the shingle window again.  A call for an interval older
     than ``last_ms`` is a no-op (no mutation, no rows).
+
+    ``scorer_factory`` (same protocol as :func:`run_historical`'s —
+    e.g. :func:`~anomaly_detection_spark.features.rcf_stream_factory`)
+    swaps the trailing-z window for a checkpointed streaming model:
+    the per-(entity, feature) serialized model rides in the state
+    table's ``model`` column and is restored/updated/re-serialized
+    each interval — the reference's realtime checkpoint round-trip
+    (``CheckpointDao``).  Replay semantics are identical (the model is
+    NOT updated twice for a retried interval).
     """
     import numpy as np
     import pandas as pd
@@ -347,14 +357,16 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
                     + [T.StructField("vals", T.ArrayType(T.DoubleType())),
                        T.StructField("scored_cnt", T.LongType()),
                        T.StructField("last_ms", T.LongType()),
-                       T.StructField("last_z", T.DoubleType())])
+                       T.StructField("last_z", T.DoubleType()),
+                       T.StructField("model", T.BinaryType())])
     state_schema = T.StructType(state_fields)
     import os
 
     if os.path.exists(spath):
         state = spark.read.parquet(spath)
-        # state written before the idempotency columns existed
-        for c, t in (("last_ms", "long"), ("last_z", "double")):
+        # state written before the idempotency / model columns existed
+        for c, t in (("last_ms", "long"), ("last_z", "double"),
+                     ("model", "binary")):
             if c not in state.columns:
                 state = state.withColumn(c, F.lit(None).cast(t))
     else:
@@ -380,17 +392,34 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
             replay = havev & (lm == float(start))
             ingest = havev & ~replay & ~(lm > float(start))
             z = np.full(n, np.nan)
-            idx = np.flatnonzero((lens == k) & ingest)
-            if len(idx):
-                # same float sequence as zscore_scorer (sum/k twice)
-                W = np.array([vals_list[i] for i in idx], dtype=np.float64)
-                m = W.sum(axis=1) / k
-                m2 = (W * W).sum(axis=1) / k
-                std = np.sqrt(np.maximum(m2 - m * m, 0.0))
-                z[idx] = (v[idx] - m) / (std + eps)
+            models = list(pdf["model"]) if "model" in pdf.columns \
+                else [None] * n
+            if scorer_factory is not None:
+                # one checkpointed streaming model per row (a row IS one
+                # entity-feature model — the per-entity loop mirrors the
+                # reference's per-model checkpoint round-trip)
+                for i in np.flatnonzero(ingest):
+                    mb = models[i]
+                    stream = (scorer_factory() if mb is None or (
+                        isinstance(mb, float) and pd.isna(mb))
+                        else scorer_factory.restore(bytes(mb)))
+                    zi, _ = stream.update(float(v[i]))
+                    z[i] = zi
+                    models[i] = stream.to_bytes()
+            else:
+                idx = np.flatnonzero((lens == k) & ingest)
+                if len(idx):
+                    # same float sequence as zscore_scorer (sum/k twice)
+                    W = np.array([vals_list[i] for i in idx],
+                                 dtype=np.float64)
+                    m = W.sum(axis=1) / k
+                    m2 = (W * W).sum(axis=1) / k
+                    std = np.sqrt(np.maximum(m2 - m * m, 0.0))
+                    z[idx] = (v[idx] - m) / (std + eps)
             z[replay] = lz[replay]
             newvals = [
-                (vals_list[i] + [float(v[i])])[-k:] if ingest[i]
+                (vals_list[i] + [float(v[i])])[-k:]
+                if ingest[i] and scorer_factory is None
                 else vals_list[i]
                 for i in range(n)]
             cnt = pdf["scored_cnt"].fillna(0).to_numpy(dtype=np.int64)
@@ -398,11 +427,13 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
             new_lm = np.where(ingest, float(start), lm)
             new_lz = np.where(ingest, z, lz)
             out = pdf.drop(columns=["vals", "scored_cnt", "last_ms",
-                                    "last_z", "_v"]).copy()
+                                    "last_z", "_v", "model"],
+                           errors="ignore").copy()
             out["vals"] = newvals
             out["scored_cnt"] = cnt
             out["last_ms"] = pd.Series(new_lm).astype("Int64")
             out["last_z"] = new_lz
+            out["model"] = models
             out["_z"] = z
             yield out[[f.name for f in upd_schema.fields]]
 

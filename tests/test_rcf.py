@@ -194,3 +194,71 @@ def test_rcf_preview_equals_historical(spark, tmp_path_factory):
     assert np.allclose(res_p.anomaly_grade, res_h.anomaly_grade)
     assert np.allclose(res_p.confidence, res_h.confidence)
     assert (res_p.anomaly_grade > 0).sum() >= 1   # the spike alerts
+
+
+def test_rcf_stateful_sequence_matches_preview(spark, tmp_path_factory):
+    """run_once_stateful with the checkpointed RCF stream, called once
+    per interval in order, must reproduce preview's RCF rows exactly —
+    and a retried interval must replay, not double-update the model."""
+    import pandas as pd
+
+    from anomaly_detection_spark.detector import (
+        Detector,
+        preview,
+        run_once_stateful,
+    )
+    from anomaly_detection_spark.features import (
+        rcf_scorer,
+        rcf_stream_factory,
+    )
+
+    rng = np.random.default_rng(3)
+    n, interval_ms = 60, 60_000
+    base = pd.Timestamp("2025-04-01")
+    vals = 20.0 + rng.normal(0, 1, n)
+    vals[50] += 30.0
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(milliseconds=i * interval_ms)
+               for i in range(n)],
+        "v": vals,
+    })
+    path = str(tmp_path_factory.mktemp("rcfst") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    det = Detector(
+        detector_id="rcf-st", indices=path,
+        feature_specs={"f": {"avg": {"field": "v"}}},
+        time_field="ts", interval_ms=interval_ms, anomaly_threshold=3.0,
+        confidence_ramp=8)
+    conf = dict(shingle=4, n_trees=5, sample_size=16, min_samples=8)
+    want = (preview(spark, det, scorer=rcf_scorer(**conf))
+            .select("bucket_start", "anomaly_score", "anomaly_grade")
+            .toPandas().sort_values("bucket_start").reset_index(drop=True))
+
+    state = str(tmp_path_factory.mktemp("rcfst_state"))
+    base_ms = int(base.value // 10**6)
+    got_rows = []
+    fac = rcf_stream_factory(**conf)
+    for i in range(n):
+        now = base_ms + (i + 1) * interval_ms + 1
+        df = run_once_stateful(spark, det, now, state,
+                               scorer_factory=fac)
+        out = df.select("bucket_start", "anomaly_score",
+                        "anomaly_grade").collect()
+        if i == 30:   # retry mid-sequence: must replay identically
+            out2 = run_once_stateful(spark, det, now, state,
+                                     scorer_factory=fac) \
+                .select("bucket_start", "anomaly_score",
+                        "anomaly_grade").collect()
+            assert [tuple(r) for r in out2] == [tuple(r) for r in out]
+        got_rows.extend((r["bucket_start"], r["anomaly_score"],
+                         r["anomaly_grade"]) for r in out)
+    import pandas as _pd
+
+    got = (_pd.DataFrame(got_rows, columns=["bucket_start",
+                                            "anomaly_score",
+                                            "anomaly_grade"])
+           .sort_values("bucket_start").reset_index(drop=True))
+    assert len(got) == len(want) > 40
+    assert np.allclose(got.anomaly_score, want.anomaly_score)
+    assert np.allclose(got.anomaly_grade, want.anomaly_grade)
+    assert (got.anomaly_grade > 0).any()      # the spike alerts
