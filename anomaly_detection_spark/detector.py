@@ -165,6 +165,72 @@ def preview(spark: SparkSession, det: Detector,
     ent = list(det.category_fields)
     gcols = ent or ["_g"]
     base = fm if ent else fm.withColumn("_g", F.lit("_"))
+
+    if getattr(scorer, "multivariate", False):
+        # JOINT scoring (the reference's model shape): one model per
+        # entity over the feature VECTOR — the scorer sees the
+        # (n_buckets × n_features) matrix, returns one z per interval
+        # plus per-feature expected values.  Buckets missing any
+        # feature are skipped (the joint model needs the full vector;
+        # configure imputation for gappy entities).
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        cond_all = None
+        for n in feats:
+            c = F.col(n).isNotNull()
+            cond_all = c if cond_all is None else cond_all & c
+        basej = base.filter(cond_all)
+        out_fields = list(basej.schema.fields) + [
+            *[T.StructField(f"_exp_{n}", T.DoubleType()) for n in feats],
+            T.StructField("_z", T.DoubleType())]
+        out_schema = T.StructType(out_fields)
+
+        def fnj(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("bucket_start").reset_index(drop=True)
+            V = pdf[feats].to_numpy(dtype=np.float64)
+            z, exps = scorer(V)
+            for j, n in enumerate(feats):
+                pdf[f"_exp_{n}"] = exps[:, j]
+            pdf["_z"] = z
+            out = pdf[~pdf["_z"].isna()]
+            return out[[f.name for f in out_fields]]
+
+        out = basej.groupBy(*gcols).applyInPandas(fnj, schema=out_schema)
+        from pyspark.sql.window import Window as _Wj
+
+        conf_wj = _Wj.partitionBy(*gcols).orderBy("bucket_start")
+        out = out.withColumn("_cnt", F.count("_z").over(conf_wj))
+        score = F.abs(F.col("_z"))
+        conf = F.least(F.lit(1.0),
+                       F.col("_cnt") / F.lit(float(det.confidence_ramp)))
+        result = (out
+                  .withColumn("anomaly_score", F.round(score, 6))
+                  .withColumn("anomaly_grade",
+                              F.round(_grade(score, det.anomaly_threshold),
+                                      6))
+                  .withColumn("confidence", F.round(conf, 6))
+                  .withColumn("detector_id", F.lit(det.detector_id))
+                  .withColumn("data_start_time", F.col("bucket_start"))
+                  .withColumn("data_end_time", F.timestamp_millis(
+                      F.unix_millis(F.col("bucket_start").cast("timestamp"))
+                      + det.interval_ms)))
+        if det.suppression_rules:
+            result = result.withColumn(
+                "anomaly_grade",
+                F.when(_rule_suppressed(det, feats), F.lit(0.0))
+                .otherwise(F.col("anomaly_grade")))
+        if ent:
+            result = with_entity(result, {c: c for c in ent})
+        else:
+            result = result.withColumn(
+                "entity",
+                F.array().cast("array<struct<name:string,value:string>>"))
+        return result.select(
+            "detector_id", "entity", "data_start_time", "data_end_time",
+            *feats, "anomaly_score", "anomaly_grade", "confidence",
+            *ent, "bucket_start")
     # Single-pass multi-feature scoring: melt features to rows, run ONE
     # applyInPandas over (entity, feature), pivot the scores back.  An
     # F-feature detector costs one FlatMapGroupsInPandas + one pivot

@@ -9,6 +9,7 @@ from .rcf import (  # noqa: F401
     RCFStream,
     StreamingRCF,
     rcf_scorer,
+    rcf_scorer_joint,
     rcf_stream_factory,
 )
 from .scoring import (  # noqa: F401

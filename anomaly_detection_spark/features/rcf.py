@@ -33,7 +33,7 @@ import random
 import numpy as np
 
 __all__ = ["RandomCutTree", "StreamingRCF", "rcf_scorer", "RCFStream",
-           "rcf_stream_factory"]
+           "rcf_stream_factory", "rcf_scorer_joint"]
 
 
 class RandomCutTree:
@@ -272,7 +272,7 @@ class RandomCutTree:
             s += pr * damp / (depth + math.log2(1.0 + lm))
         else:
             s += pr / (depth + 1.0)
-        return s * math.log2(1.0 + self.mass[self.root]), leaf_pt[-1]
+        return s * math.log2(1.0 + self.mass[self.root]), leaf_pt
 
 
 class StreamingRCF:
@@ -306,25 +306,30 @@ class StreamingRCF:
         self.seq = 0
         self._ctr = 0
 
-    def score(self, p: tuple) -> tuple[float, float]:
-        """(normalized anomaly score, expected current-slot value)."""
+    def score(self, p: tuple,
+              expected_dims: int = 1) -> tuple[float, list[float]]:
+        """(normalized anomaly score, per-dim median of the nearest
+        leaves' LAST ``expected_dims`` coordinates — the expected
+        current-slot value(s))."""
         tot = 0.0
         n = 0
-        exps: list[float] = []
+        leaves: list[tuple] = []
         for t in self.trees:
             if t.root < 0:
                 continue
-            s, e = t.score(p)
+            s, lp = t.score(p)
             tot += s
-            exps.append(e)
+            leaves.append(lp)
             n += 1
         if n == 0:
-            return 0.0, float("nan")
-        exps.sort()
-        m = len(exps)
-        med = (exps[m // 2] if m % 2 else
-               0.5 * (exps[m // 2 - 1] + exps[m // 2]))
-        return tot / n, med
+            return 0.0, [float("nan")] * expected_dims
+        meds = []
+        for d in range(-expected_dims, 0):
+            vals = sorted(lp[d] for lp in leaves)
+            m = len(vals)
+            meds.append(vals[m // 2] if m % 2 else
+                        0.5 * (vals[m // 2 - 1] + vals[m // 2]))
+        return tot / n, meds
 
     def update(self, p: tuple) -> None:
         """Offer ``p`` to every tree's time-decayed reservoir."""
@@ -352,15 +357,16 @@ class StreamingRCF:
                 self._ctr += 1
                 heapq.heappush(heap, (-logkey, self._ctr, leaf))
 
-    def score_and_update(self, p: tuple) -> tuple[float, float]:
-        s, e = self.score(p)
+    def score_and_update(self, p: tuple,
+                         expected_dims: int = 1) -> tuple[float, list[float]]:
+        s, e = self.score(p, expected_dims=expected_dims)
         self.update(p)
         return s, e
 
 
 class RCFStream:
-    """Single-series streaming wrapper: shingling + forest + the
-    thresholder that turns raw scores into z-like values.
+    """Streaming wrapper: shingling + forest + the thresholder that
+    turns raw scores into z-like values.
 
     ``update(v) -> (z, expected)`` — NaN during warm-up (shingle not
     full, or fewer than ``min_samples`` scores observed, matching
@@ -369,6 +375,12 @@ class RCFStream:
     sequence, z = (score − mean)/std computed against the state BEFORE
     the current score is absorbed.  Picklable — the historical runner
     checkpoints it between pieces.
+
+    ``n_features > 1`` is the reference's ACTUAL model shape: one
+    forest over the JOINTLY shingled feature vector (point dims =
+    shingle × n_features, each input dim normalized independently) —
+    ``update`` then takes a length-``n_features`` vector and returns
+    ``(z, expected_vector)``.
     """
 
     def __init__(self, shingle: int = 8, n_trees: int = 50,
@@ -379,8 +391,10 @@ class RCFStream:
                  norm_discount: float = 1.0 / 1024.0,
                  clip: float = 10.0,
                  alert_once: bool = True, alert_threshold: float = 3.0,
-                 realert_factor: float = 1.2):
+                 realert_factor: float = 1.2,
+                 n_features: int = 1):
         self.shingle = shingle
+        self.n_features = n_features
         self.min_samples = min_samples
         self.eps = eps
         self.thr_discount = thr_discount
@@ -395,7 +409,7 @@ class RCFStream:
         self.realert_factor = realert_factor
         self.run_max = 0.0
         self.in_run = False
-        self.forest = StreamingRCF(shingle, n_trees=n_trees,
+        self.forest = StreamingRCF(shingle * n_features, n_trees=n_trees,
                                    sample_size=sample_size,
                                    time_decay=time_decay, seed=seed)
         self.buf: list[float] = []
@@ -403,7 +417,7 @@ class RCFStream:
         self.s_mean = 0.0
         self.s_var = 0.0
         # TransformMethod.NORMALIZE analog (ADColdStart.java:206): each
-        # input value is standardized against discounted streaming
+        # input dim is standardized against discounted streaming
         # mean/std BEFORE shingling, clipped like the library's
         # preprocessor — a level spike then stands out against an O(1)
         # bounding box instead of the raw data range
@@ -411,47 +425,60 @@ class RCFStream:
         self.norm_discount = norm_discount
         self.clip = clip
         self.n_in = 0
-        self.in_mean = 0.0
-        self.in_var = 0.0
+        self.in_mean = [0.0] * n_features
+        self.in_var = [0.0] * n_features
 
-    def _transform(self, v: float) -> float:
+    def _transform(self, vs: list[float]) -> list[float]:
         if not self.normalize:
-            return v
-        if self.n_in < 2:
-            xn = 0.0
-        else:
-            xn = (v - self.in_mean) / (math.sqrt(self.in_var) + self.eps)
-            if xn > self.clip:
-                xn = self.clip
-            elif xn < -self.clip:
-                xn = -self.clip
-        # absorb v into the discounted stats AFTER transforming (the
+            return list(vs)
+        out = []
+        for d, v in enumerate(vs):
+            if self.n_in < 2:
+                xn = 0.0
+            else:
+                xn = (v - self.in_mean[d]) \
+                    / (math.sqrt(self.in_var[d]) + self.eps)
+                if xn > self.clip:
+                    xn = self.clip
+                elif xn < -self.clip:
+                    xn = -self.clip
+            out.append(xn)
+        # absorb vs into the discounted stats AFTER transforming (the
         # model scores a point against the state before ingesting it)
         if self.n_in == 0:
-            self.in_mean = v
-            self.in_var = 0.0
+            self.in_mean = [float(v) for v in vs]
+            self.in_var = [0.0] * len(vs)
         else:
             a = max(self.norm_discount, 1.0 / (self.n_in + 1.0))
-            d = v - self.in_mean
-            self.in_mean += a * d
-            self.in_var = (1.0 - a) * (self.in_var + a * d * d)
+            for d, v in enumerate(vs):
+                dd = v - self.in_mean[d]
+                self.in_mean[d] += a * dd
+                self.in_var[d] = (1.0 - a) * (self.in_var[d] + a * dd * dd)
         self.n_in += 1
-        return xn
+        return out
 
-    def _inverse(self, xn: float) -> float:
+    def _inverse(self, xns: list[float]) -> list[float]:
         if not self.normalize:
-            return xn
-        return self.in_mean + xn * (math.sqrt(self.in_var) + self.eps)
+            return list(xns)
+        return [self.in_mean[d] + xn * (math.sqrt(self.in_var[d])
+                                        + self.eps)
+                for d, xn in enumerate(xns)]
 
-    def update(self, v: float) -> tuple[float, float]:
-        x = self._transform(float(v))
-        self.buf.append(x)
-        if len(self.buf) > self.shingle:
-            self.buf.pop(0)
-        if len(self.buf) < self.shingle:
-            return float("nan"), float("nan")
+    def update(self, v):
+        """Scalar in/out for ``n_features=1``; vector in/out otherwise."""
+        F = self.n_features
+        vs = [float(v)] if F == 1 else [float(x) for x in v]
+        if len(vs) != F:
+            raise ValueError(f"expected {F} features, got {len(vs)}")
+        xs = self._transform(vs)
+        self.buf.extend(xs)
+        if len(self.buf) > self.shingle * F:
+            del self.buf[:F]
+        if len(self.buf) < self.shingle * F:
+            nan = float("nan")
+            return (nan, nan) if F == 1 else (nan, [nan] * F)
         p = tuple(self.buf)
-        s, exp = self.forest.score_and_update(p)
+        s, exp = self.forest.score_and_update(p, expected_dims=F)
         exp = self._inverse(exp)
         z = float("nan")
         if self.n_scored >= self.min_samples:
@@ -476,7 +503,7 @@ class RCFStream:
             self.s_mean += a * d
             self.s_var = (1.0 - a) * (self.s_var + a * d * d)
         self.n_scored += 1
-        return z, exp
+        return (z, exp[0]) if self.n_features == 1 else (z, exp)
 
     def to_bytes(self) -> bytes:
         return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
@@ -486,6 +513,12 @@ class RCFStream:
         obj = pickle.loads(b)
         if not isinstance(obj, RCFStream):
             raise ValueError("not an RCFStream checkpoint")
+        if not hasattr(obj, "n_features"):
+            # checkpoint from before the multivariate extension:
+            # scalar normalization state → one-feature vectors
+            obj.n_features = 1
+            obj.in_mean = [obj.in_mean]
+            obj.in_var = [obj.in_var]
         return obj
 
 
@@ -538,5 +571,54 @@ def rcf_scorer(shingle: int = 8, n_trees: int = 50,
             z[i], exp[i] = stream.update(float(values[i]))
         return z, exp
 
+    score.returns_expected = True
+    return score
+
+
+def rcf_scorer_joint(n_features: int, shingle: int = 8, n_trees: int = 50,
+                     sample_size: int = 256,
+                     time_decay: float | None = None,
+                     min_samples: int = 32, seed: int = 11,
+                     thr_discount: float = 1.0 / 256.0,
+                     normalize: bool = True,
+                     norm_discount: float = 1.0 / 1024.0,
+                     alert_once: bool = True, alert_threshold: float = 3.0,
+                     realert_factor: float = 1.2):
+    """JOINT multivariate scorer for the detector's per-entity seam —
+    the reference's actual model shape: ONE forest per entity over the
+    jointly shingled feature vector (shingle × n_features dims), one
+    anomaly score per interval, per-feature expected values from the
+    nearest-leaf medians.
+
+    Takes an (n, n_features) value matrix (feature columns in sorted
+    feature-name order, the detector's convention) and returns
+    ``(z[n], expected[n, n_features])``.  Marked ``multivariate`` so
+    :func:`~anomaly_detection_spark.detector.preview` routes it
+    through the per-entity wide path instead of the per-feature melt.
+    """
+
+    def score(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        V = np.asarray(values, dtype=np.float64)
+        if V.ndim == 1:
+            V = V[:, None]
+        n = len(V)
+        z = np.full(n, np.nan)
+        exp = np.full((n, n_features), np.nan)
+        stream = RCFStream(shingle=shingle, n_trees=n_trees,
+                           sample_size=sample_size, time_decay=time_decay,
+                           min_samples=min_samples, seed=seed,
+                           thr_discount=thr_discount, normalize=normalize,
+                           norm_discount=norm_discount,
+                           alert_once=alert_once,
+                           alert_threshold=alert_threshold,
+                           realert_factor=realert_factor,
+                           n_features=n_features)
+        for i in range(n):
+            zi, ei = stream.update(V[i])
+            z[i] = zi
+            exp[i] = ei if n_features > 1 else [ei]
+        return z, exp
+
+    score.multivariate = True
     score.returns_expected = True
     return score

@@ -68,12 +68,17 @@ def _windows(raw):
              pd.Timestamp(b).tz_localize(None)) for a, b in raw]
 
 
-def evaluate_single_stream(spark, margin_conf: dict | None = None):
-    """SingleStreamModelPerfIT: synthetic.data through preview."""
+def evaluate_single_stream(spark, margin_conf: dict | None = None,
+                           joint: bool = False):
+    """SingleStreamModelPerfIT: synthetic.data through preview.
+
+    ``joint=True`` scores the two features with ONE forest over the
+    jointly shingled vector — the reference's exact model shape for
+    this dataset; the default scores per feature and max-combines."""
     import pandas as pd
 
     from anomaly_detection_spark.detector import Detector, preview
-    from anomaly_detection_spark.features import rcf_scorer
+    from anomaly_detection_spark.features import rcf_scorer, rcf_scorer_joint
 
     interval_ms = 60_000
     data = pd.DataFrame(json.load(open(SYN_DATA)))
@@ -88,8 +93,9 @@ def evaluate_single_stream(spark, margin_conf: dict | None = None):
                        "f2": {"sum": {"field": "Feature2"}}},
         time_field="ts", interval_ms=interval_ms,
         anomaly_threshold=3.0)
-    res = preview(spark, det,
-                  scorer=rcf_scorer(**(margin_conf or RCF_CONF))).toPandas()
+    conf = margin_conf or RCF_CONF
+    scorer = rcf_scorer_joint(2, **conf) if joint else rcf_scorer(**conf)
+    res = preview(spark, det, scorer=scorer).toPandas()
     wins = _windows(json.load(open(SYN_LABEL)))
     test_start = data["ts"].min() + pd.Timedelta(
         milliseconds=1500 * interval_ms)

@@ -262,3 +262,65 @@ def test_rcf_stateful_sequence_matches_preview(spark, tmp_path_factory):
     assert np.allclose(got.anomaly_score, want.anomaly_score)
     assert np.allclose(got.anomaly_grade, want.anomaly_grade)
     assert (got.anomaly_grade > 0).any()      # the spike alerts
+
+
+def test_joint_rcf_preview_two_features(spark, tmp_path_factory):
+    """Joint multivariate scoring (one model per entity over the
+    feature vector): a correlated two-feature break that neither
+    feature flags alone is flagged jointly; F=1 joint equals the
+    univariate scorer's z sequence (same forest dims, same seed)."""
+    import pandas as pd
+
+    from anomaly_detection_spark.detector import Detector, preview
+    from anomaly_detection_spark.features import (
+        rcf_scorer,
+        rcf_scorer_joint,
+    )
+
+    rng = np.random.default_rng(11)
+    n, interval_ms = 400, 60_000
+    base = pd.Timestamp("2025-05-01")
+    a = rng.normal(10.0, 1.0, n)
+    b = 2.0 * a + rng.normal(0.0, 0.2, n)   # tightly correlated
+    # break at t=350: a high while b crashes — the joint point lands
+    # outside the normalized box corner (+4σ, −4σ), the off-manifold
+    # shape a joint forest isolates in two cuts.  (A within-box
+    # correlation break scores only mildly — box-based isolation is
+    # edge-sensitive, a characteristic shared with the reference's
+    # model.)
+    a[350], b[350] = 14.0, 12.0
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(milliseconds=i * interval_ms)
+               for i in range(n)],
+        "a": a, "b": b,
+    })
+    path = str(tmp_path_factory.mktemp("rcfjoint") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    det = Detector(
+        detector_id="rcf-joint", indices=path,
+        feature_specs={"fa": {"avg": {"field": "a"}},
+                       "fb": {"avg": {"field": "b"}}},
+        time_field="ts", interval_ms=interval_ms, anomaly_threshold=3.0)
+    conf = dict(shingle=4, n_trees=15, sample_size=64)
+    res = (preview(spark, det, scorer=rcf_scorer_joint(2, **conf))
+           .toPandas().sort_values("bucket_start").reset_index(drop=True))
+    assert len(res) > 300
+    idx = (res.bucket_start.map(pd.Timestamp) - base) \
+        .dt.total_seconds() // 60
+    broke = res[idx == 350]
+    assert len(broke) == 1
+    assert broke.iloc[0].anomaly_grade > 0, broke.iloc[0].anomaly_score
+
+    # F=1 joint ≡ univariate (same dims/seed → same float sequence)
+    det1 = Detector(
+        detector_id="rcf-j1", indices=path,
+        feature_specs={"fa": {"avg": {"field": "a"}}},
+        time_field="ts", interval_ms=interval_ms, anomaly_threshold=3.0)
+    r_joint = (preview(spark, det1, scorer=rcf_scorer_joint(1, **conf))
+               .select("bucket_start", "anomaly_score").toPandas()
+               .sort_values("bucket_start").reset_index(drop=True))
+    r_uni = (preview(spark, det1, scorer=rcf_scorer(**conf))
+             .select("bucket_start", "anomaly_score").toPandas()
+             .sort_values("bucket_start").reset_index(drop=True))
+    assert len(r_joint) == len(r_uni)
+    assert np.allclose(r_joint.anomaly_score, r_uni.anomaly_score)

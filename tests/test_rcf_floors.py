@@ -38,6 +38,16 @@ def test_single_stream_floor_rcf(spark):
     assert got["recall"] >= 0.7, got
 
 
+@pytest.mark.skipif(not os.path.exists(SYN_DATA),
+                    reason="reference synthetic dataset not mounted")
+def test_single_stream_floor_rcf_joint(spark):
+    # the reference's exact model shape: ONE forest over the jointly
+    # shingled 2-feature vector
+    got = evaluate_single_stream(spark, joint=True)
+    assert got["precision"] >= 0.4, got
+    assert got["recall"] >= 0.7, got
+
+
 @pytest.mark.skipif(not os.path.exists(RULE_DATA),
                     reason="reference rule dataset not mounted")
 def test_rule_realtime_floor_rcf(spark):
