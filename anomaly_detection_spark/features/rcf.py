@@ -429,6 +429,10 @@ class RCFStream:
         self.in_var = [0.0] * n_features
 
     def _transform(self, vs: list[float]) -> list[float]:
+        """Standardize against the CURRENT stats (no absorption — the
+        model scores, and its expected value is denormalized, against
+        the state before the point is ingested; ``_absorb`` runs
+        after)."""
         if not self.normalize:
             return list(vs)
         out = []
@@ -443,8 +447,11 @@ class RCFStream:
                 elif xn < -self.clip:
                     xn = -self.clip
             out.append(xn)
-        # absorb vs into the discounted stats AFTER transforming (the
-        # model scores a point against the state before ingesting it)
+        return out
+
+    def _absorb(self, vs: list[float]) -> None:
+        if not self.normalize:
+            return
         if self.n_in == 0:
             self.in_mean = [float(v) for v in vs]
             self.in_var = [0.0] * len(vs)
@@ -455,7 +462,6 @@ class RCFStream:
                 self.in_mean[d] += a * dd
                 self.in_var[d] = (1.0 - a) * (self.in_var[d] + a * dd * dd)
         self.n_in += 1
-        return out
 
     def _inverse(self, xns: list[float]) -> list[float]:
         if not self.normalize:
@@ -475,11 +481,18 @@ class RCFStream:
         if len(self.buf) > self.shingle * F:
             del self.buf[:F]
         if len(self.buf) < self.shingle * F:
+            self._absorb(vs)
             nan = float("nan")
             return (nan, nan) if F == 1 else (nan, [nan] * F)
         p = tuple(self.buf)
         s, exp = self.forest.score_and_update(p, expected_dims=F)
+        # denormalize the expected value with the PRE-absorb stats —
+        # the forest scored the pre-absorb point, and folding the
+        # current (possibly anomalous) value into the stats first
+        # would bias "expected" toward the anomaly, shrinking the
+        # actual-vs-expected margins suppression rules compare
         exp = self._inverse(exp)
+        self._absorb(vs)
         z = float("nan")
         if self.n_scored >= self.min_samples:
             z = (s - self.s_mean) / (math.sqrt(self.s_var) + self.eps)

@@ -95,13 +95,17 @@ def seasonal_naive_forecaster(
         resid = np.abs(values - insample)
         resid = resid[~np.isnan(resid)]
         q = float(np.quantile(resid, ci)) if len(resid) else float("nan")
-        # forecast: same-slot median over trailing periods
+        # forecast: same-slot median over the most recent OBSERVED
+        # periods (horizon may exceed one period — lags must stay
+        # inside the observed series, so slide back whole periods
+        # until the newest in-range same-slot sample)
         out = np.empty(horizon)
         for i in range(horizon):
             slot = n + i
+            first_j = 1 + (slot - n) // period     # newest j with idx < n
             hist = [values[slot - j * period]
-                    for j in range(1, n_periods + 1)
-                    if slot - j * period >= 0]
+                    for j in range(first_j, first_j + n_periods)
+                    if 0 <= slot - j * period < n]
             out[i] = float(np.median(hist)) if hist else float("nan")
         return out, out - q, out + q
 

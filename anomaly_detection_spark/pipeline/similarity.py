@@ -88,7 +88,8 @@ def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.randn(n_planes, dim).round(6).tolist()
 
 
-def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+def _topk_per_query(scored: DataFrame, k: int,
+                    score_col: str = "cosine") -> DataFrame:
     """Per-query top-k in two stages: partition-local heads first
     (partitionBy(query, input partition)), then the global rank over
     ≤ k × n_partitions survivors — so no single task ever sorts one
@@ -96,7 +97,7 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     scan would otherwise funnel millions of rows into one window
     task).  Ties break by vec_id in both stages → results identical
     to the single-window form."""
-    order = [F.desc("cosine"), F.asc("vec_id")]
+    order = [F.desc(score_col), F.asc("vec_id")]
     local_w = Window.partitionBy("query_id", "_part").orderBy(*order)
     final_w = Window.partitionBy("query_id").orderBy(*order)
     return (scored.withColumn("_part", F.spark_partition_id())
@@ -104,7 +105,7 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
             .filter(F.col("_r") <= k).drop("_r", "_part")
             .withColumn("rank", F.row_number().over(final_w).cast("long"))
             .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "cosine")
+            .select("query_id", "rank", "vec_id", score_col)
             .orderBy("query_id", "rank"))
 
 
@@ -490,14 +491,4 @@ def ivfpq_ann_topk(
 
     scored = cand.mapInPandas(score, schema=out_schema) \
         .withColumn("score", F.round("score", 6))
-    w_local = Window.partitionBy("query_id", "_p").orderBy(
-        F.desc("score"), F.asc("vec_id"))
-    w_final = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("vec_id"))
-    return (scored.withColumn("_p", F.spark_partition_id())
-            .withColumn("_r", F.row_number().over(w_local))
-            .filter(F.col("_r") <= k).drop("_r", "_p")
-            .withColumn("rank", F.row_number().over(w_final).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "score")
-            .orderBy("query_id", "rank"))
+    return _topk_per_query(scored, k, score_col="score")

@@ -203,10 +203,12 @@ def sloppy_phrase_freq(toks: Column, terms: list[str],
             total = dj if total is None else total + dj
         return F.lit(0) if total is None else total
 
+    # materialize matchLengths once (Spark does not reliably CSE the
+    # Σ-of-nearest-neighbor chain across `when` branches), then weight
+    mls = F.transform(A[0], lambda a: match_len(a))
     weights = F.transform(
-        A[0],
-        lambda a: F.when(match_len(a) <= F.lit(int(slop)),
-                         1.0 / (1.0 + match_len(a))).otherwise(F.lit(0.0)))
+        mls, lambda m: F.when(m <= F.lit(int(slop)),
+                              1.0 / (1.0 + m)).otherwise(F.lit(0.0)))
     return F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
 
 

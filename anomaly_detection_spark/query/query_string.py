@@ -38,6 +38,7 @@ import re
 _TOKEN = re.compile(r"""
     \s*(
         \(|\)
+      | [^\s():"]+:"(?:[^"\\]|\\.)*"(?:~\d+)?
       | "(?:[^"\\]|\\.)*"(?:~\d+)?
       | &&|\|\|
       | [^\s()"]+
@@ -45,10 +46,17 @@ _TOKEN = re.compile(r"""
 
 
 def _tokenize(q: str) -> list[str]:
+    """Token stream; raises on input the lexer cannot consume (an
+    unterminated quote) — silently dropping the tail would return
+    quietly over-broad results in strict mode."""
     out, i = [], 0
     while i < len(q):
         m = _TOKEN.match(q, i)
         if not m:
+            if q[i:].strip():
+                raise ValueError(
+                    f"unparsable query_string input near {q[i:i+30]!r} "
+                    f"(unterminated quote?)")
             break
         out.append(m.group(1))
         i = m.end()
@@ -151,6 +159,8 @@ class _Parser:
                 raise ValueError("unbalanced parentheses in query_string")
             self.next()
             return node
+        if t is None:
+            raise ValueError("query_string ends with a dangling operator")
         return self.leaf(self.next())
 
     # -- leaves ------------------------------------------------------------
@@ -259,24 +269,50 @@ def compile_query_string(spec: dict, simple: bool = False,
     leaves compile to analyzed match/phrase instead of keyword term.
     """
     q = spec["query"]
+    flds = spec.get("fields")
     default_field = spec.get("default_field")
     if default_field is None:
-        flds = spec.get("fields")
         default_field = flds[0] if flds else text_field
     analyzed = set(spec.get("analyzed_fields", [default_field]))
     default_op = spec.get("default_operator", "or")
-    toks = _tokenize(q)
-    if not toks:
-        return {"match_all": {}}
-    try:
-        return _Parser(toks, default_field, analyzed, simple,
-                       default_op).parse()
-    except ValueError:
-        if not simple:
-            raise
-        # simple_query_string never raises: degrade to an OR bag of the
-        # plain terms (syntax characters stripped), like the reference
-        words = [w for w in re.split(r'[\s+|()"*~-]+', q) if w]
+
+    def _fallback() -> dict:
+        # the reference's lenient mode: degrade to a bag of the plain
+        # terms with every syntax character stripped
+        words = [w for w in re.split(r'[\s+|()":*~-]+', q) if w]
         if not words:
             return {"match_all": {}}
+        if flds and len(flds) > 1:
+            return {"multi_match": {"query": " ".join(words),
+                                    "fields": list(flds)}}
         return {"match": {default_field: " ".join(words)}}
+
+    try:
+        toks = _tokenize(q)
+        if not toks:
+            return {"match_all": {}}
+        if flds and len(flds) > 1:
+            # multi-field mode: a PLAIN TERM BAG scores every field
+            # (OpenSearch rewrites it to a per-field DisMax); any
+            # richer syntax must field-qualify explicitly — silently
+            # searching only fields[0] would drop matches
+            plain = all(
+                not t.startswith(('"', '(', '+', '-'))
+                and ":" not in t and "*" not in t and "?" not in t
+                and "~" not in t and t not in ("AND", "OR", "NOT",
+                                               "&&", "||", "!", "|", ")")
+                for t in toks)
+            if plain:
+                return {"multi_match": {"query": " ".join(toks),
+                                        "fields": list(flds)}}
+            raise ValueError(
+                "multi-field query_string supports a plain term bag "
+                "(rewritten to multi_match); qualify other clauses "
+                "with field: explicitly")
+        return _Parser(toks, default_field, analyzed, simple,
+                       default_op).parse()
+    except (ValueError, IndexError):
+        if not simple:
+            raise
+        # simple_query_string never raises
+        return _fallback()

@@ -273,3 +273,91 @@ def test_ivfpq_recall_compression_determinism(spark):
                           train_size=500, centroids=C, books=books,
                           encoded=enc).toPandas()
     assert got3.equals(got)
+
+
+# ------------------------------------------------- code-review fixes
+
+def test_seasonal_forecaster_horizon_beyond_period():
+    import numpy as np
+
+    from anomaly_detection_spark.forecast import seasonal_naive_forecaster
+
+    vals = np.tile([1.0, 2.0, 3.0, 4.0], 5)          # period 4, n=20
+    fc = seasonal_naive_forecaster(period=4, horizon=8, n_periods=3)
+    out, lo, hi = fc(vals)
+    assert len(out) == 8 and not np.isnan(out).any()
+    # same-slot medians repeat the seasonal pattern across BOTH periods
+    assert np.allclose(out, [1, 2, 3, 4, 1, 2, 3, 4])
+    assert (lo <= out).all() and (hi >= out).all()
+
+
+def test_query_string_field_qualified_phrase():
+    from anomaly_detection_spark.query import compile_query_string
+
+    dsl = compile_query_string(
+        {"query": 'message:"error timeout"~1',
+         "analyzed_fields": ["message"]})
+    assert dsl == {"match_phrase": {"message": {"query": "error timeout",
+                                                "slop": 1}}}
+
+
+def test_query_string_unterminated_quote_raises_strict():
+    import pytest as _pt
+
+    from anomaly_detection_spark.query import compile_query_string
+
+    with _pt.raises(ValueError, match="unterminated|unparsable"):
+        compile_query_string({"query": 'hello "world of data'})
+    # lenient mode degrades instead
+    dsl = compile_query_string({"query": 'hello "world of data'},
+                               simple=True)
+    assert dsl == {"match": {"text": "hello world of data"}}
+
+
+def test_simple_query_string_dangling_operator_never_raises():
+    from anomaly_detection_spark.query import compile_query_string
+
+    assert compile_query_string({"query": "foo |"}, simple=True) \
+        == {"match": {"text": "foo"}}
+    assert compile_query_string({"query": "foo -"}, simple=True) \
+        == {"match": {"text": "foo"}}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="dangling"):
+        compile_query_string({"query": "foo AND"})
+
+
+def test_query_string_multi_field_term_bag():
+    import pytest as _pt
+
+    from anomaly_detection_spark.query import compile_query_string
+
+    dsl = compile_query_string({"query": "error timeout",
+                                "fields": ["title", "body"]})
+    assert dsl == {"multi_match": {"query": "error timeout",
+                                   "fields": ["title", "body"]}}
+    with _pt.raises(ValueError, match="multi-field"):
+        compile_query_string({"query": '"a phrase"',
+                              "fields": ["title", "body"]})
+    # lenient multi-field degrades to the multi_match bag
+    dsl2 = compile_query_string({"query": '"a phrase"',
+                                 "fields": ["title", "body"]},
+                                simple=True)
+    assert dsl2 == {"multi_match": {"query": "a phrase",
+                                    "fields": ["title", "body"]}}
+
+
+def test_rcf_expected_uses_preabsorb_stats():
+    import numpy as np
+
+    from anomaly_detection_spark.features.rcf import RCFStream
+
+    rng = np.random.default_rng(2)
+    s = RCFStream(shingle=4, n_trees=10, sample_size=32, min_samples=8)
+    for v in rng.normal(100.0, 1.0, 200):
+        s.update(v)
+    mean_before = s.in_mean[0]
+    _, exp = s.update(100000.0)               # massive spike
+    # expected must reflect the PRE-spike level, not be dragged toward
+    # the anomaly by absorbing it into the stats first
+    assert abs(exp - mean_before) < 50.0, (exp, mean_before)
