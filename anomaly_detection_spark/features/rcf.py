@@ -34,6 +34,8 @@ import numpy as np
 
 __all__ = ["RandomCutTree", "StreamingRCF", "rcf_scorer", "RCFStream",
            "rcf_stream_factory", "rcf_scorer_joint"]
+# RCFStream.extrapolate + StreamingRCF.impute back the RCFCaster-style
+# forecaster in anomaly_detection_spark.forecast.rcf_forecaster.
 
 
 class RandomCutTree:
@@ -228,6 +230,29 @@ class RandomCutTree:
         self.point[leaf] = None
         self.point[parent] = None
 
+    # -- conditional imputation -------------------------------------------
+
+    def impute_leaf(self, p: tuple, missing: frozenset) -> tuple:
+        """Conditional traversal for the coordinates in ``missing``:
+        follow the tree's cuts on observed dims; on a missing cut dim
+        descend into the HEAVIER child (the deterministic analog of the
+        RCF library's mass-proportional likely branch —
+        ``RandomCutForest.imputeMissingValues`` /
+        ``extrapolateBasic``).  Returns the reached leaf's point; the
+        caller reads the missing coordinates off it."""
+        node = self.root
+        if node < 0:
+            return ()
+        while self.point[node] is None:
+            d = self.cutdim[node]
+            if d in missing:
+                l_, r_ = self.left[node], self.right[node]
+                node = l_ if self.mass[l_] >= self.mass[r_] else r_
+            else:
+                node = (self.left[node] if p[d] <= self.cutval[node]
+                        else self.right[node])
+        return self.point[node]
+
     # -- score -------------------------------------------------------------
 
     def score(self, p: tuple) -> tuple[float, float]:
@@ -330,6 +355,29 @@ class StreamingRCF:
             meds.append(vals[m // 2] if m % 2 else
                         0.5 * (vals[m // 2 - 1] + vals[m // 2]))
         return tot / n, meds
+
+    def impute(self, p: tuple, missing: frozenset) -> list[float]:
+        """Median across trees of the conditional-leaf values for the
+        ``missing`` coordinates (the library's median aggregation for
+        single-block imputation)."""
+        cols: list[list[float]] = [[] for _ in missing]
+        midx = sorted(missing)
+        for t in self.trees:
+            if t.root < 0:
+                continue
+            lp = t.impute_leaf(p, missing)
+            for j, d in enumerate(midx):
+                cols[j].append(lp[d])
+        out = []
+        for vals in cols:
+            if not vals:
+                out.append(float("nan"))
+                continue
+            vals.sort()
+            m = len(vals)
+            out.append(vals[m // 2] if m % 2 else
+                       0.5 * (vals[m // 2 - 1] + vals[m // 2]))
+        return out
 
     def update(self, p: tuple) -> None:
         """Offer ``p`` to every tree's time-decayed reservoir."""
@@ -517,6 +565,31 @@ class RCFStream:
             self.s_var = (1.0 - a) * (self.s_var + a * d * d)
         self.n_scored += 1
         return (z, exp[0]) if self.n_features == 1 else (z, exp)
+
+    def extrapolate(self, horizon: int) -> list[list[float]] | None:
+        """RCFCaster-style extrapolation (``RandomCutForest.
+        extrapolateBasic`` shape): iterated one-step conditional
+        imputation — shift the shingle by one interval, impute the now
+        missing newest slot from the forest (conditional traversal,
+        median across trees), feed the imputed slot back in, repeat
+        ``horizon`` times.  Runs in NORMALIZED space and denormalizes
+        with the current streaming stats.  Returns ``horizon`` rows of
+        ``n_features`` values, or ``None`` while warm (shingle not
+        full / fewer than ``min_samples`` scored points) — the
+        reference likewise refuses to forecast before initialization.
+        Read-only: neither the forest nor the stream state changes."""
+        F = self.n_features
+        if len(self.buf) < self.shingle * F or self.n_scored < self.min_samples:
+            return None
+        work = list(self.buf)
+        missing = frozenset(range((self.shingle - 1) * F, self.shingle * F))
+        out = []
+        for _ in range(horizon):
+            p = tuple(work[F:]) + (0.0,) * F
+            imputed = self.forest.impute(p, missing)
+            out.append(self._inverse(imputed))
+            work = work[F:] + list(imputed)
+        return out
 
     def to_bytes(self) -> bytes:
         return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)

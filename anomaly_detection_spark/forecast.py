@@ -150,6 +150,84 @@ def holt_forecaster(
     return fc
 
 
+def rcf_forecaster(
+    horizon: int,
+    shingle: int = 8,
+    n_trees: int = 30,
+    sample_size: int = 128,
+    min_samples: int = 32,
+    seed: int = 11,
+    calib_points: int = 100,
+    ci_z: float = 1.645,
+    min_history: int | None = None,
+    min_err_samples: int = 4,
+) -> ForecastFn:
+    """The reference's ACTUAL forecast model family: RCFCaster-style
+    extrapolation on a streaming random cut forest
+    (``forecast/ml/ForecastModelManager.java`` hosts an
+    ``com.amazon.randomcutforest.parkservices.RCFCaster`` per entity).
+    Re-built from the public algorithm: stream the trailing series
+    through :class:`~.features.rcf.RCFStream` (NORMALIZE transform +
+    shingling + time-decayed forest), forecast by iterated one-step
+    conditional imputation (``RCFStream.extrapolate``), and calibrate
+    the interval the way RCFCaster's ErrorHandler does — from the
+    EMPIRICAL distribution of this model's own trailing forecast
+    errors, per horizon step: during the last ``calib_points``
+    observations a full-horizon forecast is made before each update,
+    errors are resolved against the actuals that later arrive, and the
+    bound at step h is ± ``ci_z`` · rmse_h.  Horizon steps whose error
+    never resolved inside the window fall back to rmse_1·√h (the
+    random-walk widening).
+
+    An RCF forecasts by conditional nearest-sample lookup, so it
+    tracks seasonal / repeating structure and mean-reverts on pure
+    trends (a documented property of the model family) — pick
+    :func:`holt_forecaster` for trend-dominated series.  Deterministic
+    under a fixed seed.
+    """
+    from .features.rcf import RCFStream
+
+    min_history = (min_history if min_history is not None
+                   else shingle + min_samples + 8)
+
+    def fc(values: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n = len(values)
+        nan = np.full(horizon, np.nan)
+        if n < min_history:
+            return nan, nan.copy(), nan.copy()
+        stream = RCFStream(shingle=shingle, n_trees=n_trees,
+                           sample_size=sample_size,
+                           min_samples=min_samples, seed=seed,
+                           alert_once=False)
+        calib_start = max(shingle + min_samples, n - calib_points)
+        errs: list[list[float]] = [[] for _ in range(horizon)]
+        for t in range(n):
+            if t >= calib_start:
+                pred = stream.extrapolate(horizon)
+                if pred is not None:
+                    for h in range(1, horizon + 1):
+                        if t + h - 1 < n:
+                            errs[h - 1].append(
+                                float(values[t + h - 1]) - pred[h - 1][0])
+            stream.update(float(values[t]))
+        final = stream.extrapolate(horizon)
+        if final is None:
+            return nan, nan.copy(), nan.copy()
+        out = np.array([row[0] for row in final])
+        rmse1 = (math.sqrt(np.mean(np.square(errs[0])))
+                 if len(errs[0]) >= min_err_samples else float("nan"))
+        half = np.empty(horizon)
+        for h in range(horizon):
+            e = errs[h]
+            if len(e) >= min_err_samples:
+                half[h] = ci_z * math.sqrt(float(np.mean(np.square(e))))
+            else:
+                half[h] = ci_z * rmse1 * math.sqrt(h + 1.0)
+        return out, out - half, out + half
+
+    return fc
+
+
 def run_forecast(
     spark: SparkSession,
     fc: Forecaster,

@@ -129,3 +129,93 @@ def test_bad_horizon_rejected(spark):
         Forecaster(forecaster_id="x", indices="p",
                    feature_specs={"v": {"avg": {"field": "value"}}},
                    horizon=0)
+
+
+# -- RCFCaster analog ------------------------------------------------------
+
+def test_rcf_forecaster_tracks_seasonal_pattern():
+    """The conditional-imputation extrapolation must follow a seasonal
+    cycle far better than a level forecast (the RCFCaster behavior the
+    reference relies on), with calibrated bounds covering the truth."""
+    from anomaly_detection_spark.forecast import rcf_forecaster
+
+    rng = np.random.default_rng(7)
+    period, n, horizon = 24, 400, 12
+    t = np.arange(n)
+    vals = 50 + 20 * np.sin(2 * np.pi * t / period) \
+        + rng.normal(0, 1.0, n)
+    out, lo, hi = rcf_forecaster(horizon, seed=11)(vals)
+    truth = 50 + 20 * np.sin(2 * np.pi * (n + np.arange(horizon)) / period)
+    mae = float(np.mean(np.abs(out - truth)))
+    level_mae = float(np.mean(np.abs(np.mean(vals) - truth)))
+    assert mae < 2.0, mae                      # measured 0.35 (σ=1 noise)
+    assert mae < level_mae / 4
+    assert float(np.mean((truth >= lo) & (truth <= hi))) >= 0.8
+    assert (hi >= out).all() and (lo <= out).all()
+
+
+def test_rcf_forecaster_deterministic_and_warmup():
+    from anomaly_detection_spark.forecast import rcf_forecaster
+
+    rng = np.random.default_rng(3)
+    vals = 10 + rng.normal(0, 1, 120)
+    a = rcf_forecaster(6, seed=11)(vals)
+    b = rcf_forecaster(6, seed=11)(vals)
+    for x, y in zip(a, b):
+        assert np.allclose(x, y, equal_nan=True)
+    short = rcf_forecaster(6, seed=11)(vals[:20])
+    assert all(np.all(np.isnan(x)) for x in short)
+
+
+def test_rcf_extrapolate_readonly_and_warm_refusal():
+    """extrapolate() must not mutate the stream (scoring after a
+    forecast equals scoring without one) and must return None while
+    the forest is warming up."""
+    from anomaly_detection_spark.features.rcf import RCFStream
+
+    rng = np.random.default_rng(1)
+    vals = list(rng.normal(0, 1, 80))
+    s1 = RCFStream(shingle=4, n_trees=10, sample_size=32,
+                   min_samples=16, seed=5)
+    s2 = RCFStream(shingle=4, n_trees=10, sample_size=32,
+                   min_samples=16, seed=5)
+    assert s1.extrapolate(3) is None           # warm-up refusal
+    z1 = []
+    z2 = []
+    for i, v in enumerate(vals):
+        z1.append(s1.update(v)[0])
+        if i % 7 == 0:
+            s2.extrapolate(5)                  # interleave forecasts
+        z2.append(s2.update(v)[0])
+    assert np.allclose(z1, z2, equal_nan=True)
+
+
+def test_rcf_forecaster_through_run_forecast_seam(spark, tmp_path_factory):
+    """End-to-end through the applyInPandas fan-out with the RCF model
+    selected, per-entity: each entity's forecast follows ITS phase."""
+    from anomaly_detection_spark.forecast import rcf_forecaster
+
+    rng = np.random.default_rng(9)
+    period, n, horizon = 24, 240, 6
+    t = np.arange(n)
+    a = 40 + 15 * np.sin(2 * np.pi * t / period) + rng.normal(0, .5, n)
+    b = 40 + 15 * np.sin(2 * np.pi * (t / period + 0.5)) \
+        + rng.normal(0, .5, n)                 # opposite phase
+    path = _write(spark, tmp_path_factory,
+                  [_series("A", a), _series("B", b)])
+    fc = Forecaster(
+        forecaster_id="fc-rcf", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL, horizon=horizon,
+        category_fields=("service",))
+    now = int(BASE.value // 10**6) + n * INTERVAL + 1
+    res = run_forecast(spark, fc, now,
+                       forecaster=rcf_forecaster(horizon, seed=11)
+                       ).toPandas()
+    assert len(res) == 2 * horizon
+    for svc, phase in (("A", 0.0), ("B", 0.5)):
+        got = (res[res.service == svc]
+               .sort_values("horizon_index").forecast_value.to_numpy())
+        truth = 40 + 15 * np.sin(
+            2 * np.pi * ((n + np.arange(horizon)) / period + phase))
+        assert float(np.mean(np.abs(got - truth))) < 3.0, svc
