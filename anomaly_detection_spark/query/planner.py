@@ -298,6 +298,38 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
                                      "simple_query_string"),
             scoring=scoring)
 
+    if kind == "constant_score":
+        # filter context: matching is the inner filter's; the boost
+        # only affects scores
+        return QueryPlan(compile_filter(df, body["filter"]))
+
+    if kind == "dis_max":
+        # filter context: a doc matches iff any sub-query matches
+        subs = body.get("queries") or []
+        if not subs:
+            raise ValueError("dis_max requires at least one sub-query")
+        acc = None
+        for s in subs:
+            c = compile_filter(df, s)
+            acc = c if acc is None else acc | c
+        return QueryPlan(acc)
+
+    if kind == "boosting":
+        # filter context: the negative query only DISCOUNTS scores
+        # (BoostingQuery semantics) — matching is the positive query's
+        return QueryPlan(compile_filter(df, body["positive"]))
+
+    if kind == "function_score":
+        # filter context: functions reshape scores, not matching —
+        # except min_score, which depends on the combined score and is
+        # only computable on the scored path
+        if "min_score" in body:
+            raise ValueError(
+                "function_score min_score requires scoring — use "
+                "search(), not a filter context")
+        return QueryPlan(
+            compile_filter(df, body.get("query", {"match_all": {}})))
+
     if kind == "nested":
         path = body["path"]
         inner = body["query"]
@@ -378,6 +410,19 @@ def search(
         query = compile_query_string(
             spec, simple=kind == "simple_query_string",
             text_field=text_field)
+
+    if len(query) == 1 and next(iter(query)) in (
+            "dis_max", "constant_score", "boosting", "function_score"):
+        # compound scored queries: exact full-score-set combination,
+        # then one top-k over the combined score (query/compound.py)
+        from .compound import compound_scores
+
+        scored = compound_scores(target, query, text_field=text_field)
+        out = (scored.orderBy(F.desc("score"), F.asc("docid"))
+               .limit(size))
+        if isinstance(target, IndexReader):
+            out = fetch_docs(target, out)
+        return _finish_search(out, size, timeout_s)
 
     if set(query) == {"match_phrase_prefix"}:
         # scored phrase-prefix (Lucene MultiPhraseQuery expansion)
