@@ -23,3 +23,9 @@ from .text import (  # noqa: F401
     quality_scores,
     token_counts,
 )
+from .curation import (  # noqa: F401
+    decontaminate,
+    hash_split,
+    pii_redact,
+    repetition_metrics,
+)

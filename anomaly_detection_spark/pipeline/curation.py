@@ -1,0 +1,252 @@
+"""Training-corpus curation: benchmark decontamination, Gopher-style
+repetition metrics, PII redaction, deterministic splits.
+
+The operations an LLM training-data pipeline runs between raw ingest
+and tokenization, built Spark-first:
+
+- :func:`decontaminate` — n-gram-collision test-set decontamination
+  (the published GPT-3 / Llama recipe: flag a training doc when it
+  shares any word n-gram, default 13-gram, with the evaluation set).
+  Train side is a codegen shingle expression + hash; the eval shingle
+  set is broadcast (benchmarks are small) or shuffle-joined.
+- :func:`repetition_metrics` — the within-document repetition filters
+  of Gopher (Rae et al. 2021, Table A1): duplicate line / paragraph
+  fractions (by count and by character mass) and top/duplicated
+  n-gram character fractions.  Per-doc and embarrassingly parallel —
+  one Arrow ``mapInPandas`` pass, no shuffle.
+- :func:`pii_redact` — regex redaction of emails, phone numbers,
+  IPv4 addresses and card-like digit runs, with per-type counts.
+  Pure whole-stage-codegen ``regexp_replace`` chains.
+- :func:`hash_split` — deterministic train/val/test assignment by
+  ``xxhash64`` bucket of the id column: stable under reruns,
+  partition-count changes and row order, never a random() sample.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["decontaminate", "repetition_metrics", "pii_redact",
+           "hash_split", "PII_PATTERNS"]
+
+
+def _shingle_hashes(text_col: str, n: int) -> F.Column:
+    """Distinct xxhash64 values of the word ``n``-grams of the
+    analyzed token stream — one codegen expression, no UDF."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}_]+'), "
+        f"x -> x != '')")
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — docs shorter
+    # than n tokens must short-circuit to an empty shingle set
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+        )).otherwise(F.array().cast("array<bigint>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with the
+    evaluation corpus (GPT-3 appendix C / Llama decontamination).
+
+    Returns one row per TRAIN doc: (id_col, collision_count,
+    contaminated) where ``collision_count`` is the number of distinct
+    train-side n-grams that also occur anywhere in the eval set.
+    Docs shorter than ``n`` tokens have no shingles and are clean.
+
+    Scale shape: the eval shingle set (benchmarks: thousands of docs)
+    is collected into a broadcast hash join against the exploded
+    train shingles — no shuffle of the 100 TB side.  Pass
+    ``broadcast_eval=False`` when the eval corpus is itself large; the
+    plan becomes a shuffle join on the shingle hash, both sides
+    pre-deduplicated.  Matching is on 64-bit xxhash of the shingle
+    (false-positive probability ~2⁻⁶⁴ per pair — the standard trade
+    for not shipping raw 13-grams).
+    """
+    eval_text_col = eval_text_col or text_col
+    ev = (eval_df.select(
+        F.explode(_shingle_hashes(eval_text_col, n)).alias("_sh"))
+        .distinct())
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(
+        F.col(id_col),
+        F.explode_outer(_shingle_hashes(text_col, n)).alias("_sh"))
+    hits = (tr.join(ev, "_sh", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("collision_count")))
+    return (train.select(id_col).join(hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("collision_count", F.lit(0))
+                .alias("collision_count"),
+                (F.coalesce("collision_count", F.lit(0)) > 0)
+                .alias("contaminated")))
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_ngram: int = 5,
+    top_ngrams: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, Table A1), per doc:
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines /
+      paragraphs that are repeats of an earlier one (count-based);
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+      characters inside lines / paragraphs whose content occurs more
+      than once;
+    - ``top{n}gram_char_frac`` for n in ``top_ngrams`` — characters
+      covered by the single most frequent word n-gram;
+    - ``dup{k}gram_char_frac`` for k=``dup_ngram`` — characters
+      covered by word k-grams that occur more than once (overlapping
+      occurrences counted once per token position, per the paper).
+
+    One ``mapInPandas`` pass — per-document computation with no
+    shuffle; each doc is O(len) with small constants.  Gopher's
+    removal thresholds (e.g. dup_line_frac > 0.30) are the caller's
+    policy; this op just measures.
+    """
+    import re
+
+    word_re = re.compile(r"[^\W]+", re.UNICODE)
+    tops = tuple(top_ngrams)
+    k = dup_ngram
+    out_cols = ([id_col, "dup_line_frac", "dup_line_char_frac",
+                 "dup_para_frac", "dup_para_char_frac"]
+                + [f"top{n}gram_char_frac" for n in tops]
+                + [f"dup{k}gram_char_frac"])
+
+    def _frac_units(units: list[str]) -> tuple[float, float]:
+        if not units:
+            return 0.0, 0.0
+        counts = Counter(units)
+        n_dup = sum(c - 1 for c in counts.values())
+        chars_tot = sum(len(u) for u in units)
+        chars_dup = sum(len(u) * c for u, c in counts.items() if c > 1)
+        return (n_dup / len(units),
+                (chars_dup / chars_tot) if chars_tot else 0.0)
+
+    def _one(text: str) -> list[float]:
+        lines = [l for l in (s.strip() for s in text.split("\n")) if l]
+        paras = [p for p in (s.strip() for s in text.split("\n\n")) if p]
+        lf, lcf = _frac_units(lines)
+        pf, pcf = _frac_units(paras)
+        words = word_re.findall(text.lower())
+        wlen = [len(w) for w in words]
+        total_chars = sum(wlen)
+        row = [lf, lcf, pf, pcf]
+        for n in tops:
+            if len(words) < n or total_chars == 0:
+                row.append(0.0)
+                continue
+            grams = Counter(
+                tuple(words[i:i + n]) for i in range(len(words) - n + 1))
+            top, cnt = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+            row.append(cnt * sum(len(w) for w in top) / total_chars)
+        if len(words) < k or total_chars == 0:
+            row.append(0.0)
+        else:
+            grams = Counter(
+                tuple(words[i:i + k]) for i in range(len(words) - k + 1))
+            covered = [False] * len(words)
+            for i in range(len(words) - k + 1):
+                if grams[tuple(words[i:i + k])] > 1:
+                    for j in range(i, i + k):
+                        covered[j] = True
+            row.append(
+                sum(l for l, c in zip(wlen, covered) if c) / total_chars)
+        return row
+
+    def _batch(it):
+        for pdf in it:
+            rows = [[i] + _one(t if isinstance(t, str) else "")
+                    for i, t in zip(pdf[id_col], pdf[text_col])]
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    schema = ", ".join(
+        [f"{id_col} {dict(df.dtypes)[id_col]}"]
+        + [f"{c} double" for c in out_cols[1:]])
+    return df.select(id_col, text_col).mapInPandas(_batch, schema=schema)
+
+
+# Redaction patterns: Java-regex (Spark) syntax, chosen to also be
+# valid RE2/DuckDB patterns so the oracle can replay them verbatim.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?[0-9]{1,3}[-. (]{1,2})?[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "card": r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b",
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans and count them per type.
+
+    Output: (id_col, redacted, n_<type>...) — each matched span is
+    replaced by ``<TYPE>`` (e.g. ``<EMAIL>``), counts come from
+    ``regexp_count`` on the ORIGINAL text.  Patterns apply in the
+    declared order on the progressively redacted string, so an email
+    is not also counted as a phone number through its digits.  Pure
+    codegen — no UDFs, no shuffle.
+    """
+    pats = patterns or PII_PATTERNS
+    red = F.col(text_col)
+    counts = []
+    for name, pat in pats.items():
+        counts.append(
+            F.regexp_count(red, F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic split assignment: bucket = xxhash64(id, seed) mod
+    ``buckets``; cumulative weight thresholds map buckets to split
+    names.  Stable under reruns, repartitioning and row order —
+    the property ``randomSplit`` does NOT have (it re-samples per
+    partition layout), which is why pipelines split on a hash of a
+    stable id.  Adds a ``split`` column.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    b = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = b < F.lit(int(round(acc * buckets)))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
