@@ -249,6 +249,31 @@ def main() -> None:
     timed("rcf_stream_10k", lambda: rcf_scorer(
         shingle=8, n_trees=30, sample_size=128)(rcf_vals))
 
+    # round-5 continuation: curation ops over `documents` (13-gram
+    # decontamination vs a 1/7 pretend-benchmark slice; Gopher
+    # repetition metrics) and a compound scored query on the
+    # positional docs index
+    from anomaly_detection_spark.pipeline import (
+        decontaminate,
+        repetition_metrics,
+    )
+    from anomaly_detection_spark.query.planner import search
+
+    bench_eval = documents.filter(F.col("doc_id") % 7 == 0)
+    timed("decontaminate_documents",
+          lambda: decontaminate(documents, bench_eval).collect())
+    timed("repetition_metrics_documents",
+          lambda: repetition_metrics(documents).collect())
+    timed("function_score_dismax_indexed",
+          lambda: search(dreader, {"query": {"function_score": {
+              "query": {"dis_max": {
+                  "queries": [{"match": {"text": "the data"}},
+                              {"match": {"text": "merge query"}}],
+                  "tie_breaker": 0.3}},
+              "functions": [{"filter": {"term": {"source": "src3"}},
+                             "weight": 1.5}]}},
+              "size": 10}).collect())
+
     print(json.dumps({
         "metric": "index-build throughput (turns/sec)",
         "value": round(turns_per_sec, 1),
