@@ -394,11 +394,50 @@ def search(
     from .index_search import IndexReader, bm25_topk_indexed, fetch_docs
 
     query = body.get("query", {"match_all": {}})
-    size = k if k is not None else body.get("size", 10)
+    page_from = int(body.get("from", 0))
+    if page_from < 0:
+        raise ValueError(f"from must be >= 0: {page_from}")
+    # offset pagination (SearchSourceBuilder from/size): every scored
+    # branch computes top-(from+size) then drops the first `from` rows
+    # — same cost shape as OpenSearch, which also materializes
+    # from+size per shard.  Deep paging is as expensive as it is
+    # there; scroll/search_after stay by-design out (SURVEY §2.5 S4).
+    size = (k if k is not None else body.get("size", 10)) + page_from
     if isinstance(target, IndexReader):
         schema_df = target.doc_stats()
     else:
         schema_df = target
+
+    def finish(out):
+        # shared tail: when a highlight section needs doc columns a
+        # (docid, score)-only scored result doesn't carry, fetch them
+        # first (index: doc fetch join; brute: join back to the
+        # analyzed frame, minus analysis columns), keeping rank order
+        hl = body.get("highlight")
+        if hl:
+            missing = [f for f in (hl.get("fields") or {text_field: {}})
+                       if f not in out.columns]
+            if missing and "score" in out.columns:
+                unavailable = [f for f in missing
+                               if f not in schema_df.columns]
+                if unavailable:
+                    raise ValueError(
+                        f"highlight fields {unavailable} are not stored "
+                        f"by this target — index-backed highlighting "
+                        f"needs the field kept at build time "
+                        f"(build_index keep_cols)")
+                if isinstance(target, IndexReader):
+                    out = fetch_docs(target, out.select("docid", "score"))
+                else:
+                    cols = [c for c in schema_df.columns
+                            if c not in ("tokens", "doc_len")
+                            and c not in out.columns]
+                    out = (out.join(schema_df.select("docid", *cols),
+                                    "docid")
+                           .orderBy(F.desc("score"), F.asc("docid")))
+        return _finish_search(out, size, timeout_s, page_from,
+                              highlight=hl, query=query,
+                              text_field=text_field)
 
     if set(query) & {"query_string", "simple_query_string"}:
         # compile the Lucene syntax down to DSL FIRST, so a compiled
@@ -422,7 +461,7 @@ def search(
                .limit(size))
         if isinstance(target, IndexReader):
             out = fetch_docs(target, out)
-        return _finish_search(out, size, timeout_s)
+        return finish(out)
 
     if set(query) == {"match_phrase_prefix"}:
         # scored phrase-prefix (Lucene MultiPhraseQuery expansion)
@@ -447,7 +486,7 @@ def search(
                    else analyze_docs(target, text_col=fld))
             out = match_phrase_prefix_topk(tgt, text, k=size,
                                            max_expansions=maxe)
-        return _finish_search(out, size, timeout_s)
+        return finish(out)
 
     if set(query) == {"multi_match"}:
         # multi-field scored match (MultiMatchQueryBuilder) — each field
@@ -470,7 +509,7 @@ def search(
                 target, mm["query"], list(mm["fields"]), k=size,
                 match_type=mm.get("type", "best_fields"),
                 tie_breaker=float(mm.get("tie_breaker", 0.0)))
-        return _finish_search(out, size, timeout_s)
+        return finish(out)
 
     if set(query) == {"match_phrase"}:
         # scored phrase (Lucene PhraseQuery): tf = positional phrase
@@ -498,7 +537,7 @@ def search(
             tgt = (target if "tokens" in target.columns
                    else analyze_docs(target, text_col=fld))
             out = match_phrase_topk(tgt, text, k=size, slop=slop)
-        return _finish_search(out, size, timeout_s)
+        return finish(out)
 
     plan = plan_query(schema_df, query)
     cond = plan.filter_cond
@@ -538,10 +577,19 @@ def search(
             # unbounded result onto the driver.
             out = out.limit(size)
 
-    return _finish_search(out, size, timeout_s)
+    return finish(out)
 
 
-def _finish_search(out: DataFrame, size: int, timeout_s: float | None):
+def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
+                   page_from: int = 0, highlight: dict | None = None,
+                   query: dict | None = None, text_field: str = "text"):
+    if page_from:
+        out = out.offset(page_from)
+    if highlight:
+        from ..functions.highlight import apply_highlight
+
+        out = apply_highlight(out, highlight, query,
+                              text_field=text_field)
     if timeout_s is not None:
         # S7 (CompositeRetriever.java:371-400 expiry): materialize the
         # (size-bounded) result under the budget; a runaway plan is
