@@ -824,6 +824,108 @@ def multi_match_topk_indexed(
                                 id_col="docid", k=k)
 
 
+def span_near_docs_indexed(
+    reader: IndexReader,
+    terms: list[str],
+    slop: int = 0,
+    in_order: bool = True,
+    end: int | None = None,
+    filter_cond: Column | None = None,
+) -> DataFrame:
+    """Docids matching a span_near/span_first over the positional
+    postings (matching only — span scoring is out of subset).  Reads
+    ONLY the clause terms' posting blocks + positions; candidate docs
+    are pre-narrowed to those carrying every clause term with the
+    required multiplicity before the per-doc span kernel runs
+    (``functions/spans.py`` algorithms, identical to the brute path).
+
+    Cost is bounded by the rarest clause term's postings — the same
+    posture as the phrase kernels; never a corpus re-analysis."""
+    from collections import Counter as _Counter
+
+    from ..functions.codecs import decode_positions
+    from ..functions.spans import _ordered_match, _unordered_match
+
+    spark = reader.spark
+    meta = reader.meta
+    if not meta.positions:
+        raise ValueError(
+            f"index at {reader.index_dir} was built without positions; "
+            f"rebuild with build_index(..., positions=True) for span "
+            f"queries, or use the brute-force path")
+    empty = spark.createDataFrame([], "docid long")
+    if not terms:
+        return empty
+    req = _Counter(terms)
+    uniq = sorted(req)
+    present = {r["term"] for r in reader.term_stats()
+               .filter(F.col("term").isin(uniq)).select("term").collect()}
+    if any(t not in present for t in uniq):
+        return empty
+    posts = (reader.postings().filter(F.col("term").isin(uniq))
+             .select("term", "seg_id", "first_docid", "gaps", "tfs",
+                     "pos"))
+    docs = _docs_side(reader, filter_cond)
+    seg_size = meta.seg_size
+    cname = codec_name(meta.codec)
+    dec = BLOB_DECODERS[cname]
+    terms_l, slop_i, ord_b, end_i = list(terms), int(slop), bool(in_order), end
+
+    def _spans(p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"docid": pd.Series(dtype="int64")})
+        if len(p) == 0 or len(d) == 0:
+            return out_empty
+        seg_base = int(p["seg_id"].iloc[0]) * seg_size
+        dl = _segment_doclens(d, seg_base, seg_size, False)
+        occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, grp in p.groupby("term", sort=False):
+            locs, poss = [], []
+            for i in range(len(grp)):
+                docids = (np.cumsum(dec(grp["gaps"].iloc[i]))
+                          .astype(np.int64) + grp["first_docid"].iloc[i])
+                tfs = dec(grp["tfs"].iloc[i]).astype(np.int64)
+                pos = decode_positions(grp["pos"].iloc[i], tfs,
+                                       codec=cname)
+                locs.append(np.repeat(docids - seg_base, tfs))
+                poss.append(pos)
+            loc = np.concatenate(locs)
+            ps = np.concatenate(poss)
+            order = np.lexsort((ps, loc))
+            occ[t] = (loc[order], ps[order])
+        if any(t not in occ for t in uniq):
+            return out_empty
+        # candidate docs: enough occurrences of every clause term
+        cand = None
+        for t, c in req.items():
+            docs_t, counts_t = np.unique(occ[t][0], return_counts=True)
+            ok = docs_t[counts_t >= c]
+            cand = ok if cand is None else np.intersect1d(
+                cand, ok, assume_unique=True)
+            if len(cand) == 0:
+                return out_empty
+        cand = cand[dl[cand] >= 0]
+        hits = []
+        for doc in cand:
+            positions = {}
+            for t in uniq:
+                loc, ps = occ[t]
+                a = np.searchsorted(loc, doc, side="left")
+                b_ = np.searchsorted(loc, doc, side="right")
+                positions[t] = ps[a:b_]
+            if ord_b:
+                m_ = _ordered_match([positions[t] for t in terms_l],
+                                    slop_i, end_i)
+            else:
+                m_ = _unordered_match(terms_l, positions, slop_i, end_i)
+            if m_:
+                hits.append(int(doc) + seg_base)
+        return pd.DataFrame({"docid": pd.Series(hits, dtype="int64")})
+
+    local = (posts.groupBy("seg_id").cogroup(docs.groupBy("seg_id"))
+             .applyInPandas(_spans, schema="docid long"))
+    return local.orderBy("docid")
+
+
 def fetch_docs(reader: IndexReader, topk: DataFrame) -> DataFrame:
     """Join top-k hits back to their stored identity/filter columns —
     the ``_source`` fetch path (broadcast: top-k is tiny)."""

@@ -298,6 +298,26 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
                                      "simple_query_string"),
             scoring=scoring)
 
+    if kind in ("span_term", "span_near", "span_first"):
+        # Lucene span family, filter context (matching only — span
+        # scoring is out of subset, functions/spans.py docstring).
+        # span_term degenerates to pure-codegen token containment /
+        # position bound; the general cases run the span kernels as a
+        # batch Arrow UDF over the analyzed token array.
+        from ..functions.spans import parse_span_query, span_match_expr
+
+        fld, terms, slop, in_order, end = parse_span_query(kind, body)
+        doc_toks = tokenize_column(fld)
+        if len(terms) == 1:
+            t = terms[0]
+            if end is None:
+                return QueryPlan(F.array_contains(doc_toks, t))
+            return QueryPlan(
+                F.array_contains(F.slice(doc_toks, 1, end), t))
+        return QueryPlan(
+            F.coalesce(span_match_expr(doc_toks, terms, slop, in_order,
+                                       end), F.lit(False)))
+
     if kind == "constant_score":
         # filter context: matching is the inner filter's; the boost
         # only affects scores
