@@ -80,6 +80,7 @@ def bm25_scores(
     id_col: str = "docid",
     quantize_norms: bool = False,
     conjunctive: bool = False,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Per-doc BM25 ``match`` scores — every matching doc, no top-k cut
     (the building block :func:`bm25_topk_bruteforce` and multi-field
@@ -134,6 +135,10 @@ def bm25_scores(
         # absent from the whole corpus ⇒ no doc can match.
         n_required = len(set(terms))
         scored = scored.filter(F.col("_nt") == n_required)
+    elif min_match is not None and min_match > 1:
+        # minimum_should_match as a matched-distinct-term count
+        # (more_like_this's 30%-of-selected-terms semantics)
+        scored = scored.filter(F.col("_nt") >= min_match)
     return scored.select(id_col, "score")
 
 

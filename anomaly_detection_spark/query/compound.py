@@ -110,33 +110,9 @@ class _Target:
         return bm25_scores(self.target, text, conjunctive=conjunctive)
 
     def _term_doc_pairs(self, terms: list[str]) -> DataFrame:
-        """(term, docid) pairs decoded from the posting lists of
-        ``terms`` — bounded by those terms' postings only."""
-        import pandas as pd
+        from .index_search import term_doc_pairs
 
-        from ..functions.codecs import BLOB_DECODERS, codec_name
-
-        meta = self.target.meta
-        dec = BLOB_DECODERS[codec_name(meta.codec)]
-        posts = (self.target.postings().filter(F.col("term").isin(terms))
-                 .select("term", "first_docid", "gaps"))
-
-        def _expand(it):
-            for pdf in it:
-                ts, ds = [], []
-                for t, first, gaps in zip(pdf["term"], pdf["first_docid"],
-                                          pdf["gaps"]):
-                    docids = dec(bytes(gaps)).cumsum() + int(first)
-                    ds.append(docids)
-                    ts.append([t] * len(docids))
-                if not ts:
-                    yield pd.DataFrame({"term": [], "docid": []})
-                    continue
-                yield pd.DataFrame({
-                    "term": [x for sub in ts for x in sub],
-                    "docid": [int(x) for sub in ds for x in sub]})
-
-        return posts.mapInPandas(_expand, schema="term string, docid long")
+        return term_doc_pairs(self.target, terms)
 
     def filter_docids(self, query: dict[str, Any]) -> DataFrame:
         """docids matching ``query`` in filter context."""

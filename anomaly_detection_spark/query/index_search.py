@@ -824,6 +824,34 @@ def multi_match_topk_indexed(
                                 id_col="docid", k=k)
 
 
+def term_doc_pairs(reader: IndexReader, terms: list[str]) -> DataFrame:
+    """(term, docid) pairs decoded from the posting lists of ``terms``
+    — bounded by those terms' postings only.  The building block for
+    matched-term-count predicates (conjunctive compounds,
+    more_like_this minimum_should_match)."""
+    dec = BLOB_DECODERS[codec_name(reader.meta.codec)]
+    posts = (reader.postings().filter(F.col("term").isin(list(terms)))
+             .select("term", "first_docid", "gaps"))
+
+    def _expand(it):
+        for pdf in it:
+            ts, ds = [], []
+            for t, first, gaps in zip(pdf["term"], pdf["first_docid"],
+                                      pdf["gaps"]):
+                docids = dec(bytes(gaps)).cumsum() + int(first)
+                ds.append(docids)
+                ts.append([t] * len(docids))
+            if not ts:
+                yield pd.DataFrame({"term": pd.Series(dtype="object"),
+                                    "docid": pd.Series(dtype="int64")})
+                continue
+            yield pd.DataFrame({
+                "term": [x for sub in ts for x in sub],
+                "docid": np.concatenate(ds).astype("int64")})
+
+    return posts.mapInPandas(_expand, schema="term string, docid long")
+
+
 def span_near_docs_indexed(
     reader: IndexReader,
     terms: list[str],

@@ -470,6 +470,20 @@ def search(
             spec, simple=kind == "simple_query_string",
             text_field=text_field)
 
+    if set(query) == {"more_like_this"}:
+        from .mlt import more_like_this_topk
+
+        mlt = dict(query["more_like_this"])
+        flds = mlt.pop("fields", [text_field])
+        if list(flds) != [text_field]:
+            raise ValueError(
+                f"more_like_this supports the analyzed text field "
+                f"[{text_field!r}]; got {flds}")
+        like = mlt.pop("like")
+        out = more_like_this_topk(target, like, k=size,
+                                  text_field=text_field, **mlt)
+        return finish(out)
+
     if len(query) == 1 and next(iter(query)) in (
             "dis_max", "constant_score", "boosting", "function_score"):
         # compound scored queries: exact full-score-set combination,
