@@ -64,9 +64,14 @@ def decontaminate(
     evaluation corpus (GPT-3 appendix C / Llama decontamination).
 
     Returns one row per TRAIN doc: (id_col, collision_count,
-    contaminated) where ``collision_count`` is the number of distinct
-    train-side n-grams that also occur anywhere in the eval set.
-    Docs shorter than ``n`` tokens have no shingles and are clean.
+    total_shingles, collision_frac, contaminated) where
+    ``collision_count`` is the number of distinct train-side n-grams
+    that also occur anywhere in the eval set and ``collision_frac`` =
+    count / total distinct shingles (the Llama-2-style "fraction of
+    the document contaminated" signal callers threshold on; the
+    ``contaminated`` flag itself is the strict any-collision GPT-3
+    rule).  Docs shorter than ``n`` tokens have no shingles and are
+    clean (collision_frac 0.0).
 
     Scale shape: the eval shingle set (benchmarks: thousands of docs)
     is collected into a broadcast hash join against the exploded
@@ -80,22 +85,28 @@ def decontaminate(
     eval_text_col = eval_text_col or text_col
     ev = (eval_df.select(
         F.explode(_shingle_hashes(eval_text_col, n)).alias("_sh"))
-        .distinct())
+        .distinct().withColumn("_hit", F.lit(True)))
     if broadcast_eval:
         ev = F.broadcast(ev)
+    # ONE tokenize+hash pass over the train side: explode_outer keeps
+    # shingle-less docs (one null row → counts 0), the broadcast left
+    # join marks collisions without shuffling the big side, and the
+    # groupBy partial-aggregates map-side to ~one row per doc
     tr = train.select(
         F.col(id_col),
         F.explode_outer(_shingle_hashes(text_col, n)).alias("_sh"))
-    hits = (tr.join(ev, "_sh", "left_semi")
-            .groupBy(id_col)
-            .agg(F.count("*").alias("collision_count")))
-    return (train.select(id_col).join(hits, id_col, "left")
-            .select(
-                id_col,
-                F.coalesce("collision_count", F.lit(0))
-                .alias("collision_count"),
-                (F.coalesce("collision_count", F.lit(0)) > 0)
-                .alias("contaminated")))
+    agg = (tr.join(ev, "_sh", "left")
+           .groupBy(id_col)
+           .agg(F.count("_sh").alias("total_shingles"),
+                F.count("_hit").alias("collision_count")))
+    return agg.select(
+        id_col,
+        "collision_count",
+        "total_shingles",
+        F.when(F.col("total_shingles") > 0,
+               F.col("collision_count") / F.col("total_shingles"))
+        .otherwise(F.lit(0.0)).alias("collision_frac"),
+        (F.col("collision_count") > 0).alias("contaminated"))
 
 
 def repetition_metrics(

@@ -264,6 +264,19 @@ def main() -> None:
           lambda: decontaminate(documents, bench_eval).collect())
     timed("repetition_metrics_documents",
           lambda: repetition_metrics(documents).collect())
+    from anomaly_detection_spark.query.index_search import (
+        span_near_docs_indexed,
+    )
+    from anomaly_detection_spark.query.mlt import more_like_this_topk
+
+    timed("span_near_indexed",
+          lambda: span_near_docs_indexed(
+              dreader, ["the", "data"], slop=4,
+              in_order=False).collect())
+    timed("more_like_this_indexed",
+          lambda: more_like_this_topk(
+              dreader, "the quick data merge query example text",
+              k=10, min_term_freq=1, min_doc_freq=2).collect())
     timed("function_score_dismax_indexed",
           lambda: search(dreader, {"query": {"function_score": {
               "query": {"dis_max": {

@@ -52,17 +52,24 @@ def test_decontaminate_matches_duckdb_string_oracle(spark, docs):
     """
     want = con.execute(f"""
       with tr as ({sh}), ev as (
-        select distinct g from ({sh}) where doc_id % 7 = 0)
+        select distinct g from ({sh}) where doc_id % 7 = 0),
+      tot as (select doc_id, count(*) as ts from tr group by doc_id)
       select d.doc_id,
              coalesce(h.c, 0) as collision_count,
+             coalesce(tot.ts, 0) as total_shingles,
+             case when coalesce(tot.ts, 0) > 0
+                  then coalesce(h.c, 0) / tot.ts else 0.0
+             end as collision_frac,
              coalesce(h.c, 0) > 0 as contaminated
       from d left join (
         select tr.doc_id, count(*) as c
         from tr join ev using (g) group by tr.doc_id) h
-      using (doc_id) order by doc_id
+      using (doc_id) left join tot using (doc_id) order by doc_id
     """).df()
     assert list(got.doc_id) == list(want.doc_id)
     assert list(got.collision_count) == list(want.collision_count)
+    assert list(got.total_shingles) == list(want.total_shingles)
+    assert np.allclose(got.collision_frac, want.collision_frac)
     assert list(got.contaminated) == list(want.contaminated)
     # the planted benchmark docs must all self-flag (len >= 13 tokens)
     flagged = set(got[got.contaminated].doc_id)
