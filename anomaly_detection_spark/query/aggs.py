@@ -898,3 +898,170 @@ def moving_avg(df: DataFrame, metric_col: str, order_col: str,
     alias = alias or f"{metric_col}_mavg"
     w = Window.orderBy(order_col).rowsBetween(-(window - 1), 0)
     return df.withColumn(alias, F.avg(metric_col).over(w))
+
+# ---------------------------------------------------------------------------
+# moving_fn / normalize / moving_percentiles / cumulative_cardinality —
+# the remaining commonly-used pipeline aggregations
+# (MovFnPipelineAggregationBuilder, NormalizePipelineAggregator,
+# MovingPercentilesPipelineAggregationBuilder,
+# CumulativeCardinalityPipelineAggregationBuilder)
+# ---------------------------------------------------------------------------
+
+_MOVING_SIMPLE = {"max": F.max, "min": F.min, "sum": F.sum,
+                  "unweightedAvg": F.avg, "stdDev": F.stddev_pop}
+
+
+def _moving_window(order_col: str, window: int, shift: int):
+    """The MovFn window frame: with ``shift=0`` the window is the
+    ``window`` buckets strictly BEFORE the current one; ``shift=1``
+    slides it right to include the current bucket (the documented
+    MovFnPipelineAggregator semantics — shift moves the window end)."""
+    if window < 1:
+        raise ValueError("moving_fn window must be >= 1")
+    return Window.orderBy(order_col).rowsBetween(
+        -window + shift, shift - 1)
+
+
+def moving_fn(df: DataFrame, metric_col: str, order_col: str,
+              window: int, fn: str = "unweightedAvg", shift: int = 0,
+              alpha: float = 0.3, alias: str | None = None) -> DataFrame:
+    """``moving_fn`` pipeline agg: one of the MovingFunctions library
+    functions slid across sibling buckets.
+
+    Supported ``fn``: max / min / sum / unweightedAvg / stdDev (the
+    simple reductions, pure window aggregates) and linearWeightedAvg /
+    ewma (position-weighted — computed with an ``aggregate`` HOF over
+    the collected window, still whole-stage codegen; window size is a
+    user constant, so the per-row list is bounded).  Empty windows
+    yield null (MovingFunctions return NaN; null is the relational
+    rendering).  Same unpartitioned-window scope note as serial_diff:
+    pipeline aggs consume already-reduced sibling buckets."""
+    alias = alias or f"{metric_col}_movfn"
+    w = _moving_window(order_col, window, shift)
+    if fn in _MOVING_SIMPLE:
+        return df.withColumn(alias, _MOVING_SIMPLE[fn](metric_col).over(w))
+    if fn not in ("linearWeightedAvg", "ewma"):
+        raise ValueError(f"unsupported moving_fn function {fn!r}")
+    xs = F.filter(F.collect_list(F.col(metric_col).cast("double")).over(w),
+                  lambda x: x.isNotNull())
+    if fn == "linearWeightedAvg":
+        # weights 1..n, most-recent bucket heaviest (MovingFunctions
+        # .linearWeightedAvg): Σ i·x_i / Σ i
+        num = F.aggregate(
+            F.zip_with(xs, F.sequence(F.lit(1), F.greatest(F.size(xs),
+                                                           F.lit(1))),
+                       lambda x, i: x * i.cast("double")),
+            F.lit(0.0), lambda a, v: a + v)
+        den = (F.size(xs) * (F.size(xs) + F.lit(1)) / F.lit(2)).cast("double")
+        col = F.when(F.size(xs) > 0, num / den)
+    else:
+        # ewma: avg ← α·x + (1−α)·avg, oldest→newest, first value seeds
+        a = float(alpha)
+        acc0 = F.struct(F.lit(0.0).alias("a"), F.lit(False).alias("s"))
+        col = F.when(F.size(xs) > 0, F.aggregate(
+            xs, acc0,
+            lambda acc, x: F.struct(
+                F.when(acc["s"], F.lit(a) * x + F.lit(1.0 - a) * acc["a"])
+                .otherwise(x).alias("a"),
+                F.lit(True).alias("s")),
+            lambda acc: acc["a"]))
+    return df.withColumn(alias, col)
+
+
+_NORMALIZE_METHODS = ("rescale_0_1", "rescale_0_100", "percent_of_sum",
+                      "mean", "z-score", "softmax")
+
+
+def normalize_agg(df: DataFrame, metric_col: str, method: str,
+                  alias: str | None = None) -> DataFrame:
+    """``normalize`` pipeline agg: rescale a metric across ALL sibling
+    buckets (NormalizePipelineAggregator methods, with its documented
+    formulas — ``mean`` is the reference's (x − mean)/(max − min)).
+    One unbounded window over the sibling-bucket frame (bounded by the
+    histogram span, not corpus size)."""
+    alias = alias or f"{metric_col}_norm"
+    w = (Window.orderBy(metric_col)
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    x = F.col(metric_col).cast("double")
+    mn, mx = F.min(x).over(w), F.max(x).over(w)
+    if method == "rescale_0_1":
+        col = (x - mn) / (mx - mn)
+    elif method == "rescale_0_100":
+        col = F.lit(100.0) * (x - mn) / (mx - mn)
+    elif method == "percent_of_sum":
+        col = x / F.sum(x).over(w)
+    elif method == "mean":
+        col = (x - F.avg(x).over(w)) / (mx - mn)
+    elif method == "z-score":
+        col = (x - F.avg(x).over(w)) / F.stddev_pop(x).over(w)
+    elif method == "softmax":
+        col = F.exp(x) / F.sum(F.exp(x)).over(w)
+    else:
+        raise ValueError(
+            f"unsupported normalize method {method!r}; "
+            f"supported: {_NORMALIZE_METHODS}")
+    return df.withColumn(alias, col)
+
+
+def moving_percentiles(df: DataFrame, metric_col: str, order_col: str,
+                       window: int, percents: list[float] | None = None,
+                       shift: int = 0,
+                       alias: str | None = None) -> DataFrame:
+    """``moving_percentiles`` pipeline agg: percentiles of the metric
+    over the sliding MovFn window (same window/shift semantics as
+    :func:`moving_fn`).  EXACT percentiles — the window holds at most
+    ``window`` already-reduced bucket values."""
+    alias = alias or f"{metric_col}_movpct"
+    pcts = [p / 100.0 for p in (percents or [50.0])]
+    w = _moving_window(order_col, window, shift)
+    col = (F.percentile(metric_col, F.lit(pcts[0])) if len(pcts) == 1
+           else F.percentile(metric_col,
+                             F.array(*[F.lit(p) for p in pcts])))
+    return df.withColumn(alias, col.over(w))
+
+
+def cumulative_cardinality(df: DataFrame, field: str,
+                           bucket_col: Column,
+                           min_doc_count: int = 0,
+                           alias: str = "cumulative_cardinality",
+                           interval_ms: int | None = None) -> DataFrame:
+    """``cumulative_cardinality`` pipeline agg: per date bucket, the
+    number of DISTINCT ``field`` values seen in that bucket or any
+    earlier one (the "total unique users so far" shape).
+
+    The reference merges per-bucket HLL sketches; here the exact
+    answer costs one extra shuffle and stays scale-safe: group by
+    VALUE to find each value's first bucket (map-side partial agg —
+    the shuffle carries one row per distinct value), count first
+    occurrences per bucket, running-sum over the (tiny) bucket frame.
+    Returns (bucket_start, doc_count, {alias}); buckets with no new
+    values carry the previous total.  When ``min_doc_count`` is 0 and
+    ``interval_ms`` given, gap buckets are emitted like
+    date_histogram."""
+    base = df.withColumn("bucket_start", bucket_col)
+    counts = base.groupBy("bucket_start").agg(
+        F.count("*").alias("doc_count"))
+    firsts = (base.groupBy(field)
+              .agg(F.min("bucket_start").alias("bucket_start"))
+              .groupBy("bucket_start")
+              .agg(F.count("*").alias("_new")))
+    out = counts.join(firsts, "bucket_start", "left")
+    if min_doc_count == 0 and interval_ms is not None:
+        from pyspark.sql import types as T
+
+        bounds = out.agg(F.min("bucket_start").alias("lo"),
+                         F.max("bucket_start").alias("hi"))
+        step = (F.expr(f"interval {interval_ms} milliseconds")
+                if isinstance(out.schema["bucket_start"].dataType,
+                              (T.TimestampType, T.TimestampNTZType))
+                else F.lit(interval_ms))
+        grid = bounds.select(F.explode(F.sequence(
+            "lo", "hi", step)).alias("bucket_start"))
+        out = (grid.join(out, "bucket_start", "left")
+               .withColumn("doc_count",
+                           F.coalesce("doc_count", F.lit(0))))
+    w = (Window.orderBy("bucket_start")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (out.withColumn(
+        alias, F.sum(F.coalesce("_new", F.lit(0))).over(w))
+        .drop("_new").orderBy("bucket_start"))

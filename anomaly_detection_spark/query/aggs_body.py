@@ -59,7 +59,8 @@ _METRIC_KINDS = {"max", "min", "avg", "sum", "value_count", "cardinality",
 _PIPELINE_KINDS = {"serial_diff", "min_bucket", "max_bucket", "sum_bucket",
                    "avg_bucket", "bucket_sort", "derivative",
                    "cumulative_sum", "moving_avg", "bucket_script",
-                   "bucket_selector"}
+                   "bucket_selector", "moving_fn", "normalize",
+                   "moving_percentiles", "cumulative_cardinality"}
 _BUCKET_KINDS = {"terms", "date_histogram"}
 
 _DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
@@ -210,6 +211,26 @@ def _apply_pipes(out: DataFrame, pipes: dict[str, dict],
             from .aggs import bucket_selector
 
             out = bucket_selector(out, pb["buckets_path"], pb["script"])
+        elif pk == "moving_fn":
+            from .aggs import moving_fn
+
+            out = moving_fn(out, pb["buckets_path"], order_col,
+                            window=pb["window"],
+                            fn=pb.get("script", "unweightedAvg"),
+                            shift=pb.get("shift", 0),
+                            alpha=pb.get("alpha", 0.3), alias=name)
+        elif pk == "normalize":
+            from .aggs import normalize_agg
+
+            out = normalize_agg(out, pb["buckets_path"],
+                                method=pb["method"], alias=name)
+        elif pk == "moving_percentiles":
+            from .aggs import moving_percentiles
+
+            out = moving_percentiles(
+                out, pb["buckets_path"], order_col,
+                window=pb["window"], percents=pb.get("percents"),
+                shift=pb.get("shift", 0), alias=name)
         elif pk == "min_bucket":
             out = min_bucket(out, pb["buckets_path"])
         elif pk in ("max_bucket", "sum_bucket", "avg_bucket"):
@@ -431,6 +452,35 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                     offset_ms=(offset_ms(kbody["offset"])
                                if "offset" in kbody else 0),
                     time_zone=kbody.get("time_zone"))
+            cc = {n: s for n, s in pipes.items()
+                  if next(iter(s)) == "cumulative_cardinality"}
+            for cname, cspec in cc.items():
+                # cumulative_cardinality consumes the RAW docs (its
+                # buckets_path names a cardinality sub-agg; the exact
+                # first-occurrence plan needs the values, not the
+                # per-bucket sketches) — computed from the scoped
+                # frame and joined onto the bucket rows
+                del pipes[cname]
+                path = cspec["cumulative_cardinality"]["buckets_path"]
+                card = metrics.get(path)
+                if not card or "cardinality" not in card:
+                    raise ValueError(
+                        "cumulative_cardinality buckets_path must name "
+                        f"a cardinality sub-agg; got {path!r}")
+                from .aggs import cumulative_cardinality
+
+                cum = cumulative_cardinality(
+                    df, card["cardinality"]["field"], _dh_bucket(kbody),
+                    alias=cname).select("bucket_start", cname)
+                out = out.join(cum, "bucket_start", "left")
+                # min_doc_count=0 gap buckets carry the running total
+                from pyspark.sql import Window as _W
+
+                ff = (_W.orderBy("bucket_start")
+                      .rowsBetween(_W.unboundedPreceding, 0))
+                out = out.withColumn(
+                    cname, F.coalesce(F.last(cname, True).over(ff),
+                                      F.lit(0)))
             results[name] = _apply_pipes(out, pipes, "bucket_start")
             continue
         if kind == "auto_date_histogram":
