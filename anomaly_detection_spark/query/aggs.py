@@ -105,7 +105,10 @@ def metric_agg_cols(sub_specs: dict[str, dict]) -> list[Column]:
     out: list[Column] = []
     for alias, spec in sub_specs.items():
         (kind, body), = spec.items()
-        if kind in ("stats", "extended_stats"):
+        if kind == "boxplot":
+            out += boxplot_cols(body["field"], alias,
+                                exact=body.get("exact", False))
+        elif kind in ("stats", "extended_stats"):
             f = body["field"]
             out += [F.count(f).alias(f"{alias}_count"),
                     F.min(f).alias(f"{alias}_min"),
@@ -1065,3 +1068,203 @@ def cumulative_cardinality(df: DataFrame, field: str,
     return (out.withColumn(
         alias, F.sum(F.coalesce("_new", F.lit(0))).over(w))
         .drop("_new").orderBy("bucket_start"))
+
+# ---------------------------------------------------------------------------
+# boxplot / median_absolute_deviation / string_stats / t_test /
+# matrix_stats — the remaining metric aggregations of the reference's
+# user-facing surface (BoxplotAggregationBuilder,
+# MedianAbsoluteDeviationAggregationBuilder,
+# StringStatsAggregationBuilder, TTestAggregationBuilder and the
+# matrix-stats module's MatrixStatsAggregationBuilder)
+# ---------------------------------------------------------------------------
+
+
+def _pct_col(field: str, pcts: list[float], exact: bool,
+             accuracy: int = 10_000) -> Column:
+    arr = (F.array(*[F.lit(p) for p in pcts]) if len(pcts) > 1
+           else F.lit(pcts[0]))
+    return (F.percentile(field, arr) if exact
+            else F.percentile_approx(field, arr, F.lit(accuracy)))
+
+
+def boxplot_cols(field: str, alias: str, exact: bool = False) -> list[Column]:
+    """``boxplot`` agg → min/max/q1/q2/q3 columns.  Quartiles are
+    approximate by default (same sketch-at-scale posture as
+    percentiles; ``exact`` opts into F.percentile for oracle runs)."""
+    q = _pct_col(field, [0.25, 0.5, 0.75], exact)
+    return [F.min(field).alias(f"{alias}_min"),
+            F.max(field).alias(f"{alias}_max"),
+            q.getItem(0).alias(f"{alias}_q1"),
+            q.getItem(1).alias(f"{alias}_q2"),
+            q.getItem(2).alias(f"{alias}_q3")]
+
+
+def mad_agg(df: DataFrame, field: str,
+            group_cols: list[str] | None = None,
+            exact: bool = False, alias: str = "mad") -> DataFrame:
+    """``median_absolute_deviation``: median(|x − median(x)|).
+
+    Inherently two-pass (the deviation needs the group median before
+    any value can be reduced): pass 1 computes per-group medians — one
+    row per group — which broadcast back onto the rows; pass 2 reduces
+    the absolute deviations.  Both passes are approximate by default
+    (the reference uses t-digest); ``exact=True`` for oracle parity.
+    The broadcast join ships only the tiny medians frame — the big
+    side never shuffles beyond the two groupBys on the same keys."""
+    group_cols = group_cols or []
+    med = (df.groupBy(*group_cols)
+           .agg(_pct_col(field, [0.5], exact).alias("_med")))
+    if group_cols:
+        joined = df.join(F.broadcast(med), group_cols)
+    else:
+        joined = df.crossJoin(F.broadcast(med))
+    dev = F.abs(F.col(field) - F.col("_med"))
+    return (joined.groupBy(*group_cols)
+            .agg((F.percentile(dev, F.lit(0.5)) if exact else
+                  F.percentile_approx(dev, F.lit(0.5), F.lit(10_000)))
+                 .alias(alias)))
+
+
+def string_stats_agg(df: DataFrame, field: str,
+                     group_cols: list[str] | None = None,
+                     show_distribution: bool = False) -> DataFrame:
+    """``string_stats``: count, min/max/avg length, and Shannon
+    entropy over the CHARACTER distribution of all values (the
+    reference's definition — entropy of character frequencies across
+    the whole bucket, not per doc).
+
+    Length stats are pure codegen; entropy explodes to one row per
+    (group, character) COUNT — the shuffle carries at most
+    |alphabet| rows per group.  ``show_distribution`` adds the
+    per-character probability map as a sorted array of (char, prob)
+    structs."""
+    group_cols = group_cols or []
+    lens = (df.filter(F.col(field).isNotNull())
+            .groupBy(*group_cols)
+            .agg(F.count(field).alias("count"),
+                 F.min(F.length(field)).alias("min_length"),
+                 F.max(F.length(field)).alias("max_length"),
+                 F.avg(F.length(field)).alias("avg_length")))
+    chars = (df.filter(F.col(field).isNotNull())
+             .select(*group_cols,
+                     F.explode(F.split(F.col(field), "")).alias("_ch"))
+             .filter(F.col("_ch") != "")
+             .groupBy(*group_cols, "_ch")
+             .agg(F.count("*").alias("_n")))
+    w = (Window.partitionBy(*group_cols) if group_cols
+         else Window.partitionBy(F.lit(1)))
+    p = F.col("_n") / F.sum("_n").over(w)
+    per_char = chars.withColumn("_p", p)
+    ent_cols = [(-F.sum(F.col("_p") * F.log2("_p"))).alias("entropy")]
+    if show_distribution:
+        ent_cols.append(F.array_sort(F.collect_list(F.struct(
+            F.col("_ch").alias("char"), F.col("_p").alias("prob"))))
+            .alias("distribution"))
+    ent = per_char.groupBy(*group_cols).agg(*ent_cols)
+    if group_cols:
+        return lens.join(ent, group_cols, "left")
+    return lens.crossJoin(ent)
+
+
+def t_test_agg(df: DataFrame, a_field: str, b_field: str,
+               a_filter: Column | None = None,
+               b_filter: Column | None = None,
+               test_type: str = "heteroscedastic",
+               group_cols: list[str] | None = None) -> DataFrame:
+    """``t_test`` agg: two-sided p-value that two populations have the
+    same mean.  ``paired`` compares two fields on the same rows;
+    un-paired forms compare ``a_field`` under ``a_filter`` vs
+    ``b_field`` under ``b_filter`` (``heteroscedastic`` = Welch,
+    the reference's default; ``homoscedastic`` = pooled variance).
+
+    The moments reduce in ONE pass with conditional aggregates (no
+    second scan, no shuffle beyond the groupBy); the t → p-value map
+    runs in an Arrow batch over the already-reduced group rows via
+    the numpy incomplete-beta in ``functions.stats``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.stats import t_sf_two_sided
+
+    group_cols = group_cols or []
+    if test_type == "paired":
+        d = F.col(a_field) - F.col(b_field)
+        ok = F.col(a_field).isNotNull() & F.col(b_field).isNotNull()
+        d = F.when(ok, d)
+        red = df.groupBy(*group_cols).agg(
+            F.count(d).alias("_n"), F.avg(d).alias("_m"),
+            F.var_samp(d).alias("_v"))
+        t = F.col("_m") / F.sqrt(F.col("_v") / F.col("_n"))
+        dof = (F.col("_n") - 1).cast("double")
+    elif test_type in ("heteroscedastic", "homoscedastic"):
+        a = F.when(a_filter if a_filter is not None else F.lit(True),
+                   F.col(a_field))
+        b = F.when(b_filter if b_filter is not None else F.lit(True),
+                   F.col(b_field))
+        red = df.groupBy(*group_cols).agg(
+            F.count(a).alias("_na"), F.avg(a).alias("_ma"),
+            F.var_samp(a).alias("_va"),
+            F.count(b).alias("_nb"), F.avg(b).alias("_mb"),
+            F.var_samp(b).alias("_vb"))
+        na, nb = F.col("_na"), F.col("_nb")
+        va, vb = F.col("_va"), F.col("_vb")
+        if test_type == "heteroscedastic":
+            se2 = va / na + vb / nb
+            t = (F.col("_ma") - F.col("_mb")) / F.sqrt(se2)
+            dof = (se2 * se2) / (
+                (va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1))
+        else:
+            sp2 = (((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+            t = (F.col("_ma") - F.col("_mb")) / \
+                F.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+            dof = (na + nb - 2).cast("double")
+    else:
+        raise ValueError(f"unsupported t_test type {test_type!r}")
+    red = red.withColumn("_t", t.cast("double")) \
+             .withColumn("_df", dof.cast("double"))
+
+    @F.pandas_udf(T.DoubleType())
+    def _pval(ts, dfs):
+        return pd.Series(t_sf_two_sided(ts.to_numpy("float64"),
+                                        dfs.to_numpy("float64")))
+
+    return red.select(*group_cols,
+                      _pval(F.col("_t"), F.col("_df")).alias("p_value"))
+
+
+def matrix_stats_agg(df: DataFrame, fields: list[str]) -> DataFrame:
+    """``matrix_stats`` (matrix-stats module): one row per ordered
+    field pair (field_a, field_b) with the per-``field_a`` moments —
+    count / mean / variance (sample) / skewness / kurtosis
+    (population-moment g1 / excess g2, Spark's definitions; the
+    divisor conventions are documented here because the reference's
+    running-moment forms differ in O(1/n) bias terms) — plus sample
+    covariance and Pearson correlation of the pair.  One single-pass
+    reduction; the pair count is |fields|² user constants."""
+    if len(fields) < 2:
+        raise ValueError("matrix_stats needs >= 2 fields")
+    cols: list[Column] = []
+    for fld in fields:
+        cols += [F.count(fld).alias(f"_n_{fld}"),
+                 F.avg(fld).alias(f"_m_{fld}"),
+                 F.var_samp(fld).alias(f"_v_{fld}"),
+                 F.skewness(fld).alias(f"_s_{fld}"),
+                 F.kurtosis(fld).alias(f"_k_{fld}")]
+    for fa in fields:
+        for fb in fields:
+            cols += [F.covar_samp(fa, fb).alias(f"_cov_{fa}_{fb}"),
+                     F.corr(fa, fb).alias(f"_cor_{fa}_{fb}")]
+    red = df.agg(*cols)
+    pair_rows = [F.struct(
+        F.lit(fa).alias("field_a"), F.lit(fb).alias("field_b"),
+        F.col(f"_n_{fa}").alias("count"),
+        F.col(f"_m_{fa}").alias("mean"),
+        F.col(f"_v_{fa}").alias("variance"),
+        F.col(f"_s_{fa}").alias("skewness"),
+        F.col(f"_k_{fa}").alias("kurtosis"),
+        F.col(f"_cov_{fa}_{fb}").alias("covariance"),
+        F.col(f"_cor_{fa}_{fb}").alias("correlation"))
+        for fa in fields for fb in fields]
+    return (red.select(F.explode(F.array(*pair_rows)).alias("_r"))
+            .select("_r.*"))

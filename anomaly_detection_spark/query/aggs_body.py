@@ -55,7 +55,7 @@ from .planner import compile_filter
 
 _METRIC_KINDS = {"max", "min", "avg", "sum", "value_count", "cardinality",
                  "percentiles", "stats", "extended_stats", "weighted_avg",
-                 "percentile_ranks"}
+                 "percentile_ranks", "boxplot"}
 _PIPELINE_KINDS = {"serial_diff", "min_bucket", "max_bucket", "sum_bucket",
                    "avg_bucket", "bucket_sort", "derivative",
                    "cumulative_sum", "moving_avg", "bucket_script",
@@ -339,6 +339,37 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             continue
         if kind in _METRIC_KINDS:
             results[name] = df.agg(*metric_agg_cols({name: {kind: kbody}}))
+            continue
+        if kind == "median_absolute_deviation":
+            from .aggs import mad_agg
+
+            results[name] = mad_agg(df, kbody["field"],
+                                    exact=kbody.get("exact", False),
+                                    alias=name)
+            continue
+        if kind == "string_stats":
+            from .aggs import string_stats_agg
+
+            results[name] = string_stats_agg(
+                df, kbody["field"],
+                show_distribution=kbody.get("show_distribution", False))
+            continue
+        if kind == "t_test":
+            from .aggs import t_test_agg
+
+            af, bf = kbody["a"], kbody["b"]
+            results[name] = t_test_agg(
+                df, af["field"], bf["field"],
+                a_filter=(compile_filter(df, af["filter"])
+                          if "filter" in af else None),
+                b_filter=(compile_filter(df, bf["filter"])
+                          if "filter" in bf else None),
+                test_type=kbody.get("type", "heteroscedastic"))
+            continue
+        if kind == "matrix_stats":
+            from .aggs import matrix_stats_agg
+
+            results[name] = matrix_stats_agg(df, kbody["fields"])
             continue
         if kind == "filter":
             results[name] = filter_agg(df, compile_filter(df, kbody), metrics)
