@@ -1268,3 +1268,87 @@ def matrix_stats_agg(df: DataFrame, fields: list[str]) -> DataFrame:
         for fa in fields for fb in fields]
     return (red.select(F.explode(F.array(*pair_rows)).alias("_r"))
             .select("_r.*"))
+
+# ---------------------------------------------------------------------------
+# nested / reverse_nested — scope-switching bucket aggs over
+# array<struct> columns (NestedAggregationBuilder,
+# ReverseNestedAggregationBuilder; the relational twin of the nested
+# query at planner.py "nested")
+# ---------------------------------------------------------------------------
+
+
+def _strip_path(field: str, path: str) -> str:
+    return field[len(path) + 1:] if field.startswith(path + ".") else field
+
+
+def nested_agg(df: DataFrame, path: str,
+               terms: dict[str, Any] | None = None,
+               sub_specs: dict[str, dict] | None = None,
+               reverse_nested_alias: str | None = None) -> DataFrame:
+    """``nested`` agg: switch the aggregation scope to the elements of
+    the ``path`` array<struct> column.
+
+    Without ``terms``: one row of nested-doc count + metric sub-aggs
+    over ALL elements.  With ``terms`` ({"field", "size"}): a terms
+    bucket over a nested field, metric sub-aggs in nested scope, and —
+    when ``reverse_nested_alias`` is set — the PARENT doc count per
+    bucket (``reverse_nested`` semantics: how many outer docs have at
+    least one qualifying element), computed as a distinct count of a
+    per-parent id in the same exploded frame (one explode, one
+    shuffle).  Inner field names may carry the ``path.`` prefix like
+    the reference."""
+    sub_specs = {
+        alias: {k: ({**b, "field": _strip_path(b["field"], path)}
+                    if "field" in b else b)
+                for k, b in spec.items()}
+        for alias, spec in (sub_specs or {}).items()}
+    ex = (df.withColumn("_pid", F.monotonically_increasing_id())
+          .select("_pid", F.explode(path).alias("_e"))
+          .select("_pid", "_e.*"))
+    if terms is None:
+        return ex.agg(F.count("*").alias("doc_count"),
+                      *metric_agg_cols(sub_specs))
+    fld = _strip_path(terms["field"], path)
+    size = terms.get("size", 10)
+    aggs = [F.count("*").alias("doc_count"), *metric_agg_cols(sub_specs)]
+    if reverse_nested_alias:
+        aggs.append(F.countDistinct("_pid")
+                    .alias(f"{reverse_nested_alias}_doc_count"))
+    return (ex.groupBy(fld).agg(*aggs)
+            .orderBy(F.desc("doc_count"), F.asc(fld)).limit(size))
+
+
+# ---------------------------------------------------------------------------
+# sampler / diversified_sampler — deterministic renderings
+# (SamplerAggregationBuilder, DiversifiedAggregationBuilder)
+# ---------------------------------------------------------------------------
+
+
+def sampler_agg(df: DataFrame, shard_size: int, sort_col: str,
+                sub_specs: dict[str, dict] | None = None,
+                diversify_field: str | None = None,
+                max_docs_per_value: int = 1,
+                tie_col: str | None = None) -> DataFrame:
+    """``sampler`` / ``diversified_sampler``: run sub-aggs over only
+    the top-``shard_size`` docs by ``sort_col`` descending.
+
+    The reference samples the top-scored docs PER SHARD (shard-local,
+    order-dependent); this rendering is the deterministic global
+    top-N — strictly stronger and reproducible across partitionings.
+    ``diversify_field`` adds the diversified_sampler constraint: at
+    most ``max_docs_per_value`` docs per distinct value enter the
+    sample (window rank inside each value, then the global top-N).
+    ``tie_col`` breaks sort ties deterministically.  The sample is
+    TakeOrderedAndProject-sized (shard_size rows), never a full
+    sort."""
+    order = [F.desc(sort_col)] + \
+        ([F.asc(tie_col)] if tie_col else [])
+    cand = df
+    if diversify_field is not None:
+        w = Window.partitionBy(diversify_field).orderBy(*order)
+        cand = (cand.withColumn("_drk", F.row_number().over(w))
+                .filter(F.col("_drk") <= max_docs_per_value)
+                .drop("_drk"))
+    sample = cand.orderBy(*order).limit(shard_size)
+    return sample.agg(F.count("*").alias("doc_count"),
+                      *metric_agg_cols(sub_specs or {}))

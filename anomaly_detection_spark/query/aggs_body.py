@@ -302,6 +302,37 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         df = df.filter(compile_filter(df, query))
     results: dict[str, DataFrame] = {}
     for name, spec in (body.get("aggs") or {}).items():
+        pre_kinds = [k for k in spec if k != "aggs"]
+        if pre_kinds == ["nested"]:
+            # handled before _split: nested sub-aggs live in nested
+            # scope (terms bucket + reverse_nested), which _split's
+            # outer-doc taxonomy would reject
+            from .aggs import nested_agg
+
+            kbody = spec["nested"]
+            sub = dict(spec.get("aggs") or {})
+            inner_terms = {n: s for n, s in sub.items() if "terms" in s}
+            if not sub:
+                results[name] = nested_agg(df, kbody["path"])
+            elif inner_terms:
+                if len(sub) != 1:
+                    raise ValueError(
+                        "nested supports either metric sub-aggs or a "
+                        "single terms bucket")
+                (tname, tspec), = inner_terms.items()
+                tsub = dict(tspec.get("aggs") or {})
+                rev = [n for n, s in tsub.items()
+                       if "reverse_nested" in s]
+                tmetrics = {n: s for n, s in tsub.items()
+                            if n not in rev}
+                results[name] = nested_agg(
+                    df, kbody["path"], terms=tspec["terms"],
+                    sub_specs=tmetrics,
+                    reverse_nested_alias=(rev[0] if rev else None))
+            else:
+                results[name] = nested_agg(df, kbody["path"],
+                                           sub_specs=sub)
+            continue
         kind, kbody, metrics, pipes, bsubs, hits = _split(spec)
         if hits:
             # top_hits under a bucket agg: per-bucket top-N docs via
@@ -370,6 +401,24 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             from .aggs import matrix_stats_agg
 
             results[name] = matrix_stats_agg(df, kbody["fields"])
+            continue
+        if kind in ("sampler", "diversified_sampler"):
+            from .aggs import sampler_agg
+
+            if "sort" not in kbody:
+                raise ValueError(
+                    f"{kind} requires an explicit 'sort' field here: "
+                    "the reference samples by per-shard score order, "
+                    "which is not deterministic; this engine samples "
+                    "the global top-N by the named column")
+            results[name] = sampler_agg(
+                df, kbody.get("shard_size", 100), kbody["sort"],
+                sub_specs=metrics,
+                diversify_field=(kbody.get("field")
+                                 if kind == "diversified_sampler"
+                                 else None),
+                max_docs_per_value=kbody.get("max_docs_per_value", 1),
+                tie_col=kbody.get("tie_breaker"))
             continue
         if kind == "filter":
             results[name] = filter_agg(df, compile_filter(df, kbody), metrics)
