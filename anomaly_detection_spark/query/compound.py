@@ -37,7 +37,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 COMPOUND_KINDS = ("dis_max", "constant_score", "boosting",
-                  "function_score")
+                  "function_score", "script_score", "pinned",
+                  "distance_feature")
 
 _NEUTRAL = {"multiply": 1.0, "sum": 0.0, "avg": 0.0,
             "max": float("-inf"), "min": float("inf")}
@@ -185,6 +186,52 @@ def _scores(tgt: _Target, query: dict[str, Any]) -> DataFrame:
     if kind == "function_score":
         return _function_score(tgt, body)
 
+    if kind == "script_score":
+        # ScriptScoreQuery: the inner query's score is REPLACED by the
+        # script value (which may reference _score and doc fields).
+        # Painless arithmetic subset, compiled to one codegen Column —
+        # same safety posture as aggs._compile_bucket_script.
+        inner = body.get("query", {"match_all": {}})
+        qscores = _scores(tgt, inner)
+        expr = _compile_score_script(
+            body["script"]["source"] if isinstance(body["script"], dict)
+            else body["script"],
+            doc_cols=set(tgt.docs.columns))
+        joined = qscores.join(tgt.docs.drop("score"), "docid")
+        out = joined.select("docid", expr.cast("double").alias("score"))
+        if "min_score" in body:
+            out = out.filter(F.col("score")
+                             >= F.lit(float(body["min_score"])))
+        return out
+
+    if kind == "pinned":
+        # PinnedQueryBuilder: listed ids rank first, in list order,
+        # above every organic hit (reference gives them descending
+        # near-Float.MAX scores; same device here), organic results
+        # follow with their own scores; pinned docs are removed from
+        # the organic set so they appear once.
+        ids = list(body["ids"])
+        organic = _scores(tgt, body["organic"])
+        spark = organic.sparkSession
+        # step must survive float64 granularity at 3e38 (~4e22); 1e30
+        # keeps 3e8 pins strictly ordered and far above any BM25 score
+        pin = spark.createDataFrame(
+            [(int(i), _PIN_BASE - r * 1e30) for r, i in enumerate(ids)],
+            "docid long, score double")
+        # only ids that exist in the corpus pin (like the reference,
+        # which silently skips unknown ids)
+        pin = pin.join(tgt.docs.select("docid"), "docid", "left_semi")
+        return (organic.join(F.broadcast(pin.select("docid")),
+                             "docid", "left_anti")
+                .unionByName(pin))
+
+    if kind == "distance_feature":
+        # DistanceFeatureQuery: score = boost · pivot/(pivot + dist),
+        # matching docs with a value; dist in millis for timestamp
+        # fields (origin epoch/ISO, pivot a duration string), absolute
+        # difference for numerics.
+        return _distance_feature_scores(tgt, body)
+
     # any other leaf: OpenSearch's filter-context constant-score
     # rewrite — matching docs score 1.0
     return (tgt.filter_docids(query)
@@ -292,3 +339,62 @@ def _function_score(tgt: _Target, body: dict[str, Any]) -> DataFrame:
     if "min_score" in body:
         out = out.filter(F.col("_final") >= F.lit(float(body["min_score"])))
     return out.select("docid", F.col("_final").alias("score"))
+
+
+# near Float.MAX_VALUE, like PinnedQueryBuilder's descending pin scores
+_PIN_BASE = 3.0e38
+
+
+def _compile_score_script(source: str, doc_cols: set[str]) -> Column:
+    """Painless-subset score script → Column.  ``_score`` maps to the
+    inner query's score column; ``doc['f'].value`` to field ``f``
+    (existence-checked); ``Math.log|log1p|sqrt|exp|abs|max|min`` to the
+    SQL functions.  After substitution anything but pure arithmetic
+    rejects, so no unmapped name reaches Catalyst."""
+    import re
+
+    expr = source
+    fields = re.findall(r"doc\['([^']+)'\]\.value", expr)
+    for fld in fields:
+        if fld not in doc_cols:
+            raise ValueError(
+                f"script_score references unknown field {fld!r}")
+        expr = expr.replace(f"doc['{fld}'].value", f"`{fld}`")
+    expr = expr.replace("_score", "`score`")
+    for fn, sql in (("Math.log1p", "LOG1P"), ("Math.log", "LN"),
+                    ("Math.sqrt", "SQRT"), ("Math.exp", "EXP"),
+                    ("Math.abs", "ABS"), ("Math.max", "GREATEST"),
+                    ("Math.min", "LEAST")):
+        expr = expr.replace(fn, sql)
+    bare = re.sub(r"`[^`]*`", "", expr)
+    bare = re.sub(r"\b(LOG1P|LN|SQRT|EXP|ABS|GREATEST|LEAST)\b", "", bare)
+    if re.search(r"[A-Za-z_`\[\]']", bare) or \
+            not set(bare) <= set("0123456789. +-*/()%,"):
+        raise ValueError(f"unsupported script_score script: {source!r}")
+    return F.expr(expr)
+
+
+def _distance_feature_scores(tgt: _Target,
+                             body: dict[str, Any]) -> DataFrame:
+    from pyspark.sql import types as T
+
+    fld = body["field"]
+    boost = float(body.get("boost", 1.0))
+    docs = tgt.docs
+    dt = docs.schema[fld].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        from .aggs import to_millis
+        from .aggs_body import interval_ms
+
+        origin = body["origin"]
+        o = (F.lit(int(origin)) if isinstance(origin, (int, float))
+             else F.unix_millis(F.lit(str(origin)).cast("timestamp")))
+        pivot = float(interval_ms(body["pivot"]))
+        dist = F.abs(to_millis(fld) - o).cast("double")
+    else:
+        pivot = float(body["pivot"])
+        dist = F.abs(F.col(fld).cast("double")
+                     - F.lit(float(body["origin"])))
+    score = F.lit(boost) * F.lit(pivot) / (F.lit(pivot) + dist)
+    return (docs.filter(F.col(fld).isNotNull())
+            .select("docid", score.alias("score")))

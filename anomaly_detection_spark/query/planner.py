@@ -350,6 +350,80 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         return QueryPlan(
             compile_filter(df, body.get("query", {"match_all": {}})))
 
+    if kind == "terms_set":
+        # TermsSetQueryBuilder: docs where at least
+        # minimum_should_match_field of the given terms occur in the
+        # field (array fields element-wise; text fields over analyzed
+        # tokens; keyword scalars as one-element sets) — pure codegen
+        # set intersection, no UDF
+        (fld, spec), = body.items()
+        terms = [str(t) for t in spec["terms"]]
+        if "minimum_should_match_field" in spec:
+            msm = F.col(spec["minimum_should_match_field"])
+        elif "minimum_should_match" in spec:  # constant convenience
+            msm = F.lit(int(spec["minimum_should_match"]))
+        else:
+            raise ValueError(
+                "terms_set requires minimum_should_match_field (or a "
+                "constant minimum_should_match)")
+        dt = df.schema[fld].dataType if fld in df.columns else None
+        if isinstance(dt, T.ArrayType):
+            vals = F.col(fld)
+        elif isinstance(dt, T.StringType):
+            # one analyzer everywhere (like match): the field's indexed
+            # terms are its analyzed tokens; single-token keyword
+            # values reduce to the scalar case
+            vals = tokenize_column(fld)
+        else:
+            vals = F.array(F.col(fld).cast("string"))
+        hits = F.size(F.array_intersect(
+            vals, F.array(*[F.lit(t) for t in terms])))
+        # Lucene CoveringScorer clamps the per-doc minimum to >= 1
+        return QueryPlan(hits >= F.greatest(msm.cast("long"), F.lit(1)))
+
+    if kind == "match_bool_prefix":
+        # MatchBoolPrefixQueryBuilder: analyzed terms as term clauses +
+        # the last as a prefix, bool-combined with operator (default
+        # OR, like the reference)
+        (fld, spec), = body.items()
+        text = _field_value(spec, key="query")
+        op = (spec.get("operator", "or").lower()
+              if isinstance(spec, dict) else "or")
+        toks = tokenize_query(text)
+        if not toks:
+            return QueryPlan(F.lit(False))
+        doc_toks = tokenize_column(fld)
+        clauses = [F.array_contains(doc_toks, t) for t in toks[:-1]]
+        clauses.append(F.exists(
+            doc_toks, lambda t: t.startswith(F.lit(toks[-1]))))
+        acc = clauses[0]
+        for c in clauses[1:]:
+            acc = (acc & c) if op == "and" else (acc | c)
+        return QueryPlan(acc)
+
+    if kind == "intervals":
+        return QueryPlan(_intervals_filter(df, body))
+
+    if kind == "script_score":
+        # filter context: matching is the inner query's (the script
+        # only reshapes scores; min_score needs the scored path)
+        if "min_score" in body:
+            raise ValueError(
+                "script_score min_score requires scoring — use "
+                "search(), not a filter context")
+        return QueryPlan(
+            compile_filter(df, body.get("query", {"match_all": {}})))
+
+    if kind == "pinned":
+        # filter context: pinned ids OR the organic query
+        idc = F.col("docid").isin([int(i) for i in body["ids"]])
+        return QueryPlan(idc | compile_filter(df, body["organic"]))
+
+    if kind == "distance_feature":
+        # filter context: matches every doc carrying the field (the
+        # query only boosts; DistanceFeatureQuery matches has-value)
+        return QueryPlan(F.col(body["field"]).isNotNull())
+
     if kind == "nested":
         path = body["path"]
         inner = body["query"]
@@ -374,6 +448,87 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         raise ValueError(f"nested supports term/range/exists, got {ikind}")
 
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _intervals_filter(df: DataFrame, body: dict[str, Any]) -> Column:
+    """``intervals`` query, filter context (IntervalQueryBuilder):
+    sources supported are ``match`` (ordered / max_gaps), ``any_of``
+    (disjunction of sources) and ``all_of`` over term-level sources
+    (ordered / max_gaps).  The interval semantics map onto the span
+    kernels already used for span_near: ordered+max_gaps ≡
+    span_near(slop=max_gaps, in_order) — both count total
+    non-matching positions inside the matched window.  max_gaps=-1
+    (unlimited) becomes presence (unordered) / a subsequence check
+    (ordered) via a corpus-length slop bound."""
+    from ..functions.spans import span_match_expr
+
+    (fld, src), = body.items()
+    doc_toks = tokenize_column(fld)
+
+    def compile_src(source: dict[str, Any]) -> Column:
+        (skind, sbody), = source.items()
+        if skind == "match":
+            toks = tokenize_query(str(sbody["query"]))
+            if not toks:
+                return F.lit(False)
+            ordered = bool(sbody.get("ordered", False))
+            max_gaps = int(sbody.get("max_gaps", -1))
+            if len(toks) == 1:
+                return F.array_contains(doc_toks, toks[0])
+            if max_gaps < 0 and not ordered:
+                return F.forall(
+                    F.array(*[F.lit(t) for t in toks]),
+                    lambda t: F.array_contains(doc_toks, t))
+            slop = max_gaps if max_gaps >= 0 else (1 << 30)
+            return F.coalesce(
+                span_match_expr(doc_toks, toks, slop, ordered, None),
+                F.lit(False))
+        if skind == "any_of":
+            subs = [compile_src(s) for s in sbody["intervals"]]
+            acc = subs[0]
+            for c in subs[1:]:
+                acc = acc | c
+            return acc
+        if skind == "all_of":
+            # term-level sub-sources compose into one span_near
+            terms: list[str] = []
+            for s in sbody["intervals"]:
+                if set(s) != {"match"}:
+                    raise ValueError(
+                        "intervals all_of supports term-level match "
+                        "sub-sources only")
+                t = tokenize_query(str(s["match"]["query"]))
+                if len(t) != 1:
+                    raise ValueError(
+                        "intervals all_of sub-sources must analyze "
+                        "to single terms")
+                terms.append(t[0])
+            ordered = bool(sbody.get("ordered", False))
+            max_gaps = int(sbody.get("max_gaps", -1))
+            slop = max_gaps if max_gaps >= 0 else (1 << 30)
+            if len(terms) == 1:
+                return F.array_contains(doc_toks, terms[0])
+            return F.coalesce(
+                span_match_expr(doc_toks, terms, slop, ordered, None),
+                F.lit(False))
+        raise ValueError(f"unsupported intervals source {skind!r}")
+
+    return compile_src(src)
+
+
+def _norm_sort(s) -> tuple[str, str]:
+    """One sort entry → (field, order): accepts ``"field"``,
+    ``(field, order)`` pairs, ``{field: "desc"}`` and
+    ``{field: {"order": "desc"}}`` (the OpenSearch body shapes)."""
+    if isinstance(s, str):
+        return s, "asc"
+    if isinstance(s, dict):
+        (c, spec), = s.items()
+        order = (spec.get("order", "asc") if isinstance(spec, dict)
+                 else spec)
+        return c, str(order).lower()
+    c, d = s
+    return c, str(d).lower()
 
 
 def _as_list(x) -> list:
@@ -485,7 +640,8 @@ def search(
         return finish(out)
 
     if len(query) == 1 and next(iter(query)) in (
-            "dis_max", "constant_score", "boosting", "function_score"):
+            "dis_max", "constant_score", "boosting", "function_score",
+            "script_score", "pinned", "distance_feature"):
         # compound scored queries: exact full-score-set combination,
         # then one top-k over the combined score (query/compound.py)
         from .compound import compound_scores
@@ -599,9 +755,34 @@ def search(
                                        conjunctive=conjunctive)
     else:
         out = schema_df if cond is None else schema_df.filter(cond)
-        sort = body.get("sort")
+        sort = [_norm_sort(s) for s in (body.get("sort") or [])]
+        after = body.get("search_after")
+        if after is not None:
+            # S5 search_after, properly: resume strictly AFTER the
+            # last page's sort tuple via a lexicographic predicate the
+            # scan can push down — no server-side cursor state, the
+            # exact statelessness OpenSearch search_after was built
+            # for.  Requires an explicit (deterministic) sort; callers
+            # should end it with a unique tiebreaker like docid.
+            if not sort:
+                raise ValueError("search_after requires a sort spec")
+            if len(after) != len(sort):
+                raise ValueError(
+                    f"search_after values ({len(after)}) must match "
+                    f"the sort spec length ({len(sort)})")
+            pred = None
+            eq = None
+            for (c, d), v in zip(sort, after):
+                col = F.col(c)
+                ts_dt = _ts_type(schema_df, c)
+                lit = _ts_value(v, ts_dt) if ts_dt else F.lit(v)
+                cmp = col < lit if d == "desc" else col > lit
+                branch = cmp if eq is None else eq & cmp
+                pred = branch if pred is None else pred | branch
+                eq = (col == lit) if eq is None else eq & (col == lit)
+            out = out.filter(pred)
         if sort:
-            cols = [F.desc(c) if d.lower() == "desc" else F.asc(c)
+            cols = [F.desc(c) if d == "desc" else F.asc(c)
                     for c, d in sort]
             out = out.orderBy(*cols)
         if body.get("size") is not None or k is not None \
