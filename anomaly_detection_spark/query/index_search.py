@@ -962,3 +962,35 @@ def fetch_docs(reader: IndexReader, topk: DataFrame) -> DataFrame:
         .join(reader.doc_stats(), "docid")
         .orderBy(F.desc("score"), F.asc("docid"))
     )
+
+
+def term_doc_tfs(reader: IndexReader, terms: list[str]) -> DataFrame:
+    """(term, docid, tf) triples decoded from the posting lists of
+    ``terms`` — ``term_doc_pairs`` plus the tf stream; the building
+    block for merged-statistics scoring (combined_fields), still
+    bounded by the query terms' postings only."""
+    dec = BLOB_DECODERS[codec_name(reader.meta.codec)]
+    posts = (reader.postings().filter(F.col("term").isin(list(terms)))
+             .select("term", "first_docid", "gaps", "tfs"))
+
+    def _expand(it):
+        for pdf in it:
+            ts, ds, fs = [], [], []
+            for t, first, gaps, tfs in zip(
+                    pdf["term"], pdf["first_docid"], pdf["gaps"],
+                    pdf["tfs"]):
+                docids = dec(bytes(gaps)).cumsum() + int(first)
+                ds.append(docids)
+                fs.append(dec(bytes(tfs)))
+                ts.append([t] * len(docids))
+            if not ts:
+                yield pd.DataFrame({"term": pd.Series(dtype="object"),
+                                    "docid": pd.Series(dtype="int64"),
+                                    "tf": pd.Series(dtype="int64")})
+                continue
+            yield pd.DataFrame({
+                "term": [x for sub in ts for x in sub],
+                "docid": np.concatenate(ds).astype("int64"),
+                "tf": np.concatenate(fs).astype("int64")})
+
+    return posts.mapInPandas(_expand, schema="term string, docid long, tf long")

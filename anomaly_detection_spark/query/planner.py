@@ -678,6 +678,30 @@ def search(
                                            max_expansions=maxe)
         return finish(out)
 
+    if set(query) == {"combined_fields"}:
+        # merged-field BM25 (CombinedFieldQuery / BM25F) — see
+        # query/combined_fields.py for the exact statistics model
+        from .combined_fields import combined_fields_topk
+
+        cf = dict(query["combined_fields"])
+        if isinstance(target, IndexReader):
+            readers = dict(field_readers or {})
+            readers.setdefault(text_field, target)
+            names = [f.split("^")[0] for f in cf["fields"]]
+            missing = [f for f in names if f not in readers]
+            if missing:
+                raise ValueError(
+                    f"combined_fields over an index target needs "
+                    f"field_readers for {missing}")
+            out = combined_fields_topk({f: readers[f] for f in names},
+                                       cf["query"], list(cf["fields"]),
+                                       k=size)
+            out = fetch_docs(target, out)
+        else:
+            out = combined_fields_topk(target, cf["query"],
+                                       list(cf["fields"]), k=size)
+        return finish(out)
+
     if set(query) == {"multi_match"}:
         # multi-field scored match (MultiMatchQueryBuilder) — each field
         # scored with its own corpus statistics, combined best_fields /
