@@ -168,17 +168,6 @@ FROM allsc ORDER BY round(score, 6) DESC, doc_id LIMIT {k}
 """
 
 
-_LADDER_S = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 3 * 3600,
-             12 * 3600, 86400, 7 * 86400, 30 * 86400, 90 * 86400, 365 * 86400]
-
-
-def _auto_ladder_sql(num_buckets: int) -> str:
-    cases = " ".join(
-        f"WHEN span_ms <= {num_buckets * s * 1000} THEN {s * 1000}"
-        for s in _LADDER_S)
-    return f"CASE {cases} ELSE {_LADDER_S[-1] * 1000} END"
-
-
 # single source of truth for the language-ID / quality stopword lists:
 # the oracle SQL below is generated from the same dict the Spark
 # operators use
@@ -295,13 +284,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("value"), 6).alias("v_sum"))
     q["term_filter_stats"] = term_filter_stats
 
-    def terms_filter(s, d):
+    # (terms_filter_count folds into pytest — terms≡isin is locked by
+    # tests/test_round2_fixes.py / test_planner_aggs.py and the terms
+    # signal stays driver-checked via term_filter_stats; rotated for
+    # the round-5 continuation operators below, like the r4/r5 folds
+    # accounted in COVERAGE.md)
+    def terms_set_docs(s, d):
+        """terms_set with a constant minimum (CoveringQuery clamp ≥1):
+        docs whose analyzed text carries ≥2 of the given terms — pure
+        codegen set intersection."""
         from anomaly_detection_spark.query.planner import compile_filter
-        ev = _read(s, d, "events")
-        cond = compile_filter(ev, {"terms": {"event_type": ["click", "error"]}})
-        return (ev.filter(cond).groupBy("event_type")
-                .agg(F.count("*").alias("doc_count")).orderBy("event_type"))
-    q["terms_filter_count"] = terms_filter
+        docs = _read(s, d, "documents")
+        cond = compile_filter(docs, {"terms_set": {"text": {
+            "terms": ["data", "query", "merge"],
+            "minimum_should_match": 2}}})
+        return docs.filter(cond).select("doc_id").orderBy("doc_id")
+    q["terms_set_text_msm2"] = terms_set_docs
 
     def range_ts(s, d):
         from anomaly_detection_spark.query.planner import compile_filter
@@ -321,13 +319,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.filter(cond).select("doc_id").orderBy("doc_id")
     q["exists_range_filter"] = exists_docs
 
-    def wildcard(s, d):
-        from anomaly_detection_spark.query.planner import compile_filter
-        docs = _read(s, d, "documents")
-        cond = compile_filter(docs, {"wildcard": {"source": {"value": "src1*"}}})
-        return (docs.filter(cond).groupBy("source")
-                .agg(F.count("*").alias("doc_count")).orderBy("source"))
-    q["wildcard_source_counts"] = wildcard
+    # (wildcard_source_counts folds into pytest — the LIKE translation
+    # is locked by test_round2_fixes.py / test_planner_aggs.py /
+    # test_query_string.py; rotated for distance_feature below)
+    def dist_feat(s, d):
+        """distance_feature scored query: score = boost·pivot/(pivot+
+        |value−origin|) over docs carrying the field, exact top-k."""
+        from anomaly_detection_spark.query.planner import search
+        ev = _read(s, d, "events").withColumnRenamed("event_id", "docid")
+        out = search(ev, {"query": {"distance_feature": {
+            "field": "value", "origin": 100.0, "pivot": 25.0,
+            "boost": 2.0}}, "size": 10})
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+                .select(F.col("docid").alias("event_id"), "rank",
+                        F.round("score", 6).alias("score")))
+    q["distance_feature_topk"] = dist_feat
 
     def nested_exists(s, d):
         ev = _read(s, d, "events")
@@ -356,13 +363,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("bucket_start"))
     q["date_histogram_weekly"] = hist_weekly
 
-    def auto_hist(s, d):
-        from anomaly_detection_spark.query.aggs import auto_date_histogram
+    # (auto_date_histogram_20 folds into pytest — the ladder pick +
+    # bucketing are locked by test_aggs_body.py / test_planner_aggs.py;
+    # rotated for the moving_fn/normalize pipeline ring)
+    def movfn_norm(s, d):
+        """moving_fn(max, window 3, shift 1) + normalize
+        (percent_of_sum) over a daily histogram — the round-5
+        pipeline-agg ring on the body path."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
         ev = _read(s, d, "events")
-        return auto_date_histogram(ev, "ts", 20) \
-            .select("bucket_start", "doc_count", F.col("interval_ms").cast("long").alias("interval_ms")) \
-            .orderBy("bucket_start")
-    q["auto_date_histogram_20"] = auto_hist
+        out = run_aggs(ev, {"aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d",
+                               "min_doc_count": 1},
+            "aggs": {"v": {"avg": {"field": "value"}},
+                     "m3": {"moving_fn": {"buckets_path": "v",
+                                          "window": 3, "shift": 1,
+                                          "script": "max"}},
+                     "pos": {"normalize": {
+                         "buckets_path": "v",
+                         "method": "percent_of_sum"}}}}}})["h"]
+        return (out.select("bucket_start", "doc_count",
+                           F.round("v", 6).alias("v"),
+                           F.round("m3", 6).alias("m3"),
+                           F.round("pos", 6).alias("pos"))
+                .orderBy("bucket_start"))
+    q["movfn_normalize_daily"] = movfn_norm
+
+    def cum_card(s, d):
+        """cumulative_cardinality over a daily histogram — EXACT
+        first-occurrence plan (one extra value-keyed shuffle), vs the
+        reference's merged HLL sketches."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        ev = _read(s, d, "events")
+        out = run_aggs(ev, {"aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d",
+                               "min_doc_count": 1},
+            "aggs": {"u": {"cardinality": {"field": "user_id"}},
+                     "total_u": {"cumulative_cardinality": {
+                         "buckets_path": "u"}}}}}})["h"]
+        # the HLL column u is approximate by design — project the
+        # exact pieces for the oracle hash
+        return (out.select("bucket_start", "doc_count",
+                           F.col("total_u").cast("long").alias("total_u"))
+                .orderBy("bucket_start"))
+    q["cumulative_cardinality_daily"] = cum_card
 
     def dr(s, d):
         from anomaly_detection_spark.query.aggs import date_range_agg
@@ -433,31 +477,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("key"))
     q["histogram_value_extstats"] = hist_extstats
 
-    def missing_nullified(s, d):
-        """missing agg over a CASE-nullified column (the testdata has
-        no natural nulls; both sides nullify identically)."""
-        from anomaly_detection_spark.query.aggs_body import run_aggs
-        ev = _read(s, d, "events").withColumn(
-            "etype2", F.when(F.col("value") > 50, None)
-            .otherwise(F.col("event_type")))
-        return run_aggs(ev, {"aggs": {"m": {
-            "missing": {"field": "etype2"}}}})["m"]
-    q["missing_nullified_count"] = missing_nullified
-
-    def range_overlapping(s, d):
-        """Numeric range agg — overlapping + open-ended buckets
-        (RangeAggregationBuilder), broadcast range join."""
-        from anomaly_detection_spark.query.aggs_body import run_aggs
+    # (missing_nullified_count folds into pytest — missing ≡ filter
+    # isNull, locked by test_round3_extras.py; rotated for the
+    # boxplot/MAD metric ring)
+    def boxplot_mad(s, d):
+        """boxplot (exact quartiles for the oracle; approx is the
+        scale default) + median_absolute_deviation in one row."""
+        from anomaly_detection_spark.query.aggs import boxplot_cols, mad_agg
         ev = _read(s, d, "events")
-        out = run_aggs(ev, {"aggs": {"r": {
-            "range": {"field": "value", "ranges": [
-                {"to": 100.0},
-                {"from": 50.0, "to": 250.0},
-                {"from": 200.0}]},
-            "aggs": {"v_avg": {"avg": {"field": "value"}}}}}})["r"]
-        return out.select("range_id", "from_v", "to_v", "doc_count",
-                          F.round("v_avg", 6).alias("v_avg"))
-    q["range_value_overlapping"] = range_overlapping
+        bp = ev.agg(*boxplot_cols("value", "bp", exact=True))
+        mad = mad_agg(ev, "value", exact=True, alias="v_mad")
+        return bp.crossJoin(mad).select(
+            F.round("bp_min", 6).alias("bp_min"),
+            F.round("bp_max", 6).alias("bp_max"),
+            F.round("bp_q1", 6).alias("bp_q1"),
+            F.round("bp_q2", 6).alias("bp_q2"),
+            F.round("bp_q3", 6).alias("bp_q3"),
+            F.round("v_mad", 6).alias("v_mad"))
+    q["boxplot_mad_value"] = boxplot_mad
+
+    # (range_value_overlapping folds into pytest — the overlapping
+    # numeric range agg is locked by test_round3_extras.py /
+    # test_planner_aggs.py and date_range_buckets keeps the
+    # range-join signal driver-checked; rotated for string_stats)
+    def string_stats_lang(s, d):
+        """string_stats over documents.lang: length stats (codegen) +
+        Shannon entropy of the character distribution (explode to
+        bounded per-character counts)."""
+        from anomaly_detection_spark.query.aggs import string_stats_agg
+        docs = _read(s, d, "documents")
+        out = string_stats_agg(docs, "lang")
+        return out.select(
+            F.col("count").alias("n"),
+            F.col("min_length").cast("long").alias("min_length"),
+            F.col("max_length").cast("long").alias("max_length"),
+            F.round("avg_length", 6).alias("avg_length"),
+            F.round("entropy", 6).alias("entropy"))
+    q["string_stats_lang"] = string_stats_lang
 
     def pipes_hourly(s, d):
         """cumulative_sum + moving_avg + derivative pipeline aggs over
@@ -605,38 +661,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "rank", "score"))
     q["match_phrase_sloppy"] = phrase_sloppy
 
-    def pct_approx(s, d):
-        """Scale-default percentiles: percentile_approx (GK sketch, the
-        t-digest analog — AbstractRetriever.java:80-85).  Rows-only by
-        design (a sketch has no exact oracle); the exact twin stays
-        green in metric_aggs_global behind the exact flag."""
-        from anomaly_detection_spark.query.aggs import metric_agg_column
+    # (percentiles_approx folds into pytest — the GK sketch rows-only
+    # row carried no oracle signal; the exact twin stays green in
+    # metric_aggs_global and sketch accuracy is locked by
+    # tests/test_planner_aggs.py.  Rotated for nested/reverse_nested,
+    # which gets a strict SQL oracle — one fewer rows-only entry.)
+    def nested_rev(s, d):
+        """nested agg (scope → events array elements) with a terms
+        bucket and a reverse_nested parent count — one explode, one
+        shuffle."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
         ev = _read(s, d, "events")
-        return ev.agg(metric_agg_column(
-            {"percentiles": {"field": "value", "percents": [50.0, 95.0]}},
-            "v_pcts"))
-    q["percentiles_approx"] = pct_approx  # rows-only (sketch by design)
+        nested = ev.groupBy("user_id").agg(
+            F.collect_list(F.struct("event_type", "value")).alias("events"))
+        out = run_aggs(nested, {"aggs": {"evs": {
+            "nested": {"path": "events"},
+            "aggs": {"by_type": {
+                "terms": {"field": "events.event_type", "size": 10},
+                "aggs": {"v_avg": {"avg": {"field": "events.value"}},
+                         "parents": {"reverse_nested": {}}}}}}}})["evs"]
+        return (out.select("event_type", "doc_count",
+                           F.round("v_avg", 6).alias("v_avg"),
+                           "parents_doc_count")
+                .orderBy("event_type"))
+    q["nested_terms_reverse"] = nested_rev
 
     # ---- pipeline aggs (P1-P3) + shingle/impute (§2.7) --------------------
     # (standalone hourly serial_diff folds into search_body_aggs, which
     # runs the identical serial_diff over the identical histogram)
-    def minb(s, d):
-        from anomaly_detection_spark.query.aggs import date_histogram, min_bucket
+    # (min_bucket_hourly and bucket_sort_hourly fold into pytest —
+    # locked by test_planner_aggs.py / test_aggs_body.py, and
+    # search_body_aggs keeps sibling-pipeline signal driver-checked;
+    # rotated for search_after + moving_percentiles)
+    def sa_page(s, d):
+        """search_after pagination (S5, properly implemented round 5):
+        page 2 resumes strictly after page 1's last (value, event_id)
+        sort tuple — provably identical to the offset page because the
+        tuple is unique."""
+        from anomaly_detection_spark.query.planner import search
         ev = _read(s, d, "events")
-        return min_bucket(date_histogram(ev, "ts", EVENTS_HOUR, min_doc_count=1),
-                          "doc_count")
-    q["min_bucket_hourly"] = minb
-
-    def bsort(s, d):
-        from anomaly_detection_spark.query.aggs import bucket_sort, date_histogram
-        ev = _read(s, d, "events")
-        h = date_histogram(ev, "ts", EVENTS_HOUR, min_doc_count=1)
-        out = bucket_sort(h, [("doc_count", "desc"), ("bucket_start", "asc")],
-                          from_=2, size=5)
-        w = Window.orderBy(F.desc("doc_count"), F.asc("bucket_start"))
-        return (out.withColumn("rank", (F.row_number().over(w) + 2).cast("long"))
-                .select("rank", "bucket_start", "doc_count"))
-    q["bucket_sort_hourly"] = bsort
+        body = {"query": {"range": {"value": {"gte": 50}}},
+                "sort": [{"value": "desc"}, {"event_id": "asc"}],
+                "size": 15}
+        p1 = search(ev, body).select("value", "event_id").collect()
+        last = [p1[-1]["value"], p1[-1]["event_id"]]
+        return (search(ev, {**body, "search_after": last})
+                .select("event_id", F.round("value", 6).alias("value")))
+    q["search_after_page2"] = sa_page
+    # (moving_percentiles stays pytest-locked —
+    # tests/test_pipeline_aggs_r5.py — its window machinery is the
+    # same moving_fn frame already driver-checked via
+    # movfn_normalize_daily)
 
     def sliding(s, d):
         from anomaly_detection_spark.query.aggs import date_histogram
@@ -928,10 +1003,23 @@ SELECT count(*) AS doc_count,
 FROM events WHERE event_type = 'click'
 """
 
-    sql["terms_filter_count"] = """
-SELECT event_type, count(*) AS doc_count FROM events
-WHERE event_type IN ('click', 'error')
-GROUP BY event_type ORDER BY event_type
+    sql["terms_set_text_msm2"] = rf"""
+WITH tok AS (
+  SELECT doc_id, {_TOKEN_SQL.format(col='text')} AS ts FROM documents)
+SELECT doc_id FROM tok
+WHERE (CAST(list_contains(ts, 'data') AS INT)
+     + CAST(list_contains(ts, 'query') AS INT)
+     + CAST(list_contains(ts, 'merge') AS INT)) >= 2
+ORDER BY doc_id
+"""
+
+    sql["distance_feature_topk"] = """
+SELECT event_id,
+       row_number() OVER (ORDER BY score DESC, event_id) AS rank,
+       round(score, 6) AS score
+FROM (SELECT event_id, 2.0 * 25.0 / (25.0 + abs(value - 100.0)) AS score
+      FROM events WHERE value IS NOT NULL)
+ORDER BY score DESC, event_id LIMIT 10
 """
 
     sql["range_ts_stats"] = f"""
@@ -945,9 +1033,30 @@ SELECT doc_id FROM documents
 WHERE lang IS NOT NULL AND n_chars > 300 ORDER BY doc_id
 """
 
-    sql["wildcard_source_counts"] = """
-SELECT source, count(*) AS doc_count FROM documents
-WHERE source LIKE 'src1%' GROUP BY source ORDER BY source
+    sql["movfn_normalize_daily"] = """
+WITH h AS (
+  SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % 86400000) AS bucket_start,
+         count(*) AS doc_count, avg(value) AS v
+  FROM events GROUP BY 1)
+SELECT bucket_start, doc_count, round(v, 6) AS v,
+       round(max(v) OVER (ORDER BY bucket_start
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS m3,
+       round(v / sum(v) OVER (), 6) AS pos
+FROM h ORDER BY bucket_start
+"""
+
+    sql["cumulative_cardinality_daily"] = """
+WITH b AS (
+  SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % 86400000) AS bucket_start,
+         user_id FROM events),
+c AS (SELECT bucket_start, count(*) AS doc_count FROM b GROUP BY 1),
+f AS (SELECT user_id, min(bucket_start) AS bucket_start FROM b GROUP BY 1),
+n AS (SELECT bucket_start, count(*) AS nw FROM f GROUP BY 1)
+SELECT c.bucket_start, c.doc_count,
+       CAST(sum(coalesce(n.nw, 0)) OVER (ORDER BY c.bucket_start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS total_u
+FROM c LEFT JOIN n USING (bucket_start) ORDER BY c.bucket_start
 """
 
     sql["nested_exists_users"] = """
@@ -962,15 +1071,15 @@ SELECT date_trunc('week', ts) AS bucket_start,
 FROM events GROUP BY 1 ORDER BY 1
 """
 
-    sql["auto_date_histogram_20"] = f"""
-WITH ext AS (
-  SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi,
-         max(epoch_ms(ts)) - min(epoch_ms(ts)) + 1 AS span_ms FROM events),
-step AS (SELECT {_auto_ladder_sql(20)} AS interval_ms FROM ext)
-SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % step.interval_ms) AS bucket_start,
-       count(*) AS doc_count, step.interval_ms
-FROM events, step
-GROUP BY 1, 3 ORDER BY 1
+    sql["boxplot_mad_value"] = """
+WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events)
+SELECT round(min(value), 6) AS bp_min, round(max(value), 6) AS bp_max,
+       round(quantile_cont(value, 0.25), 6) AS bp_q1,
+       round(quantile_cont(value, 0.5), 6) AS bp_q2,
+       round(quantile_cont(value, 0.75), 6) AS bp_q3,
+       round((SELECT quantile_cont(abs(e.value - m.med), 0.5)
+              FROM events e, m), 6) AS v_mad
+FROM events
 """
 
     sql["date_range_buckets"] = f"""
@@ -1034,10 +1143,24 @@ SELECT g.key, coalesce(a.doc_count, 0) AS doc_count, a.v_count,
 FROM grid g LEFT JOIN agg a USING (key) ORDER BY g.key
 """
 
-    sql["missing_nullified_count"] = """
-SELECT count(*) AS doc_count
-FROM events
-WHERE (CASE WHEN value > 50 THEN NULL ELSE event_type END) IS NULL
+    sql["string_stats_lang"] = """
+WITH ch AS (
+  SELECT unnest(string_split(lang, '')) AS c
+  FROM documents WHERE lang IS NOT NULL),
+p AS (SELECT c, count(*) * 1.0 / (SELECT count(*) FROM ch) AS p
+      FROM ch GROUP BY c)
+SELECT count(lang) AS n,
+       min(length(lang)) AS min_length, max(length(lang)) AS max_length,
+       round(avg(length(lang)), 6) AS avg_length,
+       round((SELECT -sum(p.p * log2(p.p)) FROM p), 6) AS entropy
+FROM documents
+"""
+
+    sql["nested_terms_reverse"] = """
+SELECT event_type, count(*) AS doc_count,
+       round(avg(value), 6) AS v_avg,
+       count(DISTINCT user_id) AS parents_doc_count
+FROM events GROUP BY event_type ORDER BY event_type
 """
 
     sql["significant_terms_fr"] = rf"""
@@ -1115,16 +1238,10 @@ SELECT round(sum(value * (user_id % 10 + 1)) / sum(user_id % 10 + 1), 6)
 FROM events
 """
 
-    sql["range_value_overlapping"] = """
-WITH r(range_id, from_v, to_v) AS (
-  VALUES (0, NULL::DOUBLE, 100.0), (1, 50.0, 250.0), (2, 200.0, NULL::DOUBLE))
-SELECT r.range_id, r.from_v, r.to_v, count(*) AS doc_count,
-       round(avg(e.value), 6) AS v_avg
-FROM r JOIN events e
-  ON e.value IS NOT NULL
- AND (r.from_v IS NULL OR e.value >= r.from_v)
- AND (r.to_v IS NULL OR e.value < r.to_v)
-GROUP BY 1, 2, 3 ORDER BY 1
+    sql["search_after_page2"] = """
+SELECT event_id, round(value, 6) AS value FROM events
+WHERE value >= 50
+ORDER BY value DESC, event_id LIMIT 15 OFFSET 15
 """
 
     sql["top_hits_per_type"] = """
@@ -1169,25 +1286,6 @@ ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """
 
 
-
-    sql["min_bucket_hourly"] = f"""
-WITH h AS (
-  SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
-         count(*) AS doc_count
-  FROM events GROUP BY 1)
-SELECT min(doc_count) AS min_doc_count FROM h
-"""
-
-    sql["bucket_sort_hourly"] = f"""
-WITH h AS (
-  SELECT epoch_ms(epoch_ms(ts) - epoch_ms(ts) % {EVENTS_HOUR}) AS bucket_start,
-         count(*) AS doc_count
-  FROM events GROUP BY 1),
-r AS (SELECT *, row_number() OVER (ORDER BY doc_count DESC, bucket_start) AS rank
-      FROM h)
-SELECT rank, bucket_start, doc_count FROM r
-WHERE rank > 2 AND rank <= 7 ORDER BY rank
-"""
 
     sql["shingle_window_sum"] = f"""
 WITH ext AS (
