@@ -90,6 +90,7 @@ def combined_fields_topk(
         return empty
 
     tf_frames, len_frames = [], []
+    tot_wlen, n_docs = 0.0, None
     for fld, w in specs:
         if is_index:
             from .index_search import term_doc_tfs
@@ -110,21 +111,34 @@ def combined_fields_topk(
             "docid", "term", (F.col("tf") * F.lit(w)).alias("_wtf")))
         len_frames.append(lens.select(
             "docid", (F.col("_len") * F.lit(w)).alias("_wlen")))
+        # corpus stats accumulate per field (every field covers the
+        # same doc set by construction), so the combined-length frame
+        # is never materialized twice; the index meta already carries
+        # them — no job at all on that path
+        if is_index:
+            n_docs = rd.meta.n_docs
+            tot_wlen += w * rd.meta.avgdl * rd.meta.n_docs
+        else:
+            frow = lens.agg(F.count("*").alias("n"),
+                            F.sum("_len").alias("s")).collect()[0]
+            n_docs = int(frow["n"])
+            tot_wlen += w * float(frow["s"] or 0.0)
+    avgdl = tot_wlen / n_docs if n_docs else 0.0
 
     wtf = tf_frames[0]
     for fr in tf_frames[1:]:
         wtf = wtf.unionByName(fr)
+    # one small frame (query terms only) consumed twice (df stats +
+    # contributions) — checkpoint so the union of posting decodes /
+    # tokenize scans runs once
     wtf = (wtf.groupBy("docid", "term")
-           .agg(F.sum("_wtf").alias("tf_c")))
+           .agg(F.sum("_wtf").alias("tf_c"))
+           .localCheckpoint(eager=False))
 
     wlen = len_frames[0]
     for fr in len_frames[1:]:
         wlen = wlen.unionByName(fr)
     wlen = wlen.groupBy("docid").agg(F.sum("_wlen").alias("len_c"))
-
-    stats = wlen.agg(F.count("*").alias("n"),
-                     F.avg("len_c").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
 
     mult = spark.createDataFrame(list(qcounts.items()),
                                  "term string, mult long")

@@ -287,6 +287,24 @@ def main() -> None:
                              "weight": 1.5}]}},
               "size": 10}).collect())
 
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+    from anomaly_detection_spark.query.combined_fields import (
+        combined_fields_topk,
+    )
+
+    timed("combined_fields_indexed",
+          lambda: combined_fields_topk(
+              {"text": dreader, "source": sreader},
+              "the src3 data", ["text", "source^2"], k=10).collect())
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed("cumulative_cardinality_events",
+          lambda: run_aggs(events, {"aggs": {"h": {
+              "date_histogram": {"field": "ts", "fixed_interval": "1h",
+                                 "min_doc_count": 1},
+              "aggs": {"u": {"cardinality": {"field": "user_id"}},
+                       "t": {"cumulative_cardinality": {
+                           "buckets_path": "u"}}}}}})["h"].collect())
+
     print(json.dumps({
         "metric": "index-build throughput (turns/sec)",
         "value": round(turns_per_sec, 1),

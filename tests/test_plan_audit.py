@@ -129,3 +129,42 @@ def test_histogram_partial_agg(spark):
     df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 5.0, 9.0]}))
     plan = _plan(histogram_agg(df, "v", 2.0, min_doc_count=1))
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_combined_fields_plan_no_cartesian_take_ordered(spark,
+                                                        tiny_transcripts):
+    from anomaly_detection_spark.query.combined_fields import (
+        combined_fields_topk,
+    )
+
+    out = combined_fields_topk(tiny_transcripts, "the user data",
+                               ["text", "role^2"], k=10)
+    p = _plan(out)
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    # the per-term stats frame broadcasts into the contribution join
+    assert "BroadcastHashJoin" in p
+
+
+def test_mad_broadcasts_median_back(spark):
+    from anomaly_detection_spark.query.aggs import mad_agg
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"), F.col("id").cast("double").alias("v"))
+    p = _plan(mad_agg(df, "v", ["g"]))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_cumulative_cardinality_no_cartesian(spark, tiny_transcripts):
+    from anomaly_detection_spark.query.aggs import (
+        bucketize,
+        cumulative_cardinality,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = cumulative_cardinality(df, "user_id", bucketize("ts", 3_600_000))
+    p = _plan(out)
+    assert "CartesianProduct" not in p
+    # partial aggregation reaches the value-keyed shuffle (the only
+    # corpus-sized exchange)
+    assert "partial_count" in p or "HashAggregate" in p
