@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 COMPOUND_KINDS = ("dis_max", "constant_score", "boosting",
                   "function_score", "script_score", "pinned",
-                  "distance_feature")
+                  "distance_feature", "rank_feature")
 
 _NEUTRAL = {"multiply": 1.0, "sum": 0.0, "avg": 0.0,
             "max": float("-inf"), "min": float("inf")}
@@ -224,6 +224,31 @@ def _scores(tgt: _Target, query: dict[str, Any]) -> DataFrame:
         return (organic.join(F.broadcast(pin.select("docid")),
                              "docid", "left_anti")
                 .unionByName(pin))
+
+    if kind == "rank_feature":
+        # RankFeatureQuery: matches docs with a positive feature value;
+        # score by saturation x/(x+pivot) (pivot required here — the
+        # reference's default learns a per-shard geometric mean we
+        # refuse to guess), log ln(a + x), or sigmoid x^e/(x^e+p^e).
+        fld = body["field"]
+        boost = float(body.get("boost", 1.0))
+        x = F.col(fld).cast("double")
+        if "log" in body:
+            sc = F.log(F.lit(float(body["log"]["scaling_factor"])) + x)
+        elif "sigmoid" in body:
+            p = float(body["sigmoid"]["pivot"])
+            e = float(body["sigmoid"]["exponent"])
+            sc = F.pow(x, e) / (F.pow(x, e) + F.lit(p ** e))
+        else:
+            sat = body.get("saturation")
+            if not sat or "pivot" not in sat:
+                raise ValueError(
+                    "rank_feature requires saturation.pivot (or log/"
+                    "sigmoid): the reference's pivot-free default uses "
+                    "index statistics this engine won't silently guess")
+            sc = x / (x + F.lit(float(sat["pivot"])))
+        return (tgt.docs.filter(x > 0)
+                .select("docid", (F.lit(boost) * sc).alias("score")))
 
     if kind == "distance_feature":
         # DistanceFeatureQuery: score = boost · pivot/(pivot + dist),

@@ -424,6 +424,10 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         # query only boosts; DistanceFeatureQuery matches has-value)
         return QueryPlan(F.col(body["field"]).isNotNull())
 
+    if kind == "rank_feature":
+        # filter context: RankFeatureQuery matches positive features
+        return QueryPlan(F.col(body["field"]).cast("double") > 0)
+
     if kind == "nested":
         path = body["path"]
         inner = body["query"]
@@ -625,6 +629,50 @@ def search(
             spec, simple=kind == "simple_query_string",
             text_field=text_field)
 
+    collapse = body.get("collapse")
+    if collapse:
+        # field collapse (CollapseBuilder): ONE hit per distinct field
+        # value — the best-ranked — applied to the FULL result set
+        # before any top-k cut (collapsing after a cut would lose
+        # groups whose best hit ranked below it, which is exactly the
+        # bug the reference avoids by collapsing in the collector).
+        from pyspark.sql import Window as _W
+
+        from .compound import COMPOUND_KINDS, compound_scores
+        from .index_search import fetch_docs as _fetch
+
+        cfld = collapse["field"]
+        qkind = next(iter(query)) if query else "match_all"
+        if qkind in COMPOUND_KINDS or qkind in ("match", "match_all"):
+            scored = compound_scores(target, query,
+                                     text_field=text_field)
+            side = schema_df.select("docid", cfld)
+            w = _W.partitionBy(cfld).orderBy(F.desc("score"),
+                                             F.asc("docid"))
+            out = (scored.join(side, "docid")
+                   .withColumn("_ck", F.row_number().over(w))
+                   .filter(F.col("_ck") == 1).drop("_ck")
+                   .orderBy(F.desc("score"), F.asc("docid"))
+                   .limit(size))
+            if isinstance(target, IndexReader):
+                out = _fetch(target, out.select("docid", "score"))
+            return finish(out)
+        csort = [_norm_sort(s) for s in (body.get("sort") or [])]
+        if not csort:
+            raise ValueError(
+                "collapse needs a scored query (match/compound) or an "
+                "explicit sort in filter context")
+        plan0 = plan_query(schema_df, query, scoring=False)
+        base = (schema_df if plan0.filter_cond is None
+                else schema_df.filter(plan0.filter_cond))
+        order = [F.desc(c) if d == "desc" else F.asc(c)
+                 for c, d in csort]
+        w = _W.partitionBy(cfld).orderBy(*order)
+        out = (base.withColumn("_ck", F.row_number().over(w))
+               .filter(F.col("_ck") == 1).drop("_ck")
+               .orderBy(*order).limit(size))
+        return finish(out)
+
     if set(query) == {"more_like_this"}:
         from .mlt import more_like_this_topk
 
@@ -641,7 +689,8 @@ def search(
 
     if len(query) == 1 and next(iter(query)) in (
             "dis_max", "constant_score", "boosting", "function_score",
-            "script_score", "pinned", "distance_feature"):
+            "script_score", "pinned", "distance_feature",
+            "rank_feature"):
         # compound scored queries: exact full-score-set combination,
         # then one top-k over the combined score (query/compound.py)
         from .compound import compound_scores
