@@ -580,7 +580,7 @@ def search(
     # branch computes top-(from+size) then drops the first `from` rows
     # — same cost shape as OpenSearch, which also materializes
     # from+size per shard.  Deep paging is as expensive as it is
-    # there; scroll/search_after stay by-design out (SURVEY §2.5 S4).
+    # there; deep exports should use search_after / :func:`scroll`.
     size = (k if k is not None else body.get("size", 10)) + page_from
     if isinstance(target, IndexReader):
         schema_df = target.doc_stats()
@@ -891,3 +891,43 @@ def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
             rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     return out
+
+
+def scroll(target, body: dict[str, Any], page_size: int = 1000,
+           text_field: str = "text"):
+    """S4 ``scroll``: iterate a filter query's full result set in
+    stable pages — a generator of row-lists.
+
+    Implemented over :func:`search`'s ``search_after`` machinery (the
+    reference itself deprecated scroll in favor of search_after +
+    point-in-time): each page resumes strictly after the previous
+    page's last sort tuple, so no server-side cursor state exists and
+    an interrupted scroll resumes from its last tuple for free.
+    Requires an explicit sort; ``docid`` is appended as a tiebreaker
+    when absent so the tuple is always unique.  Snapshot consistency
+    is the engine's normal posture (immutable parquet inputs).
+
+    Scored queries page via ``from``/``size`` in :func:`search`
+    instead — scroll is for the big filter-context exports
+    (InsightsJobProcessor.java:380-435's usage shape).
+    """
+    sort = [_norm_sort(s) for s in (body.get("sort") or [])]
+    if not sort:
+        raise ValueError("scroll requires a sort spec")
+    if "docid" not in [c for c, _ in sort]:
+        sort = sort + [("docid", "asc")]
+    after = body.get("search_after")
+    while True:
+        page_body = {**body, "sort": sort, "size": page_size}
+        page_body.pop("from", None)
+        if after is not None:
+            page_body["search_after"] = after
+        else:
+            page_body.pop("search_after", None)
+        rows = search(target, page_body, text_field=text_field).collect()
+        if not rows:
+            return
+        yield rows
+        if len(rows) < page_size:
+            return
+        after = [rows[-1][c] for c, _ in sort]

@@ -213,3 +213,44 @@ def test_search_after_pages_match_offset_pagination(docs):
         search(docs, {"query": {"match_all": {}},
                       "sort": [{"pri": "desc"}],
                       "search_after": [1, 2], "size": 2})
+
+
+# ------------------------------------------------------------- scroll
+
+def test_scroll_pages_full_result_set(docs):
+    from anomaly_detection_spark.query.planner import scroll
+
+    body = {"query": {"term": {"role": "user"}},
+            "sort": [{"docid": "asc"}]}
+    pages = list(scroll(docs, body, page_size=2))
+    assert [len(p) for p in pages] == [2, 1]
+    assert [r["docid"] for p in pages for r in p] == [0, 2, 3]
+    # page_size covering everything -> one page
+    one = list(scroll(docs, body, page_size=10))
+    assert [r["docid"] for p in one for r in p] == [0, 2, 3]
+
+
+def test_scroll_appends_docid_tiebreaker_and_resumes(docs):
+    from anomaly_detection_spark.query.planner import scroll
+
+    # role has heavy ties: without the appended docid tiebreaker the
+    # page boundary tuple would be ambiguous and rows would be lost
+    body = {"query": {"match_all": {}}, "sort": [{"role": "asc"}]}
+    got = [r["docid"] for p in scroll(docs, body, page_size=2)
+           for r in p]
+    assert sorted(got) == [0, 1, 2, 3, 4] and len(set(got)) == 5
+    # resuming mid-stream via an explicit search_after lands exactly
+    # after that tuple
+    body2 = {"query": {"match_all": {}},
+             "sort": [("role", "asc"), ("docid", "asc")],
+             "search_after": ["tool", 1]}
+    rest = [r["docid"] for p in scroll(docs, body2, page_size=2)
+            for r in p]
+    assert rest == got[got.index(1) + 1:]
+
+
+def test_scroll_requires_sort(docs):
+    from anomaly_detection_spark.query.planner import scroll
+
+    with pytest.raises(ValueError, match="sort"):
+        next(scroll(docs, {"query": {"match_all": {}}}))
