@@ -629,6 +629,84 @@ def search(
             spec, simple=kind == "simple_query_string",
             text_field=text_field)
 
+    rescore = body.get("rescore")
+    if rescore:
+        # query rescorer (RescorerBuilder / Lucene QueryRescorer): the
+        # top window_size hits of the primary query are re-scored with
+        # a second query and re-sorted; hits beyond the window keep
+        # their primary order BELOW the window (Lucene re-sorts only
+        # the rescored TopDocs slice).  Exact, full-score-set posture:
+        # the window is a distributed TakeOrdered over the primary's
+        # full score set, the secondary score set is narrowed by a
+        # broadcast semi-join on the window's docids before the
+        # combine, so at corpus scale neither side materializes an
+        # unbounded shuffle.
+        if body.get("collapse"):
+            raise ValueError(
+                "rescore cannot be combined with collapse (the "
+                "reference rejects this combination too)")
+        from .compound import COMPOUND_KINDS, compound_scores
+
+        scoreable = COMPOUND_KINDS + ("match", "match_all")
+        qkind = next(iter(query)) if query else "match_all"
+        if qkind not in scoreable:
+            raise ValueError(
+                f"rescore needs a scored primary query "
+                f"(match/compound); got {qkind!r}")
+        # ordering invariant carried between passes: (_blk asc,
+        # score desc, docid asc)
+        scored = (compound_scores(target, query, text_field=text_field)
+                  .withColumn("_blk", F.lit(0)))
+        for spec in (rescore if isinstance(rescore, list) else [rescore]):
+            rs = spec["query"]
+            window = int(spec.get("window_size", 10))
+            rq = rs["rescore_query"]
+            rkind = next(iter(rq))
+            if rkind not in scoreable:
+                raise ValueError(
+                    f"rescore_query must be scored (match/compound); "
+                    f"got {rkind!r}")
+            qw = float(rs.get("query_weight", 1.0))
+            rw = float(rs.get("rescore_query_weight", 1.0))
+            mode = rs.get("score_mode", "total")
+            prim = F.col("score") * F.lit(qw)
+            secw = F.col("_rs") * F.lit(rw)
+            comb = {"total": prim + secw, "multiply": prim * secw,
+                    "avg": (prim + secw) / F.lit(2.0),
+                    "max": F.greatest(prim, secw),
+                    "min": F.least(prim, secw)}.get(mode)
+            if comb is None:
+                raise ValueError(f"unsupported rescore score_mode "
+                                 f"{mode!r}")
+            win = (scored.orderBy(F.asc("_blk"), F.desc("score"),
+                                  F.asc("docid"))
+                   .limit(window)
+                   .localCheckpoint(eager=False))  # reused 3×
+            sec = (compound_scores(target, rq, text_field=text_field)
+                   .withColumnRenamed("score", "_rs")
+                   .join(F.broadcast(win.select("docid")), "docid"))
+            new = (win.join(F.broadcast(sec), "docid", "left")
+                   .select("docid",
+                           F.when(F.col("_rs").isNull(), prim)
+                           .otherwise(comb).alias("score"),
+                           F.lit(0).alias("_blk")))
+            rest = (scored.join(F.broadcast(win.select("docid")),
+                                "docid", "left_anti")
+                    .select("docid", "score",
+                            (F.col("_blk") + 1).alias("_blk")))
+            scored = new.unionByName(rest)
+        out = (scored.orderBy(F.asc("_blk"), F.desc("score"),
+                              F.asc("docid"))
+               .limit(size))
+        if isinstance(target, IndexReader):
+            # fetch_docs re-sorts by score, which would break the
+            # window-above-remainder block ordering — join manually
+            # and re-assert the rescore order
+            out = (F.broadcast(out).join(target.doc_stats(), "docid")
+                   .orderBy(F.asc("_blk"), F.desc("score"),
+                            F.asc("docid")))
+        return finish(out.drop("_blk"))
+
     collapse = body.get("collapse")
     if collapse:
         # field collapse (CollapseBuilder): ONE hit per distinct field
