@@ -434,14 +434,20 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                 max_doc_count=kbody.get("max_doc_count", 1),
                 sub_specs=metrics)
             continue
-        if kind == "significant_terms":
+        if kind in ("significant_terms", "significant_text"):
             from .aggs import significant_terms_agg
 
+            # significant_text = significant_terms over the analyzed
+            # tokens of a text field, each term counted once per doc
+            # (SignificantTextAggregationBuilder; our analyzed path
+            # already dedupes per doc, which is also what its
+            # filter_duplicate_text re-analysis approximates)
             results[name] = significant_terms_agg(
                 df_unfiltered, df, kbody["field"],
                 size=kbody.get("size", 10),
                 min_doc_count=kbody.get("min_doc_count", 3),
-                analyzed=kbody.get("analyzed", False))
+                analyzed=(True if kind == "significant_text"
+                          else kbody.get("analyzed", False)))
             continue
         if kind == "filters":
             from .aggs import filters_agg

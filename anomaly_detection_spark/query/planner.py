@@ -520,19 +520,42 @@ def _intervals_filter(df: DataFrame, body: dict[str, Any]) -> Column:
     return compile_src(src)
 
 
-def _norm_sort(s) -> tuple[str, str]:
-    """One sort entry → (field, order): accepts ``"field"``,
+def _norm_sort(s) -> tuple[str, str, object]:
+    """One sort entry → (field, order, missing): accepts ``"field"``,
     ``(field, order)`` pairs, ``{field: "desc"}`` and
-    ``{field: {"order": "desc"}}`` (the OpenSearch body shapes)."""
+    ``{field: {"order": "desc", "missing": ...}}`` (the OpenSearch
+    body shapes).  ``missing`` is ``"_first"`` / ``"_last"`` (null
+    placement) or a literal substitute value (FieldSortBuilder
+    missing); default ``"_last"`` — OpenSearch's default for both
+    directions, unlike Spark's asc_nulls_first."""
     if isinstance(s, str):
-        return s, "asc"
+        return s, "asc", "_last"
     if isinstance(s, dict):
         (c, spec), = s.items()
-        order = (spec.get("order", "asc") if isinstance(spec, dict)
-                 else spec)
-        return c, str(order).lower()
-    c, d = s
-    return c, str(d).lower()
+        if isinstance(spec, dict):
+            return (c, str(spec.get("order", "asc")).lower(),
+                    spec.get("missing", "_last"))
+        return c, str(spec).lower(), "_last"
+    if len(s) == 2:
+        c, d = s
+        return c, str(d).lower(), "_last"
+    c, d, m = s
+    return c, str(d).lower(), m
+
+
+def _sort_col(c: str, d: str, m) -> Column:
+    """One ordering Column honoring the ``missing`` spec: a literal
+    substitute orders as coalesce(col, lit); ``_first``/``_last``
+    place nulls explicitly."""
+    col = F.col(c)
+    if m not in ("_first", "_last"):
+        col = F.coalesce(col, F.lit(m))
+        return col.desc() if d == "desc" else col.asc()
+    if d == "desc":
+        return (col.desc_nulls_first() if m == "_first"
+                else col.desc_nulls_last())
+    return (col.asc_nulls_first() if m == "_first"
+            else col.asc_nulls_last())
 
 
 def _as_list(x) -> list:
@@ -588,11 +611,23 @@ def search(
         schema_df = target
 
     def finish(out):
-        # shared tail: when a highlight section needs doc columns a
-        # (docid, score)-only scored result doesn't carry, fetch them
-        # first (index: doc fetch join; brute: join back to the
-        # analyzed frame, minus analysis columns), keeping rank order
+        # shared tail: when a highlight section (or an explicit
+        # _source request) needs doc columns a (docid, score)-only
+        # scored result doesn't carry, fetch them first (index: doc
+        # fetch join; brute: join back to the analyzed frame, minus
+        # analysis columns), keeping rank order
         hl = body.get("highlight")
+        src = body.get("_source")
+        if (src not in (None, False) and "score" in out.columns
+                and set(out.columns) == {"docid", "score"}):
+            if isinstance(target, IndexReader):
+                out = fetch_docs(target, out)
+            else:
+                cols = [c for c in schema_df.columns
+                        if c not in ("tokens", "doc_len", "docid")]
+                out = (out.join(schema_df.select("docid", *cols),
+                                "docid")
+                       .orderBy(F.desc("score"), F.asc("docid")))
         if hl:
             missing = [f for f in (hl.get("fields") or {text_field: {}})
                        if f not in out.columns]
@@ -616,7 +651,9 @@ def search(
                            .orderBy(F.desc("score"), F.asc("docid")))
         return _finish_search(out, size, timeout_s, page_from,
                               highlight=hl, query=query,
-                              text_field=text_field)
+                              text_field=text_field,
+                              min_score=body.get("min_score"),
+                              source_filter=src)
 
     if set(query) & {"query_string", "simple_query_string"}:
         # compile the Lucene syntax down to DSL FIRST, so a compiled
@@ -743,8 +780,7 @@ def search(
         plan0 = plan_query(schema_df, query, scoring=False)
         base = (schema_df if plan0.filter_cond is None
                 else schema_df.filter(plan0.filter_cond))
-        order = [F.desc(c) if d == "desc" else F.asc(c)
-                 for c, d in csort]
+        order = [_sort_col(c, d, m) for c, d, m in csort]
         w = _W.partitionBy(cfld).orderBy(*order)
         out = (base.withColumn("_ck", F.row_number().over(w))
                .filter(F.col("_ck") == 1).drop("_ck")
@@ -923,8 +959,13 @@ def search(
                     f"the sort spec length ({len(sort)})")
             pred = None
             eq = None
-            for (c, d), v in zip(sort, after):
+            for (c, d, m), v in zip(sort, after):
                 col = F.col(c)
+                if m not in ("_first", "_last"):
+                    # a literal `missing` makes null rows reachable by
+                    # the resume predicate too — same mapping as the
+                    # ordering column
+                    col = F.coalesce(col, F.lit(m))
                 ts_dt = _ts_type(schema_df, c)
                 lit = _ts_value(v, ts_dt) if ts_dt else F.lit(v)
                 cmp = col < lit if d == "desc" else col > lit
@@ -933,9 +974,7 @@ def search(
                 eq = (col == lit) if eq is None else eq & (col == lit)
             out = out.filter(pred)
         if sort:
-            cols = [F.desc(c) if d == "desc" else F.asc(c)
-                    for c, d in sort]
-            out = out.orderBy(*cols)
+            out = out.orderBy(*[_sort_col(c, d, m) for c, d, m in sort])
         if body.get("size") is not None or k is not None \
                 or timeout_s is not None:
             # The timeout path collect()s below — always page-bound it
@@ -948,7 +987,20 @@ def search(
 
 def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
                    page_from: int = 0, highlight: dict | None = None,
-                   query: dict | None = None, text_field: str = "text"):
+                   query: dict | None = None, text_field: str = "text",
+                   min_score: float | None = None,
+                   source_filter=None):
+    if min_score is not None:
+        # SearchSourceBuilder#minScore: hits below the floor are
+        # excluded.  Score-sorted results make post-top-k filtering
+        # equivalent to pre-top-k (the dropped docs are the ordered
+        # tail); only the rescore block ordering can differ in the
+        # sub-window corner, same as the reference's collector timing.
+        if "score" not in out.columns:
+            raise ValueError(
+                "min_score needs a scored query (filter-context hits "
+                "carry no score)")
+        out = out.filter(F.col("score") >= float(min_score))
     if page_from:
         out = out.offset(page_from)
     if highlight:
@@ -956,6 +1008,8 @@ def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
 
         out = apply_highlight(out, highlight, query,
                               text_field=text_field)
+    if source_filter is not None:
+        out = _apply_source_filter(out, source_filter)
     if timeout_s is not None:
         # S7 (CompositeRetriever.java:371-400 expiry): materialize the
         # (size-bounded) result under the budget; a runaway plan is
@@ -969,6 +1023,33 @@ def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
             rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     return out
+
+
+def _apply_source_filter(out: DataFrame, spec) -> DataFrame:
+    """``_source`` response filtering (FetchSourceContext): ``False``
+    (metadata only), a pattern / list of patterns (includes), or
+    ``{"includes": [...], "excludes": [...]}`` — patterns use the
+    reference's ``*`` wildcards.  ``docid``, ``score`` and
+    ``highlight`` are hit METADATA, not source fields, and are always
+    kept when present (like _id/_score in the reference response)."""
+    from fnmatch import fnmatchcase
+
+    meta = [c for c in ("docid", "score", "highlight")
+            if c in out.columns]
+    source_cols = [c for c in out.columns if c not in meta]
+    if spec is True:
+        return out
+    if spec is False:
+        keep = []
+    else:
+        if isinstance(spec, (str, list)):
+            spec = {"includes": _as_list(spec)}
+        inc = _as_list(spec.get("includes")) or ["*"]
+        exc = _as_list(spec.get("excludes"))
+        keep = [c for c in source_cols
+                if any(fnmatchcase(c, p) for p in inc)
+                and not any(fnmatchcase(c, p) for p in exc)]
+    return out.select(*meta, *keep)
 
 
 def scroll(target, body: dict[str, Any], page_size: int = 1000,
@@ -992,8 +1073,8 @@ def scroll(target, body: dict[str, Any], page_size: int = 1000,
     sort = [_norm_sort(s) for s in (body.get("sort") or [])]
     if not sort:
         raise ValueError("scroll requires a sort spec")
-    if "docid" not in [c for c, _ in sort]:
-        sort = sort + [("docid", "asc")]
+    if "docid" not in [c for c, _, _ in sort]:
+        sort = sort + [("docid", "asc", "_last")]
     after = body.get("search_after")
     while True:
         page_body = {**body, "sort": sort, "size": page_size}
@@ -1008,4 +1089,8 @@ def scroll(target, body: dict[str, Any], page_size: int = 1000,
         yield rows
         if len(rows) < page_size:
             return
-        after = [rows[-1][c] for c, _ in sort]
+        # resume on the EFFECTIVE sort key: a null field value under a
+        # literal `missing` sorts (and must resume) as that literal
+        after = [rows[-1][c] if rows[-1][c] is not None
+                 or m in ("_first", "_last") else m
+                 for c, _, m in sort]
