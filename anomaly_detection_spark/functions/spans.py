@@ -38,7 +38,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["span_match", "span_match_expr", "parse_span_query"]
+__all__ = ["span_match", "span_match_expr", "parse_span_query",
+           "parse_span_tree", "tree_terms", "enum_spans",
+           "span_tree_match", "span_tree_match_expr"]
 
 
 def _ordered_match(pos_lists: list[np.ndarray], slop: int,
@@ -174,3 +176,256 @@ def parse_span_query(kind: str, body: dict) -> tuple[str, list[str], int,
         fld, terms, slop, in_order, _ = parse_span_query(ikind, ibody)
         return fld, terms, slop, in_order, e
     raise ValueError(f"not a span query: {kind}")
+
+
+# ---------------------------------------------------------------------------
+# Compound span tree: span_or / span_not / span_containing / span_within
+# (SpanOrQuery, SpanNotQuery, SpanContainingQuery, SpanWithinQuery —
+# public Lucene semantics).  These need span ENUMERATION, not just
+# existence, so they get their own kernel: ``enum_spans`` emits, per
+# doc, the spans Lucene's iterators would enumerate — span_term at
+# every position, span_near as the per-start greedy-minimal windows
+# (NearSpansOrdered's posture), and the compounds as set algebra over
+# those enumerations.  Near clauses are restricted to unit-length
+# sub-spans (span_term / span_or of span_terms), the same subset the
+# flat kernels support.
+
+def _term_clause_any(c: dict) -> tuple[str, dict]:
+    """Parse one tree node; returns (field, node)."""
+    (kind, body), = c.items()
+    return parse_span_tree(kind, body)
+
+
+def parse_span_tree(kind: str, body: dict) -> tuple[str, dict]:
+    """Normalize a compound span query to (field, node tree).  Node
+    kinds: term / or / near / first / not / containing / within."""
+    from .tokenizer import tokenize_query
+
+    if kind == "span_term":
+        (fld, spec), = body.items()
+        val = spec.get("value") if isinstance(spec, dict) else spec
+        toks = tokenize_query(str(val))
+        if len(toks) != 1:
+            raise ValueError(
+                f"span_term value must analyze to one token: {val!r} "
+                f"-> {toks}")
+        return fld, {"k": "term", "t": toks[0]}
+    if kind == "span_or":
+        subs = [_term_clause_any(c) for c in body["clauses"]]
+        if not subs:
+            raise ValueError("span_or requires at least one clause")
+        _one_field(subs)
+        return subs[0][0], {"k": "or", "cl": [n for _, n in subs]}
+    if kind == "span_near":
+        subs = [_term_clause_any(c) for c in body["clauses"]]
+        if not subs:
+            raise ValueError("span_near requires at least one clause")
+        _one_field(subs)
+        for _, n in subs:
+            if not _unit_len(n):
+                raise ValueError(
+                    "span_near clauses support span_term / span_or of "
+                    "span_terms (unit-length sub-spans)")
+        slop = int(body.get("slop", 0))
+        if slop < 0:
+            raise ValueError(f"span_near slop must be >= 0: {slop}")
+        return subs[0][0], {"k": "near", "cl": [n for _, n in subs],
+                            "slop": slop,
+                            "ord": bool(body.get("in_order", True))}
+    if kind == "span_first":
+        e = int(body["end"])
+        if e < 1:
+            raise ValueError(f"span_first end must be >= 1: {e}")
+        fld, inner = _term_clause_any(body["match"])
+        return fld, {"k": "first", "inner": inner, "end": e}
+    if kind == "span_not":
+        fi, inc = _term_clause_any(body["include"])
+        fe, exc = _term_clause_any(body["exclude"])
+        if fi != fe:
+            raise ValueError(
+                f"span_not include/exclude must share one field: "
+                f"{fi!r} vs {fe!r}")
+        dist = int(body.get("dist", 0))
+        return fi, {"k": "not", "inc": inc, "exc": exc,
+                    "pre": int(body.get("pre", dist)),
+                    "post": int(body.get("post", dist))}
+    if kind in ("span_containing", "span_within"):
+        fl, little = _term_clause_any(body["little"])
+        fb, big = _term_clause_any(body["big"])
+        if fl != fb:
+            raise ValueError(
+                f"{kind} little/big must share one field: "
+                f"{fl!r} vs {fb!r}")
+        return fl, {"k": kind.removeprefix("span_"),
+                    "little": little, "big": big}
+    raise ValueError(f"not a span query: {kind}")
+
+
+def _one_field(subs: list[tuple[str, dict]]) -> None:
+    fields = {f for f, _ in subs}
+    if len(fields) != 1:
+        raise ValueError(
+            f"span clauses must share one field: {sorted(fields)}")
+
+
+def _unit_len(node: dict) -> bool:
+    if node["k"] == "term":
+        return True
+    return (node["k"] == "or"
+            and all(_unit_len(c) for c in node["cl"]))
+
+
+def tree_terms(node: dict) -> set[str]:
+    k = node["k"]
+    if k == "term":
+        return {node["t"]}
+    if k == "or":
+        return set().union(*(tree_terms(c) for c in node["cl"]))
+    if k == "near":
+        return set().union(*(tree_terms(c) for c in node["cl"]))
+    if k == "first":
+        return tree_terms(node["inner"])
+    if k == "not":
+        return tree_terms(node["inc"]) | tree_terms(node["exc"])
+    return tree_terms(node["little"]) | tree_terms(node["big"])
+
+
+_EMPTY_SPANS = np.empty((0, 2), dtype=np.int64)
+
+
+def _dedup_sorted(sp: np.ndarray) -> np.ndarray:
+    if len(sp) == 0:
+        return _EMPTY_SPANS
+    order = np.lexsort((sp[:, 1], sp[:, 0]))
+    sp = sp[order]
+    keep = np.ones(len(sp), dtype=bool)
+    keep[1:] = np.any(sp[1:] != sp[:-1], axis=1)
+    return sp[keep]
+
+
+def enum_spans(positions: dict[str, np.ndarray], node: dict) -> np.ndarray:
+    """All spans (rows of [start, end), end exclusive) the node
+    enumerates over one doc's term→positions map — sorted, deduped."""
+    k = node["k"]
+    if k == "term":
+        ps = positions.get(node["t"])
+        if ps is None or len(ps) == 0:
+            return _EMPTY_SPANS
+        return np.stack([ps, ps + 1], axis=1).astype(np.int64)
+    if k == "or":
+        subs = [enum_spans(positions, c) for c in node["cl"]]
+        return _dedup_sorted(np.concatenate([s for s in subs if len(s)]
+                                            or [_EMPTY_SPANS]))
+    if k == "near":
+        cls = [enum_spans(positions, c) for c in node["cl"]]
+        if any(len(c) == 0 for c in cls):
+            return _EMPTY_SPANS
+        pos_lists = [c[:, 0] for c in cls]  # unit-length spans
+        m = len(pos_lists)
+        out = []
+        if node["ord"]:
+            # per first-clause start: greedy nearest-successor chain
+            # (the minimal window per start — NearSpansOrdered)
+            for p1 in pos_lists[0]:
+                prev = int(p1)
+                ok = True
+                for ps in pos_lists[1:]:
+                    i = int(np.searchsorted(ps, prev + 1))
+                    if i == len(ps):
+                        ok = False
+                        break
+                    prev = int(ps[i])
+                if not ok:
+                    break
+                if (prev - int(p1) + 1) - m <= node["slop"]:
+                    out.append((int(p1), prev + 1))
+        else:
+            # minimal covering windows over the merged stream, one
+            # position per clause (multiset semantics like
+            # _unordered_match, emitting every qualifying window)
+            # duplicate clauses (same positions list) need distinct
+            # positions: group identical clauses into multiplicity
+            uniq_cls: dict[bytes, int] = {}
+            cl_of = []
+            for ps in pos_lists:
+                key = ps.tobytes()
+                if key not in uniq_cls:
+                    uniq_cls[key] = len(uniq_cls)
+                cl_of.append(uniq_cls[key])
+            req = Counter(cl_of)
+            events = sorted({(int(p), cl_of[ci])
+                             for ci, ps in enumerate(pos_lists)
+                             for p in ps})
+            need = len(cl_of)
+            cnt: Counter = Counter()
+            have = 0
+            lo = 0
+            for hi, (p, t) in enumerate(events):
+                cnt[t] += 1
+                if cnt[t] <= req[t]:
+                    have += 1
+                while have == need:
+                    p0, t0 = events[lo]
+                    if cnt[t0] > req[t0]:
+                        cnt[t0] -= 1
+                        lo += 1
+                        continue
+                    if (p - p0 + 1) - need <= node["slop"]:
+                        out.append((p0, p + 1))
+                    break
+        return _dedup_sorted(np.asarray(out, dtype=np.int64).reshape(-1, 2))
+    if k == "first":
+        sp = enum_spans(positions, node["inner"])
+        return sp[sp[:, 1] <= node["end"]]
+    if k == "not":
+        inc = enum_spans(positions, node["inc"])
+        exc = enum_spans(positions, node["exc"])
+        if len(inc) == 0 or len(exc) == 0:
+            return inc
+        keep = []
+        for s, e in inc:
+            lo_ = s - node["pre"]
+            hi_ = e + node["post"]
+            # overlap iff exc_s < hi_ and exc_e > lo_
+            if not np.any((exc[:, 0] < hi_) & (exc[:, 1] > lo_)):
+                keep.append((s, e))
+        return np.asarray(keep, dtype=np.int64).reshape(-1, 2)
+    if k in ("containing", "within"):
+        little = enum_spans(positions, node["little"])
+        big = enum_spans(positions, node["big"])
+        if len(little) == 0 or len(big) == 0:
+            return _EMPTY_SPANS
+        if k == "containing":
+            keep = [(s, e) for s, e in big
+                    if np.any((little[:, 0] >= s) & (little[:, 1] <= e))]
+        else:
+            keep = [(s, e) for s, e in little
+                    if np.any((big[:, 0] <= s) & (big[:, 1] >= e))]
+        return np.asarray(keep, dtype=np.int64).reshape(-1, 2)
+    raise ValueError(f"unknown span node kind {k!r}")
+
+
+def span_tree_match(tokens: list[str], node: dict) -> bool:
+    need = tree_terms(node)
+    positions: dict[str, list[int]] = {t: [] for t in need}
+    for i, tok in enumerate(tokens):
+        if tok in need:
+            positions[tok].append(i)
+    parr = {t: np.asarray(v, dtype=np.int64)
+            for t, v in positions.items()}
+    return len(enum_spans(parr, node)) > 0
+
+
+def span_tree_match_expr(tokens_col: Column, node: dict) -> Column:
+    """Boolean Column over an analyzed token-array column (one Arrow
+    batch per partition, like :func:`span_match_expr`)."""
+    node_l = node
+
+    @F.pandas_udf(T.BooleanType())
+    def _f(tok_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [span_tree_match(list(toks) if toks is not None else [],
+                             node_l)
+             for toks in tok_s])
+
+    return _f(tokens_col)

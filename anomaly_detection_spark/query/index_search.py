@@ -954,6 +954,83 @@ def span_near_docs_indexed(
     return local.orderBy("docid")
 
 
+def span_tree_docs_indexed(
+    reader: IndexReader,
+    node: dict,
+    filter_cond: Column | None = None,
+) -> DataFrame:
+    """Docids matching a compound span tree (span_or / span_not /
+    span_containing / span_within, ``functions/spans.py`` enum
+    kernel) over the positional postings.  Reads ONLY the tree's
+    terms' posting blocks; candidates are docs carrying at least one
+    tree term (the per-doc kernel decides exactly) — a superset
+    narrowing, still bounded by the tree terms' postings, never a
+    corpus re-analysis."""
+    from ..functions.codecs import decode_positions
+    from ..functions.spans import enum_spans, tree_terms
+
+    spark = reader.spark
+    meta = reader.meta
+    if not meta.positions:
+        raise ValueError(
+            f"index at {reader.index_dir} was built without positions; "
+            f"rebuild with build_index(..., positions=True) for span "
+            f"queries, or use the brute-force path")
+    uniq = sorted(tree_terms(node))
+    empty = spark.createDataFrame([], "docid long")
+    if not uniq:
+        return empty
+    posts = (reader.postings().filter(F.col("term").isin(uniq))
+             .select("term", "seg_id", "first_docid", "gaps", "tfs",
+                     "pos"))
+    docs = _docs_side(reader, filter_cond)
+    seg_size = meta.seg_size
+    cname = codec_name(meta.codec)
+    dec = BLOB_DECODERS[cname]
+    node_l = dict(node)
+
+    def _spans(p: pd.DataFrame, d: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"docid": pd.Series(dtype="int64")})
+        if len(p) == 0 or len(d) == 0:
+            return out_empty
+        seg_base = int(p["seg_id"].iloc[0]) * seg_size
+        dl = _segment_doclens(d, seg_base, seg_size, False)
+        occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, grp in p.groupby("term", sort=False):
+            locs, poss = [], []
+            for i in range(len(grp)):
+                docids = (np.cumsum(dec(grp["gaps"].iloc[i]))
+                          .astype(np.int64) + grp["first_docid"].iloc[i])
+                tfs = dec(grp["tfs"].iloc[i]).astype(np.int64)
+                pos = decode_positions(grp["pos"].iloc[i], tfs,
+                                       codec=cname)
+                locs.append(np.repeat(docids - seg_base, tfs))
+                poss.append(pos)
+            loc = np.concatenate(locs)
+            ps = np.concatenate(poss)
+            order = np.lexsort((ps, loc))
+            occ[t] = (loc[order], ps[order])
+        if not occ:
+            return out_empty
+        cand = np.unique(np.concatenate([occ[t][0] for t in occ]))
+        cand = cand[dl[cand] >= 0]
+        hits = []
+        for doc in cand:
+            positions = {}
+            for t in occ:
+                loc, ps = occ[t]
+                a = np.searchsorted(loc, doc, side="left")
+                b_ = np.searchsorted(loc, doc, side="right")
+                positions[t] = ps[a:b_]
+            if len(enum_spans(positions, node_l)) > 0:
+                hits.append(int(doc) + seg_base)
+        return pd.DataFrame({"docid": pd.Series(hits, dtype="int64")})
+
+    local = (posts.groupBy("seg_id").cogroup(docs.groupBy("seg_id"))
+             .applyInPandas(_spans, schema="docid long"))
+    return local.orderBy("docid")
+
+
 def fetch_docs(reader: IndexReader, topk: DataFrame) -> DataFrame:
     """Join top-k hits back to their stored identity/filter columns —
     the ``_source`` fetch path (broadcast: top-k is tiny)."""

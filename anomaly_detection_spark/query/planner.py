@@ -318,6 +318,19 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
             F.coalesce(span_match_expr(doc_toks, terms, slop, in_order,
                                        end), F.lit(False)))
 
+    if kind in ("span_or", "span_not", "span_containing", "span_within"):
+        # compound span family (SpanOrQuery / SpanNotQuery /
+        # SpanContainingQuery / SpanWithinQuery): span ENUMERATION set
+        # algebra — functions/spans.py enum_spans kernel over the
+        # analyzed token array (span_or of plain matches degenerates
+        # to a boolean OR, but the general tree needs positions)
+        from ..functions.spans import parse_span_tree, span_tree_match_expr
+
+        fld, node = parse_span_tree(kind, body)
+        return QueryPlan(
+            F.coalesce(span_tree_match_expr(tokenize_column(fld), node),
+                       F.lit(False)))
+
     if kind == "constant_score":
         # filter context: matching is the inner filter's; the boost
         # only affects scores
