@@ -800,6 +800,59 @@ def search(
                .orderBy(*order).limit(size))
         return finish(out)
 
+    if set(query) == {"knn"}:
+        # k-NN vector query (OpenSearch k-NN plugin's query kind):
+        # exact scored scan over a vector column — score per
+        # space_type (cosinesimil = cosine, innerproduct = dot,
+        # l2 = 1/(1+d²), the plugin's published formulas), optional
+        # pre-FILTER (the plugin's efficient-filtering semantics:
+        # filter first, then k nearest among survivors).  One
+        # broadcast-free codegen pass + TakeOrdered — the exact twin;
+        # the ANN scale paths (IVF/LSH/PQ) live in
+        # pipeline/similarity.py and share the maths.
+        import numpy as np
+
+        if isinstance(target, IndexReader):
+            raise ValueError(
+                "knn runs over a DataFrame with a vector column, not "
+                "a postings index")
+        (fld, spec), = query["knn"].items()
+        qv = [float(x) for x in spec["vector"]]
+        kk = int(spec.get("k", size))
+        space = spec.get("space_type", "cosinesimil")
+        base = schema_df
+        if spec.get("filter"):
+            base = base.filter(compile_filter(base, spec["filter"]))
+        col = F.col(fld)
+        dot = F.aggregate(
+            F.zip_with(col, F.lit(qv), lambda a, b_: a * b_),
+            F.lit(0.0), lambda acc, x: acc + x)
+        if space == "cosinesimil":
+            qn = float(np.sqrt(np.dot(qv, qv)))
+            if qn == 0:
+                raise ValueError("knn query vector must be non-zero")
+            cn = F.sqrt(F.aggregate(col, F.lit(0.0),
+                                    lambda acc, x: acc + x * x))
+            score = F.when(cn > 0, dot / (cn * F.lit(qn)))
+        elif space == "innerproduct":
+            score = dot
+        elif space == "l2":
+            d2 = F.aggregate(
+                F.zip_with(col, F.lit(qv),
+                           lambda a, b_: (a - b_) * (a - b_)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            score = F.lit(1.0) / (F.lit(1.0) + d2)
+        else:
+            raise ValueError(f"unsupported knn space_type {space!r}")
+        id_sort = ([F.asc("docid")] if "docid" in base.columns
+                   else [F.asc(base.columns[0])])
+        out = (base.filter(col.isNotNull())
+               .withColumn("score", score.cast("double"))
+               .filter(F.col("score").isNotNull())
+               .orderBy(F.desc("score"), *id_sort)
+               .limit(min(kk, size)))
+        return finish(out)
+
     if set(query) == {"more_like_this"}:
         from .mlt import more_like_this_topk
 
