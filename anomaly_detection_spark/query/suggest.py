@@ -108,3 +108,141 @@ def suggest_terms(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def suggest_phrases(
+    target,
+    text: str,
+    size: int = 5,
+    max_errors: float = 1.0,
+    real_word_error_likelihood: float = 0.95,
+    discount: float = 0.4,
+    candidates_per_term: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    min_doc_freq: int = 1,
+    beam_width: int = 64,
+) -> DataFrame:
+    """Phrase suggester (PhraseSuggestionBuilder): whole-phrase
+    did-you-mean over a word-bigram language model.
+
+    The reference's published model, restated: per input term a
+    DirectCandidateGenerator proposes corrections (our term
+    suggester, ``suggest_mode=always``); whole candidate phrases are
+    scored with **Stupid Backoff** (the default ``smoothing``):
+    ``P(w|v) = count(v w)/count(v)`` when the bigram exists, else
+    ``discount · count(w)/total_tokens`` (discount 0.4), first term
+    scored by its unigram probability.  ``real_word_error_likelihood``
+    (default 0.95) multiplies kept in-dictionary terms — the prior
+    that an existing term is nonetheless what the user meant;
+    substituted corrections carry a noisy-channel prior of
+    ``10^-distance`` (documented engine choice — Lucene's exact
+    generator scores are not part of the public semantics).
+    ``max_errors`` bounds substituted positions (fraction ≤ 1.0 of
+    terms, else absolute count, like the reference).
+
+    Distributed shape: TWO bounded aggregations over the corpus — a
+    unigram count of candidate terms and a bigram count of candidate
+    ADJACENT pairs (both keyed by the ≤ m·(candidates+1) candidate
+    vocabulary, so the shuffle is tiny at any corpus size); the beam
+    over combinations runs on the driver over those small maps.
+    Needs token sequences, so the target is a docs frame (an
+    IndexReader carries no forward index — same honesty as
+    more_like_this by-id)."""
+    from .index_search import IndexReader
+
+    if isinstance(target, IndexReader):
+        raise ValueError(
+            "suggest_phrases needs a docs DataFrame (the bigram model "
+            "reads token sequences; a postings index carries no "
+            "forward index)")
+    from ..functions.tokenizer import tokenize_column
+
+    spark = target.sparkSession
+    terms = tokenize_query(text)
+    empty = spark.createDataFrame(
+        [], "suggestion string, score double, n_changes int")
+    if not terms:
+        return empty
+    m = len(terms)
+    budget = (int(round(max_errors * m)) if max_errors <= 1.0
+              else int(max_errors))
+
+    toks = (F.col("tokens") if "tokens" in target.columns
+            else tokenize_column("text"))
+    docs = target.select(toks.alias("_t"))
+    docs = docs.localCheckpoint(eager=False)  # two aggs share the scan
+
+    # per-position candidate sets: original + term-suggester options
+    opts = suggest_terms(target, text, size=candidates_per_term,
+                         max_edits=max_edits,
+                         prefix_length=prefix_length,
+                         min_doc_freq=min_doc_freq,
+                         suggest_mode="always").collect()
+    by_input: dict[str, list[tuple[str, int]]] = {}
+    for r in opts:
+        by_input.setdefault(r["input_term"], []).append(
+            (r["option"], r["distance"]))
+    cands = [[(t, 0)] + by_input.get(t, []) for t in terms]
+    vocab = sorted({w for cl in cands for w, _ in cl})
+
+    # bounded aggregations: unigram counts + total, adjacent-pair
+    # counts — both filtered to the candidate vocabulary pre-shuffle
+    uni_rows = (docs.select(F.explode("_t").alias("w"))
+                .groupBy(F.col("w").isin(vocab).alias("_in"), "w")
+                .agg(F.count("*").alias("c"))).collect()
+    total = sum(r["c"] for r in uni_rows)
+    uni = {r["w"]: r["c"] for r in uni_rows if r["_in"]}
+    pairs = {(a, b) for i in range(m - 1)
+             for a, _ in cands[i] for b, _ in cands[i + 1]}
+    pair_keys = [f"{a}\x00{b}" for a, b in pairs]
+    def _adj_pairs(w, i):
+        return F.concat_ws("\x00", w, F.element_at(F.col("_t"), i + 2))
+
+    bi_df = (docs.select(F.explode(F.when(
+                 F.size("_t") >= 2,
+                 F.transform(F.slice("_t", 1, F.size("_t") - 1),
+                             _adj_pairs))
+                 .otherwise(F.array().cast("array<string>"))).alias("k"))
+             .filter(F.col("k").isin(pair_keys))
+             .groupBy("k").agg(F.count("*").alias("c")))
+    bi = {tuple(r["k"].split("\x00")): r["c"] for r in bi_df.collect()}
+
+    import math
+
+    in_dict = set(uni)
+
+    def lm(prev: str | None, w: str) -> float:
+        u = uni.get(w, 0)
+        if prev is not None and bi.get((prev, w), 0) > 0 \
+                and uni.get(prev, 0) > 0:
+            return bi[(prev, w)] / uni[prev]
+        return discount * u / max(total, 1)
+
+    # beam over positions: (prev word, phrase words, log10 score,
+    # substitutions)
+    beams: list[tuple[list[str], float, int]] = [([], 0.0, 0)]
+    for i, cl in enumerate(cands):
+        nxt = []
+        for words, s, ch in beams:
+            prev = words[-1] if words else None
+            for w, dist in cl:
+                kept = w == terms[i]
+                if not kept and ch + 1 > budget:
+                    continue
+                p = lm(prev, w)
+                if p <= 0:
+                    continue
+                chan = (real_word_error_likelihood
+                        if kept and w in in_dict
+                        else 10.0 ** (-dist) if not kept else 1.0)
+                nxt.append((words + [w], s + math.log10(p * chan),
+                            ch + (0 if kept else 1)))
+        nxt.sort(key=lambda x: (-x[1], x[0]))
+        beams = nxt[:beam_width]
+    if not beams:
+        return empty
+    rows = [(" ".join(w), float(s), int(ch)) for w, s, ch in beams]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        rows[:size], "suggestion string, score double, n_changes int")

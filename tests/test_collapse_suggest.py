@@ -137,3 +137,81 @@ def test_suggest_on_index(spark, docs):
         assert got.iloc[0].option == "quick"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------------------------------------------ phrase suggest
+
+@pytest.fixture(scope="module")
+def phrase_corpus(spark):
+    # bigram-heavy corpus: "nobel prize" is the dominant collocation,
+    # "noble man" legitimizes "noble" as a dictionary word
+    rows = ([(i, f"the nobel prize ceremony item{i}")
+             for i in range(8)]
+            + [(100 + i, f"a noble man walked item{100 + i}")
+               for i in range(4)]
+            + [(200, "prize money data"), (201, "nobel laureate data")])
+    df = spark.createDataFrame(rows, ["docid", "text"])
+    return analyze_docs(df).persist()
+
+
+def test_phrase_suggest_bigram_context_beats_dictionary(phrase_corpus):
+    from anomaly_detection_spark.query.suggest import suggest_phrases
+
+    # "noble" IS in the dictionary — only the bigram LM can know that
+    # "nobel prize" is the right phrase
+    got = suggest_phrases(phrase_corpus, "noble prize",
+                          size=3).toPandas()
+    assert got.suggestion[0] == "nobel prize"
+    assert "noble prize" in set(got.suggestion)  # original kept, ranked lower
+    top = got[got.suggestion == "nobel prize"].iloc[0]
+    orig = got[got.suggestion == "noble prize"].iloc[0]
+    assert top.score > orig.score and top.n_changes == 1
+
+
+def test_phrase_suggest_stupid_backoff_formula(phrase_corpus):
+    from anomaly_detection_spark.query.suggest import suggest_phrases
+
+    got = suggest_phrases(phrase_corpus, "nobel prize",
+                          size=1).toPandas()
+    # hand-computed: corpus tokens -> uni(nobel)=9, uni(prize)=9,
+    # bigram(nobel prize)=8, total tokens = 8*5 + 4*5 + 3 + 3 = 66
+    # first-term P = 0.4 * 9/66 (unigram backoff, no context);
+    # second-term P = 8/9; both kept in-dict terms x 0.95 channel
+    want = (math.log10(0.4 * 9 / 66 * 0.95)
+            + math.log10(8 / 9 * 0.95))
+    assert got.suggestion[0] == "nobel prize"
+    assert got.score[0] == pytest.approx(want, rel=1e-9)
+
+
+def test_phrase_suggest_max_errors_budget(phrase_corpus):
+    from anomaly_detection_spark.query.suggest import suggest_phrases
+
+    # two typos but a budget of one substitution: the top suggestion
+    # can fix at most one of them
+    got = suggest_phrases(phrase_corpus, "nobl prze",
+                          max_errors=0.5, size=10).toPandas()
+    assert (got.n_changes <= 1).all()
+    full = suggest_phrases(phrase_corpus, "nobl prze",
+                           max_errors=1.0, size=10).toPandas()
+    assert full.suggestion[0] == "nobel prize"
+    assert full[full.suggestion == "nobel prize"].n_changes.iloc[0] == 2
+
+
+def test_phrase_suggest_rejects_index_target(spark, phrase_corpus):
+    import shutil
+    import tempfile
+
+    from anomaly_detection_spark.index import build_index
+    from anomaly_detection_spark.query import IndexReader
+    from anomaly_detection_spark.query.suggest import suggest_phrases
+
+    tmp = tempfile.mkdtemp(prefix="adspark_psg_")
+    try:
+        paths = build_index(
+            phrase_corpus.select("docid", "text"), f"{tmp}/idx",
+            seg_size=64, block_size=16, segments_per_batch=2)
+        reader = IndexReader(phrase_corpus.sparkSession, paths.root)
+        with pytest.raises(ValueError, match="forward index"):
+            suggest_phrases(reader, "noble prize")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
