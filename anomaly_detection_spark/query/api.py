@@ -1,0 +1,77 @@
+"""Small search-API surface around the planner: ``validate_query``
+(_validate/query), ``field_caps`` (_field_caps), ``msearch``
+(_msearch), ``count`` (_count) — the introspection/convenience
+endpoints a reference user calls around ``search`` itself."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .index_search import IndexReader
+from .planner import compile_filter, search
+
+
+def validate_query(target, query: dict[str, Any]) -> dict[str, Any]:
+    """_validate/query analog: compile (never execute) the query and
+    report whether the engine accepts it.  ``explanation`` carries
+    the compiled Catalyst predicate string on success (the closest
+    analog of the rewritten-Lucene-query string the reference
+    returns with explain=true), ``error`` the rejection reason."""
+    df = (target.doc_stats() if isinstance(target, IndexReader)
+          else target)
+    try:
+        cond = compile_filter(df, query)
+    except (ValueError, KeyError, TypeError) as e:
+        return {"valid": False, "error": str(e)}
+    return {"valid": True, "explanation": str(cond)}
+
+
+_SEARCHABLE_TEXT = {T.StringType()}
+
+
+def field_caps(target) -> list[dict[str, Any]]:
+    """_field_caps analog: one row per field with its engine type and
+    capabilities.  Every stored column is filterable ("searchable");
+    numeric / timestamp / string scalars are aggregatable (they can
+    key or feed an aggregation); array/struct columns aggregate only
+    through the dedicated scope aggs — reported not aggregatable,
+    like non-doc-values fields in the reference."""
+    df = (target.doc_stats() if isinstance(target, IndexReader)
+          else target)
+    out = []
+    for f in df.schema.fields:
+        if f.name in ("tokens", "doc_len"):  # analysis internals
+            continue
+        scalar = not isinstance(f.dataType,
+                                (T.ArrayType, T.StructType, T.MapType))
+        out.append({
+            "field": f.name,
+            "type": f.dataType.simpleString(),
+            "searchable": True,
+            "aggregatable": scalar,
+        })
+    return out
+
+
+def msearch(target, bodies: list[dict[str, Any]],
+            text_field: str = "text", **kw) -> list[DataFrame]:
+    """_msearch analog: plan every body against the shared target and
+    return one (lazy) result frame per body — planning is sequential,
+    execution stays deferred so callers can union / collect however
+    they want (the reference's batched transport concern doesn't
+    exist here)."""
+    return [search(target, b, text_field=text_field, **kw)
+            for b in bodies]
+
+
+def count(target, query: dict[str, Any] | None = None) -> int:
+    """_count analog: matching-doc count in filter context (scores
+    never computed — the same shortcut the reference takes)."""
+    df = (target.doc_stats() if isinstance(target, IndexReader)
+          else target)
+    if query and query != {"match_all": {}}:
+        df = df.filter(compile_filter(df, query))
+    return df.count()

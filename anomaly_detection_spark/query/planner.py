@@ -157,6 +157,28 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
 
     if kind == "terms":
         (fld, vals), = body.items()
+        if isinstance(vals, dict):
+            # terms LOOKUP (TermsQueryBuilder termsLookup): fetch the
+            # value list from another document's field at rewrite time
+            # — the reference issues a GET during query rewrite, here
+            # a one-row driver fetch against this target (an explicit
+            # ``index`` naming a different store is out of scope — the
+            # engine is single-table per search)
+            if "path" not in vals or "id" not in vals:
+                raise ValueError(
+                    "terms lookup needs {'id': ..., 'path': ...}")
+            if set(vals) - {"id", "path", "index"}:
+                raise ValueError(
+                    f"unsupported terms lookup keys: "
+                    f"{sorted(set(vals) - {'id', 'path', 'index'})}")
+            row = (df.filter(F.col("docid") == int(vals["id"]))
+                   .select(vals["path"]).limit(1).collect())
+            got = row[0][0] if row else None
+            looked = (got if isinstance(got, list)
+                      else [] if got is None else [got])
+            if not looked:
+                return QueryPlan(F.lit(False))
+            return QueryPlan(F.col(fld).isin(list(looked)))
         return QueryPlan(F.col(fld).isin(list(vals)))
 
     if kind == "range":
