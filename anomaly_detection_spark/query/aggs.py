@@ -1352,3 +1352,56 @@ def sampler_agg(df: DataFrame, shard_size: int, sort_col: str,
     sample = cand.orderBy(*order).limit(shard_size)
     return sample.agg(F.count("*").alias("doc_count"),
                       *metric_agg_cols(sub_specs or {}))
+
+
+def variable_width_histogram(df: DataFrame, field: str, buckets: int,
+                             iters: int = 4) -> DataFrame:
+    """``variable_width_histogram``: cluster a numeric field into up
+    to ``buckets`` variable-width buckets — (key = cluster mean, min,
+    max, doc_count), keys ascending.
+
+    The reference's algorithm is a shard-local streaming clusterer
+    whose buckets depend on doc order and shard layout
+    (VariableWidthHistogramAggregator — explicitly not deterministic);
+    this rendering is the deterministic twin, same posture as
+    ``sampler_agg``: centroids seeded at the (i+0.5)/k quantiles
+    (percentile_approx), refined with ``iters`` 1-D Lloyd passes.
+    Every pass is ONE map-side-combinable aggregation — assignment is
+    a codegen CASE over the k−1 midpoint boundaries (1-D nearest
+    centroid ≡ binning by midpoints), so no pass shuffles more than
+    k rows per partition and the driver only ever sees k centroids.
+    Empty clusters collapse, so fewer than ``buckets`` rows can
+    return (the reference merges too)."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1: {buckets}")
+    v = F.col(field)
+    vals = df.filter(v.isNotNull())
+    qs = [(i + 0.5) / buckets for i in range(buckets)]
+    row = vals.agg(F.percentile_approx(field, qs).alias("c")).collect()
+    if not row or row[0]["c"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "key double, min double, max double, doc_count long")
+    cents = sorted(set(float(c) for c in row[0]["c"]))
+
+    def assign(cs: list[float]):
+        mids = [(cs[i] + cs[i + 1]) / 2.0 for i in range(len(cs) - 1)]
+        e = F.lit(0)
+        for m in mids:
+            e = e + F.when(v >= F.lit(m), 1).otherwise(0)
+        return e
+
+    stats = None
+    for _ in range(max(1, iters)):
+        stats = (vals.groupBy(assign(cents).alias("_c"))
+                 .agg(F.sum(v).alias("_s"), F.count("*").alias("_n"),
+                      F.min(v).alias("_mn"), F.max(v).alias("_mx"))
+                 .collect())
+        new = sorted(float(r["_s"]) / r["_n"] for r in stats)
+        if new == cents:
+            break
+        cents = new
+    out = sorted(
+        (float(r["_s"]) / r["_n"], float(r["_mn"]), float(r["_mx"]),
+         int(r["_n"])) for r in stats)
+    return df.sparkSession.createDataFrame(
+        out, "key double, min double, max double, doc_count long")

@@ -500,6 +500,16 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             results[name] = df_unfiltered.agg(
                 F.count("*").alias("doc_count"), *metric_agg_cols(metrics))
             continue
+        if kind == "variable_width_histogram":
+            from .aggs import variable_width_histogram
+
+            if metrics or pipes:
+                raise ValueError(
+                    "variable_width_histogram sub-aggregations are "
+                    "unsupported")
+            results[name] = variable_width_histogram(
+                df, kbody["field"], int(kbody["buckets"]))
+            continue
         if kind == "histogram":
             out = histogram_agg(
                 df, kbody["field"], kbody["interval"], sub_specs=metrics,

@@ -214,3 +214,66 @@ def test_matrix_stats_vs_numpy(events):
     assert row["correlation"] == pytest.approx(np.corrcoef(v, d)[0, 1])
     diag = got[(got.field_a == "value") & (got.field_b == "value")]
     assert diag.iloc[0]["correlation"] == pytest.approx(1.0)
+
+
+# ------------------------------------------- variable_width_histogram
+
+def test_variable_width_histogram_numpy_replay(spark):
+    import numpy as np
+
+    from anomaly_detection_spark.query.aggs import (
+        variable_width_histogram)
+
+    rng = np.random.RandomState(7)
+    # three well-separated value clumps + stragglers
+    vals = np.concatenate([rng.normal(0, 1, 200),
+                           rng.normal(50, 2, 150),
+                           rng.normal(200, 5, 100)]).round(4)
+    df = spark.createDataFrame([(float(x),) for x in vals], ["v"])
+    got = variable_width_histogram(df, "v", buckets=3).toPandas()
+    # independent replay: same quantile seeding + 1-D Lloyd on numpy
+    cents = sorted(set(np.percentile(
+        vals, [100 * (i + 0.5) / 3 for i in range(3)],
+        method="inverted_cdf").astype(float)))
+    for _ in range(4):
+        mids = [(cents[i] + cents[i + 1]) / 2 for i in range(len(cents) - 1)]
+        lab = np.digitize(vals, mids)
+        new = sorted(vals[lab == i].mean() for i in np.unique(lab))
+        if new == cents:
+            break
+        cents = new
+    lab = np.digitize(vals, [(cents[i] + cents[i + 1]) / 2
+                             for i in range(len(cents) - 1)])
+    assert len(got) == 3
+    for i, r in got.iterrows():
+        sel = vals[lab == sorted(np.unique(lab))[i]]
+        assert r["doc_count"] == len(sel)
+        assert r["key"] == pytest.approx(sel.mean(), rel=1e-9)
+        assert r["min"] == pytest.approx(sel.min())
+        assert r["max"] == pytest.approx(sel.max())
+    # clumps recovered: keys near 0 / 50 / 200
+    assert np.allclose(sorted(got.key), [vals[:200].mean(),
+                                         vals[200:350].mean(),
+                                         vals[350:].mean()], atol=1.0)
+
+
+def test_variable_width_histogram_body_and_edges(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+
+    df = spark.createDataFrame(
+        [(1.0,), (1.1,), (9.0,), (None,)], ["v"])
+    out = run_aggs(df, {"aggs": {"h": {"variable_width_histogram": {
+        "field": "v", "buckets": 2}}}})["h"].toPandas()
+    assert list(out.doc_count) == [2, 1]
+    assert out.key[0] == pytest.approx(1.05)
+    with pytest.raises(ValueError, match="unsupported"):
+        run_aggs(df, {"aggs": {"h": {
+            "variable_width_histogram": {"field": "v", "buckets": 2},
+            "aggs": {"m": {"avg": {"field": "v"}}}}}})
+    # degenerate: fewer distinct values than buckets
+    tiny = spark.createDataFrame([(3.0,), (3.0,)], ["v"])
+    from anomaly_detection_spark.query.aggs import (
+        variable_width_histogram)
+
+    one = variable_width_histogram(tiny, "v", buckets=4).toPandas()
+    assert len(one) == 1 and one.doc_count[0] == 2
