@@ -296,6 +296,23 @@ def main() -> None:
           lambda: combined_fields_topk(
               {"text": dreader, "source": sreader},
               "the src3 data", ["text", "source^2"], k=10).collect())
+    # fourth-session ops: windowed rescore on the docs index; exact
+    # knn scan over the embeddings table (codegen-only plan)
+    timed("rescore_indexed",
+          lambda: search(dreader, {
+              "query": {"match": {"text": "the data"}},
+              "rescore": {"window_size": 50, "query": {
+                  "rescore_query": {"match": {"text": "merge query"}},
+                  "query_weight": 0.7,
+                  "rescore_query_weight": 1.3}},
+              "size": 10}).collect())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .withColumnRenamed("vec_id", "docid")
+    qvec = emb.orderBy("docid").limit(1).collect()[0]["embedding"]
+    timed("knn_cosine_embeddings",
+          lambda: search(emb, {"query": {"knn": {"embedding": {
+              "vector": list(qvec), "k": 10}}}, "size": 10}).collect())
+
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     timed("cumulative_cardinality_events",
           lambda: run_aggs(events, {"aggs": {"h": {
