@@ -75,3 +75,40 @@ def count(target, query: dict[str, Any] | None = None) -> int:
     if query and query != {"match_all": {}}:
         df = df.filter(compile_filter(df, query))
     return df.count()
+
+
+def analyze(text: str) -> list[str]:
+    """_analyze endpoint analog: the engine's (single, fixed) analysis
+    chain — lowercase + Unicode word-break — applied to one string.
+    The same tokenizer every index build and query path uses, so this
+    IS the round-trip debugging surface the endpoint exists for."""
+    from ..functions.tokenizer import tokenize_query
+
+    return tokenize_query(text)
+
+
+def suggest(target, sections: dict[str, Any]) -> dict[str, DataFrame]:
+    """The search body's ``suggest`` section: named suggesters, each
+    ``{"text": ..., "term": {...}}`` or ``{"text": ..., "phrase":
+    {...}}``, dispatched to the term / phrase suggesters.  Returns
+    one result frame per named section (lazy)."""
+    from .suggest import suggest_phrases, suggest_terms
+
+    out: dict[str, DataFrame] = {}
+    for name, spec in sections.items():
+        text = spec.get("text")
+        if text is None:
+            raise ValueError(f"suggest section {name!r} needs 'text'")
+        kinds = set(spec) & {"term", "phrase"}
+        if len(kinds) != 1:
+            raise ValueError(
+                f"suggest section {name!r} needs exactly one of "
+                f"'term'/'phrase'")
+        kind = kinds.pop()
+        body = dict(spec[kind])
+        body.pop("field", None)  # single analyzed text field engine
+        if kind == "term":
+            out[name] = suggest_terms(target, text, **body)
+        else:
+            out[name] = suggest_phrases(target, text, **body)
+    return out

@@ -71,3 +71,20 @@ def test_msearch_and_count(docs):
     assert len(outs[1].collect()) == 2
     assert count(docs) == 4
     assert count(docs, {"term": {"role": "tool"}}) == 1
+
+
+def test_analyze_and_suggest_sections(docs):
+    from anomaly_detection_spark.query.api import analyze, suggest
+
+    assert analyze("The Quick-Brown FOX") == ["the", "quick",
+                                              "brown", "fox"]
+    out = suggest(docs, {
+        "fix": {"text": "alpah", "term": {"size": 2}},
+        "didyoumean": {"text": "alpha gama",
+                       "phrase": {"size": 2}}})
+    fix = out["fix"].toPandas()
+    assert fix.option[0] == "alpha"
+    dym = out["didyoumean"].toPandas()
+    assert dym.suggestion[0] == "alpha gamma"
+    with pytest.raises(ValueError, match="exactly one"):
+        suggest(docs, {"s": {"text": "x"}})
