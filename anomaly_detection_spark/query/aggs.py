@@ -51,7 +51,14 @@ def metric_agg_column(spec: dict[str, Any], alias: str) -> Column:
     the single-bucket ``filter`` agg wrapper (A1–A6)."""
     (kind, body), = spec.items()
     if kind in _METRIC_FNS:
-        return _METRIC_FNS[kind](body["field"]).alias(alias)
+        f = body["field"]
+        if isinstance(body, dict) and body.get("missing") is not None:
+            # `missing` (ValuesSourceAggregationBuilder): null values
+            # score as the substitute instead of being skipped
+            return _METRIC_FNS[kind](
+                F.coalesce(F.col(f), F.lit(body["missing"]))
+            ).alias(alias)
+        return _METRIC_FNS[kind](f).alias(alias)
     if kind == "cardinality":
         # HLL++ in both systems (approximate, like OpenSearch cardinality)
         return F.approx_count_distinct(body["field"]).alias(alias)
@@ -283,10 +290,13 @@ def histogram_agg(
     sub_specs: dict[str, dict] | None = None,
     min_doc_count: int = 0,
     offset: float = 0.0,
+    extended_bounds: dict | None = None,
 ) -> DataFrame:
     """Numeric ``histogram`` agg: key = floor((v - offset)/interval) *
     interval + offset, minDocCount(0) dense grid over the data extent
-    (grid generated by integer bucket INDEX so float steps can't drift)."""
+    (grid generated by integer bucket INDEX so float steps can't drift);
+    ``extended_bounds`` widens that grid."""
+    import math
     if interval <= 0:
         raise ValueError("histogram interval must be > 0")
     sub_specs = sub_specs or {}
@@ -298,18 +308,27 @@ def histogram_agg(
                  *metric_agg_cols(sub_specs)))
     if min_doc_count > 0:
         return aggd.filter(F.col("doc_count") >= min_doc_count)
+    lo = F.floor((F.min(field) - F.lit(offset)) / F.lit(interval))
+    hi = F.floor((F.max(field) - F.lit(offset)) / F.lit(interval))
+    if extended_bounds:
+        # extended_bounds (HistogramAggregationBuilder): widen the
+        # minDocCount=0 dense grid beyond the data extent (hard_bounds'
+        # counterpart — extend, never shrink)
+        blo = F.lit(int(math.floor(
+            (float(extended_bounds["min"]) - offset) / interval)))
+        bhi = F.lit(int(math.floor(
+            (float(extended_bounds["max"]) - offset) / interval)))
+        lo, hi = F.least(lo, blo), F.greatest(hi, bhi)
     grid = (
         df.filter(F.col(field).isNotNull())
-        .select(F.floor((F.min(field) - F.lit(offset)) / F.lit(interval))
-                .alias("lo"),
-                F.floor((F.max(field) - F.lit(offset)) / F.lit(interval))
-                .alias("hi"))
+        .select(lo.alias("lo"), hi.alias("hi"))
         .select(F.explode(F.sequence("lo", "hi")).alias("i"))
         .select((F.col("i") * F.lit(interval) + F.lit(offset))
                 .cast("double").alias("key"))
     )
     out = grid.join(aggd, ["key"], "left")
-    return out.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+    return (out.withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+            .orderBy("key"))
 
 
 # ---------------------------------------------------------------------------
@@ -719,14 +738,37 @@ def top_hits_agg(
 def terms_agg(
     df: DataFrame, fld: str, size: int = 10,
     sub_specs: dict[str, dict] | None = None, ascending: bool = False,
+    order: dict | None = None, missing=None,
 ) -> DataFrame:
-    """Top-N groups by doc count (terms agg): count order then key asc."""
+    """Top-N groups by doc count (terms agg): count order then key asc
+    by default; ``order`` takes the reference's shapes — ``{"_count":
+    "asc"}``, ``{"_key": "desc"}``, or ``{"<sub-agg alias>": "desc"}``
+    (a multi-value sub-agg orders by its flattened ``alias_stat``
+    column name).  The size cut happens AFTER the requested order, so
+    a metric order returns the top-N BY THAT METRIC — OpenSearch warns
+    its shard-local metric orders can be approximate; this global
+    order is the exact form.  ``missing`` buckets null keys under a
+    substitute value instead of dropping them."""
     sub_specs = sub_specs or {}
+    if missing is not None:
+        df = df.withColumn(fld, F.coalesce(F.col(fld), F.lit(missing)))
     aggd = df.groupBy(fld).agg(
         F.count("*").alias("doc_count"),
         *metric_agg_cols(sub_specs))
-    order = [F.asc("doc_count") if ascending else F.desc("doc_count"), F.asc(fld)]
-    return aggd.orderBy(*order).limit(size)
+    if order:
+        (key, direction), = order.items()
+        col = {"_count": "doc_count", "_key": fld}.get(key, key)
+        if col not in aggd.columns:
+            raise ValueError(
+                f"terms order target {key!r} is not _count/_key or a "
+                f"sub-agg column of {sorted(aggd.columns)}")
+        lead = (F.asc(col) if str(direction).lower() == "asc"
+                else F.desc(col))
+        cols = [lead, F.asc(fld)]
+    else:
+        cols = [F.asc("doc_count") if ascending
+                else F.desc("doc_count"), F.asc(fld)]
+    return aggd.orderBy(*cols).limit(size)
 
 
 def rare_terms_agg(

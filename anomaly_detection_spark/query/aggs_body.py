@@ -514,13 +514,16 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             out = histogram_agg(
                 df, kbody["field"], kbody["interval"], sub_specs=metrics,
                 min_doc_count=kbody.get("min_doc_count", 0),
-                offset=kbody.get("offset", 0.0))
+                offset=kbody.get("offset", 0.0),
+                extended_bounds=kbody.get("extended_bounds"))
             results[name] = _apply_pipes(out, pipes, "key")
             continue
         if kind == "terms":
             results[name] = terms_agg(df, kbody["field"],
                                       size=kbody.get("size", 10),
-                                      sub_specs=metrics)
+                                      sub_specs=metrics,
+                                      order=kbody.get("order"),
+                                      missing=kbody.get("missing"))
             continue
         if kind == "date_histogram":
             mode, v = _dh_spec(kbody)

@@ -184,7 +184,25 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
     if kind == "range":
         (fld, spec), = body.items()
         ts_dt = _ts_type(df, fld)
-        conv = (lambda v: _ts_value(v, ts_dt)) if ts_dt else (lambda v: F.lit(v))
+        # date-math endpoints ("now-7d/d", "2025-06-01||+1M/M" — the
+        # reference's DateMathParser grammar) resolve to epoch millis
+        # at compile time; "now_ms" in the spec pins `now` (the
+        # reference pins it per request; tests and replayable jobs
+        # need the pin explicit).  One value captured up front so
+        # every endpoint in this clause sees the same `now`.
+        import time as _time
+
+        from ..functions.datemath import datemath_ms, is_date_math
+
+        now_ms = spec.get("now_ms")
+        if now_ms is None:
+            now_ms = int(_time.time() * 1000)
+
+        def conv(v):
+            if ts_dt is not None and is_date_math(v):
+                v = datemath_ms(v, now_ms)
+            return _ts_value(v, ts_dt) if ts_dt is not None else F.lit(v)
+
         cond = None
         for op, fn in (("gte", "__ge__"), ("gt", "__gt__"),
                        ("lte", "__le__"), ("lt", "__lt__")):
