@@ -671,7 +671,9 @@ def search(
         # analysis columns), keeping rank order
         hl = body.get("highlight")
         src = body.get("_source")
-        if (src not in (None, False) and "score" in out.columns
+        sfields = body.get("script_fields")
+        if ((src not in (None, False) or sfields)
+                and "score" in out.columns
                 and set(out.columns) == {"docid", "score"}):
             if isinstance(target, IndexReader):
                 out = fetch_docs(target, out)
@@ -706,7 +708,8 @@ def search(
                               highlight=hl, query=query,
                               text_field=text_field,
                               min_score=body.get("min_score"),
-                              source_filter=src)
+                              source_filter=src,
+                              script_fields=sfields)
 
     if set(query) & {"query_string", "simple_query_string"}:
         # compile the Lucene syntax down to DSL FIRST, so a compiled
@@ -1095,7 +1098,8 @@ def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
                    page_from: int = 0, highlight: dict | None = None,
                    query: dict | None = None, text_field: str = "text",
                    min_score: float | None = None,
-                   source_filter=None):
+                   source_filter=None,
+                   script_fields: dict | None = None):
     if min_score is not None:
         # SearchSourceBuilder#minScore: hits below the floor are
         # excluded.  Score-sorted results make post-top-k filtering
@@ -1114,8 +1118,22 @@ def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
 
         out = apply_highlight(out, highlight, query,
                               text_field=text_field)
+    if script_fields:
+        # script_fields (SearchSourceBuilder#scriptField): derived
+        # response columns from the painless arithmetic subset —
+        # doc['f'].value / _score / Math.* — compiled to codegen
+        # expressions (same compiler as script_score)
+        from .compound import _compile_score_script
+
+        for sfname, spec in script_fields.items():
+            ssrc = (spec["script"]["source"]
+                    if isinstance(spec.get("script"), dict)
+                    else spec["script"])
+            out = out.withColumn(
+                sfname, _compile_score_script(ssrc, set(out.columns)))
     if source_filter is not None:
-        out = _apply_source_filter(out, source_filter)
+        out = _apply_source_filter(out, source_filter,
+                                   extra_meta=list(script_fields or ()))
     if timeout_s is not None:
         # S7 (CompositeRetriever.java:371-400 expiry): materialize the
         # (size-bounded) result under the budget; a runaway plan is
@@ -1131,7 +1149,8 @@ def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
     return out
 
 
-def _apply_source_filter(out: DataFrame, spec) -> DataFrame:
+def _apply_source_filter(out: DataFrame, spec,
+                         extra_meta: list[str] | None = None) -> DataFrame:
     """``_source`` response filtering (FetchSourceContext): ``False``
     (metadata only), a pattern / list of patterns (includes), or
     ``{"includes": [...], "excludes": [...]}`` — patterns use the
@@ -1140,7 +1159,8 @@ def _apply_source_filter(out: DataFrame, spec) -> DataFrame:
     kept when present (like _id/_score in the reference response)."""
     from fnmatch import fnmatchcase
 
-    meta = [c for c in ("docid", "score", "highlight")
+    meta = [c for c in ("docid", "score", "highlight",
+                        *(extra_meta or ()))
             if c in out.columns]
     source_cols = [c for c in out.columns if c not in meta]
     if spec is True:

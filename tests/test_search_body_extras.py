@@ -112,3 +112,31 @@ def test_min_score_cuts_low_hits(docs):
     with pytest.raises(ValueError, match="min_score"):
         search(docs, {"query": {"term": {"role": "user"}},
                       "min_score": 0.5, "size": 5})
+
+
+# ------------------------------------------------------- script_fields
+
+def test_script_fields_scored_and_filter_paths(docs):
+    body = {"query": {"match": {"text": "alpha"}},
+            "script_fields": {"pri2": {"script": {
+                "source": "doc['pri'].value * 2 + _score"}}},
+            "size": 5}
+    out = search(docs, body).collect()
+    for r in out:
+        if r["pri"] is not None:
+            assert r["pri2"] == pytest.approx(r["pri"] * 2 + r["score"])
+        else:
+            assert r["pri2"] is None
+    # _source filter keeps script fields as metadata
+    cols = search(docs, {**body, "_source": ["role"]}).columns
+    assert cols == ["docid", "score", "pri2", "role"]
+    # filter-context path (doc columns already present, no _score)
+    fc = search(docs, {"query": {"term": {"role": "tool"}},
+                       "script_fields": {"half": {
+                           "script": "doc['pri'].value / 2"}},
+                       "size": 5}).collect()
+    assert all(r["half"] == pytest.approx(r["pri"] / 2) for r in fc)
+    with pytest.raises(ValueError, match="unknown field"):
+        search(docs, {"query": {"term": {"role": "tool"}},
+                      "script_fields": {"x": {
+                          "script": "doc['nope'].value"}}, "size": 2})
