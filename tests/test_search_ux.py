@@ -102,3 +102,51 @@ def test_highlight_on_index_path(spark, tiny_transcripts):
                             "highlight": {"fields": {"tool": {}}}})
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------------------------------------- fragment highlights
+
+def test_highlight_fragments(spark):
+    from anomaly_detection_spark.query import analyze_docs
+    from anomaly_detection_spark.query.planner import search
+
+    filler = " ".join(f"w{i}" for i in range(60))
+    text = f"alpha starts here {filler} middle alpha beta again {filler} tail beta end"
+    df = analyze_docs(spark.createDataFrame(
+        [(0, text), (1, "no matches at all")], ["docid", "text"]))
+    out = search(df, {
+        "query": {"match": {"text": "alpha beta"}},
+        "_source": True,
+        "highlight": {"fields": {"text": {
+            "fragment_size": 60, "number_of_fragments": 3}}},
+        "size": 5}).collect()
+    byid = {r["docid"]: r["text_highlight"] for r in out}
+    frags = byid[0]
+    assert 2 <= len(frags) <= 3
+    joined = " ".join(frags)
+    assert "<em>alpha</em>" in joined and "<em>beta</em>" in joined
+    # fragments are snippets, not the whole field, in document order
+    assert all(len(f) < len(text) / 2 for f in frags)
+    assert text.find(frags[0].replace("<em>", "").replace("</em>", "")
+                     [:20]) < text.find(
+        frags[-1].replace("<em>", "").replace("</em>", "")[:20])
+    # never split a word: each fragment's raw form appears verbatim
+    for f in frags:
+        raw = f.replace("<em>", "").replace("</em>", "")
+        assert raw in text
+    # number_of_fragments=1 caps
+    one = search(df, {
+        "query": {"match": {"text": "alpha beta"}},
+        "_source": True,
+        "highlight": {"fields": {"text": {
+            "fragment_size": 40, "number_of_fragments": 1}}},
+        "size": 5}).collect()
+    assert len({r["docid"]: r for r in one}[0]["text_highlight"]) == 1
+    # number_of_fragments=0 keeps the whole-field string mode
+    whole = search(df, {
+        "query": {"match": {"text": "alpha"}},
+        "_source": True,
+        "highlight": {"fields": {"text": {"number_of_fragments": 0}}},
+        "size": 5}).collect()
+    w = {r["docid"]: r for r in whole}[0]["text_highlight"]
+    assert isinstance(w, str) and w.count("<em>alpha</em>") == 2
