@@ -1159,9 +1159,9 @@ def _apply_source_filter(out: DataFrame, spec,
     kept when present (like _id/_score in the reference response)."""
     from fnmatch import fnmatchcase
 
-    meta = [c for c in ("docid", "score", "highlight",
-                        *(extra_meta or ()))
-            if c in out.columns]
+    meta = [c for c in out.columns
+            if c in ("docid", "score", *(extra_meta or ()))
+            or c.endswith("_highlight")]
     source_cols = [c for c in out.columns if c not in meta]
     if spec is True:
         return out

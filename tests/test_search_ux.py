@@ -150,3 +150,18 @@ def test_highlight_fragments(spark):
         "size": 5}).collect()
     w = {r["docid"]: r for r in whole}[0]["text_highlight"]
     assert isinstance(w, str) and w.count("<em>alpha</em>") == 2
+
+
+def test_highlight_survives_source_filtering(spark):
+    from anomaly_detection_spark.query import analyze_docs
+    from anomaly_detection_spark.query.planner import search
+
+    df = analyze_docs(spark.createDataFrame(
+        [(0, "u", "alpha beta gamma")], ["docid", "role", "text"]))
+    out = search(df, {"query": {"match": {"text": "alpha"}},
+                      "_source": False,
+                      "highlight": {"fields": {"text": {
+                          "number_of_fragments": 1}}},
+                      "size": 1})
+    assert out.columns == ["docid", "score", "text_highlight"]
+    assert out.collect()[0]["text_highlight"] == ["<em>alpha</em> beta gamma"]
