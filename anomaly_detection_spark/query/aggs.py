@@ -791,15 +791,53 @@ def composite_agg(
     df: DataFrame,
     sources: list[str | Column],
     sub_specs: dict[str, dict] | None = None,
+    after: list | None = None,
+    size: int | None = None,
+    names: list[str] | None = None,
 ) -> DataFrame:
-    """Composite = full multi-source groupBy; no after_key pagination
-    needed (B5).  A source may be a Column (e.g. a date_histogram
-    bucket or an entity-extraction expression standing in for the
-    painless-script source, QueryUtil.java:23-45)."""
+    """Composite = full multi-source groupBy; pagination is usually
+    unnecessary (B5 — one job returns everything).  ``after`` + ``size``
+    implement the reference's after_key protocol anyway (the plugin's
+    CompositeRetriever pages in size-N slices,
+    CompositeRetriever.java:185-232): buckets sort by the source
+    tuple, ``after`` resumes strictly past that tuple via the same
+    lexicographic predicate search_after uses — applied to the
+    AGGREGATED rows, so a page costs one agg + a tuple filter, and a
+    client can replay the reference's paging loop verbatim.  A source
+    may be a Column (e.g. a date_histogram bucket or an
+    entity-extraction expression standing in for the painless-script
+    source, QueryUtil.java:23-45); named sources are required for
+    pagination (tuple values must map to output columns)."""
     sub_specs = sub_specs or {}
-    return df.groupBy(*sources).agg(
+    out = df.groupBy(*sources).agg(
         F.count("*").alias("doc_count"),
         *metric_agg_cols(sub_specs))
+    if after is None and size is None:
+        return out
+    names = names or [s for s in sources if isinstance(s, str)]
+    if len(names) != len(sources):
+        raise ValueError(
+            "composite after/size pagination needs source NAMES — "
+            "string sources, or pass names= for aliased Columns")
+    if after is not None:
+        if isinstance(after, dict):  # the endpoint's after_key shape
+            missing = [n for n in names if n not in after]
+            if missing:
+                raise ValueError(f"after key missing sources {missing}")
+            after = [after[n] for n in names]
+        if len(after) != len(names):
+            raise ValueError(
+                f"after key length {len(after)} != {len(names)} sources")
+        pred = None
+        eq = None
+        for c, v in zip(names, after):
+            col, lit = F.col(c), F.lit(v)
+            branch = (col > lit) if eq is None else eq & (col > lit)
+            pred = branch if pred is None else pred | branch
+            eq = (col == lit) if eq is None else eq & (col == lit)
+        out = out.filter(pred)
+    out = out.orderBy(*[F.asc(c) for c in names])
+    return out.limit(int(size)) if size is not None else out
 
 
 # ---------------------------------------------------------------------------

@@ -624,7 +624,11 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                     sources.append(_dh_bucket(dh).alias(sname))
                 else:
                     raise ValueError(f"unsupported source {sspec}")
-            results[name] = composite_agg(df, sources, sub_specs=metrics)
+            results[name] = composite_agg(
+                df, sources, sub_specs=metrics,
+                after=kbody.get("after"), size=kbody.get("size"),
+                names=[s for src in kbody.get("sources", [])
+                       for s in src])
             continue
         raise ValueError(f"unsupported aggregation kind {kind!r}")
     return results

@@ -116,3 +116,34 @@ def test_histogram_extended_bounds(spark):
         "field": "v", "interval": 2.0,
         "min_doc_count": 0}}}})["h"].toPandas()
     assert list(out2.key) == [4.0, 6.0]
+
+
+# ------------------------------------------------ composite after/size
+
+def test_composite_after_key_paging(spark):
+    rows = [("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1)]
+    df = spark.createDataFrame(rows, ["k", "n"])
+    body = lambda after: {"aggs": {"c": {"composite": {  # noqa: E731
+        "sources": [{"k": {"terms": {"field": "k"}}},
+                    {"n": {"terms": {"field": "n"}}}],
+        "size": 2, **({"after": after} if after else {})}}}}
+    pages, after = [], None
+    while True:
+        rows_ = run_aggs(df, body(after))["c"].collect()
+        if not rows_:
+            break
+        pages.append([(r["k"], r["n"]) for r in rows_])
+        after = {"k": rows_[-1]["k"], "n": rows_[-1]["n"]}
+        if len(rows_) < 2:
+            break
+    assert pages == [[("a", 1), ("a", 2)], [("b", 1), ("b", 2)],
+                     [("c", 1)]]
+    # paging == one unpaged run
+    full = run_aggs(df, {"aggs": {"c": {"composite": {"sources": [
+        {"k": {"terms": {"field": "k"}}},
+        {"n": {"terms": {"field": "n"}}}]}}}})["c"]
+    assert sorted((r["k"], r["n"]) for r in full.collect()) == \
+        [p for pg in pages for p in pg]
+    # dict-after validation
+    with pytest.raises(ValueError, match="missing sources"):
+        run_aggs(df, body({"k": "a"}))
