@@ -70,6 +70,26 @@ def _field_value(spec: Any, key: str = "value") -> Any:
     return spec.get(key) if isinstance(spec, dict) else spec
 
 
+def _ci(spec: Any) -> bool:
+    """``case_insensitive`` flag (term/wildcard/prefix/regexp specs)."""
+    return isinstance(spec, dict) and bool(spec.get("case_insensitive"))
+
+
+def parse_msm(msm, n_clauses: int) -> int:
+    """``minimum_should_match`` → required count: int / "N" / "N%"
+    (percent of clauses, rounded DOWN like Lucene), clamped to
+    [1, n_clauses]; negative forms mean "all but N" / "all but N%"."""
+    s = str(msm).strip()
+    if s.endswith("%"):
+        pct = float(s[:-1])
+        n = (int(n_clauses * pct / 100.0) if pct >= 0
+             else n_clauses + int(n_clauses * pct / 100.0))
+    else:
+        v = int(s)
+        n = v if v >= 0 else n_clauses + v
+    return max(1, min(n, n_clauses))
+
+
 def compile_filter(df: DataFrame, query: dict[str, Any]) -> Column:
     """Compile a filter-context query (no scoring) to a Column."""
     plan = plan_query(df, query, scoring=False)
@@ -153,6 +173,9 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
 
     if kind == "term":
         (fld, spec), = body.items()
+        if _ci(spec):
+            return QueryPlan(F.lower(F.col(fld))
+                             == F.lit(str(_field_value(spec)).lower()))
         return QueryPlan(F.col(fld) == F.lit(_field_value(spec)))
 
     if kind == "terms":
@@ -216,18 +239,25 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
 
     if kind == "wildcard":
         (fld, spec), = body.items()
-        return QueryPlan(F.col(fld).like(_glob_to_like(_field_value(spec))))
+        col, val = F.col(fld), _field_value(spec)
+        if _ci(spec):
+            col, val = F.lower(col), str(val).lower()
+        return QueryPlan(col.like(_glob_to_like(val)))
 
     if kind == "prefix":
         (fld, spec), = body.items()
-        return QueryPlan(F.col(fld).startswith(F.lit(_field_value(spec))))
+        col, val = F.col(fld), _field_value(spec)
+        if _ci(spec):
+            col, val = F.lower(col), str(val).lower()
+        return QueryPlan(col.startswith(F.lit(val)))
 
     if kind == "regexp":
         # Lucene RegexpQuery is FULLY ANCHORED (the pattern must match
         # the whole keyword value); Spark rlike is substring — anchor it
         (fld, spec), = body.items()
         pat = _field_value(spec)
-        return QueryPlan(F.col(fld).rlike(f"^(?:{pat})$"))
+        flags = "(?i)" if _ci(spec) else ""
+        return QueryPlan(F.col(fld).rlike(f"{flags}^(?:{pat})$"))
 
     if kind == "fuzzy":
         # FuzzyQuery (transpositions=true default): OSA edit distance ≤
@@ -1024,6 +1054,42 @@ def search(
                    else analyze_docs(target, text_col=fld))
             out = match_phrase_topk(tgt, text, k=size, slop=slop)
         return finish(out)
+
+    if set(query) == {"match"}:
+        (mfld, mspec), = query["match"].items()
+        if isinstance(mspec, dict) and "minimum_should_match" in mspec:
+            # match + minimum_should_match (MatchQueryBuilder): scored
+            # disjunction requiring ≥ N distinct query terms per doc.
+            # Brute: bm25_scores(min_match=); index: the same
+            # matched-distinct-term count as a posting-pair semi-join
+            # (only the query terms' postings are read).
+            if mfld != text_field:
+                raise ValueError(
+                    f"scored match supports only the indexed text "
+                    f"field {text_field!r}; got {mfld!r}")
+            text = mspec["query"]
+            need = parse_msm(mspec["minimum_should_match"],
+                             len(set(tokenize_query(text))))
+            if isinstance(target, IndexReader):
+                from .index_search import (bm25_scores_indexed,
+                                           term_doc_pairs)
+
+                scored = bm25_scores_indexed(target, text)
+                terms = sorted(set(tokenize_query(text)))
+                keep = (term_doc_pairs(target, terms)
+                        .groupBy("docid")
+                        .agg(F.count_distinct("term").alias("_nt"))
+                        .filter(F.col("_nt") >= need).select("docid"))
+                out = scored.join(keep, "docid")
+            else:
+                from .brute_force import bm25_scores
+
+                out = bm25_scores(target, text, min_match=need)
+            out = (out.orderBy(F.desc("score"), F.asc("docid"))
+                   .limit(size))
+            if isinstance(target, IndexReader):
+                out = fetch_docs(target, out)
+            return finish(out)
 
     plan = plan_query(schema_df, query)
     cond = plan.filter_cond

@@ -72,3 +72,17 @@ def test_explain_doc_tree(corpus):
     none = explain_doc(analyzed, "zzzznotaterm", hit["docid"])
     assert none == {"matched": False, "value": 0,
                     "description": none["description"], "details": []}
+
+
+def test_match_msm_brute_equals_index(corpus):
+    from anomaly_detection_spark.query.planner import search
+
+    analyzed, reader = corpus
+    body = {"query": {"match": {"text": {
+        "query": "spark data merge query",
+        "minimum_should_match": "50%"}}}, "size": 10}
+    want = search(analyzed, body).toPandas()
+    got = search(reader, body).select("docid", "score").toPandas()
+    assert list(got.docid) == list(want.docid)
+    assert np.allclose(got.score.to_numpy(dtype=float),
+                       want.score.to_numpy(dtype=float))

@@ -140,3 +140,43 @@ def test_script_fields_scored_and_filter_paths(docs):
         search(docs, {"query": {"term": {"role": "tool"}},
                       "script_fields": {"x": {
                           "script": "doc['nope'].value"}}, "size": 2})
+
+
+# ----------------------------------------- match minimum_should_match
+
+def test_match_minimum_should_match(docs):
+    from anomaly_detection_spark.query.planner import parse_msm
+
+    assert parse_msm(2, 3) == 2
+    assert parse_msm("75%", 4) == 3
+    assert parse_msm("-1", 4) == 3
+    assert parse_msm("-25%", 4) == 3
+    assert parse_msm(9, 3) == 3 and parse_msm(0, 3) == 1
+    smap = {r["docid"]: r["score"]
+            for r in bm25_scores(docs, "alpha beta gamma").collect()}
+    out = search(docs, {"query": {"match": {"text": {
+        "query": "alpha beta gamma", "minimum_should_match": 2}}},
+        "size": 10}).collect()
+    # docs with >= 2 distinct matched terms: 0 (alpha beta),
+    # 2 (gamma... only gamma -> 1), 3 (gamma delta -> 1), 4 (beta)
+    assert [r["docid"] for r in out] == [0]
+    assert out[0]["score"] == pytest.approx(smap[0])
+
+
+def test_case_insensitive_flags(spark):
+    df = spark.createDataFrame(
+        [(0, "Alpha"), (1, "ALPHA"), (2, "beta")], ["docid", "k"])
+    from anomaly_detection_spark.query.planner import compile_filter
+
+    ids = lambda q: sorted(  # noqa: E731
+        r["docid"] for r in df.filter(compile_filter(df, q)).collect())
+    assert ids({"term": {"k": {"value": "alpha",
+                               "case_insensitive": True}}}) == [0, 1]
+    assert ids({"term": {"k": "alpha"}}) == []
+    assert ids({"wildcard": {"k": {"value": "al*",
+                                   "case_insensitive": True}}}) == [0, 1]
+    assert ids({"prefix": {"k": {"value": "alp",
+                                 "case_insensitive": True}}}) == [0, 1]
+    assert ids({"regexp": {"k": {"value": "alpha",
+                                 "case_insensitive": True}}}) == [0, 1]
+    assert ids({"regexp": {"k": "alpha"}}) == []
