@@ -454,6 +454,17 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
 
             named = {fn: compile_filter(df, fq)
                      for fn, fq in kbody["filters"].items()}
+            if kbody.get("other_bucket"):
+                # other_bucket: docs matching NONE of the named filters
+                # land in one extra bucket (FiltersAggregator)
+                from functools import reduce
+
+                any_named = reduce(
+                    lambda a, b_: a | b_,
+                    [F.coalesce(c, F.lit(False))
+                     for c in named.values()])
+                named[kbody.get("other_bucket_key", "_other_")] = \
+                    ~any_named
             results[name] = filters_agg(df, named, sub_specs=metrics)
             continue
         if kind == "adjacency_matrix":
@@ -595,7 +606,17 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                                       sub_specs=metrics)
             continue
         if kind == "date_range":
-            ranges = [(int(r["from"]), int(r["to"]))
+            import time as _time
+
+            from ..functions.datemath import datemath_ms, is_date_math
+
+            now_ms = kbody.get("now_ms") or int(_time.time() * 1000)
+
+            def _bound(v):
+                return (datemath_ms(v, now_ms) if is_date_math(v)
+                        else int(v))
+
+            ranges = [(_bound(r["from"]), _bound(r["to"]))
                       for r in kbody["ranges"]]
             results[name] = date_range_agg(df, kbody["field"], ranges,
                                            sub_specs=metrics)

@@ -147,3 +147,32 @@ def test_composite_after_key_paging(spark):
     # dict-after validation
     with pytest.raises(ValueError, match="missing sources"):
         run_aggs(df, body({"k": "a"}))
+
+
+# --------------------------------- date_range date math, other_bucket
+
+def test_date_range_accepts_date_math(events):
+    out = run_aggs(events, {"aggs": {"r": {"date_range": {
+        "field": "ts", "now_ms": NOW,
+        "ranges": [{"from": "now-7d/d", "to": "now-5d/d"},
+                   {"from": "now-5d/d", "to": "now/d"}]}}}})["r"]
+    rows = out.collect()
+    # [06-03, 06-05): days 3,4 ; [06-05, 06-10): days 5..9
+    assert [r["doc_count"] for r in rows] == [2, 5]
+
+
+def test_filters_other_bucket(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("c", 4)], ["k", "v"])
+    out = run_aggs(df, {"aggs": {"f": {"filters": {
+        "filters": {"as": {"term": {"k": "a"}},
+                    "bs": {"term": {"k": "b"}}},
+        "other_bucket": True}}}})["f"].toPandas()
+    got = dict(zip(out.filter_key, out.doc_count))
+    assert got == {"as": 1, "bs": 1, "_other_": 2}
+    out2 = run_aggs(df, {"aggs": {"f": {"filters": {
+        "filters": {"as": {"term": {"k": "a"}}},
+        "other_bucket": True, "other_bucket_key": "rest"}}}})["f"] \
+        .toPandas()
+    got2 = dict(zip(out2.filter_key, out2.doc_count))
+    assert got2 == {"as": 1, "rest": 3}
