@@ -105,6 +105,18 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
     if kind == "match_all":
         return QueryPlan(None)
 
+    if kind == "match_none":
+        return QueryPlan(F.lit(False))
+
+    if kind == "wrapper":
+        # WrapperQueryBuilder: base64-encoded JSON query, re-planned
+        import base64
+        import json as _json
+
+        raw = body["query"] if isinstance(body, dict) else body
+        inner = _json.loads(base64.b64decode(raw))
+        return plan_query(df, inner, scoring=scoring)
+
     if kind == "bool":
         conds: list[Column] = []
         matches: list[tuple[str, str]] = []
@@ -235,7 +247,13 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         return QueryPlan(cond)
 
     if kind == "exists":
-        return QueryPlan(F.col(body["field"]).isNotNull())
+        fld = body["field"]
+        cond = F.col(fld).isNotNull()
+        if isinstance(df.schema[fld].dataType, T.ArrayType):
+            # the reference treats [] as "no value" — an empty array
+            # does NOT exist (ExistsQueryBuilder over doc values)
+            cond = cond & (F.size(fld) > 0)
+        return QueryPlan(cond)
 
     if kind == "wildcard":
         (fld, spec), = body.items()

@@ -88,3 +88,23 @@ def test_analyze_and_suggest_sections(docs):
     assert dym.suggestion[0] == "alpha gamma"
     with pytest.raises(ValueError, match="exactly one"):
         suggest(docs, {"s": {"text": "x"}})
+
+
+def test_wrapper_match_none_exists_empty_array(spark, docs):
+    import base64
+    import json
+
+    ids = lambda q: sorted(  # noqa: E731
+        r["docid"] for r in
+        docs.filter(compile_filter(docs, q)).collect())
+    assert ids({"match_none": {}}) == []
+    inner = {"term": {"role": "user"}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    assert ids({"wrapper": {"query": b64}}) == ids(inner)
+    # exists: empty array == missing (the reference's doc-values view)
+    df = spark.createDataFrame(
+        [(0, ["x"]), (1, []), (2, None)],
+        "docid long, tags array<string>")
+    got = sorted(r["docid"] for r in df.filter(
+        compile_filter(df, {"exists": {"field": "tags"}})).collect())
+    assert got == [0]
