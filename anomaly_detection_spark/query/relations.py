@@ -1,0 +1,61 @@
+"""Parent/child relation queries: ``has_child`` / ``has_parent`` —
+the join-field query family (HasChildQueryBuilder /
+HasParentQueryBuilder; public semantics), plus the engine-natural
+``conversation_filter`` for the transcript data model.
+
+The reference stores parents and children in one index under a join
+field and resolves the relation with a global-ordinals join at query
+time.  Spark-first that IS just a join: compile the inner query on
+the relative side, aggregate child matches per join key, semi-join
+back — broadcast-able whenever the matching key set is small, and a
+plain shuffled semi-join otherwise (Catalyst/AQE picks).  Matching
+only (ScoreMode.None — the reference's default; score modes would
+need child-score aggregation, out of the supported subset like the
+other filter-context rewrites)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .planner import compile_filter
+
+
+def has_child(parents: DataFrame, children: DataFrame,
+              query: dict[str, Any], join_field: str = "conv_id",
+              min_children: int = 1,
+              max_children: int | None = None) -> DataFrame:
+    """Parent rows with ≥ ``min_children`` (and ≤ ``max_children``
+    when given) children matching ``query`` — HasChildQueryBuilder's
+    min_children/max_children contract."""
+    matched = (children.filter(compile_filter(children, query))
+               .groupBy(join_field)
+               .agg(F.count("*").alias("_nc")))
+    cond = F.col("_nc") >= int(min_children)
+    if max_children is not None:
+        cond = cond & (F.col("_nc") <= int(max_children))
+    keys = matched.filter(cond).select(join_field)
+    return parents.join(keys, join_field, "left_semi")
+
+
+def has_parent(children: DataFrame, parents: DataFrame,
+               query: dict[str, Any],
+               join_field: str = "conv_id") -> DataFrame:
+    """Child rows whose parent matches ``query``
+    (HasParentQueryBuilder)."""
+    keys = (parents.filter(compile_filter(parents, query))
+            .select(join_field).distinct())
+    return children.join(keys, join_field, "left_semi")
+
+
+def conversation_filter(df: DataFrame, query: dict[str, Any],
+                        join_field: str = "conv_id") -> DataFrame:
+    """All rows of every GROUP containing ≥ 1 row matching ``query``
+    — ``has_child`` where parent and child are the same turns table
+    grouped by conversation (the transcript engine's natural "find
+    whole conversations where ..." primitive)."""
+    keys = (df.filter(compile_filter(df, query))
+            .select(join_field).distinct())
+    return df.join(keys, join_field, "left_semi")

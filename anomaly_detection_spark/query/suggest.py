@@ -246,3 +246,46 @@ def suggest_phrases(
     rows.sort(key=lambda r: (-r[1], r[0]))
     return spark.createDataFrame(
         rows[:size], "suggestion string, score double, n_changes int")
+
+
+def suggest_completions(
+    target,
+    prefix: str,
+    size: int = 5,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Completion suggester analog (CompletionSuggesterBuilder): rank
+    dictionary terms by popularity under a prefix.  The reference
+    serves this from a dedicated FST completion field with explicit
+    per-suggestion weights; this engine has no separate completion
+    field, so the analyzed term dictionary IS the suggestion corpus
+    and document frequency IS the weight (the df-ordered prefix walk
+    an FST with df weights would produce).  Prefix matching is the
+    analyzer's: the input is lowercased through the same chain.
+
+    One dictionary scan with a codegen startswith pre-filter — the
+    same cost shape as the term suggester."""
+    from ..functions.tokenizer import tokenize_query
+
+    toks = tokenize_query(prefix)
+    from .index_search import IndexReader
+
+    spark = (target.spark if isinstance(target, IndexReader)
+             else target.sparkSession)
+    empty = spark.createDataFrame([], "option string, df long, rank long")
+    if len(toks) != 1:
+        if not toks:
+            return empty
+        raise ValueError(
+            f"completion prefix must analyze to one token: {prefix!r} "
+            f"-> {toks}")
+    p = toks[0]
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (_dictionary(target)
+            .filter(F.col("term").startswith(F.lit(p))
+                    & (F.col("df") >= F.lit(min_doc_freq)))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= size)
+            .select(F.col("term").alias("option"), "df", "rank"))

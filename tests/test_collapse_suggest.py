@@ -215,3 +215,20 @@ def test_phrase_suggest_rejects_index_target(spark, phrase_corpus):
             suggest_phrases(reader, "noble prize")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_completion_suggester(phrase_corpus):
+    from anomaly_detection_spark.query.suggest import (
+        suggest_completions)
+
+    got = suggest_completions(phrase_corpus, "no", size=3).toPandas()
+    # df order: nobel appears in 9 docs, noble in 4
+    assert list(got.option[:2]) == ["nobel", "noble"]
+    assert got.df[0] == 9 and got.df[1] == 4
+    assert list(got["rank"]) == [1, 2]
+    # analyzer normalization + empty prefix
+    up = suggest_completions(phrase_corpus, "NO", size=1).toPandas()
+    assert list(up.option) == ["nobel"]
+    assert suggest_completions(phrase_corpus, "  ").count() == 0
+    with pytest.raises(ValueError, match="one token"):
+        suggest_completions(phrase_corpus, "no bel")
