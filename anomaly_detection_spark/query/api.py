@@ -92,23 +92,27 @@ def suggest(target, sections: dict[str, Any]) -> dict[str, DataFrame]:
     ``{"text": ..., "term": {...}}`` or ``{"text": ..., "phrase":
     {...}}``, dispatched to the term / phrase suggesters.  Returns
     one result frame per named section (lazy)."""
-    from .suggest import suggest_phrases, suggest_terms
+    from .suggest import (suggest_completions, suggest_phrases,
+                          suggest_terms)
 
     out: dict[str, DataFrame] = {}
     for name, spec in sections.items():
-        text = spec.get("text")
+        text = spec.get("text", spec.get("prefix"))
         if text is None:
-            raise ValueError(f"suggest section {name!r} needs 'text'")
-        kinds = set(spec) & {"term", "phrase"}
+            raise ValueError(
+                f"suggest section {name!r} needs 'text' (or 'prefix')")
+        kinds = set(spec) & {"term", "phrase", "completion"}
         if len(kinds) != 1:
             raise ValueError(
                 f"suggest section {name!r} needs exactly one of "
-                f"'term'/'phrase'")
+                f"'term'/'phrase'/'completion'")
         kind = kinds.pop()
         body = dict(spec[kind])
         body.pop("field", None)  # single analyzed text field engine
         if kind == "term":
             out[name] = suggest_terms(target, text, **body)
-        else:
+        elif kind == "phrase":
             out[name] = suggest_phrases(target, text, **body)
+        else:
+            out[name] = suggest_completions(target, text, **body)
     return out

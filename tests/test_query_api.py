@@ -108,3 +108,12 @@ def test_wrapper_match_none_exists_empty_array(spark, docs):
     got = sorted(r["docid"] for r in df.filter(
         compile_filter(df, {"exists": {"field": "tags"}})).collect())
     assert got == [0]
+
+
+def test_suggest_section_completion(docs):
+    from anomaly_detection_spark.query.api import suggest
+
+    out = suggest(docs, {"c": {"prefix": "alp",
+                               "completion": {"size": 2}}})
+    got = out["c"].toPandas()
+    assert list(got.option) == ["alpha"]
