@@ -634,3 +634,52 @@ def _embedding_neardup_lsh(
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
             .orderBy("id_a", "id_b"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "longest",
+    **lsh_kwargs,
+) -> DataFrame:
+    """One-call fuzzy corpus dedup — the composition a training-data
+    pipeline actually runs: MinHash-LSH verified pairs at ``threshold``
+    (exact duplicates collapse inside the same pass — identical
+    shingle sets are Jaccard 1.0) → connected components → ONE
+    representative per cluster survives.  Returns the deduplicated
+    frame (original columns) plus ``cluster_size`` (1 for docs that
+    had no near-duplicates).
+
+    ``keep``: ``"longest"`` keeps the longest text per cluster (ties
+    by smaller id — the common "keep the fullest variant" policy) or
+    ``"min_id"`` keeps the cluster's canonical min-id doc (cheaper:
+    the component label IS the survivor, no length ranking).
+
+    Scale shape: inherits the LSH caps (bounded band buckets,
+    class collapse) and the log-round components; the survivor pick
+    is one window rank over cluster members only — docs in no pair
+    never enter a shuffle wider than the pairs frame."""
+    if keep not in ("longest", "min_id"):
+        raise ValueError(f"unsupported keep policy {keep!r}")
+    pairs = minhash_lsh_pairs(df, threshold=threshold,
+                              text_col=text_col, id_col=id_col,
+                              **lsh_kwargs)
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
+    members = df.join(clusters.withColumnRenamed("doc_id", id_col),
+                      id_col, "inner")
+    if keep == "min_id":
+        survivors = members.filter(F.col(id_col) == F.col("cluster_id"))
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.length(text_col).desc(), F.col(id_col).asc())
+        survivors = (members.withColumn("_rk", F.row_number().over(w))
+                     .filter(F.col("_rk") == 1).drop("_rk"))
+    survivors = survivors.drop("cluster_id")
+    singletons = (df.join(clusters.withColumnRenamed("doc_id", id_col)
+                          .select(id_col), id_col, "left_anti")
+                  .withColumn("cluster_size", F.lit(1)))
+    return survivors.unionByName(singletons)

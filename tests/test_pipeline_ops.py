@@ -181,3 +181,31 @@ def test_multimodal_plumbing(spark, docs):
         extract_features(media, dim=8, fake=False).collect()
     frames = frame_sample(media, every_ms=1000, fake=True).toPandas()
     assert (frames.groupby("media_id").frame_idx.count() >= 1).all()
+
+
+def test_dedup_corpus_one_call(spark):
+    from anomaly_detection_spark.pipeline.dedup import dedup_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the forest all day long")
+    rows = [
+        (0, base),                                   # cluster with 1
+        (1, base + " extra tail words here"),        # near-dup of 0, longer
+        (2, "completely different content about engines and parquet"),
+        (3, base + " extra tail"),                   # near-dup, mid length
+        (4, "another unique document with its own words entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_corpus(df, threshold=0.5).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # cluster {0,1,3} -> keep 1 (longest); 2 and 4 survive alone
+    assert sorted(out.doc_id) == [1, 2, 4]
+    assert int(out[out.doc_id == 1].cluster_size.iloc[0]) == 3
+    assert set(out[out.doc_id != 1].cluster_size) == {1}
+    # min_id policy keeps the canonical label instead
+    out2 = dedup_corpus(df, threshold=0.5, keep="min_id").toPandas()
+    assert sorted(out2.doc_id) == [0, 2, 4]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="keep"):
+        dedup_corpus(df, keep="newest")
