@@ -1280,6 +1280,22 @@ def scroll(target, body: dict[str, Any], page_size: int = 1000,
     instead — scroll is for the big filter-context exports
     (InsightsJobProcessor.java:380-435's usage shape).
     """
+    from .compound import COMPOUND_KINDS
+
+    qkind = next(iter(body.get("query") or {"match_all": {}}))
+    scored_kinds = COMPOUND_KINDS + (
+        "match", "multi_match", "match_phrase", "match_phrase_prefix",
+        "combined_fields", "more_like_this", "knn", "query_string",
+        "simple_query_string")
+    if qkind in scored_kinds or body.get("rescore"):
+        # scored branches compute top-k and ignore search_after — a
+        # scroll over one would return the same page forever.  Scored
+        # exports page via from/size; scroll is filter-context (wrap
+        # scored clauses in bool.filter to export their match SET).
+        raise ValueError(
+            f"scroll supports filter-context queries; {qkind!r} is "
+            f"scored — page it with from/size, or wrap it in "
+            f"bool.filter to export the unscored match set")
     sort = [_norm_sort(s) for s in (body.get("sort") or [])]
     if not sort:
         raise ValueError("scroll requires a sort spec")

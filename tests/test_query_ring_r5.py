@@ -254,3 +254,21 @@ def test_scroll_requires_sort(docs):
 
     with pytest.raises(ValueError, match="sort"):
         next(scroll(docs, {"query": {"match_all": {}}}))
+
+
+def test_scroll_rejects_scored_queries(docs):
+    from anomaly_detection_spark.query.planner import scroll
+
+    with pytest.raises(ValueError, match="scored"):
+        next(scroll(docs, {"query": {"match": {"text": "quick"}},
+                           "sort": [{"docid": "asc"}]}))
+    with pytest.raises(ValueError, match="scored"):
+        next(scroll(docs, {"query": {"term": {"role": "user"}},
+                           "rescore": {"query": {"rescore_query": {
+                               "match": {"text": "quick"}}}},
+                           "sort": [{"docid": "asc"}]}))
+    # the documented escape hatch: bool.filter-wrapped match scrolls
+    got = [r["docid"] for p in scroll(docs, {
+        "query": {"bool": {"filter": [{"match": {"text": "quick"}}]}},
+        "sort": [{"docid": "asc"}]}, page_size=2) for r in p]
+    assert got == [0, 1, 4]
