@@ -113,3 +113,31 @@ def datemath_ms(expr: str, now_ms: int | None = None) -> int:
     if rnd:
         dt = _round_down(dt, rnd)
     return int(dt.timestamp() * 1000)
+
+
+# one `now` per request (the reference pins `now` for the whole
+# request context): compile_filter pins on entry, nested clauses read
+import contextlib
+import contextvars
+
+_PINNED_NOW: contextvars.ContextVar[int | None] = \
+    contextvars.ContextVar("datemath_now_ms", default=None)
+
+
+@contextlib.contextmanager
+def pin_now(now_ms: int | None = None):
+    """Pin `now` for every date-math evaluation in scope (idempotent:
+    an outer pin wins, so nested compile_filter calls share one)."""
+    if _PINNED_NOW.get() is not None:
+        yield _PINNED_NOW.get()
+        return
+    v = int(time.time() * 1000) if now_ms is None else int(now_ms)
+    tok = _PINNED_NOW.set(v)
+    try:
+        yield v
+    finally:
+        _PINNED_NOW.reset(tok)
+
+
+def pinned_now_ms() -> int | None:
+    return _PINNED_NOW.get()

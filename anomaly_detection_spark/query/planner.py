@@ -91,8 +91,13 @@ def parse_msm(msm, n_clauses: int) -> int:
 
 
 def compile_filter(df: DataFrame, query: dict[str, Any]) -> Column:
-    """Compile a filter-context query (no scoring) to a Column."""
-    plan = plan_query(df, query, scoring=False)
+    """Compile a filter-context query (no scoring) to a Column.  One
+    ``now`` is pinned for the whole tree, so every date-math clause in
+    one query agrees (the reference pins `now` per request)."""
+    from ..functions.datemath import pin_now
+
+    with pin_now():
+        plan = plan_query(df, query, scoring=False)
     cond = plan.filter_cond
     return F.lit(True) if cond is None else cond
 
@@ -227,9 +232,14 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         # every endpoint in this clause sees the same `now`.
         import time as _time
 
-        from ..functions.datemath import datemath_ms, is_date_math
+        from ..functions.datemath import (datemath_ms, is_date_math,
+                                          pinned_now_ms)
 
         now_ms = spec.get("now_ms")
+        if now_ms is None:
+            # one `now` per request: compile_filter pins it, so every
+            # now-based clause in one query tree agrees
+            now_ms = pinned_now_ms()
         if now_ms is None:
             now_ms = int(_time.time() * 1000)
 

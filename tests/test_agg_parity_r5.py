@@ -176,3 +176,21 @@ def test_filters_other_bucket(spark):
         .toPandas()
     got2 = dict(zip(out2.filter_key, out2.doc_count))
     assert got2 == {"as": 1, "rest": 3}
+
+
+def test_compile_filter_pins_one_now(events, monkeypatch):
+    # two now-based clauses in one bool must resolve against ONE now
+    import anomaly_detection_spark.functions.datemath as dm
+
+    seen = []
+    orig = dm.datemath_ms
+
+    def spy(expr, now_ms=None):
+        seen.append(now_ms)
+        return orig(expr, now_ms)
+
+    monkeypatch.setattr(dm, "datemath_ms", spy)
+    compile_filter(events, {"bool": {"filter": [
+        {"range": {"ts": {"gte": "now-7d"}}},
+        {"range": {"ts": {"lt": "now-1d"}}}]}})
+    assert len(seen) == 2 and seen[0] == seen[1] is not None
