@@ -40,7 +40,8 @@ from pyspark.sql import types as T
 
 __all__ = ["span_match", "span_match_expr", "parse_span_query",
            "parse_span_tree", "tree_terms", "enum_spans",
-           "span_tree_match", "span_tree_match_expr"]
+           "span_tree_match", "span_tree_match_expr",
+           "tree_preds", "pred_matcher", "rewrite_preds"]
 
 
 def _ordered_match(pos_lists: list[np.ndarray], slop: int,
@@ -249,6 +250,30 @@ def parse_span_tree(kind: str, body: dict) -> tuple[str, dict]:
         return fi, {"k": "not", "inc": inc, "exc": exc,
                     "pre": int(body.get("pre", dist)),
                     "post": int(body.get("post", dist))}
+    if kind == "span_multi":
+        # SpanMultiTermQueryWrapper (public semantics): wraps a
+        # multi-term query and rewrites it to a span_or over every
+        # index term the predicate accepts.  Kept as a "pred" node
+        # here; expansion happens per execution path — against the
+        # doc/batch vocabulary on the brute path (exact: the terms a
+        # doc can contribute ARE its tokens), against the term
+        # dictionary with a max_expansions cap on the index path
+        # (TooManyClauses parity).
+        inner = body["match"]
+        (mkind, mbody), = inner.items()
+        if mkind not in ("prefix", "wildcard", "regexp", "fuzzy"):
+            raise ValueError(
+                f"span_multi supports prefix/wildcard/regexp/fuzzy, "
+                f"got {mkind}")
+        (fld, spec), = mbody.items()
+        val = spec.get("value") if isinstance(spec, dict) else spec
+        node = {"k": "pred", "kind": mkind, "val": str(val)}
+        if mkind == "fuzzy":
+            from .fuzzy import parse_fuzziness
+            fz = (spec.get("fuzziness", "AUTO")
+                  if isinstance(spec, dict) else "AUTO")
+            node["max_edits"] = parse_fuzziness(fz, str(val))
+        return fld, node
     if kind in ("span_containing", "span_within"):
         fl, little = _term_clause_any(body["little"])
         fb, big = _term_clause_any(body["big"])
@@ -269,16 +294,22 @@ def _one_field(subs: list[tuple[str, dict]]) -> None:
 
 
 def _unit_len(node: dict) -> bool:
-    if node["k"] == "term":
+    if node["k"] in ("term", "pred"):
+        # pred expansions are single dictionary tokens
         return True
     return (node["k"] == "or"
             and all(_unit_len(c) for c in node["cl"]))
 
 
 def tree_terms(node: dict) -> set[str]:
+    """Fixed terms of the tree.  ``pred`` nodes (span_multi, not yet
+    expanded) contribute none — expand with :func:`rewrite_preds`
+    before any positions-map lookup."""
     k = node["k"]
     if k == "term":
         return {node["t"]}
+    if k == "pred":
+        return set()
     if k == "or":
         return set().union(*(tree_terms(c) for c in node["cl"]))
     if k == "near":
@@ -288,6 +319,93 @@ def tree_terms(node: dict) -> set[str]:
     if k == "not":
         return tree_terms(node["inc"]) | tree_terms(node["exc"])
     return tree_terms(node["little"]) | tree_terms(node["big"])
+
+
+def tree_preds(node: dict) -> list[dict]:
+    """All ``pred`` (span_multi) nodes, DFS order — the SAME order
+    :func:`rewrite_preds` visits, so expansions can be zipped."""
+    k = node["k"]
+    if k == "pred":
+        return [node]
+    if k == "term":
+        return []
+    if k in ("or", "near"):
+        return [p for c in node["cl"] for p in tree_preds(c)]
+    if k == "first":
+        return tree_preds(node["inner"])
+    if k == "not":
+        return tree_preds(node["inc"]) + tree_preds(node["exc"])
+    return tree_preds(node["little"]) + tree_preds(node["big"])
+
+
+def _wildcard_re(pat: str):
+    """Lucene wildcard (``*``/``?``, ``\\`` escape) → anchored regex."""
+    import re
+    out, i = [], 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        out.append(".*" if c == "*" else "." if c == "?"
+                   else re.escape(c))
+        i += 1
+    return re.compile("".join(out), re.DOTALL)
+
+
+def pred_matcher(node: dict):
+    """Batch token predicate for one ``pred`` node:
+    ``pd.Series[str] -> np.ndarray[bool]``.  Values are matched
+    against ANALYZED tokens (already lowercased), so pattern inputs
+    are lowercased to agree with the analyzer — the same convention
+    the planner's term-level prefix/wildcard queries use."""
+    import re
+    kind, val = node["kind"], node["val"]
+    if kind == "prefix":
+        v = val.lower()
+        return lambda s: s.str.startswith(v).to_numpy()
+    if kind == "wildcard":
+        rx = _wildcard_re(val.lower())
+        return lambda s: s.map(
+            lambda t: rx.fullmatch(t) is not None).to_numpy()
+    if kind == "regexp":
+        # Lucene regexp is ANCHORED (whole-term); tokens are already
+        # lowercase so the pattern is matched case-sensitively
+        rx = re.compile(val)
+        return lambda s: s.map(
+            lambda t: rx.fullmatch(t) is not None).to_numpy()
+    if kind == "fuzzy":
+        from .fuzzy import osa_distance_batch
+        v = val.lower()
+        me = int(node["max_edits"])
+        return lambda s: (osa_distance_batch(s, v).to_numpy() <= me)
+    raise ValueError(f"unknown span_multi predicate kind {kind!r}")
+
+
+def rewrite_preds(node: dict, expansions) -> dict:
+    """Replace each ``pred`` node with a span_or of term nodes.
+    ``expansions`` is an iterator yielding one ``list[str]`` per pred,
+    in :func:`tree_preds` DFS order (Lucene's SpanRewriteMethod →
+    SpanOrQuery rewrite).  An empty expansion enumerates no spans."""
+    k = node["k"]
+    if k == "pred":
+        terms = next(expansions)
+        return {"k": "or", "cl": [{"k": "term", "t": t} for t in terms]}
+    if k == "term":
+        return node
+    if k in ("or", "near"):
+        out = dict(node)
+        out["cl"] = [rewrite_preds(c, expansions) for c in node["cl"]]
+        return out
+    if k == "first":
+        return {**node, "inner": rewrite_preds(node["inner"], expansions)}
+    if k == "not":
+        return {**node, "inc": rewrite_preds(node["inc"], expansions),
+                "exc": rewrite_preds(node["exc"], expansions)}
+    return {**node,
+            "little": rewrite_preds(node["little"], expansions),
+            "big": rewrite_preds(node["big"], expansions)}
 
 
 _EMPTY_SPANS = np.empty((0, 2), dtype=np.int64)
@@ -307,6 +425,9 @@ def enum_spans(positions: dict[str, np.ndarray], node: dict) -> np.ndarray:
     """All spans (rows of [start, end), end exclusive) the node
     enumerates over one doc's term→positions map — sorted, deduped."""
     k = node["k"]
+    if k == "pred":
+        raise ValueError(
+            "unexpanded span_multi pred node — rewrite_preds first")
     if k == "term":
         ps = positions.get(node["t"])
         if ps is None or len(ps) == 0:
@@ -406,6 +527,14 @@ def enum_spans(positions: dict[str, np.ndarray], node: dict) -> np.ndarray:
 
 
 def span_tree_match(tokens: list[str], node: dict) -> bool:
+    preds = tree_preds(node)
+    if preds:
+        # expand against the doc's own vocabulary — exact: a doc can
+        # only contribute spans of tokens it contains
+        vocab = pd.Series(sorted(set(tokens)), dtype="object")
+        exps = [sorted(vocab[pred_matcher(p)(vocab)])
+                if len(vocab) else [] for p in preds]
+        node = rewrite_preds(node, iter(exps))
     need = tree_terms(node)
     positions: dict[str, list[int]] = {t: [] for t in need}
     for i, tok in enumerate(tokens):
@@ -418,14 +547,30 @@ def span_tree_match(tokens: list[str], node: dict) -> bool:
 
 def span_tree_match_expr(tokens_col: Column, node: dict) -> Column:
     """Boolean Column over an analyzed token-array column (one Arrow
-    batch per partition, like :func:`span_match_expr`)."""
+    batch per partition, like :func:`span_match_expr`).  span_multi
+    preds are expanded ONCE per Arrow batch against the batch
+    vocabulary (the fuzzy OSA kernel is batch-vectorized, so this is
+    one DP over the batch's unique tokens, not one per doc); per doc,
+    terms absent from the doc enumerate no spans, so the batch-level
+    rewrite is exactly the per-doc one."""
     node_l = node
+    has_preds = bool(tree_preds(node))
 
     @F.pandas_udf(T.BooleanType())
     def _f(tok_s: pd.Series) -> pd.Series:
+        tree = node_l
+        if has_preds:
+            vocab: set[str] = set()
+            for toks in tok_s:
+                if toks is not None:
+                    vocab.update(toks)
+            vs = pd.Series(sorted(vocab), dtype="object")
+            exps = [sorted(vs[pred_matcher(p)(vs)]) if len(vs) else []
+                    for p in tree_preds(tree)]
+            tree = rewrite_preds(tree, iter(exps))
         return pd.Series(
             [span_tree_match(list(toks) if toks is not None else [],
-                             node_l)
+                             tree)
              for toks in tok_s])
 
     return _f(tokens_col)

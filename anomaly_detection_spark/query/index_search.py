@@ -954,18 +954,62 @@ def span_near_docs_indexed(
     return local.orderBy("docid")
 
 
+def _expand_span_preds(reader: IndexReader, node: dict,
+                       max_expansions: int) -> dict:
+    """Expand span_multi pred nodes against the term DICTIONARY
+    (SpanMultiTermQueryWrapper's rewrite): per pred, a cheap codegen
+    pre-filter narrows the dictionary scan (startswith for prefix and
+    for wildcard's literal prefix, a length window for fuzzy), the
+    exact Python matcher — the SAME one the brute path uses — decides
+    driver-side, and expansions past ``max_expansions`` raise
+    (Lucene's TooManyClauses posture, default 1024 =
+    indices.query.bool.max_clause_count)."""
+    from ..functions.spans import pred_matcher, rewrite_preds, tree_preds
+
+    preds = tree_preds(node)
+    if not preds:
+        return node
+    dictionary = reader.postings().select("term").distinct()
+    exps: list[list[str]] = []
+    for p in preds:
+        d = dictionary
+        if p["kind"] == "prefix":
+            d = d.filter(F.col("term").startswith(p["val"].lower()))
+        elif p["kind"] == "wildcard":
+            lit = p["val"].lower().split("*")[0].split("?")[0]
+            if lit and "\\" not in lit:
+                d = d.filter(F.col("term").startswith(lit))
+        elif p["kind"] == "fuzzy":
+            me = int(p["max_edits"])
+            d = d.filter(F.length("term").between(
+                len(p["val"]) - me, len(p["val"]) + me))
+        cand = pd.Series([r["term"] for r in d.collect()],
+                         dtype="object")
+        matched = (sorted(cand[pred_matcher(p)(cand)])
+                   if len(cand) else [])
+        if len(matched) > max_expansions:
+            raise ValueError(
+                f"span_multi {p['kind']} {p['val']!r} expands to "
+                f"{len(matched)} terms > max_expansions "
+                f"{max_expansions} (TooManyClauses)")
+        exps.append(matched)
+    return rewrite_preds(node, iter(exps))
+
+
 def span_tree_docs_indexed(
     reader: IndexReader,
     node: dict,
     filter_cond: Column | None = None,
+    max_expansions: int = 1024,
 ) -> DataFrame:
     """Docids matching a compound span tree (span_or / span_not /
-    span_containing / span_within, ``functions/spans.py`` enum
-    kernel) over the positional postings.  Reads ONLY the tree's
+    span_containing / span_within / span_multi, ``functions/spans.py``
+    enum kernel) over the positional postings.  Reads ONLY the tree's
     terms' posting blocks; candidates are docs carrying at least one
     tree term (the per-doc kernel decides exactly) — a superset
     narrowing, still bounded by the tree terms' postings, never a
-    corpus re-analysis."""
+    corpus re-analysis.  span_multi preds are expanded against the
+    term dictionary first (:func:`_expand_span_preds`)."""
     from ..functions.codecs import decode_positions
     from ..functions.spans import enum_spans, tree_terms
 
@@ -976,6 +1020,7 @@ def span_tree_docs_indexed(
             f"index at {reader.index_dir} was built without positions; "
             f"rebuild with build_index(..., positions=True) for span "
             f"queries, or use the brute-force path")
+    node = _expand_span_preds(reader, node, max_expansions)
     uniq = sorted(tree_terms(node))
     empty = spark.createDataFrame([], "docid long")
     if not uniq:

@@ -402,9 +402,19 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         # span_term degenerates to pure-codegen token containment /
         # position bound; the general cases run the span kernels as a
         # batch Arrow UDF over the analyzed token array.
-        from ..functions.spans import parse_span_query, span_match_expr
+        from ..functions.spans import (parse_span_query, parse_span_tree,
+                                       span_match_expr,
+                                       span_tree_match_expr)
 
-        fld, terms, slop, in_order, end = parse_span_query(kind, body)
+        try:
+            fld, terms, slop, in_order, end = parse_span_query(kind, body)
+        except ValueError:
+            # clauses beyond plain span_term (span_or / span_multi
+            # inside near/first) take the tree-enumeration kernel
+            fld, node = parse_span_tree(kind, body)
+            return QueryPlan(
+                F.coalesce(span_tree_match_expr(tokenize_column(fld),
+                                                node), F.lit(False)))
         doc_toks = tokenize_column(fld)
         if len(terms) == 1:
             t = terms[0]
@@ -416,12 +426,16 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
             F.coalesce(span_match_expr(doc_toks, terms, slop, in_order,
                                        end), F.lit(False)))
 
-    if kind in ("span_or", "span_not", "span_containing", "span_within"):
+    if kind in ("span_or", "span_not", "span_containing", "span_within",
+                "span_multi"):
         # compound span family (SpanOrQuery / SpanNotQuery /
-        # SpanContainingQuery / SpanWithinQuery): span ENUMERATION set
+        # SpanContainingQuery / SpanWithinQuery /
+        # SpanMultiTermQueryWrapper): span ENUMERATION set
         # algebra — functions/spans.py enum_spans kernel over the
         # analyzed token array (span_or of plain matches degenerates
-        # to a boolean OR, but the general tree needs positions)
+        # to a boolean OR, but the general tree needs positions);
+        # span_multi preds expand per Arrow batch against the batch
+        # vocabulary (exact — docs only contribute tokens they hold)
         from ..functions.spans import parse_span_tree, span_tree_match_expr
 
         fld, node = parse_span_tree(kind, body)
