@@ -83,6 +83,8 @@ def metric_agg_column(spec: dict[str, Any], alias: str) -> Column:
         return F.percentile_approx(
             body["field"], F.array(*[F.lit(p) for p in pcts]),
             acc).alias(alias)
+    if kind == "scripted_metric":
+        return scripted_metric_column(body, alias)
     if kind == "weighted_avg":
         v = F.col(body["value"]["field"])
         w = F.col(body["weight"]["field"])
@@ -100,6 +102,189 @@ def metric_agg_column(spec: dict[str, Any], alias: str) -> Column:
             return rk[0].alias(alias)
         return F.array(*rk).alias(alias)
     raise ValueError(f"unsupported metric agg: {kind}")
+
+
+_SM_MATH = (("Math.log1p", "LOG1P"), ("Math.log", "LN"),
+            ("Math.sqrt", "SQRT"), ("Math.exp", "EXP"),
+            ("Math.abs", "ABS"), ("Math.max", "GREATEST"),
+            ("Math.min", "LEAST"), ("Math.pow", "POWER"))
+
+
+def _painless_arith(src: str, params: dict[str, Any]) -> str:
+    """Painless arithmetic/boolean subset → a validated SQL expression
+    string: ``doc['f'].value`` / ``doc.f.value`` field refs,
+    ``params.p`` literal substitution, ``Math.*``, one non-nested
+    ternary → ``IF``, ``&&``/``||``, comparisons (``==`` and ``!=``
+    are native Spark SQL).  After substitution anything but pure
+    arithmetic rejects (same posture as compound._compile_score_script
+    — no unmapped name reaches Catalyst)."""
+    import re
+
+    expr = src.strip()
+    q = expr.find("?")
+    if q != -1 and not _in_quotes(expr, q):
+        c, rest = expr[:q], expr[q + 1:]
+        if "?" in rest:
+            raise ValueError(
+                f"nested ternaries unsupported in scripted_metric: "
+                f"{src!r}")
+        a, sep, b = rest.partition(":")
+        if not sep:
+            raise ValueError(f"malformed ternary: {src!r}")
+        return (f"IF({_painless_arith(c, params)}, "
+                f"{_painless_arith(a, params)}, "
+                f"{_painless_arith(b, params)})")
+    expr = re.sub(r"doc\['([^']+)'\]\.value", r"`\1`", expr)
+    expr = re.sub(r"doc\.([A-Za-z_]\w*)\.value", r"`\1`", expr)
+
+    def _param(m):
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(f"unknown scripted_metric param {name!r}")
+        v = params[name]
+        if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+            raise ValueError(
+                f"scripted_metric param {name!r} must be a number or "
+                f"string literal")
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    expr = re.sub(r"params\.([A-Za-z_]\w*)", _param, expr)
+    for fn, sql in _SM_MATH:
+        expr = expr.replace(fn, sql)
+    expr = expr.replace("&&", " AND ").replace("||", " OR ")
+    bare = re.sub(r"`[^`]*`", "", expr)
+    bare = re.sub(r"'(?:[^']|'')*'", "", bare)
+    bare = re.sub(
+        r"\b(LOG1P|LN|SQRT|EXP|ABS|GREATEST|LEAST|POWER|AND|OR|IF|NOT)\b",
+        "", bare)
+    if re.search(r"[A-Za-z_`\[\]]", bare) or \
+            not set(bare) <= set("0123456789. +-*/()%,<>=!"):
+        raise ValueError(
+            f"unsupported scripted_metric expression: {src!r}")
+    return expr
+
+
+def _in_quotes(s: str, i: int) -> bool:
+    return s.count("'", 0, i) % 2 == 1
+
+
+def _sm_statements(src: str) -> list[str]:
+    """Split script source on ``;`` at brace depth 0."""
+    out: list[str] = []
+    depth, cur = 0, []
+    for ch in src:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == ";" and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
+
+
+def scripted_metric_column(body: dict[str, Any], alias: str) -> Column:
+    """``scripted_metric`` — the DISTRIBUTIVE painless subset, compiled
+    to pure-codegen aggregate expressions (map-side combinable, so the
+    agg scales exactly like sum):
+
+    - ``init_script``: ``state.v = 0`` declarations only (a non-zero
+      per-shard init makes the result shard-count-dependent in
+      OpenSearch itself — rejected here);
+    - ``map_script``: ``state.v += <expr>`` statements, optionally
+      guarded ``if (<cond>) { state.v += <expr>; }`` (compiled to
+      ``IF(cond, expr, 0)``), with ``<expr>`` the painless arithmetic
+      subset incl. one ternary, ``params.*``, ``Math.*``;
+    - ``combine_script``: ``return state`` (shard states are summed —
+      the only combine shape that is distributive);
+    - ``reduce_script``: omitted (one accumulator → its sum; several →
+      a struct of sums) or ``return <expr over state.v>`` evaluated on
+      the summed accumulators.
+
+    Anything outside this subset raises by name — never a silent
+    approximation of general painless."""
+    import re
+
+    params = body.get("params") or {}
+    declared: list[str] = []
+    for st in _sm_statements(body.get("init_script") or ""):
+        m = re.fullmatch(r"state\.([A-Za-z_]\w*)\s*=\s*(0|0\.0)", st)
+        if not m:
+            raise ValueError(
+                f"scripted_metric init_script supports only "
+                f"'state.v = 0' declarations (per-shard non-zero init "
+                f"is shard-count-dependent): {st!r}")
+        declared.append(m.group(1))
+    combine = (body.get("combine_script") or "return state").strip()
+    combine = combine.rstrip(";").strip()
+    if combine not in ("return state", "state"):
+        raise ValueError(
+            f"scripted_metric combine_script subset: 'return state' "
+            f"(accumulators are summed across partitions), got "
+            f"{combine!r}")
+
+    add_re = re.compile(r"state\.([A-Za-z_]\w*)\s*\+=\s*(.+)", re.S)
+    if_re = re.compile(r"if\s*\((.+)\)\s*\{(.+)\}", re.S)
+    exprs: dict[str, list[str]] = {v: [] for v in declared}
+
+    def _add(var: str, sql: str) -> None:
+        exprs.setdefault(var, []).append(sql)
+
+    map_src = body.get("map_script")
+    if not map_src:
+        raise ValueError("scripted_metric requires a map_script")
+    for st in _sm_statements(map_src):
+        mi = if_re.fullmatch(st)
+        if mi:
+            cond = _painless_arith(mi.group(1), params)
+            for inner in _sm_statements(mi.group(2)):
+                ma = add_re.fullmatch(inner)
+                if not ma:
+                    raise ValueError(
+                        f"scripted_metric guarded statements must be "
+                        f"'state.v += expr': {inner!r}")
+                _add(ma.group(1),
+                     f"IF({cond}, "
+                     f"{_painless_arith(ma.group(2), params)}, 0.0D)")
+            continue
+        ma = add_re.fullmatch(st)
+        if not ma:
+            raise ValueError(
+                f"scripted_metric map_script statements must be "
+                f"'state.v += expr' or 'if (cond) {{ ... }}': {st!r}")
+        _add(ma.group(1), _painless_arith(ma.group(2), params))
+
+    sums = {
+        v: ("SUM(CAST(" + " + ".join(f"({e})" for e in es)
+            + " AS DOUBLE))") if es else "CAST(0.0 AS DOUBLE)"
+        for v, es in exprs.items()}
+
+    reduce_src = (body.get("reduce_script") or "").strip().rstrip(";")
+    if not reduce_src:
+        if len(sums) == 1:
+            return F.expr(next(iter(sums.values()))).alias(alias)
+        inner = ", ".join(f"({sql}) AS {v}" for v, sql in sums.items())
+        return F.expr(f"struct({inner})").alias(alias)
+    m = re.fullmatch(r"return\s+(.+)", reduce_src, re.S)
+    if not m:
+        raise ValueError(
+            f"scripted_metric reduce_script subset: "
+            f"'return <expr over state.v>': {reduce_src!r}")
+    red = m.group(1)
+    red = re.sub(r"states?\.([A-Za-z_]\w*)", r"`state.\1`", red)
+    red_sql = _painless_arith(red, params)
+    for v, sql in sums.items():
+        red_sql = red_sql.replace(f"`state.{v}`", f"({sql})")
+    if "`state." in red_sql:
+        bad = re.findall(r"`state\.(\w+)`", red_sql)
+        raise ValueError(
+            f"reduce_script references unknown accumulators {bad}")
+    return F.expr(red_sql).alias(alias)
 
 
 def metric_agg_cols(sub_specs: dict[str, dict]) -> list[Column]:

@@ -55,7 +55,7 @@ from .planner import compile_filter
 
 _METRIC_KINDS = {"max", "min", "avg", "sum", "value_count", "cardinality",
                  "percentiles", "stats", "extended_stats", "weighted_avg",
-                 "percentile_ranks", "boxplot"}
+                 "percentile_ranks", "boxplot", "scripted_metric"}
 _PIPELINE_KINDS = {"serial_diff", "min_bucket", "max_bucket", "sum_bucket",
                    "avg_bucket", "bucket_sort", "derivative",
                    "cumulative_sum", "moving_avg", "bucket_script",
