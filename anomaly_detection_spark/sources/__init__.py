@@ -1,1 +1,2 @@
-from .tables import delete_by_query, load_table, write_table  # noqa: F401
+from .tables import (delete_by_query, load_table, reindex,  # noqa: F401
+                     update_by_query, write_table)

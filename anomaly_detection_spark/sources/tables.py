@@ -133,6 +133,114 @@ def delete_by_query(
     return n
 
 
+def _apply_update_script(df: DataFrame, script: str,
+                         params: dict[str, Any] | None,
+                         cond=None) -> DataFrame:
+    """Update-script subset (UpdateByQueryRequest / ReindexRequest
+    ``script``): ``;``-separated ``ctx._source.f = <expr>`` /
+    ``ctx._source.f += <expr>`` statements, ``<expr>`` the painless
+    arithmetic subset (``_painless_arith`` — the scripted_metric
+    compiler) with fields referenced as ``ctx._source.g`` or
+    ``doc['g'].value``.  With ``cond``, non-matching rows keep their
+    original values; new values are cast back to the column's type so
+    the table schema never drifts.  Statements apply IN ORDER, each
+    seeing the previous one's result (painless sequencing)."""
+    import re
+
+    from ..query.aggs import _painless_arith, _sm_statements
+
+    stmt_re = re.compile(
+        r"ctx\._source\.([A-Za-z_]\w*)\s*(\+?=)\s*(.+)", re.S)
+    out = df
+    for st in _sm_statements(script):
+        m = stmt_re.fullmatch(st)
+        if not m:
+            raise ValueError(
+                f"update script statements must be "
+                f"'ctx._source.f = expr' or '+= expr': {st!r}")
+        name, op, rhs = m.group(1), m.group(2), m.group(3)
+        if name not in out.columns:
+            raise ValueError(f"update script references unknown "
+                             f"field {name!r}")
+        rhs = re.sub(r"ctx\._source\.([A-Za-z_]\w*)",
+                     r"doc['\1'].value", rhs)
+        sql = _painless_arith(rhs, params or {})
+        if op == "+=":
+            sql = f"`{name}` + ({sql})"
+        new = F.expr(sql).cast(out.schema[name].dataType)
+        if cond is not None:
+            new = F.when(F.coalesce(cond, F.lit(False)), new) \
+                .otherwise(F.col(name))
+        out = out.withColumn(name, new)
+    return out
+
+
+def update_by_query(
+    spark: SparkSession, ident: str, query: dict[str, Any],
+    script: str, params: dict[str, Any] | None = None,
+) -> int:
+    """``_update_by_query`` analog: rows matching ``query`` get the
+    update script applied (subset: :func:`_apply_update_script`).
+    Iceberg → ``UPDATE … SET … WHERE`` territory, but the script can
+    chain statements, so both branches use the same full rewrite:
+    parquet writes to a temp dir and swaps directories (the same
+    two-rename crash window as :func:`delete_by_query`).  Returns the
+    number of updated rows."""
+    from ..query.planner import compile_filter
+
+    df = load_table(spark, ident)
+    cond = compile_filter(df, query)
+    n = df.filter(cond).count()
+    if n == 0:
+        return 0
+    updated = _apply_update_script(df, script, params, cond=cond)
+    if _is_path(ident):
+        import shutil
+
+        base = ident.rstrip("/")
+        tmp = base + ".__tmp_update__"
+        trash = base + ".__old_update__"
+        updated.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.move(base, trash)
+        shutil.move(tmp, base)
+        shutil.rmtree(trash, ignore_errors=True)
+    else:  # pragma: no cover - needs catalog
+        updated.writeTo(ident).replace()
+    return n
+
+
+def reindex(
+    spark: SparkSession, source: str | list[str], dest: str,
+    query: dict[str, Any] | None = None, script: str | None = None,
+    params: dict[str, Any] | None = None, max_docs: int | None = None,
+    mode: str = "append",
+) -> int:
+    """``_reindex`` analog: read ``source`` (list/glob fan-in like any
+    search target), optionally filter by ``query``, transform with the
+    update-script subset, cap at ``max_docs``, write to ``dest``.
+    ``op_type`` create/index degenerates to mode append/overwrite —
+    a columnar table has no per-doc id conflict to detect.  The
+    ``max_docs`` cut is made deterministic by ordering on ``docid``
+    when the source carries one (OpenSearch's cut is internal-order);
+    otherwise it is an arbitrary-but-valid prefix.  Returns the number
+    of rows written."""
+    from ..query.planner import compile_filter
+
+    df = load_table(spark, source)
+    if query:
+        df = df.filter(compile_filter(df, query))
+    if script:
+        df = _apply_update_script(df, script, params)
+    if max_docs is not None:
+        if "docid" in df.columns:
+            df = df.orderBy("docid")
+        df = df.limit(int(max_docs))
+    n = df.count()
+    write_table(df, dest, mode=mode)
+    return n
+
+
 def predicate_sql(query: dict[str, Any]) -> str:
     """Render the supported query-DSL subset as an ANSI-SQL predicate —
     for pushing delete-by-query into engines that speak SQL (Iceberg
