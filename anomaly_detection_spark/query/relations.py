@@ -59,3 +59,57 @@ def conversation_filter(df: DataFrame, query: dict[str, Any],
     keys = (df.filter(compile_filter(df, query))
             .select(join_field).distinct())
     return df.join(keys, join_field, "left_semi")
+
+
+def children_agg(parents: DataFrame, children: DataFrame,
+                 terms_field: str | None = None,
+                 sub_specs: dict[str, dict] | None = None,
+                 query: dict[str, Any] | None = None,
+                 join_field: str = "conv_id") -> DataFrame:
+    """``children`` aggregation (ChildrenAggregationBuilder): switch
+    the bucket context from parent docs to their children —
+    per ``terms_field`` bucket over the (optionally query-filtered)
+    parents, ``doc_count`` = children of that bucket's parents and
+    metric sub-aggs evaluated over those CHILD docs.  One equi-join on
+    the join field + one map-side-combinable agg; Catalyst/AQE
+    broadcasts the parent side when the matching key set is small."""
+    from .aggs import metric_agg_cols
+
+    if query:
+        parents = parents.filter(compile_filter(parents, query))
+    cols = [join_field] + ([terms_field] if terms_field else [])
+    keyed = parents.select(*cols).distinct()
+    joined = children.join(keyed, join_field)
+    subs = metric_agg_cols(sub_specs or {})
+    if terms_field:
+        return (joined.groupBy(terms_field)
+                .agg(F.count("*").alias("doc_count"), *subs)
+                .orderBy(F.desc("doc_count"), F.asc(terms_field)))
+    return joined.agg(F.count("*").alias("doc_count"), *subs)
+
+
+def parent_agg(children: DataFrame, parents: DataFrame,
+               terms_field: str | None = None,
+               sub_specs: dict[str, dict] | None = None,
+               query: dict[str, Any] | None = None,
+               join_field: str = "conv_id") -> DataFrame:
+    """``parent`` aggregation (ParentAggregationBuilder — the reverse
+    direction): per ``terms_field`` bucket over the (optionally
+    filtered) CHILD docs, ``doc_count`` = distinct parents having ≥ 1
+    child in the bucket and metric sub-aggs over those PARENT docs.
+    The distinct on (bucket, join key) happens before the parent join,
+    so a parent with many children in one bucket counts once — the
+    reference's global-ordinals dedup."""
+    from .aggs import metric_agg_cols
+
+    if query:
+        children = children.filter(compile_filter(children, query))
+    cols = ([terms_field] if terms_field else []) + [join_field]
+    keys = children.select(*cols).distinct()
+    joined = keys.join(parents, join_field)
+    subs = metric_agg_cols(sub_specs or {})
+    if terms_field:
+        return (joined.groupBy(terms_field)
+                .agg(F.count("*").alias("doc_count"), *subs)
+                .orderBy(F.desc("doc_count"), F.asc(terms_field)))
+    return joined.agg(F.count("*").alias("doc_count"), *subs)
