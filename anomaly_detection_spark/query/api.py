@@ -116,3 +116,109 @@ def suggest(target, sections: dict[str, Any]) -> dict[str, DataFrame]:
         else:
             out[name] = suggest_completions(target, text, **body)
     return out
+
+
+# ---------------------------------------------------------------------------
+# search templates (_render/template + _search/template) — a mustache
+# subset: {{var}} substitution, {{#toJson}}var{{/toJson}}, truthy
+# sections {{#var}}...{{/var}}, inverted/default sections
+# {{^var}}...{{/var}}.  List iteration (mustache's remaining feature)
+# raises by name rather than silently mis-rendering.
+# ---------------------------------------------------------------------------
+
+def render_template(source: str | dict[str, Any],
+                    params: dict[str, Any] | None = None
+                    ) -> dict[str, Any]:
+    """Render a stored search template to a search body.  ``source``
+    is the template JSON text (or an already-parsed dict re-serialized
+    first, convenient in tests); ``params`` the substitution values.
+    Missing params render empty, like mustache — callers wanting a
+    default write ``{{var}}{{^var}}fallback{{/var}}``."""
+    import json
+    import re
+
+    params = params or {}
+    text = source if isinstance(source, str) else json.dumps(source)
+
+    def _tojson(m):
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(f"toJson param {name!r} missing")
+        return json.dumps(params[name])
+
+    text = re.sub(r"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}",
+                  _tojson, text)
+
+    def _section(m):
+        kind, name, body = m.group(1), m.group(2), m.group(3)
+        v = params.get(name)
+        if isinstance(v, (list, tuple)):
+            raise ValueError(
+                f"mustache list iteration over {name!r} unsupported — "
+                f"pass the list through {{{{#toJson}}}}")
+        truthy = bool(v) or v == 0 and v is not False
+        return body if (truthy if kind == "#" else not truthy) else ""
+
+    sec_re = re.compile(r"\{\{([#^])(\w+)\}\}(.*?)\{\{/\2\}\}", re.S)
+    while sec_re.search(text):
+        text = sec_re.sub(_section, text)
+
+    def _var(m):
+        v = params.get(m.group(1), "")
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (dict, list)):
+            raise ValueError(
+                f"param {m.group(1)!r} is structured — use "
+                f"{{{{#toJson}}}}")
+        return str(v)
+
+    text = re.sub(r"\{\{(\w+)\}\}", _var, text)
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError as e:
+        raise ValueError(
+            f"rendered template is not valid JSON: {e}\n{text}") from e
+
+
+def search_template(target, source: str | dict[str, Any],
+                    params: dict[str, Any] | None = None,
+                    **kw) -> DataFrame:
+    """_search/template analog: render then search."""
+    return search(target, render_template(source, params), **kw)
+
+
+# ---------------------------------------------------------------------------
+# point in time (_pit) — a DataFrame is already an immutable logical
+# plan, but it re-reads storage per action; the PIT pins the ROWS via
+# an eager local checkpoint, so searches against the handle see the
+# same data even if the backing table is rewritten (delete_by_query /
+# update_by_query) meanwhile — the reference's segment-retention
+# contract.
+# ---------------------------------------------------------------------------
+
+class PointInTime:
+    """Snapshot handle: ``pit.df`` is the pinned frame; ``search``
+    plans against it."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df.localCheckpoint(eager=True)
+        self.open = True
+
+    def search(self, body: dict[str, Any], **kw) -> DataFrame:
+        if not self.open:
+            raise ValueError("point in time is closed")
+        return search(self.df, body, **kw)
+
+    def close(self) -> None:
+        self.df.unpersist()
+        self.open = False
+
+
+def open_point_in_time(target) -> PointInTime:
+    """_pit analog over a table frame (index targets are already
+    immutable segment directories — pass ``reader.doc_stats()`` if a
+    pinned stats view is wanted)."""
+    df = (target.doc_stats() if isinstance(target, IndexReader)
+          else target)
+    return PointInTime(df)
