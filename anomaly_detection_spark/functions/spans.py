@@ -274,6 +274,16 @@ def parse_span_tree(kind: str, body: dict) -> tuple[str, dict]:
                   if isinstance(spec, dict) else "AUTO")
             node["max_edits"] = parse_fuzziness(fz, str(val))
         return fld, node
+    if kind == "field_masking_span":
+        # FieldMaskingSpanQuery (public semantics): the inner span
+        # query runs against its OWN field's positions but REPORTS the
+        # mask field, letting span compounds mix fields.  Leaves keep
+        # their source field in "f"; the compound sees the mask field.
+        # (Lucene warns the masked scores are not meaningful — this
+        # engine's span family is matching-only anyway.)
+        mask = body["field"]
+        fld_inner, inner = _term_clause_any(body["query"])
+        return mask, _set_leaf_fields(inner, fld_inner)
     if kind in ("span_containing", "span_within"):
         fl, little = _term_clause_any(body["little"])
         fb, big = _term_clause_any(body["big"])
@@ -336,6 +346,117 @@ def tree_preds(node: dict) -> list[dict]:
     if k == "not":
         return tree_preds(node["inc"]) + tree_preds(node["exc"])
     return tree_preds(node["little"]) + tree_preds(node["big"])
+
+
+def _set_leaf_fields(node: dict, field: str) -> dict:
+    """Stamp ``field`` on term/pred leaves that don't carry one yet
+    (nested field_masking_span keeps the inner stamp)."""
+    k = node["k"]
+    if k in ("term", "pred"):
+        return node if node.get("f") else {**node, "f": field}
+    if k in ("or", "near"):
+        return {**node,
+                "cl": [_set_leaf_fields(c, field) for c in node["cl"]]}
+    if k == "first":
+        return {**node, "inner": _set_leaf_fields(node["inner"], field)}
+    if k == "not":
+        return {**node, "inc": _set_leaf_fields(node["inc"], field),
+                "exc": _set_leaf_fields(node["exc"], field)}
+    return {**node,
+            "little": _set_leaf_fields(node["little"], field),
+            "big": _set_leaf_fields(node["big"], field)}
+
+
+def tree_leaf_fields(node: dict) -> set:
+    """Source fields stamped on leaves (``None`` = the tree's default
+    field).  Non-trivial only for field_masking_span trees."""
+    k = node["k"]
+    if k in ("term", "pred"):
+        return {node.get("f")}
+    if k in ("or", "near"):
+        return set().union(*(tree_leaf_fields(c) for c in node["cl"]))
+    if k == "first":
+        return tree_leaf_fields(node["inner"])
+    if k == "not":
+        return tree_leaf_fields(node["inc"]) | tree_leaf_fields(
+            node["exc"])
+    return tree_leaf_fields(node["little"]) | tree_leaf_fields(
+        node["big"])
+
+
+def _qualify_tree(node: dict, default_field: str) -> dict:
+    """Rewrite term leaves to field-qualified keys
+    (``field + '\\x00' + term``) so one positions map can hold several
+    fields' occurrence streams; pred leaves get their effective field
+    stamped (the matcher expands them against that field's vocab)."""
+    k = node["k"]
+    if k == "term":
+        f = node.get("f") or default_field
+        return {"k": "term", "t": f + "\x00" + node["t"]}
+    if k == "pred":
+        return {**node, "f": node.get("f") or default_field}
+    if k in ("or", "near"):
+        return {**node,
+                "cl": [_qualify_tree(c, default_field)
+                       for c in node["cl"]]}
+    if k == "first":
+        return {**node,
+                "inner": _qualify_tree(node["inner"], default_field)}
+    if k == "not":
+        return {**node, "inc": _qualify_tree(node["inc"], default_field),
+                "exc": _qualify_tree(node["exc"], default_field)}
+    return {**node,
+            "little": _qualify_tree(node["little"], default_field),
+            "big": _qualify_tree(node["big"], default_field)}
+
+
+def span_tree_match_fields(tokens_by_field: dict[str, list[str]],
+                           node: dict, default_field: str) -> bool:
+    """Multi-field (field_masking_span) brute matcher: positions are
+    keyed ``field\\x00term`` across every involved field; pred nodes
+    expand against their own field's doc vocabulary."""
+    qt = _qualify_tree(node, default_field)
+    preds = tree_preds(qt)
+    if preds:
+        exps = []
+        for p in preds:
+            toks = tokens_by_field.get(p["f"]) or []
+            vocab = pd.Series(sorted(set(toks)), dtype="object")
+            matched = (sorted(vocab[pred_matcher(p)(vocab)])
+                       if len(vocab) else [])
+            exps.append([p["f"] + "\x00" + t for t in matched])
+        qt = rewrite_preds(qt, iter(exps))
+    need = tree_terms(qt)
+    positions: dict[str, list[int]] = {t: [] for t in need}
+    for f, toks in tokens_by_field.items():
+        for i, tok in enumerate(toks or []):
+            key = f + "\x00" + tok
+            if key in positions:
+                positions[key].append(i)
+    parr = {t: np.asarray(v, dtype=np.int64)
+            for t, v in positions.items()}
+    return len(enum_spans(parr, qt)) > 0
+
+
+def span_tree_match_expr_fields(tokens_cols: dict[str, Column],
+                                node: dict,
+                                default_field: str) -> Column:
+    """Boolean Column for a multi-field span tree: one Arrow batch
+    over every involved field's analyzed token array."""
+    fields = list(tokens_cols)
+    node_l = node
+
+    @F.pandas_udf(T.BooleanType())
+    def _f(*cols: pd.Series) -> pd.Series:
+        out = []
+        for row in zip(*cols):
+            by_field = {f: (list(t) if t is not None else [])
+                        for f, t in zip(fields, row)}
+            out.append(span_tree_match_fields(by_field, node_l,
+                                              default_field))
+        return pd.Series(out)
+
+    return _f(*tokens_cols.values())
 
 
 def _wildcard_re(pat: str):
@@ -527,6 +648,10 @@ def enum_spans(positions: dict[str, np.ndarray], node: dict) -> np.ndarray:
 
 
 def span_tree_match(tokens: list[str], node: dict) -> bool:
+    if tree_leaf_fields(node) - {None}:
+        raise ValueError(
+            "masked (field_masking_span) trees need every field's "
+            "tokens — use span_tree_match_fields")
     preds = tree_preds(node)
     if preds:
         # expand against the doc's own vocabulary — exact: a doc can

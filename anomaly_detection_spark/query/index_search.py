@@ -1020,6 +1020,13 @@ def span_tree_docs_indexed(
             f"index at {reader.index_dir} was built without positions; "
             f"rebuild with build_index(..., positions=True) for span "
             f"queries, or use the brute-force path")
+    from ..functions.spans import tree_leaf_fields
+
+    if tree_leaf_fields(node) - {None}:
+        raise ValueError(
+            "field_masking_span trees mix fields — a single-field "
+            "postings index cannot serve them; use the brute path "
+            "(compile_filter / span_tree_match_expr_fields)")
     node = _expand_span_preds(reader, node, max_expansions)
     uniq = sorted(tree_terms(node))
     empty = spark.createDataFrame([], "docid long")

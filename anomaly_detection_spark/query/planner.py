@@ -102,6 +102,27 @@ def compile_filter(df: DataFrame, query: dict[str, Any]) -> Column:
     return F.lit(True) if cond is None else cond
 
 
+def _span_tree_plan(fld: str, node: dict) -> QueryPlan:
+    """Filter plan for a parsed span tree: single-field trees run the
+    batch kernel over one token array; trees with masked leaves
+    (field_masking_span) read every involved field's token array."""
+    from ..functions.spans import (span_tree_match_expr,
+                                   span_tree_match_expr_fields,
+                                   tree_leaf_fields)
+    from ..functions.tokenizer import tokenize_column
+
+    leaf_fields = tree_leaf_fields(node)
+    if leaf_fields - {None}:
+        fields = sorted({f for f in leaf_fields if f} | {fld})
+        cols = {f: tokenize_column(f) for f in fields}
+        return QueryPlan(
+            F.coalesce(span_tree_match_expr_fields(cols, node, fld),
+                       F.lit(False)))
+    return QueryPlan(
+        F.coalesce(span_tree_match_expr(tokenize_column(fld), node),
+                   F.lit(False)))
+
+
 def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> QueryPlan:
     if not query:
         return QueryPlan(None)
@@ -409,12 +430,11 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         try:
             fld, terms, slop, in_order, end = parse_span_query(kind, body)
         except ValueError:
-            # clauses beyond plain span_term (span_or / span_multi
-            # inside near/first) take the tree-enumeration kernel
+            # clauses beyond plain span_term (span_or / span_multi /
+            # field_masking_span inside near/first) take the
+            # tree-enumeration kernel
             fld, node = parse_span_tree(kind, body)
-            return QueryPlan(
-                F.coalesce(span_tree_match_expr(tokenize_column(fld),
-                                                node), F.lit(False)))
+            return _span_tree_plan(fld, node)
         doc_toks = tokenize_column(fld)
         if len(terms) == 1:
             t = terms[0]
@@ -427,21 +447,21 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
                                        end), F.lit(False)))
 
     if kind in ("span_or", "span_not", "span_containing", "span_within",
-                "span_multi"):
+                "span_multi", "field_masking_span"):
         # compound span family (SpanOrQuery / SpanNotQuery /
         # SpanContainingQuery / SpanWithinQuery /
-        # SpanMultiTermQueryWrapper): span ENUMERATION set
-        # algebra — functions/spans.py enum_spans kernel over the
-        # analyzed token array (span_or of plain matches degenerates
-        # to a boolean OR, but the general tree needs positions);
-        # span_multi preds expand per Arrow batch against the batch
-        # vocabulary (exact — docs only contribute tokens they hold)
-        from ..functions.spans import parse_span_tree, span_tree_match_expr
+        # SpanMultiTermQueryWrapper / FieldMaskingSpanQuery): span
+        # ENUMERATION set algebra — functions/spans.py enum_spans
+        # kernel over the analyzed token array (span_or of plain
+        # matches degenerates to a boolean OR, but the general tree
+        # needs positions); span_multi preds expand per Arrow batch
+        # against the batch vocabulary (exact — docs only contribute
+        # tokens they hold); masked trees read every involved field's
+        # token array
+        from ..functions.spans import parse_span_tree
 
         fld, node = parse_span_tree(kind, body)
-        return QueryPlan(
-            F.coalesce(span_tree_match_expr(tokenize_column(fld), node),
-                       F.lit(False)))
+        return _span_tree_plan(fld, node)
 
     if kind == "constant_score":
         # filter context: matching is the inner filter's; the boost

@@ -146,3 +146,83 @@ def test_span_multi_brute_equals_index(spark, tiny_transcripts):
         shutil.rmtree(tmp, ignore_errors=True)
         if analyzed is not None:
             analyzed.unpersist()
+
+
+def test_field_masking_span_parse_and_match():
+    from anomaly_detection_spark.functions.spans import (
+        span_tree_match_fields, tree_leaf_fields)
+
+    fld, node = parse_span_tree("span_near", {"clauses": [
+        {"span_term": {"title": "quick"}},
+        {"field_masking_span": {
+            "query": {"span_term": {"body": "fox"}},
+            "field": "title"}}],
+        "slop": 0, "in_order": True})
+    assert fld == "title"
+    assert tree_leaf_fields(node) == {None, "body"}
+    # title: "the quick ... "; body positions supply "fox" at pos 2
+    by_field = {"title": "the quick story".split(),
+                "body": "a b fox c".split()}
+    assert span_tree_match_fields(by_field, node, "title") is True
+    # move body's fox away from title's quick+1 -> no match at slop 0
+    by_field2 = {"title": "the quick story".split(),
+                 "body": "fox b c d".split()}
+    assert span_tree_match_fields(by_field2, node, "title") is False
+    # masked trees refuse the single-field matcher (silent-wrong guard)
+    from anomaly_detection_spark.functions.spans import span_tree_match
+    with pytest.raises(ValueError, match="field_masking_span"):
+        span_tree_match(["x"], node)
+
+
+def test_field_masking_span_planner(spark):
+    from anomaly_detection_spark.query.planner import compile_filter
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta", "gamma delta"),
+         (1, "alpha x", "y beta"),
+         (2, "alpha", "beta")],
+        "docid long, title string, extra string")
+    # span_near(title:alpha, mask(extra:beta as title)) slop 0 ordered:
+    # needs beta in EXTRA at position right after alpha's position in
+    # TITLE. doc0: alpha@0(title), extra beta? no ("gamma delta").
+    # doc1: alpha@0, extra "y beta" -> beta@1 -> window [0,2) ok.
+    # doc2: alpha@0, extra beta@0 -> not after -> no.
+    q = {"span_near": {"clauses": [
+        {"span_term": {"title": "alpha"}},
+        {"field_masking_span": {
+            "query": {"span_term": {"extra": "beta"}},
+            "field": "title"}}],
+        "slop": 0, "in_order": True}}
+    got = sorted(r["docid"] for r in
+                 df.filter(compile_filter(df, q)).collect())
+    assert got == [1]
+    # span_multi inside a masked clause
+    q2 = {"span_near": {"clauses": [
+        {"span_term": {"title": "alpha"}},
+        {"field_masking_span": {
+            "query": {"span_multi": {
+                "match": {"prefix": {"extra": {"value": "bet"}}}}},
+            "field": "title"}}],
+        "slop": 0, "in_order": True}}
+    got = sorted(r["docid"] for r in
+                 df.filter(compile_filter(df, q2)).collect())
+    assert got == [1]
+
+
+def test_field_masking_span_index_rejects(spark, tiny_transcripts):
+    from anomaly_detection_spark.index import build_index
+    from anomaly_detection_spark.query import IndexReader
+    from anomaly_detection_spark.query.index_search import (
+        span_tree_docs_indexed)
+
+    _, node = parse_span_tree("field_masking_span", {
+        "query": {"span_term": {"other": "x"}}, "field": "text"})
+    tmp = tempfile.mkdtemp(prefix="adspark_fmask_")
+    try:
+        paths = build_index(tiny_transcripts, f"{tmp}/idx",
+                            seg_size=512, block_size=64, positions=True)
+        reader = IndexReader(spark, paths.root)
+        with pytest.raises(ValueError, match="brute path"):
+            span_tree_docs_indexed(reader, node)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

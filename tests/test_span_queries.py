@@ -100,7 +100,9 @@ def test_span_filter_context_plans(docs):
     assert ids({"span_term": {"text": "delta"}}) == [1, 3]
     assert ids({"span_first": {"match": {"span_term": {"text": "beta"}},
                                "end": 1}}) == [1]
-    with pytest.raises(ValueError, match="span_term"):
+    # non-span clause: the flat kernel rejects, the tree-kernel
+    # fallback rejects too — the surviving message is the tree one
+    with pytest.raises(ValueError, match="not a span query"):
         compile_filter(docs, {"span_near": {
             "clauses": [{"term": {"text": "x"}}]}})
 
