@@ -117,3 +117,88 @@ def profile_index(spark: SparkSession, index_dir: str) -> dict:
     except Exception:
         out["stage_walls_s"] = {}
     return out
+
+
+def stats(spark: SparkSession, detectors: list[tuple[Detector, str]]
+          ) -> dict:
+    """Cluster-stats analog (the reference's
+    ``/_plugins/_anomaly_detection/stats``: detector counts by kind
+    and state, model counts, total model memory — served node-by-node
+    there, one summary here since Spark has no per-node model cache).
+    ``detectors`` pairs each Detector with its state_dir."""
+    profiles = [profile_detector(spark, d, sd) for d, sd in detectors]
+    by_state: dict[str, int] = {}
+    for p in profiles:
+        by_state[p["state"]] = by_state.get(p["state"], 0) + 1
+    return {
+        "detector_count": len(profiles),
+        "hc_detector_count": sum(
+            1 for (d, _) in detectors if d.category_fields),
+        "detectors_by_state": by_state,
+        "model_count": sum(p["model_count"] for p in profiles),
+        "total_model_bytes": sum(p["total_model_bytes"]
+                                 for p in profiles),
+        "entity_count": sum(p["entity_count"] for p in profiles),
+        "detectors": {p["detector_id"]: p for p in profiles},
+    }
+
+
+def maintain_state(spark: SparkSession, det: Detector, state_dir: str,
+                   now_ms: int, retention_ms: int = 3 * 86_400_000
+                   ) -> dict:
+    """Checkpoint-maintenance analog (the reference's hourly cron
+    prunes model checkpoints not updated within the TTL — default 3
+    days — so dead entities stop holding memory/disk).  Drops state
+    rows whose ``last_ms`` is older than ``now_ms - retention_ms``
+    with the same two-rename atomic rewrite the stateful tables use.
+    Returns kept/pruned counts; a no-op when nothing expires."""
+    import shutil
+
+    spath = _state_path(state_dir, det.detector_id)
+    if not os.path.exists(spath):
+        return {"kept": 0, "pruned": 0}
+    st = spark.read.parquet(spath)
+    if "last_ms" not in st.columns:
+        raise ValueError(
+            f"state table at {spath} has no last_ms column — cannot "
+            f"apply a retention cut")
+    cutoff = int(now_ms) - int(retention_ms)
+    keep = st.filter(F.col("last_ms") >= F.lit(cutoff))
+    kept = keep.count()
+    total = st.count()
+    if kept == total:
+        return {"kept": kept, "pruned": 0}
+    tmp = spath + ".__tmp_maintain__"
+    trash = spath + ".__old_maintain__"
+    keep.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.move(spath, trash)
+    shutil.move(tmp, spath)
+    shutil.rmtree(trash, ignore_errors=True)
+    return {"kept": kept, "pruned": total - kept}
+
+
+def expire_results(spark: SparkSession, results_path: str,
+                   now_ms: int, retention_ms: int = 30 * 86_400_000,
+                   ts_col: str = "window_start") -> int:
+    """Result-retention analog (the reference rolls result indices and
+    deletes those older than the retention period — default 30 days):
+    delete result rows whose ``ts_col`` predates the cutoff.  Returns
+    the number of deleted rows."""
+    from pyspark.sql import types as T
+
+    from .sources.tables import delete_by_query
+
+    df = spark.read.parquet(results_path)
+    dt = df.schema[ts_col].dataType
+    cutoff = int(now_ms) - int(retention_ms)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        import datetime as _dt
+
+        bound = _dt.datetime.fromtimestamp(
+            cutoff / 1000.0, tz=_dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%S.%f")
+    else:
+        bound = cutoff
+    return delete_by_query(spark, results_path,
+                           {"range": {ts_col: {"lt": bound}}})

@@ -97,3 +97,51 @@ def test_profile_index(spark, tiny_transcripts, tmp_path_factory):
     assert p["postings_bytes"] > 0
     assert p["docid_range"] == [0, n_docs]
     assert "index_postings" in p["stage_walls_s"] or p["stage_walls_s"]
+
+
+def test_stats_and_maintenance(spark, tmp_path_factory):
+    from anomaly_detection_spark.profile import (expire_results,
+                                                 maintain_state, stats)
+
+    path = _events(spark, tmp_path_factory)
+    state = str(tmp_path_factory.mktemp("stats_state"))
+    det = Detector(
+        detector_id="stats-det", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL,
+        category_fields=("service",), shingle_size=4, confidence_ramp=8)
+    base_ms = int(BASE.value // 10**6)
+    for i in range(6):
+        run_once_stateful(spark, det,
+                          base_ms + (i + 1) * INTERVAL, state)
+    s = stats(spark, [(det, state)])
+    assert s["detector_count"] == 1 and s["hc_detector_count"] == 1
+    assert s["detectors_by_state"].get("RUNNING", 0) == 1
+    assert s["entity_count"] == 2 and s["model_count"] >= 2
+    assert s["detectors"]["stats-det"]["state"] == "RUNNING"
+
+    # maintenance: nothing expires inside the ttl...
+    now = base_ms + 6 * INTERVAL
+    r = maintain_state(spark, det, state, now_ms=now,
+                       retention_ms=10 * INTERVAL)
+    assert r["pruned"] == 0 and r["kept"] >= 2
+    # ...everything does past it, and the prune is visible in profile
+    r = maintain_state(spark, det, state, now_ms=now + 20 * INTERVAL,
+                       retention_ms=10 * INTERVAL)
+    assert r["kept"] == 0 and r["pruned"] >= 2
+    assert profile_detector(spark, det, state)["model_count"] == 0
+
+    # result retention: rows older than the cutoff get deleted
+    import pandas as pd
+    res_path = str(tmp_path_factory.mktemp("res") / "results")
+    rows = pd.DataFrame({
+        "entity": ["A"] * 4,
+        "window_start": [BASE + pd.Timedelta(days=d)
+                         for d in (0, 1, 40, 41)],
+        "grade": [0.0, 0.1, 0.2, 0.3]})
+    spark.createDataFrame(rows).write.parquet(res_path)
+    now2 = int((BASE + pd.Timedelta(days=41)).value // 10**6)
+    n = expire_results(spark, res_path, now_ms=now2,
+                       retention_ms=30 * 86_400_000)
+    assert n == 2
+    assert spark.read.parquet(res_path).count() == 2
