@@ -924,6 +924,7 @@ def terms_agg(
     df: DataFrame, fld: str, size: int = 10,
     sub_specs: dict[str, dict] | None = None, ascending: bool = False,
     order: dict | None = None, missing=None,
+    include=None, exclude=None,
 ) -> DataFrame:
     """Top-N groups by doc count (terms agg): count order then key asc
     by default; ``order`` takes the reference's shapes — ``{"_count":
@@ -937,6 +938,19 @@ def terms_agg(
     sub_specs = sub_specs or {}
     if missing is not None:
         df = df.withColumn(fld, F.coalesce(F.col(fld), F.lit(missing)))
+    # include/exclude (IncludeExclude): exact-value lists or an
+    # anchored regex over the STRING form of the key, applied BEFORE
+    # the size cut (the reference filters the terms enumeration) —
+    # pushed below the groupBy so excluded keys never shuffle
+    key_s = F.col(fld).cast("string")
+    if include is not None:
+        df = df.filter(key_s.isin([str(v) for v in include])
+                       if isinstance(include, (list, tuple))
+                       else key_s.rlike(f"^(?:{include})$"))
+    if exclude is not None:
+        df = df.filter(~(key_s.isin([str(v) for v in exclude])
+                         if isinstance(exclude, (list, tuple))
+                         else key_s.rlike(f"^(?:{exclude})$")))
     aggd = df.groupBy(fld).agg(
         F.count("*").alias("doc_count"),
         *metric_agg_cols(sub_specs))

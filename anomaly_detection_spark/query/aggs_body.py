@@ -296,6 +296,10 @@ def _nested_bucket(df: DataFrame, kind: str, kbody: dict,
 
 def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
     """Compile a search body's ``aggs`` over the (query-filtered) frame."""
+    if body.get("runtime_mappings"):
+        from .planner import _apply_runtime_mappings
+
+        df = _apply_runtime_mappings(df, body["runtime_mappings"])
     df_unfiltered = df
     query = body.get("query")
     if query:
@@ -534,7 +538,9 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                                       size=kbody.get("size", 10),
                                       sub_specs=metrics,
                                       order=kbody.get("order"),
-                                      missing=kbody.get("missing"))
+                                      missing=kbody.get("missing"),
+                                      include=kbody.get("include"),
+                                      exclude=kbody.get("exclude"))
             continue
         if kind == "date_histogram":
             mode, v = _dh_spec(kbody)

@@ -709,6 +709,62 @@ def _as_list(x) -> list:
     return x if isinstance(x, list) else [x]
 
 
+def _apply_runtime_mappings(df: DataFrame,
+                            rmaps: dict[str, Any]) -> DataFrame:
+    """``runtime_mappings``: search-time derived fields usable in
+    query / sort / aggs like mapped columns.  Script subset = one
+    ``emit(<expr>)`` over the painless arithmetic subset (ternary,
+    ``params``, ``Math.*`` — the scripted_metric compiler); types
+    double/long/keyword/boolean.  Script sorts aren't a separate
+    surface here — define a runtime field and sort by it, the
+    documented modern equivalent."""
+    import re
+
+    from .aggs import _painless_arith, require_safe_names
+
+    require_safe_names(rmaps, "runtime field names")
+    casts = {"double": "double", "long": "long", "keyword": "string",
+             "boolean": "boolean"}
+    for name, spec in rmaps.items():
+        rtype = spec.get("type", "double")
+        if rtype not in casts:
+            raise ValueError(
+                f"runtime field {name!r}: unsupported type {rtype!r} "
+                f"(supported: {sorted(casts)})")
+        script = spec.get("script")
+        src = (script.get("source") if isinstance(script, dict)
+               else script)
+        if not src:
+            raise ValueError(f"runtime field {name!r} needs a script")
+        m = re.fullmatch(r"\s*emit\((.+)\)\s*;?\s*", src, re.S)
+        if not m:
+            raise ValueError(
+                f"runtime field {name!r}: scripts support a single "
+                f"emit(<expr>), got {src!r}")
+        params = (script.get("params") or {}
+                  if isinstance(script, dict) else {})
+        sql = _painless_arith(m.group(1), params)
+        df = df.withColumn(name, F.expr(sql).cast(casts[rtype]))
+    return df
+
+
+def _field_list(spec) -> list[str]:
+    """docvalue_fields / stored_fields: plain names or
+    ``{"field": name}`` entries; a ``format`` raises by name (no
+    response-formatting layer here — values come back typed)."""
+    out = []
+    for e in _as_list(spec):
+        if isinstance(e, dict):
+            if "format" in e:
+                raise ValueError(
+                    f"docvalue_fields format is unsupported — values "
+                    f"are returned typed: {e}")
+            out.append(e["field"])
+        else:
+            out.append(e)
+    return out
+
+
 def search(
     target,
     body: dict[str, Any],
@@ -750,6 +806,15 @@ def search(
     # from+size per shard.  Deep paging is as expensive as it is
     # there; deep exports should use search_after / :func:`scroll`.
     size = (k if k is not None else body.get("size", 10)) + page_from
+    rmaps = body.get("runtime_mappings")
+    if rmaps:
+        if isinstance(target, IndexReader):
+            raise ValueError(
+                "runtime_mappings need the docs frame — search the "
+                "brute-force target, or keep the referenced columns "
+                "at build time (build_index keep_cols) and filter on "
+                "them directly")
+        target = _apply_runtime_mappings(target, rmaps)
     if isinstance(target, IndexReader):
         schema_df = target.doc_stats()
     else:
@@ -764,7 +829,9 @@ def search(
         hl = body.get("highlight")
         src = body.get("_source")
         sfields = body.get("script_fields")
-        if ((src not in (None, False) or sfields)
+        dvfields = (_field_list(body.get("docvalue_fields"))
+                    + _field_list(body.get("stored_fields")))
+        if ((src not in (None, False) or sfields or dvfields)
                 and "score" in out.columns
                 and set(out.columns) == {"docid", "score"}):
             if isinstance(target, IndexReader):
@@ -801,7 +868,8 @@ def search(
                               text_field=text_field,
                               min_score=body.get("min_score"),
                               source_filter=src,
-                              script_fields=sfields)
+                              script_fields=sfields,
+                              value_fields=dvfields)
 
     if set(query) & {"query_string", "simple_query_string"}:
         # compile the Lucene syntax down to DSL FIRST, so a compiled
@@ -1227,7 +1295,8 @@ def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
                    query: dict | None = None, text_field: str = "text",
                    min_score: float | None = None,
                    source_filter=None,
-                   script_fields: dict | None = None):
+                   script_fields: dict | None = None,
+                   value_fields: list[str] | None = None):
     if min_score is not None:
         # SearchSourceBuilder#minScore: hits below the floor are
         # excluded.  Score-sorted results make post-top-k filtering
@@ -1259,9 +1328,21 @@ def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
                     else spec["script"])
             out = out.withColumn(
                 sfname, _compile_score_script(ssrc, set(out.columns)))
+    if value_fields:
+        # docvalue_fields / stored_fields: per-hit field values next
+        # to the hit (columnar columns ARE doc values here) — kept as
+        # metadata through _source filtering, like the reference's
+        # separate fields section
+        missing = [f for f in value_fields if f not in out.columns]
+        if missing:
+            raise ValueError(
+                f"docvalue/stored fields {missing} are not available "
+                f"on this target")
     if source_filter is not None:
         out = _apply_source_filter(out, source_filter,
-                                   extra_meta=list(script_fields or ()))
+                                   extra_meta=(list(script_fields or ())
+                                               + list(value_fields
+                                                      or ())))
     if timeout_s is not None:
         # S7 (CompositeRetriever.java:371-400 expiry): materialize the
         # (size-bounded) result under the budget; a runaway plan is

@@ -1,0 +1,94 @@
+"""runtime_mappings, terms include/exclude, docvalue/stored_fields."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.query.aggs_body import run_aggs
+from anomaly_detection_spark.query.planner import search
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [(i, ["a", "b", "c", "d"][i % 4], float(i), i % 3)
+            for i in range(24)]
+    return spark.createDataFrame(
+        rows, "docid long, grp string, v double, small long").persist()
+
+
+def test_runtime_field_in_query_sort_and_response(frame):
+    body = {
+        "runtime_mappings": {
+            "v2": {"type": "double",
+                   "script": {"source":
+                              "emit(doc['v'].value * params.f)",
+                              "params": {"f": 2.0}}},
+            "is_big": {"type": "boolean",
+                       "script": "emit(doc['v'].value >= 20)"}},
+        "query": {"range": {"v2": {"gte": 40.0}}},
+        "sort": [{"v2": {"order": "desc"}}],
+        "size": 100,
+    }
+    rows = search(frame, body).collect()
+    # v2 = 2v >= 40 -> v >= 20 -> docids 20..23, sorted desc by v2
+    assert [r["docid"] for r in rows] == [23, 22, 21, 20]
+    assert rows[0]["v2"] == 46.0 and rows[0]["is_big"] is True
+
+
+def test_runtime_field_in_aggs(frame):
+    body = {"runtime_mappings": {
+        "bucket2": {"type": "keyword",
+                    "script": "emit(doc['small'].value == 0 "
+                              "? 'zero' : 'nonzero')"}},
+        "aggs": {"by": {"terms": {"field": "bucket2"},
+                        "aggs": {"s": {"sum": {"field": "v"}}}}}}
+    rows = {r["bucket2"]: r for r in run_aggs(frame, body)["by"].collect()}
+    assert rows["zero"]["doc_count"] == 8
+    assert rows["nonzero"]["doc_count"] == 16
+
+
+def test_runtime_field_rejections(frame):
+    with pytest.raises(ValueError, match="single\\s+emit|single emit"):
+        search(frame, {"runtime_mappings": {
+            "x": {"script": "doc['v'].value"}},
+            "query": {"match_all": {}}})
+    with pytest.raises(ValueError, match="unsupported type"):
+        search(frame, {"runtime_mappings": {
+            "x": {"type": "date", "script": "emit(1)"}},
+            "query": {"match_all": {}}})
+
+
+def test_terms_include_exclude(frame):
+    body = {"aggs": {"t": {"terms": {
+        "field": "grp", "include": ["a", "b", "c"], "exclude": ["b"]}}}}
+    rows = [r["grp"] for r in run_aggs(frame, body)["t"].collect()]
+    assert sorted(rows) == ["a", "c"]
+    # regex forms, anchored like the reference's IncludeExclude
+    body = {"aggs": {"t": {"terms": {"field": "grp",
+                                     "include": "[ab]"}}}}
+    rows = [r["grp"] for r in run_aggs(frame, body)["t"].collect()]
+    assert sorted(rows) == ["a", "b"]
+    body = {"aggs": {"t": {"terms": {"field": "grp",
+                                     "exclude": "a|d"}}}}
+    rows = [r["grp"] for r in run_aggs(frame, body)["t"].collect()]
+    assert sorted(rows) == ["b", "c"]
+
+
+def test_docvalue_and_stored_fields(frame):
+    from anomaly_detection_spark.query import analyze_docs
+
+    an = analyze_docs(frame.withColumn(
+        "text", F.concat(F.lit("term"), F.col("grp"))))
+    body = {"query": {"match": {"text": "terma"}},
+            "_source": False,
+            "docvalue_fields": ["v", {"field": "grp"}],
+            "size": 3}
+    rows = search(an, body).collect()
+    assert rows and set(rows[0].asDict()) == {"docid", "score", "v",
+                                              "grp"}
+    with pytest.raises(ValueError, match="format"):
+        search(an, {"query": {"match": {"text": "terma"}},
+                    "docvalue_fields": [
+                        {"field": "v", "format": "0.0"}]})
+    with pytest.raises(ValueError, match="not available"):
+        search(an, {"query": {"match": {"text": "terma"}},
+                    "docvalue_fields": ["nope"]})
