@@ -261,3 +261,141 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def _hash_uniform(id_col: str, seed: int) -> F.Column:
+    """Deterministic per-row uniform in [0, 1): xxhash64 of the stable
+    id — the sampling primitive that survives reruns, repartitioning
+    and row order (Bernoulli `sample()` does not)."""
+    # xxhash64 is signed 64-bit; fold to [0, 2^63) then scale
+    h = F.abs(F.xxhash64(F.col(id_col), F.lit(seed)))
+    return h.cast("double") / F.lit(float(2 ** 63))
+
+
+def sample_corpus(
+    df: DataFrame,
+    rate: float | None = None,
+    rates_by: tuple[str, dict[str, float]] | None = None,
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic corpus sampling — keep a row iff its hash-uniform
+    ``u(id) < p(row)``:
+
+    - ``rate`` — uniform Bernoulli at ``rate``;
+    - ``rates_by=(col, {value: rate})`` — stratified per-group rates
+      (missing groups keep the ``rate`` default, or 0.0 without one);
+    - ``weight_col`` — importance sampling: ``p = clamp(rate * w, 0,
+      1)`` per row (quality-weighted corpus mixing, the DoReMi-style
+      reweighting primitive).
+
+    One codegen filter, no shuffle, no RNG state — the same row set at
+    any partitioning and any cluster size."""
+    u = _hash_uniform(id_col, seed)
+    if rates_by is not None:
+        col, table = rates_by
+        default = rate if rate is not None else 0.0
+        p = F.lit(float(default))
+        for val, r in table.items():
+            p = F.when(F.col(col) == F.lit(val), F.lit(float(r))) \
+                .otherwise(p)
+    elif rate is not None:
+        p = F.lit(float(rate))
+    else:
+        raise ValueError("sample_corpus needs rate and/or rates_by")
+    if weight_col is not None:
+        p = F.least(F.greatest(p * F.col(weight_col).cast("double"),
+                               F.lit(0.0)), F.lit(1.0))
+    return df.filter(u < p)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    strata_col: str | None = None,
+    strata_weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Sample down to ≈ ``budget`` total tokens, deterministically.
+
+    One distributed agg computes per-stratum token mass; rates are
+    allocated driver-side (proportional to ``strata_weights`` when
+    given, else to current mass — i.e. a uniform global rate), then
+    one :func:`sample_corpus` filter applies them.  The result's
+    expected token mass is the budget; the hash filter makes the
+    realized set reproducible.  Two jobs total, both shuffle-light
+    (one map-side-combinable agg + one filter)."""
+    if strata_col is None:
+        total = df.agg(F.sum(token_col)).collect()[0][0] or 0
+        if total <= budget:
+            return df
+        return sample_corpus(df, rate=budget / float(total),
+                             id_col=id_col, seed=seed)
+    mass = {r[strata_col]: r["t"] for r in
+            df.groupBy(strata_col)
+            .agg(F.sum(token_col).alias("t")).collect()}
+    if strata_weights:
+        wsum = float(sum(strata_weights.values()))
+        want = {s: budget * (w / wsum)
+                for s, w in strata_weights.items()}
+    else:
+        tot = float(sum(mass.values())) or 1.0
+        want = {s: budget * (m / tot) for s, m in mass.items()}
+    rates = {s: min(1.0, want.get(s, 0.0) / m)
+             for s, m in mass.items() if m}
+    return sample_corpus(df, rates_by=(strata_col, rates),
+                         id_col=id_col, seed=seed)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level exact paragraph deduplication (the C4 recipe:
+    repeated lines/paragraphs across the corpus are kept ONCE, at
+    their first occurrence, and dropped everywhere else).
+
+    Shape: explode paragraphs with their (id, position), one
+    groupBy(paragraph-hash) keeping the min (id, position) occurrence
+    — never the paragraph STRINGS on the reduce side, only 64-bit
+    hashes — then reassemble each doc's surviving paragraphs in
+    original order.  Two shuffles (dedup agg + reassembly), both keyed
+    well; documents whose every paragraph was seen earlier come back
+    with empty text (filter on ``n_paras`` to drop them).  Paragraphs
+    under ``min_chars`` are kept verbatim (boilerplate-fragment
+    whitelist, like C4's length floor)."""
+    paras = (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep)))
+        .alias("pos", "para")))
+    hashed = paras.withColumn("h", F.xxhash64("para"))
+    eligible = hashed.filter(F.length("para") >= int(min_chars))
+    first = (eligible.groupBy("h")
+             .agg(F.min(F.struct(id_col, "pos")).alias("keep")))
+    survivors = (eligible.join(first, "h")
+                 .filter((F.col(id_col) == F.col(f"keep.{id_col}"))
+                         & (F.col("pos") == F.col("keep.pos")))
+                 .select(id_col, "pos", "para"))
+    short = (hashed.filter(F.length("para") < int(min_chars))
+             .select(id_col, "pos", "para"))
+    kept = survivors.unionByName(short)
+    out = (kept.groupBy(id_col)
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("pos", "para"))),
+                   lambda s: s["para"]),
+               sep).alias(text_col),
+               F.count("*").alias("n_paras")))
+    other = [c for c in df.columns if c not in (text_col,)]
+    return (df.select(*other).join(out, id_col, "left")
+            .withColumn(text_col, F.coalesce(F.col(text_col),
+                                             F.lit("")))
+            .withColumn("n_paras", F.coalesce(F.col("n_paras"),
+                                              F.lit(0))))

@@ -1,0 +1,89 @@
+"""sample_corpus / sample_to_token_budget / paragraph_dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.pipeline.curation import (
+    paragraph_dedup, sample_corpus, sample_to_token_budget)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, ["web", "code", "books"][i % 3], 100 + (i % 7) * 10,
+             1.0 if i % 2 else 0.25) for i in range(3000)]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, "
+              "quality double").persist()
+
+
+def test_sample_corpus_deterministic_and_calibrated(corpus):
+    a = sample_corpus(corpus, rate=0.3)
+    got = a.count()
+    # hash-uniform: expect ~900 of 3000 (binomial 3sigma ~ 75)
+    assert abs(got - 900) < 120
+    # identical set under repartitioning (the property sample() lacks)
+    b = sample_corpus(corpus.repartition(13), rate=0.3)
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+        sorted(r["doc_id"] for r in b.collect())
+    # different seed -> different set, same calibration
+    c = sample_corpus(corpus, rate=0.3, seed=7)
+    assert sorted(r["doc_id"] for r in c.collect()) != \
+        sorted(r["doc_id"] for r in a.collect())
+
+
+def test_sample_corpus_stratified_and_weighted(corpus):
+    s = sample_corpus(corpus, rates_by=("source", {"web": 0.1,
+                                                   "code": 1.0}))
+    by = {r["source"]: r["n"] for r in
+          s.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["code"] == 1000          # rate 1.0 keeps everything
+    assert 60 < by.get("web", 0) < 145  # ~100
+    assert "books" not in by           # no rate, no default -> 0
+    # weighted: p = rate * quality (0.5*1.0 vs 0.5*0.25)
+    w = sample_corpus(corpus, rate=0.5, weight_col="quality")
+    byq = {r["quality"]: r["n"] for r in
+           w.groupBy("quality").agg(F.count("*").alias("n")).collect()}
+    assert abs(byq[1.0] - 750) < 110      # 1500 * 0.5
+    assert abs(byq[0.25] - 187) < 80      # 1500 * 0.125
+    with pytest.raises(ValueError, match="rate"):
+        sample_corpus(corpus)
+
+
+def test_sample_to_token_budget(corpus):
+    total = corpus.agg(F.sum("n_tokens")).collect()[0][0]
+    out = sample_to_token_budget(corpus, budget=total // 4)
+    got = out.agg(F.sum("n_tokens")).collect()[0][0]
+    assert abs(got - total // 4) / (total // 4) < 0.15
+    # under-budget corpus returns unchanged
+    assert sample_to_token_budget(corpus, budget=total * 2).count() \
+        == 3000
+    # stratified with explicit mixing weights
+    out = sample_to_token_budget(
+        corpus, budget=total // 4, strata_col="source",
+        strata_weights={"web": 3.0, "code": 1.0, "books": 0.0})
+    mass = {r["source"]: r["t"] for r in out.groupBy("source")
+            .agg(F.sum("n_tokens").alias("t")).collect()}
+    assert mass.get("books", 0) == 0
+    assert mass["web"] / max(mass["code"], 1) == pytest.approx(
+        3.0, rel=0.35)
+
+
+def test_paragraph_dedup(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha one\n\nshared boiler\n\nbeta two"),
+         (1, "shared boiler\n\ngamma three"),
+         (2, "shared boiler"),
+         (3, "x\n\nunique tail")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, min_chars=2).collect()}
+    # first occurrence (doc 0) keeps the shared paragraph
+    assert out[0]["text"] == "alpha one\n\nshared boiler\n\nbeta two"
+    assert out[1]["text"] == "gamma three"
+    assert out[2]["text"] == "" and out[2]["n_paras"] == 0
+    # short paragraph ("x" < min_chars) is whitelisted verbatim
+    assert out[3]["text"] == "x\n\nunique tail"
+    # deterministic under repartition
+    out2 = {r["doc_id"]: r["text"] for r in
+            paragraph_dedup(docs.repartition(5), min_chars=2).collect()}
+    assert {k: v["text"] for k, v in out.items()} == out2
