@@ -830,10 +830,28 @@ def significant_terms_agg(
     size: int = 10,
     min_doc_count: int = 3,
     analyzed: bool = False,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """``significant_terms``: terms over-represented in the foreground
     (query scope) vs the background (index), scored with the JLH
     heuristic ((fg% − bg%) · fg%/bg%, OpenSearch's default).
+
+    ``heuristic`` selects among the reference's significance
+    heuristics (published formulas over the same 2×2 contingency
+    counts — supersetFreq/Size, subsetFreq/Size):
+
+    - ``jlh`` (default): (fg% − bg%) · fg%/bg%
+    - ``percentage``: fg_count / bg_count (docs in the subset as a
+      share of the term's docs)
+    - ``chi_square``: (|ad − bc| )² · N / ((a+b)(c+d)(a+c)(b+d)) over
+      the contingency cells with
+      ``include_negatives=false``-style sign guard (negative
+      association scores 0, like the reference's default filter on
+      subset% > superset%)
+    - ``gnd``: Google Normalized Distance turned into a similarity —
+      1 − NGD(class, term) over the co-occurrence triple
+      (fx = subset size, fy = term's superset df, fxy = term's subset
+      df, N = superset size), clamped at 0
 
     ``analyzed=True`` tokenizes a text column and counts each term once
     per doc (doc frequency, like the terms enum); ``False`` treats the
@@ -865,7 +883,33 @@ def significant_terms_agg(
     j = bg.join(fg, "term", "left").fillna({"fg_count": 0})
     fg_pct = F.col("fg_count") / F.lit(float(fg_n))
     bg_pct = F.col("bg_count") / F.lit(float(bg_n))
-    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    if heuristic == "jlh":
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    elif heuristic == "percentage":
+        score = F.col("fg_count") / F.col("bg_count")
+    elif heuristic == "chi_square":
+        a = F.col("fg_count").cast("double")
+        b = F.lit(float(fg_n)) - a
+        c = F.col("bg_count").cast("double") - a
+        d = F.lit(float(bg_n - fg_n)) - c
+        n = F.lit(float(bg_n))
+        num = n * (a * d - b * c) * (a * d - b * c)
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        # positive-association guard: negative deviations score 0
+        score = F.when((fg_pct > bg_pct) & (den > 0), num / den) \
+            .otherwise(F.lit(0.0))
+    elif heuristic == "gnd":
+        fx = F.lit(float(fg_n))
+        fy = F.col("bg_count").cast("double")
+        fxy = F.col("fg_count").cast("double")
+        n = F.lit(float(bg_n))
+        gnd = ((F.greatest(F.log(fx), F.log(fy)) - F.log(fxy))
+               / (F.log(n) - F.least(F.log(fx), F.log(fy))))
+        score = F.greatest(F.lit(1.0) - gnd, F.lit(0.0))
+    else:
+        raise ValueError(
+            f"unsupported significance heuristic {heuristic!r} "
+            f"(jlh/percentage/chi_square/gnd)")
     out = (j.filter(F.col("fg_count") >= min_doc_count)
            .withColumn("score", score)
            .filter(F.col("score") > 0))

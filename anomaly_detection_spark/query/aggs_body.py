@@ -446,12 +446,18 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             # (SignificantTextAggregationBuilder; our analyzed path
             # already dedupes per doc, which is also what its
             # filter_duplicate_text re-analysis approximates)
+            heuristics = [h for h in ("jlh", "percentage", "chi_square",
+                                      "gnd") if h in kbody]
+            if len(heuristics) > 1:
+                raise ValueError(
+                    f"at most one significance heuristic: {heuristics}")
             results[name] = significant_terms_agg(
                 df_unfiltered, df, kbody["field"],
                 size=kbody.get("size", 10),
                 min_doc_count=kbody.get("min_doc_count", 3),
                 analyzed=(True if kind == "significant_text"
-                          else kbody.get("analyzed", False)))
+                          else kbody.get("analyzed", False)),
+                heuristic=(heuristics[0] if heuristics else "jlh"))
             continue
         if kind == "filters":
             from .aggs import filters_agg

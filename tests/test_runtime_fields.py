@@ -92,3 +92,53 @@ def test_docvalue_and_stored_fields(frame):
     with pytest.raises(ValueError, match="not available"):
         search(an, {"query": {"match": {"text": "terma"}},
                     "docvalue_fields": ["nope"]})
+
+
+def test_significance_heuristics(spark):
+    # contingency fixture: 10 fg docs of 40 bg; "hot" is fg-skewed
+    import math
+
+    rows = []
+    for i in range(40):
+        fg = i < 10
+        term = "hot" if (i < 8 or i == 20) else "cold"
+        rows.append((i, "fg" if fg else "bg", term))
+    df = spark.createDataFrame(rows, "id long, scope string, term string")
+    body_base = {"query": {"term": {"scope": "fg"}}}
+
+    def run(heur_key=None):
+        spec = {"field": "term", "min_doc_count": 1}
+        if heur_key:
+            spec[heur_key] = {}
+        out = run_aggs(df, {**body_base,
+                            "aggs": {"s": {"significant_terms": spec}}})
+        return {r["term"]: r for r in out["s"].collect()}
+
+    a, b_, n_fg, n_bg = 8.0, 2.0, 10.0, 40.0   # fg hot / fg other
+    bg_hot = 9.0
+    # percentage = fg_count / bg_count
+    got = run("percentage")
+    assert got["hot"]["score"] == pytest.approx(8 / 9)
+    # chi_square vs hand formula
+    c = bg_hot - a
+    d = (n_bg - n_fg) - c
+    num = n_bg * (a * d - b_ * c) ** 2
+    den = (a + b_) * (c + d) * (a + c) * (b_ + d)
+    got = run("chi_square")
+    assert got["hot"]["score"] == pytest.approx(num / den)
+    # negative association ("cold" is bg-skewed) scores 0 -> dropped
+    assert "cold" not in got
+    # gnd = 1 - NGD
+    fx, fy, fxy, nn = n_fg, bg_hot, a, n_bg
+    gnd = ((max(math.log(fx), math.log(fy)) - math.log(fxy))
+           / (math.log(nn) - min(math.log(fx), math.log(fy))))
+    got = run("gnd")
+    assert got["hot"]["score"] == pytest.approx(max(0.0, 1 - gnd))
+    # default stays JLH
+    fg_pct, bg_pct = a / n_fg, bg_hot / n_bg
+    got = run()
+    assert got["hot"]["score"] == pytest.approx(
+        (fg_pct - bg_pct) * fg_pct / bg_pct)
+    with pytest.raises(ValueError, match="at most one"):
+        run_aggs(df, {**body_base, "aggs": {"s": {"significant_terms": {
+            "field": "term", "jlh": {}, "gnd": {}}}}})
