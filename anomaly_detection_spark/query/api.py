@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .index_search import IndexReader
@@ -222,3 +223,44 @@ def open_point_in_time(target) -> PointInTime:
     df = (target.doc_stats() if isinstance(target, IndexReader)
           else target)
     return PointInTime(df)
+
+
+def termvectors(target, docid: int, text_field: str = "text"
+                ) -> list[dict[str, Any]]:
+    """_termvectors analog: per-term (term, tf, positions) for ONE doc.
+
+    The reference re-analyzes the stored source on the fly when the
+    field doesn't store term vectors — same here: one-row fetch (index
+    doc fetch or a docid filter), the shared analyzer on the driver,
+    positions = token indices.  Sorted by term."""
+    from collections import defaultdict
+
+    from ..functions.tokenizer import tokenize_query
+
+    if isinstance(target, IndexReader):
+        row = (target.doc_stats().filter(F.col("docid") == int(docid))
+               .collect())
+    else:
+        row = target.filter(F.col("docid") == int(docid)).collect()
+    if not row:
+        raise ValueError(f"docid {docid} not found")
+    cols = row[0].asDict()
+    if text_field not in cols:
+        raise ValueError(
+            f"field {text_field!r} is not stored on this target "
+            f"(index targets need keep_cols at build time)")
+    toks = tokenize_query(str(cols[text_field] or ""))
+    pos: dict[str, list[int]] = defaultdict(list)
+    for i, t in enumerate(toks):
+        pos[t].append(i)
+    return [{"term": t, "tf": len(ps), "positions": ps}
+            for t, ps in sorted(pos.items())]
+
+
+def mtermvectors(target, docids: list[int],
+                 text_field: str = "text") -> dict[int, list[dict]]:
+    """_mtermvectors analog: one :func:`termvectors` result per id
+    (single fetch per id — callers wanting corpus-scale term stats use
+    the analyzed frame / postings directly)."""
+    return {d: termvectors(target, d, text_field=text_field)
+            for d in docids}

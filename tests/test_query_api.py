@@ -117,3 +117,22 @@ def test_suggest_section_completion(docs):
                                "completion": {"size": 2}}})
     got = out["c"].toPandas()
     assert list(got.option) == ["alpha"]
+
+
+def test_termvectors(spark):
+    from anomaly_detection_spark.query.api import mtermvectors, termvectors
+
+    df = spark.createDataFrame(
+        [(0, "the Quick fox the fox"), (1, "solo")],
+        "docid long, text string")
+    tv = termvectors(df, 0)
+    by = {e["term"]: e for e in tv}
+    assert by["the"]["tf"] == 2 and by["the"]["positions"] == [0, 3]
+    assert by["quick"]["tf"] == 1          # analyzer lowercases
+    assert by["fox"]["positions"] == [2, 4]
+    assert [e["term"] for e in tv] == sorted(by)
+    mt = mtermvectors(df, [0, 1])
+    assert mt[1][0]["term"] == "solo"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not found"):
+        termvectors(df, 99)
