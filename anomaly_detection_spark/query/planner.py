@@ -973,6 +973,19 @@ def search(
         from .index_search import fetch_docs as _fetch
 
         cfld = collapse["field"]
+        ih = collapse.get("inner_hits")
+        ih_size = 3
+        if ih:
+            # inner_hits (CollapseBuilder#setInnerHits): up to
+            # ``size`` hits PER collapsed group of the returned page,
+            # ranked by the SAME ordering as the collapse itself
+            # (``_inner_rank`` 1 = the collapsed head row).  A custom
+            # inner sort is out of the supported subset and raises.
+            if ih.get("sort"):
+                raise ValueError(
+                    "inner_hits with its own sort is unsupported — "
+                    "inner hits follow the collapse ordering")
+            ih_size = int(ih.get("size", 3))
         qkind = next(iter(query)) if query else "match_all"
         if qkind in COMPOUND_KINDS or qkind in ("match", "match_all"):
             scored = compound_scores(target, query,
@@ -980,11 +993,22 @@ def search(
             side = schema_df.select("docid", cfld)
             w = _W.partitionBy(cfld).orderBy(F.desc("score"),
                                              F.asc("docid"))
-            out = (scored.join(side, "docid")
-                   .withColumn("_ck", F.row_number().over(w))
-                   .filter(F.col("_ck") == 1).drop("_ck")
-                   .orderBy(F.desc("score"), F.asc("docid"))
-                   .limit(size))
+            ranked = (scored.join(side, "docid")
+                      .withColumn("_ck", F.row_number().over(w)))
+            heads = (ranked.filter(F.col("_ck") == 1).drop("_ck")
+                     .orderBy(F.desc("score"), F.asc("docid"))
+                     .limit(size))
+            if ih:
+                keys = heads.select(F.col(cfld),
+                                    F.col("score").alias("_head"))
+                out = (ranked.filter(F.col("_ck") <= ih_size)
+                       .withColumnRenamed("_ck", "_inner_rank")
+                       .join(F.broadcast(keys), cfld)
+                       .orderBy(F.desc("_head"), F.asc("docid"),
+                                F.asc("_inner_rank"))
+                       .drop("_head"))
+                return finish(out)
+            out = heads
             if isinstance(target, IndexReader):
                 out = _fetch(target, out.select("docid", "score"))
             return finish(out)
@@ -998,10 +1022,17 @@ def search(
                 else schema_df.filter(plan0.filter_cond))
         order = [_sort_col(c, d, m) for c, d, m in csort]
         w = _W.partitionBy(cfld).orderBy(*order)
-        out = (base.withColumn("_ck", F.row_number().over(w))
-               .filter(F.col("_ck") == 1).drop("_ck")
-               .orderBy(*order).limit(size))
-        return finish(out)
+        ranked = base.withColumn("_ck", F.row_number().over(w))
+        heads = (ranked.filter(F.col("_ck") == 1).drop("_ck")
+                 .orderBy(*order).limit(size))
+        if ih:
+            keys = heads.select(cfld)
+            out = (ranked.filter(F.col("_ck") <= ih_size)
+                   .withColumnRenamed("_ck", "_inner_rank")
+                   .join(F.broadcast(keys), cfld)
+                   .orderBy(*order))
+            return finish(out)
+        return finish(heads)
 
     if set(query) == {"knn"}:
         # k-NN vector query (OpenSearch k-NN plugin's query kind):

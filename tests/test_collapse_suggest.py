@@ -232,3 +232,63 @@ def test_completion_suggester(phrase_corpus):
     assert suggest_completions(phrase_corpus, "  ").count() == 0
     with pytest.raises(ValueError, match="one token"):
         suggest_completions(phrase_corpus, "no bel")
+
+
+def test_collapse_inner_hits(spark):
+    from anomaly_detection_spark.query import analyze_docs
+    from anomaly_detection_spark.query.planner import search
+
+    rows = [
+        (0, "g1", "spark spark spark"),   # g1 best
+        (1, "g1", "spark spark"),
+        (2, "g1", "spark"),
+        (3, "g1", "spark x y z w q r s"),  # g1 4th (long doc, low tf)
+        (4, "g2", "spark other"),
+        (5, "g3", "nothing here"),
+    ]
+    an = analyze_docs(spark.createDataFrame(
+        rows, "docid long, grp string, text string"))
+    body = {"query": {"match": {"text": "spark"}},
+            "collapse": {"field": "grp",
+                         "inner_hits": {"size": 2}},
+            "size": 10}
+    got = search(an, body).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append(r)
+    # g1 returns exactly 2 inner hits (its best two), g2 one
+    assert [r["docid"] for r in by_grp["g1"]] == [0, 1]
+    assert [r["_inner_rank"] for r in by_grp["g1"]] == [1, 2]
+    assert [r["docid"] for r in by_grp["g2"]] == [4]
+    assert "g3" not in by_grp            # no match, no group
+    # group blocks ordered by head score: g1's head outscores g2's
+    assert [r["grp"] for r in got][:2] == ["g1", "g1"]
+    # plain collapse still returns one row per group
+    body2 = {"query": {"match": {"text": "spark"}},
+             "collapse": {"field": "grp"}, "size": 10}
+    plain = search(an, body2).collect()
+    assert sorted(r["docid"] for r in plain) == [0, 4]
+    # custom inner sort rejects
+    import pytest as _pt
+    with _pt.raises(ValueError, match="inner_hits"):
+        search(an, {"query": {"match": {"text": "spark"}},
+                    "collapse": {"field": "grp",
+                                 "inner_hits": {"sort": [{"docid": "asc"}],
+                                                "size": 2}}})
+
+
+def test_collapse_inner_hits_filter_context(spark):
+    from anomaly_detection_spark.query.planner import search
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], i * 1.0) for i in range(10)],
+        "docid long, grp string, v double")
+    body = {"query": {"range": {"v": {"gte": 2.0}}},
+            "collapse": {"field": "grp", "inner_hits": {"size": 2}},
+            "sort": [{"v": {"order": "desc"}}], "size": 10}
+    got = search(df, body).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append(r["docid"])
+    assert by_grp["a"] == [8, 6]   # top-2 by v desc among v>=2, grp a
+    assert by_grp["b"] == [9, 7]
