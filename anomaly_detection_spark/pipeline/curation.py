@@ -399,3 +399,79 @@ def paragraph_dedup(
                                              F.lit("")))
             .withColumn("n_paras", F.coalesce(F.col("n_paras"),
                                               F.lit(0))))
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    n: int = 13,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate n-gram spans — the practical form of
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": remove substrings
+    repeated verbatim across the corpus; their suffix array finds
+    length-50-char repeats, the common production recipe flags
+    repeated word n-grams instead).
+
+    Returns (id, start_tok, end_tok, n_windows) token-index spans per
+    doc where every covered ``n``-gram window occurs ≥ ``min_count``
+    times corpus-wide, adjacent/overlapping flagged windows merged.
+
+    Shape: one codegen explode of (hash, id, pos) triples → one count
+    agg keyed by the 64-bit hash (ONLY hashes shuffle — never text) →
+    semi-join flagged hashes back (broadcast when the duplicate
+    vocabulary is small, AQE decides) → per-doc merge of sorted
+    window starts (one map-side-combinable collect per doc).  Cutting
+    the spans out is the caller's policy decision (keep-first needs a
+    global occurrence order; dropping everywhere loses one good copy
+    — Lee et al. discuss both)."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}_]+'), "
+        f"x -> x != '')")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    ).otherwise(F.array().cast("array<bigint>"))
+    win = (df.select(F.col(id_col), F.posexplode(grams)
+                     .alias("pos", "h")))
+    counts = (win.groupBy("h")
+              .agg(F.count("*").alias("c"))
+              .filter(F.col("c") >= int(min_count))
+              .select("h"))
+    flagged = win.join(counts, "h", "left_semi")
+    starts = (flagged.groupBy(id_col)
+              .agg(F.array_sort(F.collect_list("pos")).alias("ps")))
+
+    import pandas as pd
+
+    @F.pandas_udf("array<struct<start_tok:int,end_tok:int,"
+                  "n_windows:int>>")
+    def _merge(ps_s: pd.Series) -> pd.Series:
+        out = []
+        for ps in ps_s:
+            spans = []
+            if ps is not None and len(ps):
+                s = e = int(ps[0])
+                cnt = 1
+                for p in ps[1:]:
+                    p = int(p)
+                    if p <= e + n:      # windows overlap or touch
+                        e = p
+                        cnt += 1
+                    else:
+                        spans.append((s, e + n, cnt))
+                        s = e = p
+                        cnt = 1
+                spans.append((s, e + n, cnt))
+            out.append(spans)
+        return pd.Series(out)
+
+    return (starts.select(id_col, F.explode(_merge("ps"))
+                          .alias("span"))
+            .select(id_col, "span.start_tok", "span.end_tok",
+                    "span.n_windows")
+            .orderBy(id_col, "start_tok"))

@@ -87,3 +87,31 @@ def test_paragraph_dedup(spark):
     out2 = {r["doc_id"]: r["text"] for r in
             paragraph_dedup(docs.repartition(5), min_chars=2).collect()}
     assert {k: v["text"] for k, v in out.items()} == out2
+
+
+def test_duplicate_ngram_spans(spark):
+    from anomaly_detection_spark.pipeline.curation import (
+        duplicate_ngram_spans)
+
+    boiler = "all rights reserved contact us for more information"
+    docs = spark.createDataFrame(
+        [(0, f"alpha beta gamma {boiler} tail words here"),
+         (1, f"{boiler} and then something original entirely"),
+         (2, "completely unique text with no repeats at all ok"),
+         (3, f"start {boiler} middle {boiler} end")],
+        "doc_id long, text string")
+    out = duplicate_ngram_spans(docs, n=8, min_count=2)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["start_tok"], r["end_tok"]))
+    # boiler = 8 tokens -> exactly one 8-gram window per occurrence
+    assert spans[0] == [(3, 11)]
+    assert spans[1] == [(0, 8)]
+    assert 2 not in spans
+    # doc 3 has two separated occurrences -> two merged spans
+    assert len(spans[3]) == 2
+    # deterministic under repartition
+    out2 = duplicate_ngram_spans(docs.repartition(7), n=8, min_count=2)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, out2.collect()))
