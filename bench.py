@@ -322,6 +322,38 @@ def main() -> None:
                        "t": {"cumulative_cardinality": {
                            "buckets_path": "u"}}}}}})["h"].collect())
 
+    # fifth-session ops: hybrid BM25+knn fusion over the docs index
+    # corpus; deterministic budget sampling, paragraph dedup and
+    # duplicate-span detection over the documents table
+    from anomaly_detection_spark.pipeline.curation import (
+        duplicate_ngram_spans, paragraph_dedup, sample_to_token_budget)
+    from anomaly_detection_spark.query.hybrid import hybrid_search
+
+    demb = documents.join(
+        emb.select(F.col("docid").alias("doc_id"), "embedding"),
+        "doc_id", "inner")
+    dan = analyze_docs(demb.select(F.col("doc_id").alias("docid"),
+                                   "text", "embedding"))
+    timed("hybrid_bm25_knn",
+          lambda: hybrid_search(dan, [
+              {"match": {"text": "the data"}},
+              {"knn": {"embedding": {"vector": list(qvec)}}}],
+              k=10, weights=[0.6, 0.4]).collect())
+    dtok = documents.withColumn(
+        "n_tokens", F.size(F.split("text", " ")))
+    timed("sample_token_budget_documents",
+          lambda: sample_to_token_budget(
+              dtok, budget=10_000, token_col="n_tokens",
+              strata_col="source", id_col="doc_id")
+          .agg(F.sum("n_tokens")).collect())
+    timed("paragraph_dedup_documents",
+          lambda: paragraph_dedup(documents, text_col="text",
+                                  id_col="doc_id").count())
+    timed("duplicate_ngram_spans_documents",
+          lambda: duplicate_ngram_spans(documents, n=8, min_count=2,
+                                        text_col="text",
+                                        id_col="doc_id").count())
+
     print(json.dumps({
         "metric": "index-build throughput (turns/sec)",
         "value": round(turns_per_sec, 1),
