@@ -943,6 +943,71 @@ def range_agg(
     return out.orderBy("range_id")
 
 
+def _ipv4_long(col: Column) -> Column:
+    """Dotted-quad IPv4 string → long, pure codegen (invalid / IPv6
+    strings come back null and never bucket)."""
+    p = F.split(col, r"\.")
+    oct_ = [p.getItem(i).cast("long") for i in range(4)]
+    valid = (F.size(p) == 4)
+    for o in oct_:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    val = (oct_[0] * F.lit(16_777_216) + oct_[1] * F.lit(65_536)
+           + oct_[2] * F.lit(256) + oct_[3])
+    return F.when(valid, val)
+
+
+def ip_range_agg(
+    df: DataFrame,
+    field: str,
+    ranges: list[dict],
+    sub_specs: dict[str, dict] | None = None,
+) -> DataFrame:
+    """``ip_range`` agg (IpRangeAggregationBuilder): half-open
+    [from, to) buckets over dotted-quad IPv4 strings, or CIDR
+    ``mask`` entries ([network base, base + 2^(32−bits))).  Same
+    broadcast range-join shape as :func:`range_agg` — the ip→long
+    conversion is whole-stage codegen, so the scan column stays a
+    plain string.  IPv6 raises (the engine stores IPv4 quads)."""
+    import ipaddress
+
+    sub_specs = sub_specs or {}
+    spark = df.sparkSession
+
+    def bound(v):
+        if v is None:
+            return None
+        ip = ipaddress.ip_address(v)
+        if ip.version != 4:
+            raise ValueError(f"ip_range supports IPv4 only: {v!r}")
+        return int(ip)
+
+    rows = []
+    for i, r in enumerate(ranges):
+        if "mask" in r:
+            net = ipaddress.ip_network(r["mask"], strict=False)
+            if net.version != 4:
+                raise ValueError(
+                    f"ip_range supports IPv4 only: {r['mask']!r}")
+            rows.append((i, str(r["mask"]),
+                         int(net.network_address),
+                         int(net.network_address) + net.num_addresses))
+        else:
+            key = f"{r.get('from', '*')}-{r.get('to', '*')}"
+            rows.append((i, key, bound(r.get("from")),
+                         bound(r.get("to"))))
+    rdf = F.broadcast(spark.createDataFrame(
+        rows, "range_id int, key string, from_v long, to_v long"))
+    v = _ipv4_long(F.col(field))
+    cond = (v.isNotNull()
+            & (F.col("from_v").isNull() | (v >= F.col("from_v")))
+            & (F.col("to_v").isNull() | (v < F.col("to_v"))))
+    joined = df.join(rdf, cond)
+    return (joined.groupBy("range_id", "key")
+            .agg(F.count("*").alias("doc_count"),
+                 *metric_agg_cols(sub_specs))
+            .orderBy("range_id"))
+
+
 def top_hits_agg(
     df: DataFrame,
     group_cols: list[str],

@@ -617,6 +617,13 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
             results[name] = range_agg(df, kbody["field"], kbody["ranges"],
                                       sub_specs=metrics)
             continue
+        if kind == "ip_range":
+            from .aggs import ip_range_agg
+
+            results[name] = ip_range_agg(df, kbody["field"],
+                                         kbody["ranges"],
+                                         sub_specs=metrics)
+            continue
         if kind == "date_range":
             import time as _time
 

@@ -61,6 +61,15 @@ def conversation_filter(df: DataFrame, query: dict[str, Any],
     return df.join(keys, join_field, "left_semi")
 
 
+def parent_id(children: DataFrame, pid,
+              join_field: str = "conv_id") -> DataFrame:
+    """``parent_id`` query (ParentIdQueryBuilder): children of ONE
+    named parent — a plain codegen equality filter on the join field,
+    no join at all (the reference resolves it the same way, without
+    the global-ordinals join has_parent needs)."""
+    return children.filter(F.col(join_field) == F.lit(pid))
+
+
 def children_agg(parents: DataFrame, children: DataFrame,
                  terms_field: str | None = None,
                  sub_specs: dict[str, dict] | None = None,

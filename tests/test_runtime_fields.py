@@ -142,3 +142,34 @@ def test_significance_heuristics(spark):
     with pytest.raises(ValueError, match="at most one"):
         run_aggs(df, {**body_base, "aggs": {"s": {"significant_terms": {
             "field": "term", "jlh": {}, "gnd": {}}}}})
+
+
+def test_ip_range_agg(spark):
+    rows = [(0, "10.0.0.1"), (1, "10.0.0.120"), (2, "10.0.0.200"),
+            (3, "192.168.1.1"), (4, "not-an-ip"), (5, None),
+            (6, "10.0.0.5")]
+    df = spark.createDataFrame(rows, "id long, ip string")
+    body = {"aggs": {"r": {"ip_range": {"field": "ip", "ranges": [
+        {"to": "10.0.0.100"},
+        {"from": "10.0.0.100", "to": "11.0.0.0"},
+        {"mask": "10.0.0.0/25"},
+    ]}}}}
+    out = {r["range_id"]: r["doc_count"]
+           for r in run_aggs(df, body)["r"].collect()}
+    assert out[0] == 2          # .1 and .5
+    assert out[1] == 2          # .120 and .200
+    assert out[2] == 3          # /25 covers .1 .5 .120 (<128): 3
+    # invalid / null / out-of-range never bucket; IPv6 rejects
+    import pytest as _pt
+    with _pt.raises(ValueError, match="IPv4"):
+        run_aggs(df, {"aggs": {"r": {"ip_range": {
+            "field": "ip", "ranges": [{"from": "::1"}]}}}})
+
+
+def test_parent_id_query(spark):
+    from anomaly_detection_spark.query.relations import parent_id
+
+    children = spark.createDataFrame(
+        [("c1", 0), ("c1", 1), ("c2", 0)], ["conv_id", "turn_idx"])
+    got = parent_id(children, "c1").collect()
+    assert len(got) == 2 and all(r["conv_id"] == "c1" for r in got)
