@@ -340,6 +340,35 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
               if isinstance(spec, dict) else "or")
         if op not in ("or", "and"):
             raise ValueError(f"match operator must be or/and: {op!r}")
+        fz = spec.get("fuzziness") if isinstance(spec, dict) else None
+        if fz is not None:
+            # match fuzziness (MatchQuery#setFuzziness): every analyzed
+            # query token becomes a fuzzy term matcher (OSA distance,
+            # like the fuzzy query kind).  Filter context only — the
+            # scored form needs Lucene's blended-statistics FuzzyQuery
+            # rewrite, which is out of the supported subset and raises
+            # rather than mis-scoring.
+            if scoring:
+                raise ValueError(
+                    "match fuzziness is supported in filter context "
+                    "only (blended fuzzy BM25 is out of subset) — "
+                    "wrap in bool.filter, or use the fuzzy query kind")
+            from ..functions.fuzzy import parse_fuzziness
+            from ..functions.spans import span_tree_match_expr
+
+            toks = tokenize_query(text)
+            if not toks:
+                return QueryPlan(F.lit(False))
+            preds = [{"k": "pred", "kind": "fuzzy", "val": t,
+                      "max_edits": parse_fuzziness(fz, t)}
+                     for t in toks]
+            doc_toks = tokenize_column(fld)
+            conds = [F.coalesce(span_tree_match_expr(doc_toks, p),
+                                F.lit(False)) for p in preds]
+            out = conds[0]
+            for c in conds[1:]:
+                out = (out & c) if op == "and" else (out | c)
+            return QueryPlan(out)
         if scoring:
             return QueryPlan(None, matches=[(fld, text, op)])
         toks = tokenize_query(text)

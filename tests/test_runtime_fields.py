@@ -173,3 +173,36 @@ def test_parent_id_query(spark):
         [("c1", 0), ("c1", 1), ("c2", 0)], ["conv_id", "turn_idx"])
     got = parent_id(children, "c1").collect()
     assert len(got) == 2 and all(r["conv_id"] == "c1" for r in got)
+
+
+def test_match_fuzziness_filter_context(spark):
+    from anomaly_detection_spark.query.planner import compile_filter, search
+
+    df = spark.createDataFrame(
+        [(0, "the quick borwn fox"),     # transposition of brown
+         (1, "a quikc evening"),         # transposition of quick
+         (2, "nothing relevant")],
+        "docid long, text string")
+    q = {"match": {"text": {"query": "brown quick",
+                            "fuzziness": 1, "operator": "or"}}}
+    got = sorted(r["docid"] for r in
+                 df.filter(compile_filter(df, q)).collect())
+    assert got == [0, 1]
+    # operator and: doc must carry BOTH fuzzy tokens
+    q_and = {"match": {"text": {"query": "brown quick",
+                                "fuzziness": 1, "operator": "and"}}}
+    got = sorted(r["docid"] for r in
+                 df.filter(compile_filter(df, q_and)).collect())
+    assert got == [0]
+    # AUTO: short tokens get 0 edits
+    q_auto = {"match": {"text": {"query": "fox", "fuzziness": "AUTO"}}}
+    got = sorted(r["docid"] for r in
+                 df.filter(compile_filter(df, q_auto)).collect())
+    assert got == [0]
+    # scored context raises by name
+    import pytest as _pt
+    from anomaly_detection_spark.query import analyze_docs
+    with _pt.raises(ValueError, match="filter context"):
+        search(analyze_docs(df),
+               {"query": {"match": {"text": {"query": "brown",
+                                             "fuzziness": 1}}}})
