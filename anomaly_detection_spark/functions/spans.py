@@ -328,6 +328,8 @@ def tree_terms(node: dict) -> set[str]:
         return tree_terms(node["inner"])
     if k == "not":
         return tree_terms(node["inc"]) | tree_terms(node["exc"])
+    if k == "ifilter":
+        return tree_terms(node["src"]) | tree_terms(node["flt"])
     return tree_terms(node["little"]) | tree_terms(node["big"])
 
 
@@ -345,6 +347,8 @@ def tree_preds(node: dict) -> list[dict]:
         return tree_preds(node["inner"])
     if k == "not":
         return tree_preds(node["inc"]) + tree_preds(node["exc"])
+    if k == "ifilter":
+        return tree_preds(node["src"]) + tree_preds(node["flt"])
     return tree_preds(node["little"]) + tree_preds(node["big"])
 
 
@@ -362,6 +366,9 @@ def _set_leaf_fields(node: dict, field: str) -> dict:
     if k == "not":
         return {**node, "inc": _set_leaf_fields(node["inc"], field),
                 "exc": _set_leaf_fields(node["exc"], field)}
+    if k == "ifilter":
+        return {**node, "src": _set_leaf_fields(node["src"], field),
+                "flt": _set_leaf_fields(node["flt"], field)}
     return {**node,
             "little": _set_leaf_fields(node["little"], field),
             "big": _set_leaf_fields(node["big"], field)}
@@ -380,6 +387,9 @@ def tree_leaf_fields(node: dict) -> set:
     if k == "not":
         return tree_leaf_fields(node["inc"]) | tree_leaf_fields(
             node["exc"])
+    if k == "ifilter":
+        return tree_leaf_fields(node["src"]) | tree_leaf_fields(
+            node["flt"])
     return tree_leaf_fields(node["little"]) | tree_leaf_fields(
         node["big"])
 
@@ -405,6 +415,9 @@ def _qualify_tree(node: dict, default_field: str) -> dict:
     if k == "not":
         return {**node, "inc": _qualify_tree(node["inc"], default_field),
                 "exc": _qualify_tree(node["exc"], default_field)}
+    if k == "ifilter":
+        return {**node, "src": _qualify_tree(node["src"], default_field),
+                "flt": _qualify_tree(node["flt"], default_field)}
     return {**node,
             "little": _qualify_tree(node["little"], default_field),
             "big": _qualify_tree(node["big"], default_field)}
@@ -524,6 +537,9 @@ def rewrite_preds(node: dict, expansions) -> dict:
     if k == "not":
         return {**node, "inc": rewrite_preds(node["inc"], expansions),
                 "exc": rewrite_preds(node["exc"], expansions)}
+    if k == "ifilter":
+        return {**node, "src": rewrite_preds(node["src"], expansions),
+                "flt": rewrite_preds(node["flt"], expansions)}
     return {**node,
             "little": rewrite_preds(node["little"], expansions),
             "big": rewrite_preds(node["big"], expansions)}
@@ -631,6 +647,33 @@ def enum_spans(positions: dict[str, np.ndarray], node: dict) -> np.ndarray:
             # overlap iff exc_s < hi_ and exc_e > lo_
             if not np.any((exc[:, 0] < hi_) & (exc[:, 1] > lo_)):
                 keep.append((s, e))
+        return np.asarray(keep, dtype=np.int64).reshape(-1, 2)
+    if k == "ifilter":
+        # intervals `filter` rules (IntervalsSourceProvider.Filter):
+        # keep source spans by a positional relation to the filter's
+        # spans — containment either way or overlap, plus negations
+        src = enum_spans(positions, node["src"])
+        flt = enum_spans(positions, node["flt"])
+        rule = node["rule"]
+        neg = rule.startswith("not_")
+        base = rule[4:] if neg else rule
+        if len(src) == 0:
+            return _EMPTY_SPANS
+        keep = []
+        for s, e in src:
+            if len(flt) == 0:
+                hit = False
+            elif base == "containing":
+                hit = bool(np.any((flt[:, 0] >= s) & (flt[:, 1] <= e)))
+            elif base == "contained_by":
+                hit = bool(np.any((flt[:, 0] <= s) & (flt[:, 1] >= e)))
+            elif base == "overlapping":
+                hit = bool(np.any((flt[:, 0] < e) & (flt[:, 1] > s)))
+            else:
+                raise ValueError(f"unknown intervals filter rule "
+                                 f"{rule!r}")
+            if hit != neg:
+                keep.append((int(s), int(e)))
         return np.asarray(keep, dtype=np.int64).reshape(-1, 2)
     if k in ("containing", "within"):
         little = enum_spans(positions, node["little"])

@@ -691,7 +691,95 @@ def _intervals_filter(df: DataFrame, body: dict[str, Any]) -> Column:
                 F.lit(False))
         raise ValueError(f"unsupported intervals source {skind!r}")
 
+    def _needs_tree(source: dict) -> bool:
+        (skind, sbody), = source.items()
+        if skind in ("prefix", "wildcard", "fuzzy"):
+            return True
+        if not isinstance(sbody, dict):
+            return False
+        if sbody.get("filter"):
+            return True
+        subs = sbody.get("intervals") or []
+        return any(_needs_tree(s) for s in subs)
+
+    if _needs_tree(src):
+        # sources beyond the boolean fast path — prefix/wildcard/fuzzy
+        # term matchers and `filter` rules — need span ENUMERATION:
+        # compile to the span tree kernel (intervals are the
+        # minimal-window enumeration the near kernel already emits)
+        from ..functions.spans import span_tree_match_expr
+
+        node = _interval_tree(src)
+        return F.coalesce(span_tree_match_expr(doc_toks, node),
+                          F.lit(False))
     return compile_src(src)
+
+
+def _interval_tree(source: dict[str, Any]) -> dict:
+    """Intervals source → span-tree node (enumeration semantics:
+    match = per-start minimal windows, any_of = union, all_of =
+    near over unit sub-sources; prefix/wildcard/fuzzy = dictionary
+    predicates).  A ``filter`` wraps the node in the positional-
+    relation rule (containing / contained_by / overlapping and the
+    not_ forms) evaluated by the enum kernel."""
+    from ..functions.fuzzy import parse_fuzziness
+    from ..functions.tokenizer import tokenize_query
+
+    (skind, sbody), = source.items()
+    filt = sbody.get("filter") if isinstance(sbody, dict) else None
+
+    if skind == "match":
+        toks = tokenize_query(str(sbody["query"]))
+        if not toks:
+            node = {"k": "or", "cl": []}
+        elif len(toks) == 1:
+            node = {"k": "term", "t": toks[0]}
+        else:
+            max_gaps = int(sbody.get("max_gaps", -1))
+            node = {"k": "near",
+                    "cl": [{"k": "term", "t": t} for t in toks],
+                    "slop": max_gaps if max_gaps >= 0 else (1 << 30),
+                    "ord": bool(sbody.get("ordered", False))}
+    elif skind == "prefix":
+        node = {"k": "pred", "kind": "prefix",
+                "val": str(sbody["prefix"])}
+    elif skind == "wildcard":
+        node = {"k": "pred", "kind": "wildcard",
+                "val": str(sbody["pattern"])}
+    elif skind == "fuzzy":
+        term = str(sbody["term"])
+        node = {"k": "pred", "kind": "fuzzy", "val": term,
+                "max_edits": parse_fuzziness(
+                    sbody.get("fuzziness", "AUTO"), term)}
+    elif skind == "any_of":
+        node = {"k": "or", "cl": [_interval_tree(s)
+                                  for s in sbody["intervals"]]}
+    elif skind == "all_of":
+        cl = [_interval_tree(s) for s in sbody["intervals"]]
+        from ..functions.spans import _unit_len
+
+        if not all(_unit_len(c) for c in cl):
+            raise ValueError(
+                "intervals all_of supports unit-length sub-sources "
+                "(match of one term / prefix / wildcard / fuzzy / "
+                "any_of of those)")
+        max_gaps = int(sbody.get("max_gaps", -1))
+        node = {"k": "near", "cl": cl,
+                "slop": max_gaps if max_gaps >= 0 else (1 << 30),
+                "ord": bool(sbody.get("ordered", False))}
+    else:
+        raise ValueError(f"unsupported intervals source {skind!r}")
+
+    if filt:
+        (rule, fsrc), = filt.items()
+        if rule not in ("containing", "not_containing", "contained_by",
+                        "not_contained_by", "overlapping",
+                        "not_overlapping"):
+            raise ValueError(
+                f"unsupported intervals filter rule {rule!r}")
+        node = {"k": "ifilter", "rule": rule, "src": node,
+                "flt": _interval_tree(fsrc)}
+    return node
 
 
 def _norm_sort(s) -> tuple[str, str, object]:
