@@ -86,3 +86,58 @@ def test_intervals_any_of_with_pred_and_filter(docs):
         _ids(docs, {"intervals": {"text": {"match": {
             "query": "food",
             "filter": {"before": {"match": {"query": "cold"}}}}}}})
+
+
+def test_ifilter_enum_fuzz():
+    """Fuzz the ifilter kernel vs a direct set-algebra oracle over
+    random position maps (no Spark)."""
+    import random
+
+    import numpy as np
+
+    from anomaly_detection_spark.functions.spans import enum_spans
+
+    rng = random.Random(20260817)
+    vocab = list("abcde")
+    for _ in range(300):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+        positions = {}
+        for i, t in enumerate(toks):
+            positions.setdefault(t, []).append(i)
+        positions = {t: np.asarray(v, dtype=np.int64)
+                     for t, v in positions.items()}
+
+        def mknode():
+            if rng.random() < 0.5:
+                return {"k": "term", "t": rng.choice(vocab)}
+            return {"k": "near",
+                    "cl": [{"k": "term", "t": rng.choice(vocab)}
+                           for _ in range(2)],
+                    "slop": rng.randint(0, 3),
+                    "ord": rng.random() < 0.5}
+
+        src, flt = mknode(), mknode()
+        for rule in ("containing", "not_containing", "contained_by",
+                     "not_contained_by", "overlapping",
+                     "not_overlapping"):
+            node = {"k": "ifilter", "rule": rule, "src": src,
+                    "flt": flt}
+            got = {(int(s), int(e))
+                   for s, e in enum_spans(positions, node)}
+            ss = [(int(a), int(b))
+                  for a, b in enum_spans(positions, src)]
+            ff = [(int(a), int(b))
+                  for a, b in enum_spans(positions, flt)]
+            base = rule.removeprefix("not_")
+            neg = rule.startswith("not_")
+
+            def rel(s, f):
+                if base == "containing":
+                    return f[0] >= s[0] and f[1] <= s[1]
+                if base == "contained_by":
+                    return f[0] <= s[0] and f[1] >= s[1]
+                return f[0] < s[1] and f[1] > s[0]
+
+            want = {s for s in ss
+                    if any(rel(s, f) for f in ff) != neg}
+            assert got == want, (rule, toks, src, flt)
