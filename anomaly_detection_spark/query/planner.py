@@ -914,6 +914,14 @@ def search(
     from .index_search import IndexReader, bm25_topk_indexed, fetch_docs
 
     query = body.get("query", {"match_all": {}})
+    if body.get("aggs"):
+        # search() returns HITS; silently dropping an aggs section
+        # would be a wrong answer — the aggregation entry point is
+        # run_aggs (same body shape, query respected)
+        raise ValueError(
+            "search bodies with an aggs section run through "
+            "aggs_body.run_aggs(df, body) — search() returns hits "
+            "only (call both for hits + aggs)")
     page_from = int(body.get("from", 0))
     if page_from < 0:
         raise ValueError(f"from must be >= 0: {page_from}")

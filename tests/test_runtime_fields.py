@@ -206,3 +206,13 @@ def test_match_fuzziness_filter_context(spark):
         search(analyze_docs(df),
                {"query": {"match": {"text": {"query": "brown",
                                              "fuzziness": 1}}}})
+
+
+def test_search_rejects_aggs_section(spark):
+    from anomaly_detection_spark.query.planner import search
+
+    df = spark.createDataFrame([(0, "x")], "docid long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="run_aggs"):
+        search(df, {"query": {"match_all": {}},
+                    "aggs": {"t": {"terms": {"field": "text"}}}})
