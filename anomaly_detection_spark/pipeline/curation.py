@@ -350,6 +350,69 @@ def sample_to_token_budget(
                          id_col=id_col, seed=seed)
 
 
+def mix_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    strata_col: str,
+    strata_weights: dict[str, float] | None = None,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_repeat: int = 100,
+) -> DataFrame:
+    """Domain mixing WITH upsampling — the epoch-style mixture a
+    training run actually consumes (cf. the published Pile / Llama
+    data recipes, where scarce high-weight domains repeat for multiple
+    epochs while bulk web text is subsampled).
+
+    Per-stratum mix rate = target token mass / available mass, where
+    target = ``budget × weight_s / Σ weights`` (proportional to
+    current mass when ``strata_weights`` is None — a uniform global
+    rate).  Unlike :func:`sample_to_token_budget` the rate may EXCEED
+    1: each row is emitted ``⌊rate⌋`` times plus one more iff its
+    hash-uniform ``u(id) < frac(rate)``, so realized expected mass per
+    stratum equals the target exactly, the row set is deterministic
+    (reruns, repartitioning, any cluster size), and a 0-based
+    ``epoch`` column distinguishes the copies.
+
+    Shape: one map-side-combinable agg for the masses (driver gets one
+    row per stratum), then a narrow ``explode(sequence(...))`` — no
+    shuffle on the data path.  ``max_repeat`` guards against a
+    runaway rate from a near-empty stratum with a large weight
+    (raises rather than silently exploding the corpus)."""
+    mass = {r[strata_col]: r["t"] for r in
+            df.groupBy(strata_col)
+            .agg(F.sum(token_col).alias("t")).collect()}
+    if strata_weights:
+        wsum = float(sum(strata_weights.values()))
+        want = {s: budget * (w / wsum)
+                for s, w in strata_weights.items()}
+    else:
+        tot = float(sum(mass.values())) or 1.0
+        want = {s: budget * (m / tot) for s, m in mass.items()}
+    rates = {s: want.get(s, 0.0) / m for s, m in mass.items() if m}
+    over = {s: r for s, r in rates.items() if r > max_repeat}
+    if over:
+        raise ValueError(
+            f"mix_to_token_budget: mix rate exceeds max_repeat="
+            f"{max_repeat} for strata {sorted(over)} — a near-empty "
+            f"stratum with a large weight; raise max_repeat only if "
+            f"{max(over.values()):.0f}× repetition is intended")
+    rate = F.lit(0.0)
+    for val, r in rates.items():
+        rate = F.when(F.col(strata_col) == F.lit(val),
+                      F.lit(float(r))).otherwise(rate)
+    u = _hash_uniform(id_col, seed)
+    n = (F.floor(rate)
+         + F.when(u < rate - F.floor(rate), F.lit(1)).otherwise(F.lit(0))
+         ).cast("int")
+    return (df.withColumn("_n_copies", n)
+            .filter(F.col("_n_copies") > 0)
+            .withColumn("epoch", F.explode(
+                F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+            .drop("_n_copies"))
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -683,3 +683,107 @@ def dedup_corpus(
                           .select(id_col), id_col, "left_anti")
                   .withColumn("cluster_size", F.lit(1)))
     return survivors.unionByName(singletons)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    keep: str = "centroid_far",
+    train_size: int = 10_000,
+    seed: int = 13,
+    bucket_cap: int = 5_000,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §3): semantic
+    dedup over an embedding column — k-means the embedding space into
+    ``n_lists`` clusters, find within-cluster cosine-duplicate groups
+    at ``threshold``, keep ONE document per group.  Returns the
+    deduplicated frame (original columns) plus ``cluster_size``.
+
+    ``keep``: ``"centroid_far"`` is the paper's policy — within each
+    duplicate group keep the member with the LOWEST cosine similarity
+    to its k-means centroid (the most atypical variant; the paper
+    found this beats random/most-typical on downstream quality), ties
+    by smaller id.  ``"min_id"`` keeps the canonical min-id member
+    (cheaper: the component label IS the survivor).
+
+    Scale shape: clustering bounds candidate generation — pairs are
+    only formed WITHIN a k-means cell, via :func:`_self_pairs_capped`
+    so a hot cell is split into bounded triangular chunk tasks; the
+    centroid fit is O(``train_size``) on the driver (the FAISS
+    posture, reused from :func:`~..pipeline.similarity.ivf_centroids`)
+    and assignment is one Arrow matmul per batch.  Near-duplicate
+    pairs whose members land in DIFFERENT cells are missed — the
+    paper's accepted recall trade; at ``threshold`` ≥ 0.9 members are
+    nearly always nearest the same centroid.  Zero-norm / null
+    embeddings are passed through as singletons (nothing to compare).
+
+    Pass ``centroids`` (from a prior fit) to pin the partition of the
+    space across corpus increments.
+    """
+    from .similarity import ivf_assign, ivf_centroids, _dot
+
+    if keep not in ("centroid_far", "min_id"):
+        raise ValueError(f"unsupported keep policy {keep!r}")
+    if centroids is None:
+        centroids = ivf_centroids(df, n_lists=n_lists, vec_col=vec_col,
+                                  id_col=id_col, train_size=train_size,
+                                  seed=seed)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    base = df.withColumn("_n", _norm_col(vec_col))
+    vecs = base.filter(F.col("_n") > 0)
+    degenerate = base.filter(~(F.col("_n") > 0)).drop("_n")
+
+    assigned = ivf_assign(vecs, C, vec_col)
+    pairs_ids = _self_pairs_capped(
+        assigned.select(F.col(id_col).alias("_id"), "_list"),
+        ["_list"], "_id", bucket_cap)
+    lhs = vecs.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("_va"), F.col("_n").alias("_na"))
+    rhs = vecs.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"))
+    verified = (pairs_ids
+                .join(lhs, pairs_ids["id_a"] == lhs["id_a"]).drop(lhs["id_a"])
+                .join(rhs, pairs_ids["id_b"] == rhs["id_b"]).drop(rhs["id_b"])
+                .withColumn("_cos", _dot(F.col("_va"), F.col("_vb"))
+                            / (F.col("_na") * F.col("_nb")))
+                .filter(F.col("_cos") >= threshold)
+                .select("id_a", "id_b"))
+    clusters = duplicate_clusters(verified)
+    members = assigned.join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "inner")
+
+    out_cols = [*df.columns, "cluster_size"]
+    if keep == "min_id":
+        survivors = members.filter(F.col(id_col) == F.col("cluster_id"))
+    else:
+        @F.pandas_udf(T.DoubleType())
+        def _cent_sim(vs: pd.Series, lists: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="float64")
+            M = np.array(vs.tolist(), dtype=np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cc = C[lists.to_numpy()]
+            return pd.Series(np.einsum("ij,ij->i", M, cc))
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.round(F.col("_csim"), 9).asc(), F.col(id_col).asc())
+        survivors = (members
+                     .withColumn("_csim", _cent_sim(F.col(vec_col),
+                                                    F.col("_list")))
+                     .withColumn("_rk", F.row_number().over(w))
+                     .filter(F.col("_rk") == 1))
+    survivors = survivors.select(*df.columns, "cluster_size")
+    singletons = (vecs.drop("_n")
+                  .join(clusters.withColumnRenamed("doc_id", id_col)
+                        .select(id_col), id_col, "left_anti")
+                  .unionByName(degenerate)
+                  .withColumn("cluster_size", F.lit(1))
+                  .select(*out_cols))
+    return survivors.unionByName(singletons)

@@ -4,7 +4,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from anomaly_detection_spark.pipeline.curation import (
-    paragraph_dedup, sample_corpus, sample_to_token_budget)
+    mix_to_token_budget, paragraph_dedup, sample_corpus,
+    sample_to_token_budget)
 
 
 @pytest.fixture(scope="module")
@@ -66,6 +67,47 @@ def test_sample_to_token_budget(corpus):
     assert mass.get("books", 0) == 0
     assert mass["web"] / max(mass["code"], 1) == pytest.approx(
         3.0, rel=0.35)
+
+
+def test_mix_to_token_budget_upsamples_scarce_strata(corpus):
+    total = corpus.agg(F.sum("n_tokens")).collect()[0][0]
+    # equal target mass per domain at 2x total budget: web/code/books
+    # each hold ~total/3 tokens, so each needs rate ~2 -> upsampling
+    out = mix_to_token_budget(
+        corpus, budget=total * 2, strata_col="source",
+        strata_weights={"web": 1.0, "code": 1.0, "books": 1.0})
+    mass = {r["source"]: r["t"] for r in out.groupBy("source")
+            .agg(F.sum("n_tokens").alias("t")).collect()}
+    for s in ("web", "code", "books"):
+        assert mass[s] == pytest.approx(total * 2 / 3, rel=0.1), s
+    # epoch column: integral copies share a doc_id with distinct epochs
+    dup = (out.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("epoch").alias("ne")).collect())
+    assert all(r["n"] == r["ne"] for r in dup)
+    assert any(r["n"] >= 2 for r in dup)
+
+
+def test_mix_to_token_budget_deterministic_and_downsamples(corpus):
+    total = corpus.agg(F.sum("n_tokens")).collect()[0][0]
+    a = mix_to_token_budget(corpus, budget=total // 3,
+                            strata_col="source")
+    b = mix_to_token_budget(corpus.repartition(11), budget=total // 3,
+                            strata_col="source")
+    key = lambda df: sorted((r["doc_id"], r["epoch"])  # noqa: E731
+                            for r in df.collect())
+    assert key(a) == key(b)
+    got = a.agg(F.sum("n_tokens")).collect()[0][0]
+    assert got == pytest.approx(total // 3, rel=0.1)
+    assert a.agg(F.max("epoch")).collect()[0][0] == 0  # rates < 1
+
+
+def test_mix_to_token_budget_max_repeat_guard(corpus):
+    total = corpus.agg(F.sum("n_tokens")).collect()[0][0]
+    with pytest.raises(ValueError, match="max_repeat"):
+        mix_to_token_budget(
+            corpus, budget=total * 500, strata_col="source",
+            strata_weights={"web": 1.0, "code": 1.0, "books": 1.0})
 
 
 def test_paragraph_dedup(spark):
