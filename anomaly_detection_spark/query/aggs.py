@@ -1216,6 +1216,29 @@ def stats_bucket(df: DataFrame, metric_col: str) -> DataFrame:
                   F.sum(metric_col).alias(f"{metric_col}_sum"))
 
 
+def extended_stats_bucket(df: DataFrame, metric_col: str,
+                          sigma: float = 2.0) -> DataFrame:
+    """``extended_stats_bucket``: :func:`stats_bucket` plus
+    sum_of_squares / population variance / std_deviation and the
+    ``avg ± sigma·std`` bounds (ExtendedStatsBucketPipelineAggregation-
+    Builder; OpenSearch extended stats are population moments)."""
+    c = F.col(metric_col).cast("double")
+    out = df.agg(
+        F.count(metric_col).alias(f"{metric_col}_count"),
+        F.min(metric_col).alias(f"{metric_col}_min"),
+        F.max(metric_col).alias(f"{metric_col}_max"),
+        F.avg(c).alias(f"{metric_col}_avg"),
+        F.sum(c).alias(f"{metric_col}_sum"),
+        F.sum(c * c).alias(f"{metric_col}_sum_of_squares"),
+        F.var_pop(c).alias(f"{metric_col}_variance"),
+        F.stddev_pop(c).alias(f"{metric_col}_std_deviation"))
+    avg, sd = F.col(f"{metric_col}_avg"), F.col(f"{metric_col}_std_deviation")
+    return (out.withColumn(f"{metric_col}_std_upper",
+                           avg + F.lit(float(sigma)) * sd)
+            .withColumn(f"{metric_col}_std_lower",
+                        avg - F.lit(float(sigma)) * sd))
+
+
 def percentiles_bucket(df: DataFrame, metric_col: str,
                        percents: list[float] | None = None) -> DataFrame:
     """``percentiles_bucket``: percentiles of a metric across sibling

@@ -60,7 +60,9 @@ _PIPELINE_KINDS = {"serial_diff", "min_bucket", "max_bucket", "sum_bucket",
                    "avg_bucket", "bucket_sort", "derivative",
                    "cumulative_sum", "moving_avg", "bucket_script",
                    "bucket_selector", "moving_fn", "normalize",
-                   "moving_percentiles", "cumulative_cardinality"}
+                   "moving_percentiles", "cumulative_cardinality",
+                   "stats_bucket", "extended_stats_bucket",
+                   "percentiles_bucket"}
 _BUCKET_KINDS = {"terms", "date_histogram"}
 
 _DUR_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
@@ -181,9 +183,22 @@ def _split(spec: dict[str, Any]) -> tuple[str, dict, dict, dict, dict, dict]:
     return kind, spec[kind], metrics, pipes, buckets, hits
 
 
+_SIBLING_PIPES = {"min_bucket", "max_bucket", "sum_bucket", "avg_bucket",
+                  "stats_bucket", "extended_stats_bucket",
+                  "percentiles_bucket"}
+
+
 def _apply_pipes(out: DataFrame, pipes: dict[str, dict],
                  order_col: str) -> DataFrame:
+    # sibling reductions (one row over ALL buckets) run LAST, each over
+    # the fully-piped bucket frame — matching OpenSearch, where sibling
+    # pipes are peers of the bucket agg, not stages of it.  Multiple
+    # siblings combine via crossJoin of their single rows.
+    sib = {n: s for n, s in pipes.items()
+           if next(iter(s)) in _SIBLING_PIPES}
     for name, spec in pipes.items():
+        if name in sib:
+            continue
         (pk, pb), = spec.items()
         if pk == "serial_diff":
             out = serial_diff(out, pb["buckets_path"], order_col,
@@ -231,18 +246,39 @@ def _apply_pipes(out: DataFrame, pipes: dict[str, dict],
                 out, pb["buckets_path"], order_col,
                 window=pb["window"], percents=pb.get("percents"),
                 shift=pb.get("shift", 0), alias=name)
-        elif pk == "min_bucket":
-            out = min_bucket(out, pb["buckets_path"])
-        elif pk in ("max_bucket", "sum_bucket", "avg_bucket"):
-            from .aggs import sibling_bucket
-
-            out = sibling_bucket(out, pb["buckets_path"],
-                                 pk.split("_", 1)[0])
         elif pk == "bucket_sort":
             sort = [(list(s)[0], s[list(s)[0]].get("order", "asc"))
                     for s in pb.get("sort", [])]
             out = bucket_sort(out, sort or [(order_col, "asc")],
                               from_=pb.get("from", 0), size=pb.get("size"))
+    if sib:
+        from .aggs import (extended_stats_bucket, percentiles_bucket,
+                           sibling_bucket, stats_bucket)
+
+        reduced = []
+        for name, spec in sib.items():
+            (pk, pb), = spec.items()
+            if pk in ("min_bucket", "max_bucket", "sum_bucket",
+                      "avg_bucket"):
+                r = sibling_bucket(out, pb["buckets_path"],
+                                   pk.split("_", 1)[0])
+            elif pk == "stats_bucket":
+                r = stats_bucket(out, pb["buckets_path"])
+            elif pk == "extended_stats_bucket":
+                r = extended_stats_bucket(out, pb["buckets_path"],
+                                          sigma=pb.get("sigma", 2.0))
+            else:
+                r = percentiles_bucket(out, pb["buckets_path"],
+                                       percents=pb.get("percents"))
+            reduced.append(r)
+        out = reduced[0]
+        for r in reduced[1:]:
+            dup = sorted(set(out.columns) & set(r.columns))
+            if dup:
+                raise ValueError(
+                    f"sibling pipeline aggs produce colliding columns "
+                    f"{dup} — split them into separate bodies")
+            out = out.crossJoin(r)
     return out
 
 

@@ -353,6 +353,19 @@ def main() -> None:
           lambda: duplicate_ngram_spans(documents, n=8, min_count=2,
                                         text_col="text",
                                         id_col="doc_id").count())
+    from anomaly_detection_spark.pipeline.curation import \
+        mix_to_token_budget
+    from anomaly_detection_spark.pipeline.dedup import semantic_dedup
+    semb = embeddings.withColumnRenamed("vec_id", "doc_id")
+    timed("semantic_dedup_embeddings",
+          lambda: semantic_dedup(semb, threshold=0.95, n_lists=32,
+                                 train_size=5_000).count())
+    doc_mass = dtok.agg(F.sum("n_tokens")).collect()[0][0] or 1
+    timed("mix_token_budget_documents",
+          lambda: mix_to_token_budget(
+              dtok, budget=int(doc_mass * 1.5), strata_col="source",
+              token_col="n_tokens", id_col="doc_id")
+          .agg(F.sum("n_tokens")).collect())
 
     print(json.dumps({
         "metric": "index-build throughput (turns/sec)",

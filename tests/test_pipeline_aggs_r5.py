@@ -158,6 +158,44 @@ def test_cumulative_cardinality_vs_duckdb(events, con):
                          "buckets_path": "v"}}}}}})
 
 
+def test_sibling_stats_buckets_vs_duckdb(events, con):
+    """stats_bucket / extended_stats_bucket / percentiles_bucket
+    through the body compiler — population moments + sigma bounds
+    hand-computed from the same DuckDB daily series."""
+    body = _daily_body({
+        "es": {"extended_stats_bucket": {"buckets_path": "v",
+                                         "sigma": 1.5}},
+        "pb": {"percentiles_bucket": {"buckets_path": "v",
+                                      "percents": [25.0, 75.0]}},
+    })
+    got = run_aggs(events, body)["per_day"].toPandas()
+    v = con.execute(DAILY).df().v.to_numpy()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r.v_count == len(v)
+    assert r.v_avg == pytest.approx(v.mean())
+    assert r.v_sum == pytest.approx(v.sum())
+    assert r.v_sum_of_squares == pytest.approx((v * v).sum())
+    assert r.v_variance == pytest.approx(v.var())       # population
+    sd = np.sqrt(v.var())
+    assert r.v_std_deviation == pytest.approx(sd)
+    assert r.v_std_upper == pytest.approx(v.mean() + 1.5 * sd)
+    assert r.v_std_lower == pytest.approx(v.mean() - 1.5 * sd)
+    assert r.v_percentiles == pytest.approx(
+        [np.percentile(v, 25), np.percentile(v, 75)])
+    # stats_bucket alone shares the plain moments
+    sb = run_aggs(events, _daily_body(
+        {"sb": {"stats_bucket": {"buckets_path": "v"}}}))["per_day"] \
+        .toPandas().iloc[0]
+    assert sb.v_count == len(v) and sb.v_sum == pytest.approx(v.sum())
+    # colliding sibling outputs reject by name
+    with pytest.raises(ValueError, match="colliding"):
+        run_aggs(events, _daily_body({
+            "a": {"stats_bucket": {"buckets_path": "v"}},
+            "b": {"extended_stats_bucket": {"buckets_path": "v"}},
+        }))["per_day"].columns
+
+
 def test_cumulative_cardinality_gap_buckets_carry_total(spark):
     import pandas as pd
 
