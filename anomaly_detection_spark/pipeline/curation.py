@@ -26,9 +26,11 @@ from __future__ import annotations
 
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["decontaminate", "repetition_metrics", "pii_redact",
            "hash_split", "PII_PATTERNS"]
@@ -411,6 +413,91 @@ def mix_to_token_budget(
             .withColumn("epoch", F.explode(
                 F.sequence(F.lit(0), F.col("_n_copies") - 1)))
             .drop("_n_copies"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    oversize: str = "own",
+    num_shards: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Sequence packing — assign documents to training sequences so
+    each pack's token total ≤ ``max_tokens`` with high fill (the
+    pack-to-max_seq_len step of an LLM data pipeline, cf. the T5/GPT-3
+    packing recipes).
+
+    Distributed posture: docs are sharded by a DETERMINISTIC hash of
+    the id (never ``spark_partition_id`` — that changes with the
+    physical plan), and each shard packs independently with best-fit-
+    decreasing (sort by size desc, place each doc in the fullest bin
+    it fits via one bisect — O(n log n) per shard).  Sharded packing
+    is the standard recipe: global bin packing is NP-hard and buys
+    nothing once shards hold thousands of docs (fill is within a few
+    ‰ of the global optimum when ``max_tokens`` ≫ the median doc).
+    Size ``num_shards`` so a shard's (id, tokens) pairs fit one task
+    comfortably — at corpus scale that's corpus_docs / ~10M.
+
+    ``oversize`` (docs longer than ``max_tokens``): ``"own"`` gives
+    each its own pack (chunk downstream), ``"drop"`` removes them,
+    ``"error"`` raises.  Returns the input plus ``pack_id`` (globally
+    unique long: shard ≪ 40 | local index)."""
+    if oversize not in ("own", "drop", "error"):
+        raise ValueError(f"unsupported oversize policy {oversize!r}")
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("pack_id", T.LongType())])
+    mt, tc, ic, ov = int(max_tokens), token_col, id_col, oversize
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values([tc, ic],
+                              ascending=[False, True]).reset_index(drop=True)
+        shard = int(pdf["_shard"].iloc[0])
+        toks = pdf[tc].to_numpy()
+        if ov == "error" and len(toks) and toks[0] > mt:
+            big = pdf.loc[pdf[tc] > mt, ic].tolist()[:5]
+            raise ValueError(
+                f"pack_sequences: docs exceed max_tokens={mt} "
+                f"(e.g. ids {big}); pass oversize='own' or 'drop'")
+        caps: list[int] = []        # remaining capacities, ascending
+        bins: list[int] = []        # parallel local pack index
+        assign = np.full(len(pdf), -1, dtype=np.int64)
+        nxt = 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if t > mt:
+                if ov == "drop":
+                    continue
+                assign[i] = nxt     # own pack, never reused (cap 0)
+                nxt += 1
+                continue
+            j = bisect.bisect_left(caps, t)   # tightest bin that fits
+            if j == len(caps):
+                assign[i] = nxt
+                rem = mt - t
+                pos = bisect.bisect_left(caps, rem)
+                caps.insert(pos, rem)
+                bins.insert(pos, nxt)
+                nxt += 1
+            else:
+                assign[i] = bins[j]
+                rem = caps[j] - t
+                del caps[j], bins[j]
+                pos = bisect.bisect_left(caps, rem)
+                caps.insert(pos, rem)
+                bins.insert(pos, assign[i])
+        out = pdf[assign >= 0].drop(columns=["_shard"])
+        out["pack_id"] = (np.int64(shard) << np.int64(40)) \
+            | assign[assign >= 0]
+        return out
+
+    sharded = df.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                         F.lit(int(num_shards))))
+    return sharded.groupBy("_shard").applyInPandas(_pack, out_schema)
 
 
 def paragraph_dedup(

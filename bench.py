@@ -360,6 +360,10 @@ def main() -> None:
     timed("semantic_dedup_embeddings",
           lambda: semantic_dedup(semb, threshold=0.95, n_lists=32,
                                  train_size=5_000).count())
+    from anomaly_detection_spark.pipeline.curation import pack_sequences
+    timed("pack_sequences_documents",
+          lambda: pack_sequences(dtok, max_tokens=2048, num_shards=64)
+          .groupBy("pack_id").count().count())
     doc_mass = dtok.agg(F.sum("n_tokens")).collect()[0][0] or 1
     timed("mix_token_budget_documents",
           lambda: mix_to_token_budget(

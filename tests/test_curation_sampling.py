@@ -4,7 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from anomaly_detection_spark.pipeline.curation import (
-    mix_to_token_budget, paragraph_dedup, sample_corpus,
+    mix_to_token_budget, pack_sequences, paragraph_dedup, sample_corpus,
     sample_to_token_budget)
 
 
@@ -108,6 +108,45 @@ def test_mix_to_token_budget_max_repeat_guard(corpus):
         mix_to_token_budget(
             corpus, budget=total * 500, strata_col="source",
             strata_weights={"web": 1.0, "code": 1.0, "books": 1.0})
+
+
+def test_pack_sequences_fill_and_bounds(spark):
+    rows = [(i, 50 + (i * 37) % 450) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, max_tokens=2048, num_shards=8).persist()
+    # every doc exactly once
+    assert out.count() == 4000
+    assert out.select("doc_id").distinct().count() == 4000
+    packs = out.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("t")).toPandas()
+    assert (packs.t <= 2048).all()
+    total = sum(t for _, t in rows)
+    fill = total / (len(packs) * 2048)
+    assert fill > 0.9, fill
+    # determinism under repartition
+    a = sorted((r.doc_id, r.pack_id) for r in out.collect())
+    b = sorted((r.doc_id, r.pack_id) for r in pack_sequences(
+        df.repartition(13), max_tokens=2048, num_shards=8).collect())
+    assert a == b
+    out.unpersist()
+
+
+def test_pack_sequences_oversize_policies(spark):
+    df = spark.createDataFrame(
+        [(0, 100), (1, 5000), (2, 300)], "doc_id long, n_tokens long")
+    own = pack_sequences(df, max_tokens=1024, num_shards=2).toPandas()
+    assert len(own) == 3
+    # the oversize doc sits alone in its pack
+    big_pack = own[own.doc_id == 1].pack_id.iloc[0]
+    assert (own.pack_id == big_pack).sum() == 1
+    drop = pack_sequences(df, max_tokens=1024, oversize="drop",
+                          num_shards=2).toPandas()
+    assert sorted(drop.doc_id) == [0, 2]
+    with pytest.raises(Exception, match="max_tokens"):
+        pack_sequences(df, max_tokens=1024, oversize="error",
+                       num_shards=2).collect()
+    with pytest.raises(ValueError, match="oversize"):
+        pack_sequences(df, max_tokens=1024, oversize="truncate")
 
 
 def test_paragraph_dedup(spark):
