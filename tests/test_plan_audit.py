@@ -168,3 +168,47 @@ def test_cumulative_cardinality_no_cartesian(spark, tiny_transcripts):
     # partial aggregation reaches the value-keyed shuffle (the only
     # corpus-sized exchange)
     assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_mix_to_token_budget_plan_is_one_narrow_filter_explode(spark):
+    from anomaly_detection_spark.pipeline.curation import mix_to_token_budget
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("n_tokens", F.length("text"))
+    out = mix_to_token_budget(df, budget=100_000, strata_col="source")
+    p = _plan(out)
+    # the data path is filter + generate over the scan — no shuffle,
+    # no Python eval; the mass agg ran eagerly before planning
+    assert "Exchange" not in p
+    assert "Generate" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pack_sequences_plan_single_shard_shuffle(spark):
+    from anomaly_detection_spark.pipeline.curation import pack_sequences
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .withColumn("n_tokens", F.length("text"))
+    p = _plan(pack_sequences(df, max_tokens=4096, num_shards=8))
+    # exactly one exchange: hash by the deterministic shard key into
+    # the Arrow packing groups ("formatted" prints each node twice —
+    # tree line + detail block — so count the partitioning argument)
+    assert p.count("hashpartitioning(_shard") == 1
+    assert "FlatMapGroupsInPandas" in p
+
+
+def test_semantic_dedup_pairs_no_cartesian(spark):
+    """The within-cell candidate join must stay an equi-join on the
+    k-means cell (plus chunk ids on the capped path) — never a
+    cartesian/broadcast-nested-loop over the corpus."""
+    import numpy as np
+
+    from anomaly_detection_spark.pipeline.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .withColumnRenamed("vec_id", "doc_id")
+    out = semantic_dedup(emb, threshold=0.95, n_lists=4, train_size=200)
+    p = _plan(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
