@@ -415,6 +415,47 @@ def mix_to_token_budget(
             .drop("_n_copies"))
 
 
+def _pack_shard(toks: np.ndarray, mt: int, ov: str) -> np.ndarray:
+    """Best-fit-decreasing bin packing of one shard's token counts
+    (MUST be sorted descending): local pack index per doc, −1 =
+    dropped oversize.  Pure kernel, property-fuzzed directly in
+    tests (``test_curation_sampling``) without a Spark round-trip."""
+    import bisect
+
+    if ov == "error" and len(toks) and toks[0] > mt:
+        raise ValueError(
+            f"pack_sequences: docs exceed max_tokens={mt}; "
+            f"pass oversize='own' or 'drop'")
+    caps: list[int] = []        # remaining capacities, ascending
+    bins: list[int] = []        # parallel local pack index
+    assign = np.full(len(toks), -1, dtype=np.int64)
+    nxt = 0
+    for i, t in enumerate(toks):
+        t = int(t)
+        if t > mt:
+            if ov == "drop":
+                continue
+            assign[i] = nxt     # own pack, never reused (cap 0)
+            nxt += 1
+            continue
+        j = bisect.bisect_left(caps, t)   # tightest bin that fits
+        if j == len(caps):
+            assign[i] = nxt
+            rem = mt - t
+            pos = bisect.bisect_left(caps, rem)
+            caps.insert(pos, rem)
+            bins.insert(pos, nxt)
+            nxt += 1
+        else:
+            assign[i] = bins[j]
+            rem = caps[j] - t
+            del caps[j], bins[j]
+            pos = bisect.bisect_left(caps, rem)
+            caps.insert(pos, rem)
+            bins.insert(pos, assign[i])
+    return assign
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,
@@ -451,44 +492,10 @@ def pack_sequences(
     mt, tc, ic, ov = int(max_tokens), token_col, id_col, oversize
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        import bisect
-
         pdf = pdf.sort_values([tc, ic],
                               ascending=[False, True]).reset_index(drop=True)
         shard = int(pdf["_shard"].iloc[0])
-        toks = pdf[tc].to_numpy()
-        if ov == "error" and len(toks) and toks[0] > mt:
-            big = pdf.loc[pdf[tc] > mt, ic].tolist()[:5]
-            raise ValueError(
-                f"pack_sequences: docs exceed max_tokens={mt} "
-                f"(e.g. ids {big}); pass oversize='own' or 'drop'")
-        caps: list[int] = []        # remaining capacities, ascending
-        bins: list[int] = []        # parallel local pack index
-        assign = np.full(len(pdf), -1, dtype=np.int64)
-        nxt = 0
-        for i, t in enumerate(toks):
-            t = int(t)
-            if t > mt:
-                if ov == "drop":
-                    continue
-                assign[i] = nxt     # own pack, never reused (cap 0)
-                nxt += 1
-                continue
-            j = bisect.bisect_left(caps, t)   # tightest bin that fits
-            if j == len(caps):
-                assign[i] = nxt
-                rem = mt - t
-                pos = bisect.bisect_left(caps, rem)
-                caps.insert(pos, rem)
-                bins.insert(pos, nxt)
-                nxt += 1
-            else:
-                assign[i] = bins[j]
-                rem = caps[j] - t
-                del caps[j], bins[j]
-                pos = bisect.bisect_left(caps, rem)
-                caps.insert(pos, rem)
-                bins.insert(pos, assign[i])
+        assign = _pack_shard(pdf[tc].to_numpy(dtype=np.int64), mt, ov)
         out = pdf[assign >= 0].drop(columns=["_shard"])
         out["pack_id"] = (np.int64(shard) << np.int64(40)) \
             | assign[assign >= 0]

