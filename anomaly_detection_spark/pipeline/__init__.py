@@ -1,9 +1,11 @@
 from .dedup import (  # noqa: F401
+    dedup_corpus,
     duplicate_clusters,
     embedding_neardup_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
@@ -26,6 +28,11 @@ from .text import (  # noqa: F401
 from .curation import (  # noqa: F401
     decontaminate,
     hash_split,
+    mix_to_token_budget,
+    pack_sequences,
+    paragraph_dedup,
     pii_redact,
     repetition_metrics,
+    sample_corpus,
+    sample_to_token_budget,
 )
