@@ -39,6 +39,9 @@ class QueryPlan:
     filter_cond: Column | None
     # (field, text, operator) — operator "or" (default) or "and"
     matches: list[tuple[str, str, str]] = field(default_factory=list)
+    # query-time synonym table of the scored match clauses (SynonymQuery
+    # blended scoring); one table per query — conflicting tables raise
+    synonyms: dict | None = None
 
 
 def _ts_type(df: DataFrame, fld: str) -> T.DataType | None:
@@ -146,12 +149,25 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
     if kind == "bool":
         conds: list[Column] = []
         matches: list[tuple[str, str]] = []
+        syn_merged: dict | None = None
+
+        def _merge_syn(p):
+            nonlocal syn_merged
+            if p.synonyms is None:
+                return
+            if syn_merged is not None and syn_merged != p.synonyms:
+                raise ValueError(
+                    "conflicting synonym tables across scored match "
+                    "clauses of one bool query")
+            syn_merged = p.synonyms
+
         for ctx in ("must", "filter"):
             for sub in _as_list(body.get(ctx)):
                 p = plan_query(df, sub, scoring=scoring and ctx == "must")
                 if p.filter_cond is not None:
                     conds.append(p.filter_cond)
                 matches.extend(p.matches)
+                _merge_syn(p)
         shoulds = _as_list(body.get("should"))
         if shoulds:
             # OpenSearch defaults: minimum_should_match is 0 when must/
@@ -166,6 +182,7 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
             sub_plans = [plan_query(df, s, scoring=scoring) for s in shoulds]
             for p in sub_plans:
                 matches.extend(p.matches)
+                _merge_syn(p)
             pure_scored = scoring and all(
                 p.matches and p.filter_cond is None for p in sub_plans)
             if msm == 0 or (msm == 1 and pure_scored):
@@ -207,7 +224,7 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         cond = None
         for c in conds:
             cond = c if cond is None else cond & c
-        return QueryPlan(cond, matches)
+        return QueryPlan(cond, matches, synonyms=syn_merged)
 
     if kind == "term":
         (fld, spec), = body.items()
@@ -369,13 +386,33 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
             for c in conds[1:]:
                 out = (out & c) if op == "and" else (out | c)
             return QueryPlan(out)
+        syn = spec.get("synonyms") if isinstance(spec, dict) else None
+        if syn is not None and not isinstance(syn, dict):
+            raise ValueError("match synonyms must be a "
+                             "{token: [synonyms...]} table")
         if scoring:
-            return QueryPlan(None, matches=[(fld, text, op)])
+            return QueryPlan(None, matches=[(fld, text, op)],
+                             synonyms=syn)
+        doc_toks = tokenize_column(fld)
+        if syn:
+            # filter-context synonym match: a group matches through
+            # ANY of its members (SynonymQuery matching semantics)
+            from .synonyms import expand_groups
+
+            groups = expand_groups(text, syn)
+            if not groups:
+                return QueryPlan(F.lit(False))
+            conds = [F.arrays_overlap(
+                doc_toks, F.array(*[F.lit(t) for t in g]))
+                for g in groups]
+            out = conds[0]
+            for c in conds[1:]:
+                out = (out & c) if op == "and" else (out | c)
+            return QueryPlan(out)
         toks = tokenize_query(text)
         if not toks:
             return QueryPlan(F.lit(False))
         tok_arr = F.array(*[F.lit(t) for t in toks])
-        doc_toks = tokenize_column(fld)
         if op == "and":
             # conjunctive match (operator: and): every analyzed query
             # token present in the doc
@@ -1393,7 +1430,24 @@ def search(
                 "clause (conjunctive multi-clause bags are ambiguous)")
         conjunctive = ops == {"and"}
         text = " ".join(m[1] for m in plan.matches)
-        if isinstance(target, IndexReader):
+        if plan.synonyms:
+            # SynonymQuery blended scoring (query/synonyms.py)
+            if conjunctive:
+                raise ValueError(
+                    "match synonyms with operator:and is unsupported "
+                    "in scored context (group-conjunctive blended "
+                    "scoring is out of subset) — use filter context")
+            from .synonyms import (synonym_match_topk,
+                                   synonym_match_topk_indexed)
+
+            if isinstance(target, IndexReader):
+                top = synonym_match_topk_indexed(
+                    target, text, plan.synonyms, k=size, filter_cond=cond)
+                out = fetch_docs(target, top)
+            else:
+                out = synonym_match_topk(target, text, plan.synonyms,
+                                         k=size, filter_cond=cond)
+        elif isinstance(target, IndexReader):
             top = bm25_topk_indexed(target, text, k=size, filter_cond=cond,
                                     conjunctive=conjunctive)
             out = fetch_docs(target, top)

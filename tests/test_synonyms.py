@@ -85,6 +85,43 @@ def test_brute_equals_index(syn_index):
         assert gb, q          # non-vacuous
 
 
+def test_search_body_routes_synonyms(syn_index):
+    from anomaly_detection_spark.query.planner import search
+
+    reader, an = syn_index
+    body = {"query": {"match": {"text": {
+        "query": "spark data", "synonyms": SYN}}}, "size": 7}
+    gb = search(an, body).select("docid", "score").collect()
+    gi = search(reader, body).select("docid", "score").collect()
+    assert [(r.docid, round(r.score, 9)) for r in gb] == \
+        [(r.docid, round(r.score, 9)) for r in gi]
+    # scores differ from the plain (no-synonyms) match → expansion ran
+    plain = search(an, {"query": {"match": {"text": "spark data"}},
+                        "size": 7}).select("docid", "score").collect()
+    assert [(r.docid, round(r.score, 9)) for r in gb] != \
+        [(r.docid, round(r.score, 9)) for r in plain]
+    # under bool with a filter: alias filter semantics stack
+    fb = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark data",
+                                     "synonyms": SYN}}}],
+        "filter": [{"term": {"role": "user"}}]}}, "size": 7}
+    got = search(an, fb).collect()
+    user_ids = {r.docid for r in
+                an.filter(F.col("role") == "user")
+                .select("docid").collect()}
+    assert got and all(r.docid in user_ids for r in got)
+    # filter-context synonym match: any group member matches
+    fc = search(an, {"query": {"bool": {"filter": [
+        {"match": {"text": {"query": "zzz", "synonyms":
+                            {"zzz": ["error"]}}}}]}}, "size": 5})
+    assert fc.count() > 0
+    # scored operator:and with synonyms rejects by name
+    with pytest.raises(ValueError, match="operator:and"):
+        search(an, {"query": {"match": {"text": {
+            "query": "spark data", "operator": "and",
+            "synonyms": SYN}}}}).collect()
+
+
 def test_brute_equals_index_filtered(syn_index):
     reader, an = syn_index
     cond = F.col("role") == "user"
