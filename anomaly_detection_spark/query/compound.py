@@ -399,6 +399,62 @@ def _compile_score_script(source: str, doc_cols: set[str]) -> Column:
     return F.expr(expr)
 
 
+def compile_filter_script(source: str, params: dict[str, Any],
+                          doc_cols: set[str]) -> Column:
+    """Boolean painless subset (the ``script`` query,
+    ScriptQueryBuilder — filter context, matches where the script
+    returns true) → Catalyst predicate.
+
+    Subset: ``doc['f'].value`` field access (existence-checked),
+    ``params.name`` substitution (numbers / strings / booleans),
+    arithmetic, ``Math.*`` (same table as script_score), comparisons
+    (== != > >= < <=), string-literal equality, and ``&& || !``
+    connectives.  Everything compiles to one codegen predicate — the
+    script never leaves the JVM, and Catalyst can push it into the
+    scan like any other filter.  Anything outside the subset rejects
+    BY NAME after substitution, so no unmapped identifier reaches
+    ``F.expr``.
+    """
+    import re
+
+    expr = source
+    for fld in re.findall(r"doc\['([^']+)'\]\.value", expr):
+        if fld not in doc_cols:
+            raise ValueError(
+                f"script query references unknown field {fld!r}")
+        expr = expr.replace(f"doc['{fld}'].value", f"`{fld}`")
+    for name in sorted(params, key=len, reverse=True):
+        v = params[name]
+        if isinstance(v, bool):
+            lit = "true" if v else "false"
+        elif isinstance(v, (int, float)):
+            lit = repr(v)
+        elif isinstance(v, str):
+            lit = "'" + v.replace("'", "''") + "'"
+        else:
+            raise ValueError(
+                f"script query param {name!r} must be a scalar, "
+                f"got {type(v).__name__}")
+        expr = re.sub(rf"\bparams\.{re.escape(name)}\b", lit, expr)
+    for fn, sql in (("Math.log1p", "LOG1P"), ("Math.log", "LN"),
+                    ("Math.sqrt", "SQRT"), ("Math.exp", "EXP"),
+                    ("Math.abs", "ABS"), ("Math.max", "GREATEST"),
+                    ("Math.min", "LEAST")):
+        expr = expr.replace(fn, sql)
+    # painless connectives → SQL (protect != before mapping bare !)
+    expr = (expr.replace("!=", "<>").replace("&&", " AND ")
+            .replace("||", " OR ").replace("==", " = ")
+            .replace("!", " NOT "))
+    bare = re.sub(r"`[^`]*`", "", expr)        # field names
+    bare = re.sub(r"'(?:[^']|'')*'", "", bare)  # string literals
+    bare = re.sub(r"\b(LOG1P|LN|SQRT|EXP|ABS|GREATEST|LEAST|AND|OR|NOT"
+                  r"|true|false)\b", "", bare)
+    if re.search(r"[A-Za-z_`\[\]']", bare) or \
+            not set(bare) <= set("0123456789. +-*/()%,<>="):
+        raise ValueError(f"unsupported script query script: {source!r}")
+    return F.expr(expr).cast("boolean")
+
+
 def _distance_feature_scores(tgt: _Target,
                              body: dict[str, Any]) -> DataFrame:
     from pyspark.sql import types as T

@@ -625,6 +625,31 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         return QueryPlan(
             compile_filter(df, body.get("query", {"match_all": {}})))
 
+    if kind == "script":
+        # ScriptQueryBuilder: matches where the boolean script is
+        # true.  Filter context either way (the reference scores
+        # matches a constant boost); the painless subset compiles to
+        # ONE codegen predicate, so it pushes down like any filter.
+        from .compound import compile_filter_script
+
+        spec = body.get("script", body) if isinstance(body, dict) else body
+        if isinstance(spec, dict):
+            src = spec.get("source")
+            sparams = spec.get("params") or {}
+            extra = set(spec) - {"source", "params", "lang"}
+            if extra:
+                raise ValueError(
+                    f"unsupported script query keys: {sorted(extra)}")
+            if spec.get("lang") not in (None, "painless"):
+                raise ValueError(
+                    f"unsupported script lang {spec['lang']!r}")
+        else:
+            src, sparams = str(spec), {}
+        if not isinstance(src, str) or not src:
+            raise ValueError("script query needs a 'source' string")
+        return QueryPlan(
+            compile_filter_script(src, sparams, set(df.columns)))
+
     if kind == "pinned":
         # filter context: pinned ids OR the organic query
         idc = F.col("docid").isin([int(i) for i in body["ids"]])
@@ -1214,6 +1239,16 @@ def search(
                 "a postings index")
         (fld, spec), = query["knn"].items()
         qv = [float(x) for x in spec["vector"]]
+        radial = {k_ for k_ in ("max_distance", "min_score")
+                  if k_ in spec}
+        if radial and "k" in spec:
+            raise ValueError(
+                "knn takes k OR a radial bound (max_distance / "
+                "min_score), not both")
+        if len(radial) > 1:
+            raise ValueError(
+                "knn radial search takes max_distance OR min_score, "
+                "not both")
         kk = int(spec.get("k", size))
         space = spec.get("space_type", "cosinesimil")
         base = schema_df
@@ -1244,9 +1279,32 @@ def search(
                    else [F.asc(base.columns[0])])
         out = (base.filter(col.isNotNull())
                .withColumn("score", score.cast("double"))
-               .filter(F.col("score").isNotNull())
-               .orderBy(F.desc("score"), *id_sort)
-               .limit(min(kk, size)))
+               .filter(F.col("score").isNotNull()))
+        if radial:
+            # radial search (k-NN plugin 2.14+): every neighbor inside
+            # the bound instead of the k nearest.  max_distance is in
+            # the space's native distance and converts to the
+            # equivalent score floor via the plugin's own published
+            # score formulas (l2: score = 1/(1+d²), distance = squared
+            # euclidean → floor 1/(1+max_distance); cosinesimil:
+            # distance = 1 − cos → floor 1 − max_distance;
+            # innerproduct: distance = −dot → floor −max_distance);
+            # min_score is already in score units for every space.
+            if "min_score" in spec:
+                floor = float(spec["min_score"])
+            else:
+                md = float(spec["max_distance"])
+                if space == "l2":
+                    floor = 1.0 / (1.0 + md)
+                elif space == "cosinesimil":
+                    floor = 1.0 - md
+                else:           # innerproduct
+                    floor = -md
+            out = (out.filter(F.col("score") >= F.lit(floor))
+                   .orderBy(F.desc("score"), *id_sort).limit(size))
+        else:
+            out = (out.orderBy(F.desc("score"), *id_sort)
+                   .limit(min(kk, size)))
         return finish(out)
 
     if set(query) == {"more_like_this"}:

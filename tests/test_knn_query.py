@@ -79,6 +79,55 @@ def test_knn_prefilter(vecs):
                for r in got)
 
 
+def test_knn_radial_min_score_cosine(vecs):
+    ids, mat, _ = _np_corpus(vecs)
+    q = mat[0].astype(np.float64)
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    floor = float(np.quantile(cos, 0.9))
+    body = {"query": {"knn": {"embedding": {
+        "vector": q.tolist(), "min_score": floor}}}, "size": 100_000}
+    got = search(vecs, body).select("docid", "score").collect()
+    want = sorted((i for i in range(len(ids)) if cos[i] >= floor),
+                  key=lambda i: (-cos[i], ids[i]))
+    assert [r["docid"] for r in got] == [int(ids[i]) for i in want]
+    assert all(r["score"] >= floor - 1e-12 for r in got)
+
+
+@pytest.mark.parametrize("space", ["l2", "cosinesimil", "innerproduct"])
+def test_knn_radial_max_distance_numpy_oracle(vecs, space):
+    ids, mat, _ = _np_corpus(vecs)
+    q = mat[5].astype(np.float64)
+    if space == "l2":
+        dist = ((mat - q) ** 2).sum(axis=1)
+        score = 1.0 / (1.0 + dist)
+    elif space == "cosinesimil":
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1)
+                           * np.linalg.norm(q))
+        dist, score = 1.0 - cos, cos
+    else:
+        dot = mat @ q
+        dist, score = -dot, dot
+    md = float(np.quantile(dist, 0.1))
+    body = {"query": {"knn": {"embedding": {
+        "vector": q.tolist(), "space_type": space,
+        "max_distance": md}}}, "size": 100_000}
+    got = search(vecs, body).select("docid", "score").collect()
+    want = sorted((i for i in range(len(ids)) if dist[i] <= md + 1e-12),
+                  key=lambda i: (-score[i], ids[i]))
+    assert [r["docid"] for r in got] == [int(ids[i]) for i in want]
+    assert len(got) > 0
+
+
+def test_knn_radial_rejections(vecs):
+    with pytest.raises(ValueError, match="not both"):
+        search(vecs, {"query": {"knn": {"embedding": {
+            "vector": [1.0, 0.0], "k": 3, "min_score": 0.5}}}})
+    with pytest.raises(ValueError, match="max_distance OR min_score"):
+        search(vecs, {"query": {"knn": {"embedding": {
+            "vector": [1.0, 0.0], "max_distance": 0.5,
+            "min_score": 0.5}}}})
+
+
 def test_knn_rejections(spark, vecs):
     with pytest.raises(ValueError, match="space_type"):
         search(vecs, {"query": {"knn": {"embedding": {
