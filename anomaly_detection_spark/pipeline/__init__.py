@@ -23,6 +23,7 @@ from .text import (  # noqa: F401
     doc_fingerprints,
     language_id,
     quality_scores,
+    sparse_encode,
     token_counts,
 )
 from .curation import (  # noqa: F401

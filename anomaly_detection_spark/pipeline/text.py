@@ -158,3 +158,32 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text",
         F.md5(norm).alias("fp_md5"),
         _roll(norm).alias("fp_roll"),
     )
+
+
+def sparse_encode(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  weighting: str = "log_tf",
+                  out_col: str = "sparse") -> DataFrame:
+    """Deterministic sparse-vector encoding: ``term → weight`` map per
+    doc, the doc side of :func:`~..query.planner.search`'s
+    ``neural_sparse`` query (the OpenSearch neural-search plugin's
+    sparse mode; the plugin's encoder is a learned model — this is the
+    model-free stand-in with the same plumbing: a ``map<string,double>``
+    column scored by weight dot-product).
+
+    ``weighting``: ``log_tf`` (1 + ln tf, the classic sublinear tf) or
+    ``tf`` (raw counts).  Pure codegen — distinct terms × counted via
+    higher-order functions, NO shuffle and no UDF; per-doc cost is
+    O(unique × tokens), fine for turn/document-sized texts (a scan
+    stage, so it scales with partitions like any map-side op).
+    """
+    if weighting not in ("log_tf", "tf"):
+        raise ValueError(
+            f"unsupported sparse_encode weighting {weighting!r}; "
+            f"expected 'log_tf' or 'tf'")
+    toks = "filter(split(lower({c}), '[^\\\\p{{L}}\\\\p{{N}}_]+'), x -> x != '')".format(c=text_col)
+    cnt = f"size(filter({toks}, x -> x = t))"
+    w = f"1.0d + ln({cnt})" if weighting == "log_tf" else f"double({cnt})"
+    entries = (f"transform(array_distinct({toks}), "
+               f"t -> struct(t as term, {w} as weight))")
+    return df.withColumn(out_col, F.expr(f"map_from_entries({entries})"))

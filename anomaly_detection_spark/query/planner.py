@@ -1307,6 +1307,55 @@ def search(
                    .limit(min(kk, size)))
         return finish(out)
 
+    if set(query) == {"neural_sparse"}:
+        # neural sparse query (the neural-search plugin's sparse mode,
+        # raw query_tokens form): score = Σ_t w_q(t) · doc_weight(t)
+        # over a map<string,double> column (pipeline.text.sparse_encode
+        # builds the doc side); only docs carrying ≥1 query token
+        # match — Lucene's disjunction-of-FeatureQueries shape.
+        # query_text encodes with the same deterministic encoder
+        # (the plugin would call a learned model — documented
+        # stand-in).  Pure codegen: one map-lookup sum per doc, no
+        # shuffle below the final TakeOrdered.
+        if isinstance(target, IndexReader):
+            raise ValueError(
+                "neural_sparse runs over a DataFrame with a sparse "
+                "map column, not a postings index")
+        (fld, spec), = query["neural_sparse"].items()
+        qtok = spec.get("query_tokens")
+        if qtok is None:
+            if "query_text" not in spec:
+                raise ValueError(
+                    "neural_sparse needs query_tokens or query_text")
+            from collections import Counter
+
+            from ..functions.tokenizer import tokenize_query
+
+            import math
+            qtok = {t: 1.0 + math.log(c) for t, c in
+                    Counter(tokenize_query(spec["query_text"])).items()}
+        if not qtok:
+            raise ValueError("neural_sparse query has no tokens")
+        base = schema_df
+        if spec.get("filter"):
+            base = base.filter(compile_filter(base, spec["filter"]))
+        col = F.col(fld)
+        score = None
+        matched = None
+        for t, w in sorted(qtok.items()):
+            part = F.coalesce(col.getItem(t) * F.lit(float(w)),
+                              F.lit(0.0))
+            score = part if score is None else score + part
+            hit = col.getItem(t).isNotNull()
+            matched = hit if matched is None else (matched | hit)
+        id_sort = ([F.asc("docid")] if "docid" in base.columns
+                   else [F.asc(base.columns[0])])
+        out = (base.filter(col.isNotNull()).filter(matched)
+               .withColumn("score", score.cast("double"))
+               .orderBy(F.desc("score"), *id_sort)
+               .limit(size))
+        return finish(out)
+
     if set(query) == {"more_like_this"}:
         from .mlt import more_like_this_topk
 
