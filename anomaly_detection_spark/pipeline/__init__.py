@@ -19,6 +19,7 @@ from .similarity import (  # noqa: F401
     pq_encode,
     pq_train_books,
 )
+from .chunking import chunk_documents  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprints,
     language_id,

@@ -1,0 +1,106 @@
+"""Document chunking: the ``text_chunking`` ingest processor's two
+published algorithms (``fixed_token_length``, ``delimiter``) as one
+narrow DataFrame op.
+
+Reference surface: the neural-search plugin's TextChunkingProcessor
+(algorithms ``fixed_token_length`` — token_limit / overlap_rate /
+max_chunk_limit — and ``delimiter``).  The processor runs per ingested
+doc; here it is a scan-stage transform: pure codegen (``sequence`` +
+``slice`` + ``posexplode``), NO UDF and NO shuffle, so it scales with
+input partitions like any map-side op — the right shape for chunking
+a 100 TB corpus before embedding/packing.
+
+Tokens for ``fixed_token_length`` are whitespace words (the
+processor's default analyzer counts standard tokens; whitespace is the
+deterministic stand-in, consistent with ``token_counts.ws_tokens``).
+Chunk text is the words re-joined with single spaces — offset-faithful
+reconstruction of original inter-word whitespace is not preserved,
+documented here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["chunk_documents"]
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    algorithm: str = "fixed_token_length",
+                    token_limit: int = 384,
+                    overlap_rate: float = 0.0,
+                    delimiter: str = "\n\n",
+                    max_chunk_limit: int = 100) -> DataFrame:
+    """Explode each doc into ``(id, chunk_idx, chunk, chunk_tokens)``
+    rows.
+
+    ``fixed_token_length``: windows of ``token_limit`` words advancing
+    by ``token_limit·(1−overlap_rate)`` (overlap_rate ∈ [0, 0.5] like
+    the processor); the final window keeps the tail even when short.
+    ``delimiter``: split on the literal delimiter, each chunk keeping
+    its trailing delimiter (the processor's semantics); empty chunks
+    are dropped.  ``max_chunk_limit``: docs producing more chunks
+    RAISE (the processor's default posture) unless -1 disables the
+    check — at scale the check is a codegen filter feeding one guarded
+    count, not a driver loop.
+    """
+    if algorithm == "fixed_token_length":
+        if not 0.0 <= overlap_rate <= 0.5:
+            raise ValueError(
+                f"overlap_rate must be in [0, 0.5], got {overlap_rate}")
+        if token_limit < 1:
+            raise ValueError(f"token_limit must be >= 1, got {token_limit}")
+        step = max(1, int(token_limit * (1.0 - overlap_rate)))
+        words = (f"filter(split({text_col}, '\\\\s+'), "
+                 f"x -> x != '')")
+        # window starts: 0, step, 2·step, … while start < n_words,
+        # but never starting past the first window that reaches the
+        # end (a full-overlap tail window duplicating the previous
+        # one is skipped, matching the processor)
+        n = f"size({words})"
+        starts = (f"filter(transform(sequence(0, greatest("
+                  f"ceil(({n} - {token_limit}) / {step}), 0)), "
+                  f"i -> int(i * {step})), s -> s = 0 OR s < {n})")
+        chunks = (f"transform({starts}, "
+                  f"s -> concat_ws(' ', slice({words}, s + 1, "
+                  f"{token_limit})))")
+        chunked = df.withColumn("_chunks", F.expr(chunks))
+    elif algorithm == "delimiter":
+        if not delimiter:
+            raise ValueError("delimiter must be non-empty")
+        import re as _re
+
+        parts = F.split(F.col(text_col), _re.escape(delimiter), -1)
+        # re-append the delimiter to every part but the last, then
+        # drop empty / bare-delimiter chunks ('a||b' → ['a|','|','b']
+        # → ['a|','b'])
+        n_parts = F.size(parts)
+        rejoined = F.transform(
+            parts,
+            lambda p, i: F.when(i < n_parts - 1,
+                                F.concat(p, F.lit(delimiter)))
+            .otherwise(p))
+        chunked = df.withColumn(
+            "_chunks",
+            F.filter(rejoined, lambda c: (c != "") & (c != delimiter)))
+    else:
+        raise ValueError(
+            f"unsupported chunking algorithm {algorithm!r}; expected "
+            f"'fixed_token_length' or 'delimiter'")
+
+    if max_chunk_limit != -1:
+        over = (chunked.filter(F.size("_chunks") > max_chunk_limit)
+                .select(id_col).limit(1).collect())
+        if over:
+            raise ValueError(
+                f"doc {over[0][0]!r} exceeds max_chunk_limit="
+                f"{max_chunk_limit}; raise the limit or pass -1")
+    out = (chunked
+           .select(id_col, F.posexplode("_chunks")
+                   .alias("chunk_idx", "chunk"))
+           .filter(F.col("chunk") != ""))
+    ws = "filter(split(chunk, '\\\\s+'), x -> x != '')"
+    return out.withColumn("chunk_tokens",
+                          F.expr(f"size({ws})").cast("long"))

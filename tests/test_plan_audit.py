@@ -212,3 +212,25 @@ def test_semantic_dedup_pairs_no_cartesian(spark):
     p = _plan(out)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunk_documents_plan_is_narrow_explode(spark):
+    from anomaly_detection_spark.pipeline.chunking import chunk_documents
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = chunk_documents(df, token_limit=64, overlap_rate=0.25,
+                          max_chunk_limit=-1)
+    p = _plan(out)
+    # pure codegen scan + generate: no shuffle, no Python, no join
+    assert "Exchange" not in p
+    assert "Generate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sparse_encode_plan_is_narrow(spark):
+    from anomaly_detection_spark.pipeline.text import sparse_encode
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(sparse_encode(df))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
