@@ -371,6 +371,22 @@ def main() -> None:
               token_col="n_tokens", id_col="doc_id")
           .agg(F.sum("n_tokens")).collect())
 
+    # seventh-session ops: codegen chunking and sparse-vector search
+    from anomaly_detection_spark.pipeline.chunking import chunk_documents
+    from anomaly_detection_spark.pipeline.text import sparse_encode
+    timed("chunk_documents_fixed",
+          lambda: chunk_documents(documents, token_limit=64,
+                                  overlap_rate=0.25,
+                                  max_chunk_limit=-1).count())
+    denc = sparse_encode(documents).persist()
+    denc.count()
+    timed("neural_sparse_topk",
+          lambda: search(denc.withColumnRenamed("doc_id", "docid"),
+                         {"query": {"neural_sparse": {"sparse": {
+                             "query_text": "the data merge query"}}},
+                          "size": 10}).collect())
+    denc.unpersist()
+
     print(json.dumps({
         "metric": "index-build throughput (turns/sec)",
         "value": round(turns_per_sec, 1),
