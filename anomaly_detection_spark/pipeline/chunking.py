@@ -53,20 +53,32 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         if token_limit < 1:
             raise ValueError(f"token_limit must be >= 1, got {token_limit}")
         step = max(1, int(token_limit * (1.0 - overlap_rate)))
-        words = (f"filter(split({text_col}, '\\\\s+'), "
-                 f"x -> x != '')")
+
+        from ..functions.hof import bind_once
+
         # window starts: 0, step, 2·step, … while start < n_words,
         # but never starting past the first window that reaches the
         # end (a full-overlap tail window duplicating the previous
-        # one is skipped, matching the processor)
-        n = f"size({words})"
-        starts = (f"filter(transform(sequence(0, greatest("
-                  f"ceil(({n} - {token_limit}) / {step}), 0)), "
-                  f"i -> int(i * {step})), s -> s = 0 OR s < {n})")
-        chunks = (f"transform({starts}, "
-                  f"s -> concat_ws(' ', slice({words}, s + 1, "
-                  f"{token_limit})))")
-        chunked = df.withColumn("_chunks", F.expr(chunks))
+        # one is skipped, matching the processor); the word array is
+        # lambda-bound so the split runs once per row
+        def windows(words: F.Column) -> F.Column:
+            n = F.size(words)
+            k = F.greatest(
+                F.ceil((n - F.lit(token_limit)) / F.lit(step)),
+                F.lit(0).cast("long"))
+            starts = F.filter(
+                F.transform(F.sequence(F.lit(0).cast("long"), k),
+                            lambda i: (i * step).cast("int")),
+                lambda s_: (s_ == 0) | (s_ < n))
+            return F.transform(
+                starts,
+                lambda s_: F.concat_ws(
+                    " ", F.slice(words, s_ + 1, token_limit)))
+
+        words_expr = F.expr(
+            f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
+        chunked = df.withColumn("_chunks",
+                                bind_once(words_expr, windows))
     elif algorithm == "delimiter":
         if not delimiter:
             raise ValueError("delimiter must be non-empty")

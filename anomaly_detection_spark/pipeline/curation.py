@@ -39,18 +39,25 @@ __all__ = ["decontaminate", "repetition_metrics", "pii_redact",
 def _shingle_hashes(text_col: str, n: int) -> F.Column:
     """Distinct xxhash64 values of the word ``n``-grams of the
     analyzed token stream — one codegen expression, no UDF."""
-    toks = F.expr(
-        f"filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}_]+'), "
-        f"x -> x != '')")
+    from ..functions.hof import bind_once
+
     # sequence(1, 0) would generate a DESCENDING [1, 0] — docs shorter
-    # than n tokens must short-circuit to an empty shingle set
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
-        )).otherwise(F.array().cast("array<bigint>"))
+    # than n tokens must short-circuit to an empty shingle set; the
+    # token array is lambda-bound so the tokenize chain runs once per
+    # row, not once per window
+    def windows(toks: F.Column) -> F.Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(toks, i, n))))
+            )).otherwise(F.array().cast("array<bigint>"))
+
+    return bind_once(F.expr(
+        f"filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}_]+'), "
+        f"x -> x != '')"), windows)
 
 
 def decontaminate(
@@ -584,15 +591,20 @@ def duplicate_ngram_spans(
     the spans out is the caller's policy decision (keep-first needs a
     global occurrence order; dropping everywhere loses one good copy
     — Lee et al. discuss both)."""
-    toks = F.expr(
+    from ..functions.hof import bind_once
+
+    def windows(toks: F.Column) -> F.Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(toks, i, n))))
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    grams = bind_once(F.expr(
         f"filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}_]+'), "
-        f"x -> x != '')")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
-    ).otherwise(F.array().cast("array<bigint>"))
+        f"x -> x != '')"), windows)
     win = (df.select(F.col(id_col), F.posexplode(grams)
                      .alias("pos", "h")))
     counts = (win.groupBy("h")

@@ -45,15 +45,22 @@ def _shingles(text_col: str, n: int) -> F.Column:
     empty array — ``F.sequence(0, -1)`` would otherwise expand to
     ``[0, -1]`` (step defaults to -1) and crash ``F.slice``.
     """
-    toks = _tokens(text_col)
     if n == 1:
-        return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))),
-    ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(_tokens(text_col))
+
+    from ..functions.hof import bind_once
+
+    # bind the token array once per row — referencing the tokenize
+    # chain inside the window lambda would re-run it per window
+    def windows(toks: F.Column) -> F.Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(_tokens(text_col), windows)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",

@@ -181,9 +181,19 @@ def sparse_encode(df: DataFrame, text_col: str = "text",
         raise ValueError(
             f"unsupported sparse_encode weighting {weighting!r}; "
             f"expected 'log_tf' or 'tf'")
-    toks = "filter(split(lower({c}), '[^\\\\p{{L}}\\\\p{{N}}_]+'), x -> x != '')".format(c=text_col)
-    cnt = f"size(filter({toks}, x -> x = t))"
-    w = f"1.0d + ln({cnt})" if weighting == "log_tf" else f"double({cnt})"
-    entries = (f"transform(array_distinct({toks}), "
-               f"t -> struct(t as term, {w} as weight))")
-    return df.withColumn(out_col, F.expr(f"map_from_entries({entries})"))
+
+    from ..functions.hof import bind_once
+
+    # token array lambda-bound: one tokenize per row, not one per
+    # distinct term
+    def entries(toks: F.Column) -> F.Column:
+        def entry(t: F.Column) -> F.Column:
+            cnt = F.size(F.filter(toks, lambda x: x == t))
+            w = ((F.lit(1.0) + F.log(cnt.cast("double")))
+                 if weighting == "log_tf" else cnt.cast("double"))
+            return F.struct(t.alias("term"), w.alias("weight"))
+        return F.map_from_entries(
+            F.transform(F.array_distinct(toks), entry))
+
+    return df.withColumn(out_col, bind_once(
+        _tokens(text_col), entries))
