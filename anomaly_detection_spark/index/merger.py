@@ -267,3 +267,25 @@ def merge_segments(
         mark_done(dst, "merge_norms")
         log_metric(dst, "merge_norms", wall_s=time.time() - t0)
     return dst
+
+
+def force_merge(spark: SparkSession, src_dir: str, dst_dir: str,
+                max_num_segments: int = 1,
+                segments_per_batch: int = 16,
+                resume: bool = True) -> IndexPaths:
+    """``_forcemerge`` analog: compact down to at most
+    ``max_num_segments`` segments, deriving the merge factor from the
+    current segment count (the reference's ForceMergeRequest takes the
+    target count, not a factor).  A no-op factor of 1 still rewrites
+    through :func:`merge_segments` so dst is always a complete,
+    self-contained index.
+    """
+    if max_num_segments < 1:
+        raise ValueError(
+            f"max_num_segments must be >= 1, got {max_num_segments}")
+    meta = read_meta(src_dir)
+    n_segs = max(1, math.ceil(meta.n_docs / meta.seg_size))
+    factor = max(1, math.ceil(n_segs / max_num_segments))
+    return merge_segments(spark, src_dir, dst_dir, factor=factor,
+                          segments_per_batch=segments_per_batch,
+                          resume=resume)

@@ -189,3 +189,27 @@ def test_merge_preserves_results(spark, index_env):
         assert list(a.docid) == list(b.docid)
         if len(a):
             assert (a.score - b.score).abs().max() < 1e-12
+
+
+def test_force_merge_hits_target_segment_count(spark, index_env):
+    import math
+
+    from anomaly_detection_spark.index.merger import force_merge
+    from anomaly_detection_spark.index.storage import read_meta
+
+    reader, analyzed, stats, tmp = index_env
+    src_meta = read_meta(reader.index_dir)
+    n_src_segs = math.ceil(src_meta.n_docs / src_meta.seg_size)
+    assert n_src_segs > 2  # fixture builds multiple segments
+    merged = force_merge(spark, reader.index_dir, f"{tmp}/forced",
+                         max_num_segments=2)
+    m = read_meta(merged.root)
+    assert math.ceil(m.n_docs / m.seg_size) <= 2
+    mreader = IndexReader(spark, merged.root)
+    for q in QUERIES[:3]:
+        a = bm25_topk_indexed(reader, q, k=10).toPandas()
+        b = bm25_topk_indexed(mreader, q, k=10).toPandas()
+        assert list(a.docid) == list(b.docid)
+    with pytest.raises(ValueError, match="max_num_segments"):
+        force_merge(spark, reader.index_dir, f"{tmp}/bad",
+                    max_num_segments=0)
