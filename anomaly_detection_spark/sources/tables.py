@@ -214,7 +214,7 @@ def reindex(
     spark: SparkSession, source: str | list[str], dest: str,
     query: dict[str, Any] | None = None, script: str | None = None,
     params: dict[str, Any] | None = None, max_docs: int | None = None,
-    mode: str = "append",
+    mode: str = "append", pipeline: dict[str, Any] | None = None,
 ) -> int:
     """``_reindex`` analog: read ``source`` (list/glob fan-in like any
     search target), optionally filter by ``query``, transform with the
@@ -232,6 +232,13 @@ def reindex(
         df = df.filter(compile_filter(df, query))
     if script:
         df = _apply_update_script(df, script, params)
+    if pipeline:
+        # _reindex's "dest.pipeline" — run an ingest pipeline on the
+        # way through (after the script, like the reference: the
+        # script runs in the reindex phase, the pipeline at ingest)
+        from .ingest import apply_ingest_pipeline
+
+        df = apply_ingest_pipeline(df, pipeline)
     if max_docs is not None:
         if "docid" in df.columns:
             df = df.orderBy("docid")
