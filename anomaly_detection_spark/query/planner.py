@@ -1006,6 +1006,18 @@ def search(
         schema_df = target.doc_stats()
     else:
         schema_df = target
+        if text_field in target.columns and \
+                "tokens" not in target.columns:
+            # scored brute paths need the analyzed frame (tokens +
+            # doc_len); analysis is implicit in the reference, so a
+            # raw docs frame analyzes here rather than failing with
+            # an unresolved-column error.  Catalyst prunes the two
+            # derived columns whenever a branch doesn't read them, so
+            # filter-only searches pay nothing, and result schemas
+            # are unchanged (finish() joins back through schema_df).
+            from .brute_force import analyze_docs
+
+            target = analyze_docs(target, text_col=text_field)
 
     def finish(out):
         # shared tail: when a highlight section (or an explicit
@@ -1327,11 +1339,9 @@ def search(
             if "query_text" not in spec:
                 raise ValueError(
                     "neural_sparse needs query_tokens or query_text")
+            import math
             from collections import Counter
 
-            from ..functions.tokenizer import tokenize_query
-
-            import math
             qtok = {t: 1.0 + math.log(c) for t, c in
                     Counter(tokenize_query(spec["query_text"])).items()}
         if not qtok:
