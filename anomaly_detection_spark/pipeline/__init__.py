@@ -23,8 +23,10 @@ from .chunking import chunk_documents  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprints,
     language_id,
+    perplexity_scores,
     quality_scores,
     sparse_encode,
+    train_unigram_lm,
     token_counts,
 )
 from .curation import (  # noqa: F401

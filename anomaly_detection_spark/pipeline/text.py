@@ -197,3 +197,64 @@ def sparse_encode(df: DataFrame, text_col: str = "text",
 
     return df.withColumn(out_col, bind_once(
         _tokens(text_col), entries))
+
+
+def train_unigram_lm(df: DataFrame, text_col: str = "text",
+                     vocab_size: int = 100_000,
+                     smoothing_k: float = 1.0) -> DataFrame:
+    """Train a unigram language model: ``(term, logp)`` for the
+    ``vocab_size`` most frequent terms, add-k smoothed.
+
+    The deterministic stand-in for CCNet-style LM quality filtering
+    (CCNet scores with a KenLM 5-gram; the recipe — score perplexity
+    against an LM trained on a clean reference corpus, bucket by
+    percentile — is the same).  One explode + one count agg; the model
+    is BOUNDED (≤ vocab_size rows), so scoring can broadcast it.
+
+    logp(t) = ln((count(t) + k) / (N + k·(V + 1))); the +1 reserves
+    one smoothed slot shared by all out-of-vocabulary terms, whose
+    logp (``lm_oov_logp``) is derivable from any row:
+    ln(k / (N + k·(V + 1))).
+    """
+    toks = df.select(F.explode(_tokens(text_col)).alias("t"))
+    counts = (toks.groupBy("t").agg(F.count("*").alias("c"))
+              .orderBy(F.desc("c"), F.asc("t")).limit(int(vocab_size)))
+    tot = toks.count()
+    v = counts.count()
+    denom = float(tot) + smoothing_k * (v + 1)
+    return counts.select(
+        F.col("t").alias("term"),
+        F.log((F.col("c") + F.lit(smoothing_k)) / F.lit(denom))
+        .alias("logp"),
+        F.lit(float(np.log(smoothing_k / denom))).alias("oov_logp"),
+    )
+
+
+def perplexity_scores(df: DataFrame, lm: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-doc perplexity under a :func:`train_unigram_lm` model:
+    exp(−mean logp over the doc's tokens).  Lower = more like the LM's
+    training corpus (the CCNet keep signal).
+
+    Shape: doc tokens explode → BROADCAST join with the bounded LM →
+    one map-side-combinable per-doc mean.  The corpus shuffles once,
+    keyed by ``id_col``; the LM never shuffles.  Empty docs score
+    null.
+    """
+    oov = lm.select("oov_logp").first()
+    if oov is None:
+        raise ValueError("empty language model")
+    oov = float(oov[0])
+    toks = df.select(F.col(id_col),
+                     F.explode(_tokens(text_col)).alias("term"))
+    joined = toks.join(F.broadcast(lm.select("term", "logp")),
+                       "term", "left")
+    per_doc = (joined.groupBy(id_col)
+               .agg(F.avg(F.coalesce(F.col("logp"), F.lit(oov)))
+                    .alias("_mlp"),
+                    F.count("*").alias("lm_tokens")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.exp(-F.col("_mlp")).alias("perplexity"),
+                    F.coalesce("lm_tokens", F.lit(0)).alias("lm_tokens")))

@@ -94,3 +94,37 @@ def test_neural_sparse_filter_and_rejections(sparse_docs):
     with pytest.raises(ValueError, match="no tokens"):
         search(sparse_docs, {"query": {"neural_sparse": {"sparse": {
             "query_tokens": {}}}}})
+
+
+def test_unigram_lm_perplexity(spark):
+    import math
+
+    from anomaly_detection_spark.pipeline.text import (
+        perplexity_scores, train_unigram_lm)
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps the lazy dog the end")
+         for i in range(20)],
+        "doc_id long, text string")
+    lm = train_unigram_lm(ref, vocab_size=6, smoothing_k=1.0)
+    rows = {r["term"]: r for r in lm.collect()}
+    assert len(rows) == 6 and "the" in rows     # top-6 by frequency
+    # hand formula: 10 tokens/doc ('the' x3) over 20 docs
+    N, V, k = 20 * 10, 6, 1.0
+    assert rows["the"]["logp"] == pytest.approx(
+        math.log((60 + k) / (N + k * (V + 1))))
+    oov = math.log(k / (N + k * (V + 1)))
+    assert rows["the"]["oov_logp"] == pytest.approx(oov)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "zzz qqq www"), (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           perplexity_scores(docs, lm).collect()}
+    in_logp = [rows[t]["logp"] for t in ("the", "quick", "fox")
+               if t in rows]
+    exp1 = math.exp(-sum(in_logp + [oov] * (3 - len(in_logp))) / 3)
+    assert got[1]["perplexity"] == pytest.approx(exp1)
+    assert got[2]["perplexity"] == pytest.approx(math.exp(-oov))
+    assert got[1]["perplexity"] < got[2]["perplexity"]  # keep signal
+    assert got[3]["perplexity"] is None and got[3]["lm_tokens"] == 0
