@@ -1,0 +1,207 @@
+"""Transform jobs: the index-transform plugin's continuous rollup —
+a materialized group-by summary table maintained INCREMENTALLY, so
+dashboards read a bounded summary instead of re-aggregating the
+corpus.
+
+Reference surface: the transform plugin's job body (``source_index``,
+``pivot.group_by`` = terms / date_histogram sources,
+``pivot.aggregations``) and its continuous mode (process only new data
+past a cursor, merge into the existing summary).
+
+Engine shape (the 100 TB posture): each run aggregates ONLY rows past
+the stored cursor (a codegen range filter the scan pushes down), then
+merges the partial aggregates into the summary with one full-outer
+join keyed by the group tuple — the corpus is never re-scanned, and
+the join's small side is the new partials.  Supported aggregations
+are the MERGEABLE set: ``sum`` / ``value_count`` / ``min`` / ``max``
+(merge = +, +, least, greatest) and ``avg`` (carried as sum+count,
+derived at read).  Non-decomposable aggs (percentiles, cardinality)
+reject by name — a silently-wrong merged percentile is worse than no
+rollup.  State (cursor, job body hash) lives in
+``<dest>/_transform.json``; the summary rewrite is the same
+two-rename atomic swap as update_by_query, so a crashed run leaves
+the PREVIOUS summary + cursor intact (re-run = retry).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["transform_run", "transform_read"]
+
+_MERGEABLE = {"sum", "value_count", "min", "max", "avg"}
+
+
+def _meta_path(dest: str) -> str:
+    return os.path.join(dest, "_transform.json")
+
+
+def _group_cols(df: DataFrame, group_by: list[dict]) -> tuple[
+        list, list[str]]:
+    from ..query.aggs import to_millis
+    from ..query.aggs_body import interval_ms
+
+    cols, names = [], []
+    for g in group_by:
+        (kind, spec), = g.items()
+        fld = spec["field"]
+        name = spec.get("target_field", fld)
+        if kind == "terms":
+            cols.append(F.col(fld).alias(name))
+        elif kind == "date_histogram":
+            iv = interval_ms(spec["fixed_interval"])
+            cols.append(F.timestamp_millis(
+                (F.floor(to_millis(fld) / iv) * iv).cast("long"))
+                .alias(name))
+        elif kind == "histogram":
+            iv = float(spec["interval"])
+            cols.append((F.floor(F.col(fld) / iv) * iv).alias(name))
+        else:
+            raise ValueError(
+                f"unsupported transform group_by {kind!r} "
+                f"(supported: terms date_histogram histogram)")
+        names.append(name)
+    return cols, names
+
+
+def _partials(df: DataFrame, cols: list, names: list[str],
+              aggs: dict[str, dict]) -> DataFrame:
+    exprs = [F.count("*").alias("_docs")]
+    for name, spec in aggs.items():
+        (kind, body), = spec.items()
+        if kind not in _MERGEABLE:
+            raise ValueError(
+                f"transform aggregation {kind!r} is not mergeable "
+                f"across incremental runs (supported: "
+                f"{sorted(_MERGEABLE)})")
+        fld = body["field"]
+        if kind == "sum":
+            exprs.append(F.sum(fld).alias(name))
+        elif kind == "value_count":
+            exprs.append(F.count(fld).alias(name))
+        elif kind == "min":
+            exprs.append(F.min(fld).alias(name))
+        elif kind == "max":
+            exprs.append(F.max(fld).alias(name))
+        else:  # avg → mergeable sum+count pair
+            exprs.append(F.sum(fld).alias(f"{name}__sum"))
+            exprs.append(F.count(fld).alias(f"{name}__count"))
+    return df.groupBy(*cols).agg(*exprs)
+
+
+def _merge(old: DataFrame, new: DataFrame, names: list[str],
+           aggs: dict[str, dict]) -> DataFrame:
+    j = old.alias("o").join(new.alias("n"), names, "full_outer")
+
+    def both(col: str, combine) -> F.Column:
+        o, n = F.col(f"o.{col}"), F.col(f"n.{col}")
+        return (F.when(o.isNull(), n).when(n.isNull(), o)
+                .otherwise(combine(o, n)).alias(col))
+
+    out = [F.col(n) for n in names]
+    out.append(both("_docs", lambda a, b: a + b))
+    for name, spec in aggs.items():
+        (kind, _), = spec.items()
+        if kind in ("sum", "value_count"):
+            out.append(both(name, lambda a, b: a + b))
+        elif kind == "min":
+            out.append(both(name, F.least))
+        elif kind == "max":
+            out.append(both(name, F.greatest))
+        else:
+            out.append(both(f"{name}__sum", lambda a, b: a + b))
+            out.append(both(f"{name}__count", lambda a, b: a + b))
+    return j.select(*out)
+
+
+def transform_run(spark: SparkSession, source: str | DataFrame,
+                  dest: str, body: dict[str, Any]) -> dict[str, Any]:
+    """One (incremental) execution of the transform job.  Returns the
+    updated state dict.  ``body``: ``{"pivot": {"group_by": [...],
+    "aggregations": {...}}, "cursor_field": "ts"}`` — omitting
+    ``cursor_field`` makes every run a full rebuild (batch mode)."""
+    from .tables import load_table
+
+    df = (source if isinstance(source, DataFrame)
+          else load_table(spark, source))
+    pivot = body["pivot"]
+    aggs = pivot.get("aggregations") or {}
+    cols, names = _group_cols(df, pivot["group_by"])
+
+    state: dict[str, Any] = {"cursor": None, "runs": 0}
+    summary = os.path.join(dest, "summary")
+    if os.path.exists(_meta_path(dest)):
+        with open(_meta_path(dest)) as f:
+            state = json.load(f)
+        if state.get("body_hash") != _body_hash(body):
+            raise ValueError(
+                "transform body changed since the last run — a "
+                "different pivot cannot merge into the existing "
+                "summary; use a new dest")
+
+    cursor_field = body.get("cursor_field")
+    new_rows = df
+    new_cursor = None
+    if cursor_field is not None:
+        if state["cursor"] is not None:
+            # cursor stored as a string, cast back to the column type
+            # so the comparison pushes into the scan; rows that
+            # arrive LATER with an older cursor value are missed by
+            # design (the plugin's continuous mode has the same
+            # contract — bound ingestion delay with the cursor field)
+            dt = df.schema[cursor_field].dataType
+            new_rows = df.filter(
+                F.col(cursor_field) > F.lit(state["cursor"]).cast(dt))
+        mx = new_rows.agg(F.max(cursor_field)).collect()[0][0]
+        new_cursor = (str(mx) if mx is not None
+                      else state["cursor"])
+
+    part = _partials(new_rows, cols, names, aggs)
+    have_old = os.path.exists(os.path.join(summary, "_SUCCESS"))
+    if cursor_field is not None and have_old:
+        old = spark.read.parquet(summary)
+        merged = _merge(old, part, names, aggs)
+    else:
+        merged = part
+
+    tmp, trash = summary + ".__tmp__", summary + ".__old__"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(summary):
+        shutil.move(summary, trash)
+    shutil.move(tmp, summary)
+    shutil.rmtree(trash, ignore_errors=True)
+
+    state = {"cursor": new_cursor, "runs": int(state.get("runs", 0)) + 1,
+             "body_hash": _body_hash(body)}
+    with open(_meta_path(dest) + ".tmp", "w") as f:
+        json.dump(state, f)
+    os.replace(_meta_path(dest) + ".tmp", _meta_path(dest))
+    return state
+
+
+def transform_read(spark: SparkSession, dest: str,
+                   body: dict[str, Any]) -> DataFrame:
+    """Read the summary, deriving ``avg`` columns from their
+    sum/count carriers."""
+    out = spark.read.parquet(os.path.join(dest, "summary"))
+    for name, spec in (body["pivot"].get("aggregations") or {}).items():
+        (kind, _), = spec.items()
+        if kind == "avg":
+            out = (out.withColumn(
+                name, F.col(f"{name}__sum") / F.col(f"{name}__count"))
+                .drop(f"{name}__sum", f"{name}__count"))
+    return out
+
+
+def _body_hash(body: dict[str, Any]) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(body, sort_keys=True).encode()).hexdigest()[:16]

@@ -1,0 +1,88 @@
+"""transform jobs: incremental rollup ≡ one-shot full aggregation,
+crash-safe state, non-mergeable rejection."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.sources.transform import (
+    transform_read, transform_run)
+
+BODY = {
+    "pivot": {
+        "group_by": [
+            {"terms": {"field": "role"}},
+            {"date_histogram": {"field": "ts",
+                                "fixed_interval": "1h",
+                                "target_field": "hour"}},
+        ],
+        "aggregations": {
+            "v_sum": {"sum": {"field": "v"}},
+            "v_min": {"min": {"field": "v"}},
+            "v_max": {"max": {"field": "v"}},
+            "v_avg": {"avg": {"field": "v"}},
+            "v_n": {"value_count": {"field": "v"}},
+        },
+    },
+    "cursor_field": "ts",
+}
+
+
+def _mk(spark, lo, hi):
+    base = dt.datetime(2025, 1, 1)
+    rows = [(f"r{i % 3}", base + dt.timedelta(minutes=7 * i),
+             float(i % 11)) for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "role string, ts timestamp, v double")
+
+
+def _collect(spark, dest):
+    out = transform_read(spark, dest, BODY)
+    return sorted((r["role"], str(r["hour"]), r["_docs"], r["v_sum"],
+                   r["v_min"], r["v_max"], round(r["v_avg"], 9),
+                   r["v_n"]) for r in out.collect())
+
+
+def test_incremental_equals_full(spark, tmp_path):
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    # three incremental runs over a growing table
+    for hi in (100, 250, 400):
+        transform_run(spark, _mk(spark, 0, hi), inc, BODY)
+    # one-shot over everything (fresh dest)
+    transform_run(spark, _mk(spark, 0, 400), full, BODY)
+    assert _collect(spark, inc) == _collect(spark, full)
+    # no-new-data run is a no-op on the summary
+    st = transform_run(spark, _mk(spark, 0, 400), inc, BODY)
+    assert st["runs"] == 4
+    assert _collect(spark, inc) == _collect(spark, full)
+
+
+def test_cursor_skips_old_rows_and_state(spark, tmp_path):
+    dest = str(tmp_path / "t")
+    st1 = transform_run(spark, _mk(spark, 0, 50), dest, BODY)
+    assert st1["cursor"] is not None and st1["runs"] == 1
+    before = _collect(spark, dest)
+    # a second run over the SAME data adds nothing (all rows ≤ cursor)
+    transform_run(spark, _mk(spark, 0, 50), dest, BODY)
+    assert _collect(spark, dest) == before
+
+
+def test_body_change_and_nonmergeable_reject(spark, tmp_path):
+    dest = str(tmp_path / "t")
+    transform_run(spark, _mk(spark, 0, 20), dest, BODY)
+    other = {**BODY, "pivot": {
+        "group_by": [{"terms": {"field": "role"}}],
+        "aggregations": {"v_sum": {"sum": {"field": "v"}}}}}
+    with pytest.raises(ValueError, match="body changed"):
+        transform_run(spark, _mk(spark, 0, 30), dest, other)
+    bad = {"pivot": {"group_by": [{"terms": {"field": "role"}}],
+                     "aggregations": {
+                         "p": {"percentiles": {"field": "v"}}}}}
+    with pytest.raises(ValueError, match="not mergeable"):
+        transform_run(spark, _mk(spark, 0, 10),
+                      str(tmp_path / "bad"), bad)
+    with pytest.raises(ValueError, match="group_by"):
+        transform_run(spark, _mk(spark, 0, 10), str(tmp_path / "bad2"),
+                      {"pivot": {"group_by": [
+                          {"geotile_grid": {"field": "role"}}],
+                          "aggregations": {}}})
