@@ -213,3 +213,35 @@ def test_force_merge_hits_target_segment_count(spark, index_env):
     with pytest.raises(ValueError, match="max_num_segments"):
         force_merge(spark, reader.index_dir, f"{tmp}/bad",
                     max_num_segments=0)
+
+
+def test_snapshot_restore_roundtrip(spark, index_env):
+    import os
+
+    from anomaly_detection_spark.index.snapshots import (
+        list_snapshots, restore_index, snapshot_index)
+
+    reader, analyzed, stats, tmp = index_env
+    repo = f"{tmp}/repo"
+    m1 = snapshot_index(reader.index_dir, repo, "s1")
+    assert m1["files"] > 0 and m1["hardlinked"] == 0
+    # second snapshot of the unchanged index: everything hardlinks
+    m2 = snapshot_index(reader.index_dir, repo, "s2")
+    assert m2["hardlinked"] == m2["files"]
+    assert [s["name"] for s in list_snapshots(repo)] == ["s1", "s2"]
+
+    restored = f"{tmp}/restored"
+    restore_index(repo, "s2", restored)
+    rreader = IndexReader(spark, restored)
+    for q in QUERIES[:3]:
+        a = bm25_topk_indexed(reader, q, k=10).toPandas()
+        b = bm25_topk_indexed(rreader, q, k=10).toPandas()
+        assert list(a.docid) == list(b.docid)
+
+    # incomplete snapshot (no marker) refuses to restore
+    os.remove(f"{repo}/s1/SNAPSHOT_OK")
+    with pytest.raises(ValueError, match="incomplete"):
+        restore_index(repo, "s1", f"{tmp}/nope")
+    assert [s["name"] for s in list_snapshots(repo)] == ["s2"]
+    with pytest.raises(ValueError, match="already exists"):
+        restore_index(repo, "s2", restored)
