@@ -386,6 +386,25 @@ def main() -> None:
                              "query_text": "the data merge query"}}},
                           "size": 10}).collect())
     denc.unpersist()
+    from anomaly_detection_spark.pipeline.text import (
+        perplexity_scores, train_unigram_lm)
+    lm = train_unigram_lm(documents, vocab_size=50_000).persist()
+    lm.count()
+    timed("perplexity_documents",
+          lambda: perplexity_scores(documents, lm)
+          .agg(F.avg("perplexity")).collect())
+    lm.unpersist()
+    from anomaly_detection_spark.sources.ingest import (
+        apply_ingest_pipeline)
+    timed("ingest_pipeline_documents",
+          lambda: apply_ingest_pipeline(documents, {"processors": [
+              {"lowercase": {"field": "text",
+                             "ignore_missing": False}},
+              {"gsub": {"field": "text", "pattern": "\\d+",
+                        "replacement": "#"}},
+              {"set": {"field": "v", "value": 1}},
+              {"drop": {"if": "doc['n_chars'].value < 10"}},
+          ]}).count())
 
     print(json.dumps({
         "metric": "index-build throughput (turns/sec)",
