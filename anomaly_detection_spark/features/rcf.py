@@ -708,3 +708,58 @@ def rcf_scorer_joint(n_features: int, shingle: int = 8, n_trees: int = 50,
     score.multivariate = True
     score.returns_expected = True
     return score
+
+
+def ingest_v1_checkpoint(raw: str | bytes | dict,
+                         seed: int = 11) -> tuple[StreamingRCF, list]:
+    """Ingest an AD-1.x RCF model checkpoint (the reference's
+    ``CheckpointDao`` v1 JSON: ``{"sp": [[...point]...], "rcf":
+    "<serialized RandomCutForest>"}``, e.g.
+    ``src/test/resources/org/opensearch/ad/ml/rcf_1_0_checkpoint.json``)
+    into a live :class:`StreamingRCF`.
+
+    Faithful to the reference's own BWC path: v1 checkpoints store
+    each tree's sampler contents (``weightedSamples`` =
+    {point, weight, sequenceIndex}), and migration reconstructs trees
+    by REINSERTING the samples — tree topology is rebuilt, the sample
+    SET (the model state that matters) is preserved exactly.  The
+    stored ``weight`` is the sampler's log race key
+    (ln(−ln U) − λ·seq), which is exactly this class's heap key, so
+    future evictions behave identically; fresh RNG streams replace the
+    serialized ones (documented divergence — affects future random
+    draws only, like any re-seeded migration).
+
+    Returns ``(forest, sample_points)`` — ``sp`` is the v1 recent-
+    points queue, returned for the caller to replay/extend warm-up.
+    """
+    import json as _json
+
+    obj = (raw if isinstance(raw, dict)
+           else _json.loads(raw if isinstance(raw, str)
+                            else raw.decode()))
+    sp = [tuple(map(float, p)) for p in obj.get("sp") or []]
+    rcf = obj["rcf"]
+    if isinstance(rcf, str):
+        rcf = _json.loads(rcf)
+    dims = int(rcf["dimensions"])
+    updaters = rcf["executor"]["executor"]["treeUpdaters"]
+    forest = StreamingRCF(
+        dims=dims, n_trees=int(rcf["numberOfTrees"]),
+        sample_size=int(rcf["sampleSize"]),
+        time_decay=float(rcf.get("lambda", 1e-4)), seed=seed)
+    max_seq = 0
+    for i, upd in enumerate(updaters):
+        tree = forest.trees[i]
+        heap = forest.heaps[i]
+        for ws in upd["sampler"]["weightedSamples"]:
+            p = tuple(float(x) for x in ws["point"])
+            if len(p) != dims:
+                raise ValueError(
+                    f"sample dimension {len(p)} != model dims {dims}")
+            leaf = tree.insert(p)
+            forest._ctr += 1
+            heapq.heappush(heap,
+                           (-float(ws["weight"]), forest._ctr, leaf))
+            max_seq = max(max_seq, int(ws.get("sequenceIndex", 0)))
+    forest.seq = max_seq + 1
+    return forest, sp
