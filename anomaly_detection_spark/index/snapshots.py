@@ -43,10 +43,13 @@ def snapshot_index(index_dir: str, repo_dir: str,
     if "/" in name or not name:
         raise ValueError(f"invalid snapshot name {name!r}")
     dst = os.path.join(repo_dir, name)
+    src_abs = os.path.abspath(index_dir)
     prev = None
     for s in sorted(list_snapshots(repo_dir),
                     key=lambda s_: s_["ts"], reverse=True):
-        if s["name"] != name:
+        # dedup only against snapshots of the SAME index — a shared
+        # repository must never cross-link two indexes' files
+        if s["name"] != name and s.get("source") == src_abs:
             prev = os.path.join(repo_dir, s["name"])
             break
     shutil.rmtree(dst, ignore_errors=True)
@@ -55,16 +58,24 @@ def snapshot_index(index_dir: str, repo_dir: str,
     for rel, src in _files(index_dir):
         out = os.path.join(dst, rel)
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        size = os.path.getsize(src)
+        st = os.stat(src)
         cand = os.path.join(prev, rel) if prev else None
-        if cand and os.path.exists(cand) \
-                and os.path.getsize(cand) == size:
-            os.link(cand, out)
-            n_linked += 1
-        else:
-            shutil.copy2(src, out)
+        # identity = path + size + mtime_ns (copy2 preserves mtime,
+        # so an unchanged file carries the source's timestamp through
+        # every snapshot) — size alone would silently share stale
+        # content for a re-written same-length file
+        if cand and os.path.exists(cand):
+            cst = os.stat(cand)
+            if cst.st_size == st.st_size and \
+                    cst.st_mtime_ns == st.st_mtime_ns:
+                os.link(cand, out)
+                n_linked += 1
+                n_files += 1
+                n_bytes += st.st_size
+                continue
+        shutil.copy2(src, out)
         n_files += 1
-        n_bytes += size
+        n_bytes += st.st_size
     manifest = {"name": name, "ts": time.time(), "files": n_files,
                 "bytes": n_bytes, "hardlinked": n_linked,
                 "source": os.path.abspath(index_dir)}

@@ -103,12 +103,22 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
             f"'fixed_token_length' or 'delimiter'")
 
     if max_chunk_limit != -1:
-        over = (chunked.filter(F.size("_chunks") > max_chunk_limit)
-                .select(id_col).limit(1).collect())
-        if over:
-            raise ValueError(
-                f"doc {over[0][0]!r} exceeds max_chunk_limit="
-                f"{max_chunk_limit}; raise the limit or pass -1")
+        # the guard rides the SAME scan (raise_error inside the plan)
+        # instead of an eager extra whole-corpus job; it fires at
+        # action time like any data-dependent failure
+        from ..functions.hof import bind_once
+
+        def guard(c: F.Column) -> F.Column:
+            msg = F.concat(
+                F.lit("doc "), F.col(id_col).cast("string"),
+                F.lit(f" exceeds max_chunk_limit={max_chunk_limit}; "
+                      f"raise the limit or pass -1"))
+            return F.when(F.size(c) > max_chunk_limit,
+                          F.raise_error(msg).cast("array<string>")
+                          ).otherwise(c)
+
+        chunked = chunked.withColumn(
+            "_chunks", bind_once(F.col("_chunks"), guard))
     out = (chunked
            .select(id_col, F.posexplode("_chunks")
                    .alias("chunk_idx", "chunk"))

@@ -423,6 +423,19 @@ def compile_filter_script(source: str, params: dict[str, Any],
             raise ValueError(
                 f"script query references unknown field {fld!r}")
         expr = expr.replace(f"doc['{fld}'].value", f"`{fld}`")
+
+    # pull string literals (and string params) out into placeholders
+    # BEFORE the operator rewrites, so values like 'a&&b' or a
+    # backslash-bearing param are never touched by the && / == / Math
+    # substitutions (re.sub replacement is a lambda for the same
+    # reason — a raw replacement string would interpret backslashes)
+    stash: list[str] = []
+
+    def _stash(lit: str) -> str:
+        stash.append(lit)
+        return f"\x00{len(stash) - 1}\x00"
+
+    expr = re.sub(r"'(?:[^'])*'", lambda m: _stash(m.group(0)), expr)
     for name in sorted(params, key=len, reverse=True):
         v = params[name]
         if isinstance(v, bool):
@@ -430,12 +443,18 @@ def compile_filter_script(source: str, params: dict[str, Any],
         elif isinstance(v, (int, float)):
             lit = repr(v)
         elif isinstance(v, str):
-            lit = "'" + v.replace("'", "''") + "'"
+            # param values are RAW strings: escape backslashes for the
+            # SQL literal parser (painless SOURCE literals pass
+            # through untouched — painless and Spark SQL share the
+            # backslash escape convention there)
+            lit = _stash("'" + v.replace("\\", "\\\\")
+                         .replace("'", "''") + "'")
         else:
             raise ValueError(
                 f"script query param {name!r} must be a scalar, "
                 f"got {type(v).__name__}")
-        expr = re.sub(rf"\bparams\.{re.escape(name)}\b", lit, expr)
+        expr = re.sub(rf"\bparams\.{re.escape(name)}\b",
+                      lambda m, lit=lit: lit, expr)
     for fn, sql in (("Math.log1p", "LOG1P"), ("Math.log", "LN"),
                     ("Math.sqrt", "SQRT"), ("Math.exp", "EXP"),
                     ("Math.abs", "ABS"), ("Math.max", "GREATEST"),
@@ -446,12 +465,14 @@ def compile_filter_script(source: str, params: dict[str, Any],
             .replace("||", " OR ").replace("==", " = ")
             .replace("!", " NOT "))
     bare = re.sub(r"`[^`]*`", "", expr)        # field names
-    bare = re.sub(r"'(?:[^']|'')*'", "", bare)  # string literals
+    bare = re.sub(r"\x00\d+\x00", "", bare)    # stashed literals
     bare = re.sub(r"\b(LOG1P|LN|SQRT|EXP|ABS|GREATEST|LEAST|AND|OR|NOT"
                   r"|true|false)\b", "", bare)
     if re.search(r"[A-Za-z_`\[\]']", bare) or \
             not set(bare) <= set("0123456789. +-*/()%,<>="):
         raise ValueError(f"unsupported script query script: {source!r}")
+    expr = re.sub(r"\x00(\d+)\x00",
+                  lambda m: stash[int(m.group(1))], expr)
     return F.expr(expr).cast("boolean")
 
 

@@ -49,14 +49,25 @@ def _cond(df: DataFrame, spec: dict[str, Any]) -> Column | None:
                                  set(df.columns))
 
 
-def _gated(df: DataFrame, spec: dict[str, Any], field: str,
-           new: Column) -> Column:
-    """Apply ``new`` to ``field`` only where the processor's ``if``
-    holds (rows failing the condition keep the old value)."""
+def _gated(df: DataFrame, spec: dict[str, Any], target: str,
+           new: Column, kind: str = "",
+           type_changing: bool = False) -> Column:
+    """Apply ``new`` to ``target`` only where the processor's ``if``
+    holds.  Rows failing the condition keep the TARGET's previous
+    value (null when the target is a new column) — never the source
+    field's value, which would leak unprocessed data into the target.
+    A type-changing processor (split/join/convert) writing IN PLACE
+    cannot be row-gated — one column cannot hold two types — so it
+    raises by name instead of letting Spark coerce silently."""
     c = _cond(df, spec)
     if c is None:
         return new
-    old = F.col(field) if field in df.columns else F.lit(None)
+    if type_changing and target in df.columns:
+        raise ValueError(
+            f"{kind} processor: a per-row 'if' on a type-changing "
+            f"processor needs a fresh target_field (the existing "
+            f"column {target!r} cannot hold both types)")
+    old = F.col(target) if target in df.columns else F.lit(None)
     return F.when(c, new).otherwise(old)
 
 
@@ -107,6 +118,10 @@ def apply_ingest_pipeline(df: DataFrame,
                             spec.get("ignore_missing", False)):
                     df = df.drop(fld)
         elif kind == "rename":
+            if spec.get("if") is not None:
+                raise ValueError(
+                    "rename processor: per-row 'if' cannot rename a "
+                    "COLUMN conditionally — copy with set instead")
             fld, tgt = spec["field"], spec["target_field"]
             if tgt in df.columns:
                 raise ValueError(
@@ -125,20 +140,22 @@ def apply_ingest_pipeline(df: DataFrame,
                                            fn(F.col(fld))))
         elif kind == "gsub":
             fld = spec["field"]
+            tgt = spec.get("target_field", fld)
             new = F.regexp_replace(F.col(fld), spec["pattern"],
                                    spec["replacement"])
-            df = df.withColumn(spec.get("target_field", fld),
-                               _gated(df, spec, fld, new))
+            df = df.withColumn(tgt, _gated(df, spec, tgt, new, "gsub"))
         elif kind == "split":
             fld = spec["field"]
+            tgt = spec.get("target_field", fld)
             new = F.split(F.col(fld), spec["separator"])
-            df = df.withColumn(spec.get("target_field", fld),
-                               _gated(df, spec, fld, new))
+            df = df.withColumn(tgt, _gated(df, spec, tgt, new,
+                                           "split", type_changing=True))
         elif kind == "join":
             fld = spec["field"]
+            tgt = spec.get("target_field", fld)
             new = F.concat_ws(spec["separator"], F.col(fld))
-            df = df.withColumn(spec.get("target_field", fld),
-                               _gated(df, spec, fld, new))
+            df = df.withColumn(tgt, _gated(df, spec, tgt, new,
+                                           "join", type_changing=True))
         elif kind == "convert":
             fld = spec["field"]
             if not _require(df, fld, "convert",
@@ -150,11 +167,13 @@ def apply_ingest_pipeline(df: DataFrame,
                     f"convert processor: unsupported type {t!r} "
                     f"(supported: {sorted(_CONVERT_TYPES)})")
             src = F.col(fld)
+            tgt = spec.get("target_field", fld)
             new = (src.try_cast(_CONVERT_TYPES[t])
                    if spec.get("ignore_failure")
                    else src.cast(_CONVERT_TYPES[t]))
-            df = df.withColumn(spec.get("target_field", fld),
-                               _gated(df, spec, fld, new))
+            df = df.withColumn(tgt, _gated(df, spec, tgt, new,
+                                           "convert",
+                                           type_changing=True))
         elif kind == "date":
             fld = spec["field"]
             tgt = spec.get("target_field", "@timestamp")
@@ -171,7 +190,8 @@ def apply_ingest_pipeline(df: DataFrame,
                 else:
                     p = F.try_to_timestamp(F.col(fld), F.lit(fmt))
                 parsed = p if parsed is None else F.coalesce(parsed, p)
-            df = df.withColumn(tgt, _gated(df, spec, tgt, parsed))
+            df = df.withColumn(tgt, _gated(df, spec, tgt, parsed,
+                                           "date", type_changing=True))
         elif kind == "append":
             fld = spec["field"]
             vals = spec["value"]

@@ -11,16 +11,24 @@ past a cursor, merge into the existing summary).
 Engine shape (the 100 TB posture): each run aggregates ONLY rows past
 the stored cursor (a codegen range filter the scan pushes down), then
 merges the partial aggregates into the summary with one full-outer
-join keyed by the group tuple — the corpus is never re-scanned, and
-the join's small side is the new partials.  Supported aggregations
-are the MERGEABLE set: ``sum`` / ``value_count`` / ``min`` / ``max``
-(merge = +, +, least, greatest) and ``avg`` (carried as sum+count,
-derived at read).  Non-decomposable aggs (percentiles, cardinality)
-reject by name — a silently-wrong merged percentile is worse than no
-rollup.  State (cursor, job body hash) lives in
-``<dest>/_transform.json``; the summary rewrite is the same
-two-rename atomic swap as update_by_query, so a crashed run leaves
-the PREVIOUS summary + cursor intact (re-run = retry).
+join keyed NULL-SAFELY by the group tuple — the corpus is never
+re-scanned, and the join's small side is the new partials.  Supported
+aggregations are the MERGEABLE set: ``sum`` / ``value_count`` /
+``min`` / ``max`` (merge = +, +, least, greatest) and ``avg``
+(carried as sum+count, derived at read).  Non-decomposable aggs
+(percentiles, cardinality) reject by name — a silently-wrong merged
+percentile is worse than no rollup.
+
+Crash safety: summaries are VERSIONED (``summary_v<N>``) and the
+atomic ``os.replace`` of ``_transform.json`` — which names both the
+live version and the cursor — is the single commit point.  A crash
+anywhere before it leaves the previous summary + cursor fully intact
+(the half-written ``summary_v<N+1>`` is an ignored orphan, removed by
+the next successful run); a crash after it is a completed run.  The
+new cursor is computed INSIDE the partials aggregation (max is itself
+mergeable), not as a separate job, so a source that keeps growing
+between jobs cannot slip rows into the summary that the cursor would
+re-admit next run.
 """
 
 from __future__ import annotations
@@ -40,6 +48,10 @@ _MERGEABLE = {"sum", "value_count", "min", "max", "avg"}
 
 def _meta_path(dest: str) -> str:
     return os.path.join(dest, "_transform.json")
+
+
+def _summary_path(dest: str, version: int) -> str:
+    return os.path.join(dest, f"summary_v{version}")
 
 
 def _group_cols(df: DataFrame, group_by: list[dict]) -> tuple[
@@ -71,8 +83,13 @@ def _group_cols(df: DataFrame, group_by: list[dict]) -> tuple[
 
 
 def _partials(df: DataFrame, cols: list, names: list[str],
-              aggs: dict[str, dict]) -> DataFrame:
+              aggs: dict[str, dict],
+              cursor_field: str | None) -> DataFrame:
     exprs = [F.count("*").alias("_docs")]
+    if cursor_field is not None:
+        # per-group max cursor — mergeable, so the GLOBAL new cursor
+        # derives from the partials themselves (same job, no re-read)
+        exprs.append(F.max(cursor_field).alias("_cursor"))
     for name, spec in aggs.items():
         (kind, body), = spec.items()
         if kind not in _MERGEABLE:
@@ -97,14 +114,27 @@ def _partials(df: DataFrame, cols: list, names: list[str],
 
 def _merge(old: DataFrame, new: DataFrame, names: list[str],
            aggs: dict[str, dict]) -> DataFrame:
-    j = old.alias("o").join(new.alias("n"), names, "full_outer")
+    # NULL-SAFE key join: a null group value is one bucket, not a
+    # never-matching phantom that would duplicate per run
+    cond = None
+    for n in names:
+        c = F.col(f"o.{n}").eqNullSafe(F.col(f"n.{n}"))
+        cond = c if cond is None else cond & c
+    j = old.alias("o").join(new.alias("n"), cond, "full_outer")
 
     def both(col: str, combine) -> F.Column:
         o, n = F.col(f"o.{col}"), F.col(f"n.{col}")
         return (F.when(o.isNull(), n).when(n.isNull(), o)
                 .otherwise(combine(o, n)).alias(col))
 
-    out = [F.col(n) for n in names]
+    # keys: one side is null-filled on non-matches; null-safe
+    # coalesce must distinguish "missing side" from "null key", so
+    # pick via the side's _docs (always non-null on a present side)
+    out = []
+    for n in names:
+        out.append(F.when(F.col("o._docs").isNotNull(),
+                          F.col(f"o.{n}"))
+                   .otherwise(F.col(f"n.{n}")).alias(n))
     out.append(both("_docs", lambda a, b: a + b))
     for name, spec in aggs.items():
         (kind, _), = spec.items()
@@ -134,8 +164,7 @@ def transform_run(spark: SparkSession, source: str | DataFrame,
     aggs = pivot.get("aggregations") or {}
     cols, names = _group_cols(df, pivot["group_by"])
 
-    state: dict[str, Any] = {"cursor": None, "runs": 0}
-    summary = os.path.join(dest, "summary")
+    state: dict[str, Any] = {"cursor": None, "runs": 0, "version": 0}
     if os.path.exists(_meta_path(dest)):
         with open(_meta_path(dest)) as f:
             state = json.load(f)
@@ -147,50 +176,65 @@ def transform_run(spark: SparkSession, source: str | DataFrame,
 
     cursor_field = body.get("cursor_field")
     new_rows = df
-    new_cursor = None
-    if cursor_field is not None:
-        if state["cursor"] is not None:
-            # cursor stored as a string, cast back to the column type
-            # so the comparison pushes into the scan; rows that
-            # arrive LATER with an older cursor value are missed by
-            # design (the plugin's continuous mode has the same
-            # contract — bound ingestion delay with the cursor field)
-            dt = df.schema[cursor_field].dataType
-            new_rows = df.filter(
-                F.col(cursor_field) > F.lit(state["cursor"]).cast(dt))
-        mx = new_rows.agg(F.max(cursor_field)).collect()[0][0]
-        new_cursor = (str(mx) if mx is not None
-                      else state["cursor"])
+    if cursor_field is not None and state["cursor"] is not None:
+        # cursor stored as a string, cast back to the column type so
+        # the comparison pushes into the scan; rows that arrive LATER
+        # with an older cursor value are missed by design (the
+        # plugin's continuous mode has the same contract — bound
+        # ingestion delay with the cursor field)
+        dt = df.schema[cursor_field].dataType
+        new_rows = df.filter(
+            F.col(cursor_field) > F.lit(state["cursor"]).cast(dt))
 
-    part = _partials(new_rows, cols, names, aggs)
-    have_old = os.path.exists(os.path.join(summary, "_SUCCESS"))
+    part = _partials(new_rows, cols, names, aggs,
+                     cursor_field).persist()
+    new_cursor = state.get("cursor")
+    if cursor_field is not None:
+        mx = part.agg(F.max("_cursor")).collect()[0][0]
+        if mx is not None:
+            new_cursor = str(mx)
+        part = part.drop("_cursor")
+
+    old_version = int(state.get("version", 0))
+    old_path = _summary_path(dest, old_version)
+    have_old = os.path.exists(os.path.join(old_path, "_SUCCESS"))
     if cursor_field is not None and have_old:
-        old = spark.read.parquet(summary)
+        old = spark.read.parquet(old_path)
         merged = _merge(old, part, names, aggs)
     else:
         merged = part
 
-    tmp, trash = summary + ".__tmp__", summary + ".__old__"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(summary):
-        shutil.move(summary, trash)
-    shutil.move(tmp, summary)
-    shutil.rmtree(trash, ignore_errors=True)
+    new_version = old_version + 1
+    new_path = _summary_path(dest, new_version)
+    shutil.rmtree(new_path, ignore_errors=True)   # crashed orphan
+    merged.write.mode("overwrite").parquet(new_path)
+    part.unpersist()
 
-    state = {"cursor": new_cursor, "runs": int(state.get("runs", 0)) + 1,
-             "body_hash": _body_hash(body)}
+    # the single commit point: version + cursor replace atomically
+    state = {"cursor": new_cursor,
+             "runs": int(state.get("runs", 0)) + 1,
+             "version": new_version, "body_hash": _body_hash(body)}
+    os.makedirs(dest, exist_ok=True)
     with open(_meta_path(dest) + ".tmp", "w") as f:
         json.dump(state, f)
     os.replace(_meta_path(dest) + ".tmp", _meta_path(dest))
+
+    # committed — older/orphaned versions are now garbage
+    for d in os.listdir(dest):
+        if d.startswith("summary_v") and \
+                d != f"summary_v{new_version}":
+            shutil.rmtree(os.path.join(dest, d), ignore_errors=True)
     return state
 
 
 def transform_read(spark: SparkSession, dest: str,
                    body: dict[str, Any]) -> DataFrame:
-    """Read the summary, deriving ``avg`` columns from their
-    sum/count carriers."""
-    out = spark.read.parquet(os.path.join(dest, "summary"))
+    """Read the committed summary version, deriving ``avg`` columns
+    from their sum/count carriers."""
+    with open(_meta_path(dest)) as f:
+        state = json.load(f)
+    out = spark.read.parquet(
+        _summary_path(dest, int(state["version"])))
     for name, spec in (body["pivot"].get("aggregations") or {}).items():
         (kind, _), = spec.items()
         if kind == "avg":

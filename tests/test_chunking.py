@@ -79,8 +79,10 @@ def test_chunk_limits_and_rejections(spark):
     df = spark.createDataFrame(
         [(1, " ".join(f"w{i}" for i in range(30)))],
         "doc_id long, text string")
-    with pytest.raises(ValueError, match="max_chunk_limit"):
-        chunk_documents(df, token_limit=2, max_chunk_limit=3)
+    # the guard is IN the plan (no extra eager job): it fires at
+    # action time, like any data-dependent failure
+    with pytest.raises(Exception, match="max_chunk_limit"):
+        chunk_documents(df, token_limit=2, max_chunk_limit=3).count()
     ok = chunk_documents(df, token_limit=2, max_chunk_limit=-1)
     assert ok.count() == 15
     with pytest.raises(ValueError, match="overlap_rate"):

@@ -245,3 +245,39 @@ def test_snapshot_restore_roundtrip(spark, index_env):
     assert [s["name"] for s in list_snapshots(repo)] == ["s2"]
     with pytest.raises(ValueError, match="already exists"):
         restore_index(repo, "s2", restored)
+
+
+def test_snapshot_detects_samesize_rewrite(spark, index_env, tmp_path):
+    import json
+    import os
+    import shutil as _sh
+
+    from anomaly_detection_spark.index.snapshots import snapshot_index
+
+    reader, analyzed, stats, tmp = index_env
+    idx2 = str(tmp_path / "idx2")
+    _sh.copytree(reader.index_dir, idx2)
+    repo = str(tmp_path / "repo2")
+    snapshot_index(idx2, repo, "a")
+    # rewrite _meta.json with SAME byte length, different content
+    # (flip one digit of avgdl — still valid JSON)
+    import re as _re
+
+    meta_p = os.path.join(idx2, "_meta.json")
+    raw = open(meta_p).read()
+    m = _re.search(r'("avgdl": \d+\.\d*?)(\d)', raw)
+    flip = "7" if m.group(2) != "7" else "3"
+    new = raw[:m.end(1)] + flip + raw[m.end(2):]
+    assert len(new) == len(raw) and new != raw
+    with open(meta_p, "w") as f:
+        f.write(new)
+    m2 = snapshot_index(idx2, repo, "b")
+    # the rewritten file was COPIED, not hardlinked to stale content
+    assert m2["hardlinked"] == m2["files"] - 1
+    assert open(os.path.join(repo, "b", "_meta.json")).read() \
+        == open(meta_p).read()
+    # a different index snapshotting into the same repo never links
+    idx3 = str(tmp_path / "idx3")
+    _sh.copytree(reader.index_dir, idx3)
+    m3 = snapshot_index(idx3, repo, "c")
+    assert m3["hardlinked"] == 0

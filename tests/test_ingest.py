@@ -137,3 +137,49 @@ def test_reindex_with_pipeline(spark, tmp_path):
     got = {r["id"]: r for r in spark.read.parquet(dst).collect()}
     assert got[1]["t"] == "a" and got[1]["ingested"] is True
     assert got[3]["t"] is None
+
+
+def test_conditional_target_semantics(rows):
+    # gsub with 'if' + target_field: non-matching rows get NULL in the
+    # target, never the unprocessed source value
+    out = _one(rows, {"gsub": {"field": "csv", "pattern": ",",
+                               "replacement": ";",
+                               "target_field": "clean",
+                               "if": "doc['v'].value > 0"}})
+    got = {r["id"]: r["clean"] for r in out.collect()}
+    assert got[1] == "a;b;c" and got[2] is None and got[3] is None
+    # type-changing processors refuse in-place row gating by name
+    for proc in (
+        {"split": {"field": "csv", "separator": ",",
+                   "if": "doc['v'].value > 0"}},
+        {"convert": {"field": "v", "type": "double",
+                     "if": "doc['v'].value > 0"}},
+    ):
+        with pytest.raises(ValueError, match="type-changing"):
+            _one(rows, proc)
+    # ...but work with a fresh target
+    ok = _one(rows, {"convert": {"field": "v", "type": "double",
+                                 "target_field": "vd",
+                                 "if": "doc['v'].value > 0"}})
+    got = {r["id"]: r["vd"] for r in ok.collect()}
+    assert got[1] == 7.0 and got[2] is None
+    with pytest.raises(ValueError, match="rename processor"):
+        _one(rows, {"rename": {"field": "v", "target_field": "w",
+                               "if": "doc['v'].value > 0"}})
+
+
+def test_script_literals_and_params_survive_rewrites(rows):
+    from anomaly_detection_spark.query.compound import (
+        compile_filter_script)
+
+    df = rows.withColumn("tag", F.lit("a&&b"))
+    # a literal containing && / == must not be rewritten
+    n = df.filter(compile_filter_script(
+        "doc['tag'].value == 'a&&b'", {}, set(df.columns))).count()
+    assert n == df.count()
+    # backslash-bearing string params survive substitution
+    df2 = rows.withColumn("path", F.lit("dir\\name"))
+    n2 = df2.filter(compile_filter_script(
+        "doc['path'].value == params.p", {"p": "dir\\name"},
+        set(df2.columns))).count()
+    assert n2 == df2.count()

@@ -86,3 +86,54 @@ def test_body_change_and_nonmergeable_reject(spark, tmp_path):
                       {"pivot": {"group_by": [
                           {"geotile_grid": {"field": "role"}}],
                           "aggregations": {}}})
+
+
+def test_null_group_keys_merge_nullsafe(spark, tmp_path):
+    dest = str(tmp_path / "n")
+    body = {"pivot": {"group_by": [{"terms": {"field": "role"}}],
+                      "aggregations": {
+                          "v_sum": {"sum": {"field": "v"}}}},
+            "cursor_field": "ts"}
+    df1 = spark.createDataFrame(
+        [(None, dt.datetime(2025, 1, 1), 1.0),
+         ("a", dt.datetime(2025, 1, 1), 2.0)],
+        "role string, ts timestamp, v double")
+    df2 = spark.createDataFrame(
+        [(None, dt.datetime(2025, 1, 2), 10.0)],
+        "role string, ts timestamp, v double")
+    transform_run(spark, df1, dest, body)
+    transform_run(spark, df1.union(df2), dest, body)
+    rows = {r["role"]: (r["_docs"], r["v_sum"]) for r in
+            transform_read(spark, dest, body).collect()}
+    # exactly ONE null-group row, with both runs' contributions merged
+    assert len(rows) == 2
+    assert rows[None] == (2, 11.0) and rows["a"] == (1, 2.0)
+
+
+def test_crash_between_write_and_commit_is_a_clean_retry(spark,
+                                                         tmp_path):
+    import json as _json
+    import os
+
+    dest = str(tmp_path / "c")
+    transform_run(spark, _mk(spark, 0, 100), dest, BODY)
+    committed = _collect(spark, dest)
+    with open(os.path.join(dest, "_transform.json")) as f:
+        state_before = _json.load(f)
+
+    # simulate a crash AFTER the new summary was written but BEFORE
+    # the state commit: an orphan summary_v2 exists, state still v1
+    import shutil
+    shutil.copytree(os.path.join(dest, "summary_v1"),
+                    os.path.join(dest, "summary_v2"))
+    assert _collect(spark, dest) == committed       # reads are v1
+    # the retry overwrites the orphan and commits normally
+    transform_run(spark, _mk(spark, 0, 150), dest, BODY)
+    full = str(tmp_path / "full")
+    transform_run(spark, _mk(spark, 0, 150), full, BODY)
+    assert _collect(spark, dest) == _collect(spark, full)
+    with open(os.path.join(dest, "_transform.json")) as f:
+        assert _json.load(f)["version"] == state_before["version"] + 1
+    # old versions were garbage-collected
+    assert sorted(d for d in os.listdir(dest)
+                  if d.startswith("summary_v")) == ["summary_v2"]
