@@ -189,6 +189,22 @@ def search_template(target, source: str | dict[str, Any],
     return search(target, render_template(source, params), **kw)
 
 
+def msearch_template(target, entries: list[dict[str, Any]],
+                     **kw) -> list[DataFrame]:
+    """_msearch/template analog: each entry is
+    ``{"source"|"template": ..., "params": {...}}`` — render every
+    template, then plan like :func:`msearch` (lazy frames)."""
+    bodies = []
+    for e in entries:
+        src = e.get("source", e.get("template"))
+        if src is None:
+            raise ValueError(
+                "msearch_template entries need 'source' (or "
+                "'template')")
+        bodies.append(render_template(src, e.get("params")))
+    return msearch(target, bodies, **kw)
+
+
 # ---------------------------------------------------------------------------
 # point in time (_pit) — a DataFrame is already an immutable logical
 # plan, but it re-reads storage per action; the PIT pins the ROWS via

@@ -41,7 +41,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["transform_run", "transform_read"]
+__all__ = ["transform_run", "transform_read", "rollup_aggs"]
 
 _MERGEABLE = {"sum", "value_count", "min", "max", "avg"}
 
@@ -249,3 +249,102 @@ def _body_hash(body: dict[str, Any]) -> str:
 
     return hashlib.sha256(
         json.dumps(body, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def rollup_aggs(spark: SparkSession, dest: str,
+                job_body: dict[str, Any],
+                body: dict[str, Any]) -> DataFrame:
+    """Search a rollup summary with regular agg semantics (the rollup
+    plugin's search-on-rollup-index rewrite): group_by may be a SUBSET
+    of the job's groups, date_histogram/histogram intervals may be any
+    MULTIPLE of the job's (coarser re-bucketing), and each requested
+    aggregation is rewritten onto its pre-aggregated carrier —
+    sum/value_count → SUM of the carrier, min → MIN, max → MAX,
+    avg → SUM(sum)/SUM(count), plus doc_count = SUM(_docs).  A request
+    with no carrier (different field, finer interval, non-mergeable
+    agg) raises by name instead of answering wrong.
+    """
+    from ..query.aggs_body import interval_ms
+
+    job_pivot = job_body["pivot"]
+    job_groups: dict[str, dict] = {}
+    for g in job_pivot["group_by"]:
+        (kind, spec), = g.items()
+        name = spec.get("target_field", spec["field"])
+        job_groups[spec["field"]] = {"kind": kind, "spec": spec,
+                                     "name": name}
+    job_aggs = job_pivot.get("aggregations") or {}
+
+    # always the RAW summary: every carrier (incl. avg's sum/count
+    # pair) lives there
+    raw = spark.read.parquet(_summary_path(
+        dest, int(_read_state(dest)["version"])))
+
+    keys, names = [], []
+    for g in body.get("group_by") or []:
+        (kind, spec), = g.items()
+        fld = spec["field"]
+        jg = job_groups.get(fld)
+        if jg is None:
+            raise ValueError(
+                f"rollup search group_by field {fld!r} was not a "
+                f"job group_by ({sorted(job_groups)})")
+        name = spec.get("target_field", jg["name"])
+        col = F.col(jg["name"])
+        if kind != jg["kind"]:
+            raise ValueError(
+                f"group_by kind mismatch on {fld!r}: job rolled up "
+                f"by {jg['kind']}, requested {kind}")
+        if kind == "date_histogram":
+            q_iv = interval_ms(spec["fixed_interval"])
+            j_iv = interval_ms(jg["spec"]["fixed_interval"])
+            if q_iv % j_iv:
+                raise ValueError(
+                    f"requested interval must be a multiple of the "
+                    f"job interval ({q_iv} % {j_iv} != 0)")
+            col = F.timestamp_millis(
+                (F.floor(F.unix_millis(col) / q_iv) * q_iv)
+                .cast("long"))
+        elif kind == "histogram":
+            q_iv = float(spec["interval"])
+            j_iv = float(jg["spec"]["interval"])
+            if q_iv % j_iv:
+                raise ValueError(
+                    "requested interval must be a multiple of the "
+                    "job interval")
+            col = F.floor(col / q_iv) * q_iv
+        keys.append(col.alias(name))
+        names.append(name)
+
+    def carrier(fld: str, kind: str) -> str:
+        for cname, spec in job_aggs.items():
+            (jk, jb), = spec.items()
+            if jb["field"] == fld and jk == kind:
+                return cname
+        raise ValueError(
+            f"no rollup carrier for {kind}({fld!r}) — the job must "
+            f"pre-aggregate it")
+
+    exprs = [F.sum("_docs").alias("doc_count")]
+    for name, spec in (body.get("aggregations") or {}).items():
+        (kind, b), = spec.items()
+        fld = b["field"]
+        if kind in ("sum", "value_count"):
+            exprs.append(F.sum(carrier(fld, kind)).alias(name))
+        elif kind == "min":
+            exprs.append(F.min(carrier(fld, "min")).alias(name))
+        elif kind == "max":
+            exprs.append(F.max(carrier(fld, "max")).alias(name))
+        elif kind == "avg":
+            c = carrier(fld, "avg")
+            exprs.append((F.sum(F.col(f"{c}__sum"))
+                          / F.sum(F.col(f"{c}__count"))).alias(name))
+        else:
+            raise ValueError(
+                f"unsupported rollup search aggregation {kind!r}")
+    return raw.groupBy(*keys).agg(*exprs).orderBy(*names)
+
+
+def _read_state(dest: str) -> dict[str, Any]:
+    with open(_meta_path(dest)) as f:
+        return json.load(f)

@@ -72,3 +72,24 @@ def test_point_in_time_snapshot_isolation(spark, tmp_path):
     pit.close()
     with pytest.raises(ValueError, match="closed"):
         pit.search({"query": {"match_all": {}}})
+
+
+def test_msearch_template(tiny_transcripts):
+    from anomaly_detection_spark.query.api import (msearch_template,
+                                                   search_template)
+
+    tpl = {"query": {"term": {"role": "{{r}}"}}, "size": 10_000}
+    import json as _json
+    src = _json.dumps(tpl).replace('"{{r}}"', '"{{r}}"')
+    outs = msearch_template(tiny_transcripts, [
+        {"source": src, "params": {"r": "user"}},
+        {"template": src, "params": {"r": "assistant"}},
+    ])
+    a = search_template(tiny_transcripts, src, {"r": "user"})
+    assert sorted(r["docid"] for r in outs[0].collect()) \
+        == sorted(r["docid"] for r in a.collect())
+    roles = {r["role"] for r in outs[1].collect()}
+    assert roles == {"assistant"}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="source"):
+        msearch_template(tiny_transcripts, [{"params": {}}])

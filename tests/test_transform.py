@@ -137,3 +137,57 @@ def test_crash_between_write_and_commit_is_a_clean_retry(spark,
     # old versions were garbage-collected
     assert sorted(d for d in os.listdir(dest)
                   if d.startswith("summary_v")) == ["summary_v2"]
+
+
+def test_rollup_aggs_rebucket_equals_direct(spark, tmp_path):
+    from anomaly_detection_spark.sources.transform import rollup_aggs
+
+    dest = str(tmp_path / "r")
+    df = _mk(spark, 0, 300)
+    transform_run(spark, df, dest, BODY)
+    # re-bucket the hourly rollup to 3h, by role — compare against a
+    # direct aggregation of the raw rows
+    got = rollup_aggs(spark, dest, BODY, {
+        "group_by": [
+            {"terms": {"field": "role"}},
+            {"date_histogram": {"field": "ts",
+                                "fixed_interval": "3h",
+                                "target_field": "h3"}}],
+        "aggregations": {
+            "s": {"sum": {"field": "v"}},
+            "mn": {"min": {"field": "v"}},
+            "mx": {"max": {"field": "v"}},
+            "a": {"avg": {"field": "v"}},
+            "n": {"value_count": {"field": "v"}}},
+    })
+    want = (df.groupBy(
+        F.col("role"),
+        F.timestamp_millis((F.floor(F.unix_millis("ts") / 10_800_000)
+                            * 10_800_000).cast("long")).alias("h3"))
+        .agg(F.count("*").alias("doc_count"), F.sum("v").alias("s"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"),
+             F.avg("v").alias("a"), F.count("v").alias("n")))
+    g = sorted((r["role"], str(r["h3"]), r["doc_count"], r["s"],
+                r["mn"], r["mx"], round(r["a"], 9), r["n"])
+               for r in got.collect())
+    w = sorted((r["role"], str(r["h3"]), r["doc_count"], r["s"],
+                r["mn"], r["mx"], round(r["a"], 9), r["n"])
+               for r in want.collect())
+    assert g == w and g
+    # a subset grouping (drop the date dimension) also works
+    by_role = rollup_aggs(spark, dest, BODY, {
+        "group_by": [{"terms": {"field": "role"}}],
+        "aggregations": {"s": {"sum": {"field": "v"}}}})
+    direct = {r["role"]: r["s"] for r in
+              df.groupBy("role").agg(F.sum("v").alias("s")).collect()}
+    assert {r["role"]: r["s"] for r in by_role.collect()} == direct
+    # rejections: finer interval, unknown carrier
+    import pytest as _pt
+    with _pt.raises(ValueError, match="multiple"):
+        rollup_aggs(spark, dest, BODY, {"group_by": [
+            {"date_histogram": {"field": "ts",
+                                "fixed_interval": "30m"}}]})
+    with _pt.raises(ValueError, match="carrier"):
+        rollup_aggs(spark, dest, BODY, {
+            "group_by": [{"terms": {"field": "role"}}],
+            "aggregations": {"x": {"sum": {"field": "nope"}}}})
