@@ -90,7 +90,13 @@ def seasonal_naive_forecaster(
             off = j * period
             if off < n:
                 lags[j - 1, off:] = values[:n - off]
-        with np.errstate(all="ignore"):
+        # the first `period` columns are all-NaN by construction;
+        # nanmedian's warning is a warnings-module RuntimeWarning
+        # (np.errstate would not silence it)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
             insample = np.nanmedian(lags, axis=0)
         resid = np.abs(values - insample)
         resid = resid[~np.isnan(resid)]

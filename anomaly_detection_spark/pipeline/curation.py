@@ -225,11 +225,10 @@ def pii_redact(
     """Redact PII-shaped spans and count them per type.
 
     Output: (id_col, redacted, n_<type>...) — each matched span is
-    replaced by ``<TYPE>`` (e.g. ``<EMAIL>``), counts come from
-    ``regexp_count`` on the ORIGINAL text.  Patterns apply in the
-    declared order on the progressively redacted string, so an email
-    is not also counted as a phone number through its digits.  Pure
-    codegen — no UDFs, no shuffle.
+    replaced by ``<TYPE>`` (e.g. ``<EMAIL>``).  Patterns apply — and
+    are COUNTED — in the declared order on the progressively redacted
+    string, so an email is not also counted as a phone number through
+    its digits.  Pure codegen — no UDFs, no shuffle.
     """
     pats = patterns or PII_PATTERNS
     red = F.col(text_col)

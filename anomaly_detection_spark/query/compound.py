@@ -81,13 +81,16 @@ class _Target:
 
     def match_scores(self, fld: str, text: str,
                      conjunctive: bool) -> DataFrame:
+        # both paths score the one analyzed text field — the brute
+        # path's bm25_scores reads the shared `tokens` column, so a
+        # different field would be SILENTLY scored against the wrong
+        # text; raise exactly like the index path does
+        if fld != self.text_field:
+            raise ValueError(
+                f"scored match inside a compound query supports the "
+                f"indexed text field {self.text_field!r}; got {fld!r}")
         if self.is_index:
             from .index_search import bm25_scores_indexed
-
-            if fld != self.text_field:
-                raise ValueError(
-                    f"scored match inside a compound query supports the "
-                    f"indexed text field {self.text_field!r}; got {fld!r}")
             out = bm25_scores_indexed(self.target, text)
             if conjunctive:
                 # operator:and on the index path: every query term must
@@ -385,7 +388,9 @@ def _compile_score_script(source: str, doc_cols: set[str]) -> Column:
             raise ValueError(
                 f"script_score references unknown field {fld!r}")
         expr = expr.replace(f"doc['{fld}'].value", f"`{fld}`")
-    expr = expr.replace("_score", "`score`")
+    # standalone _score only — a substring replace would corrupt
+    # backticked field names like `raw_score`
+    expr = re.sub(r"(?<![\w`])_score\b", "`score`", expr)
     for fn, sql in (("Math.log1p", "LOG1P"), ("Math.log", "LN"),
                     ("Math.sqrt", "SQRT"), ("Math.exp", "EXP"),
                     ("Math.abs", "ABS"), ("Math.max", "GREATEST"),
@@ -441,7 +446,9 @@ def compile_filter_script(source: str, params: dict[str, Any],
         if isinstance(v, bool):
             lit = "true" if v else "false"
         elif isinstance(v, (int, float)):
-            lit = repr(v)
+            # stashed: repr may use exponent form (1e-09), whose 'e'
+            # would otherwise trip the bare-identifier validator
+            lit = _stash(repr(v))
         elif isinstance(v, str):
             # param values are RAW strings: escape backslashes for the
             # SQL literal parser (painless SOURCE literals pass

@@ -170,6 +170,22 @@ class _Parser:
         body = tok
         if not tok.startswith('"') and ":" in tok:
             field, body = tok.split(":", 1)
+            if body == "":
+                # "field:(a b)" tokenizes as "field:" + a group — it
+                # must not silently become term{field: ""} plus
+                # default-field clauses (in simple mode the raise
+                # degrades to the term bag, like any parse failure)
+                if self.peek() == "(":
+                    raise ValueError(
+                        "query_string field grouping 'field:(...)' is "
+                        "unsupported — distribute the field over the "
+                        "terms")
+                raise ValueError(f"dangling field prefix {tok!r}")
+        if "^" in body and not body.startswith('"'):
+            # boosts are documented out of subset: raise, never bake
+            # '^2' into the term text (simple mode degrades)
+            raise ValueError(
+                f"query_string boosts ({body!r}) are unsupported")
         if body.startswith('"'):
             m = re.fullmatch(r'"((?:[^"\\]|\\.)*)"(?:~(\d+))?', body)
             if not m:

@@ -78,17 +78,27 @@ def index_stream_writer(
     batch resume)."""
 
     def _write(batch: DataFrame, batch_id: int) -> None:
+        from ..index.storage import IndexPaths, is_done
+
         key = str(batch_id)
         ledger = _read_ledger(index_dir)
         has_meta = os.path.exists(
             os.path.join(index_dir, "_meta.json"))
+        if key in ledger:
+            # fully applied = docid range covered AND the build/append
+            # FINALIZED (build_index writes a draft meta carrying the
+            # final n_docs before any batch work, so n_docs alone
+            # would mistake a mid-build crash for done); checked
+            # before count() so an ack-only replay runs no Spark job
+            lo, hi = ledger[key]
+            if has_meta and read_meta(index_dir).n_docs >= hi \
+                    and is_done(IndexPaths(index_dir), "finalize"):
+                return
         n = batch.count()
         if n == 0:
             return
         if key in ledger:
             lo, hi = ledger[key]
-            if has_meta and read_meta(index_dir).n_docs >= hi:
-                return                    # fully applied; ack-only replay
         else:
             lo = read_meta(index_dir).n_docs if has_meta else 0
             hi = lo + n
@@ -96,7 +106,12 @@ def index_stream_writer(
             _write_ledger(index_dir, ledger)   # intent BEFORE apply
         docs = assign_docids(batch, order_cols=order_cols) \
             .withColumn("docid", F.col("docid") + F.lit(int(lo)))
-        if lo == 0 and not has_meta:
+        if lo == 0:
+            # branch on the LEDGER range, not on meta existence: a
+            # mid-build crash leaves a draft meta behind, and the
+            # replayed first batch must RESUME the build (checkpointed
+            # batches skip) — routing it to append_index would raise
+            # on the docid range and wedge the stream
             build_index(docs, index_dir, text_col=text_col,
                         keep_cols=keep_cols, **build_kwargs)
         else:

@@ -148,3 +148,39 @@ def test_phrase_prefix_index_matches_bruteforce(spark, tiny_transcripts):
             assert np.allclose(got.score, want.score), phrase
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_field_grouping_and_boosts_never_silently_wrong():
+    from anomaly_detection_spark.query.query_string import (
+        compile_query_string)
+
+    with pytest.raises(ValueError, match="field grouping"):
+        compile_query_string({"query": "role:(user assistant)",
+                              "default_field": "text"})
+    with pytest.raises(ValueError, match="boosts"):
+        compile_query_string({"query": "role:admin^2",
+                              "default_field": "text"})
+    with pytest.raises(ValueError, match="dangling field"):
+        compile_query_string({"query": "role: user",
+                              "default_field": "text"})
+    # simple mode degrades to the documented term bag instead
+    out = compile_query_string({"query": "role:(user assistant)",
+                                "default_field": "text"}, simple=True)
+    assert out is not None
+
+
+def test_score_script_field_containing_score_substring(spark):
+    from anomaly_detection_spark.query.compound import (
+        _compile_score_script, compile_filter_script)
+
+    df = spark.createDataFrame([(1, 2.0, 5.0)],
+                               "docid long, raw_score double, v double")
+    c = _compile_score_script("doc['raw_score'].value * 2",
+                              {"raw_score", "v", "score"})
+    row = df.withColumn("score", F.lit(1.0)).select(c.alias("x")) \
+        .collect()[0]
+    assert row["x"] == 4.0
+    # exponent-form numeric params pass the validator
+    cond = compile_filter_script("doc['v'].value > params.eps",
+                                 {"eps": 1e-9}, {"v"})
+    assert df.filter(cond).count() == 1

@@ -107,3 +107,46 @@ def test_stream_writer_replay_idempotent(spark):
             assert _topk(spark, idx, q) == _topk(spark, f"{tmp}/full", q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_replay_resumes_mid_build_crash(spark):
+    """A crash during the FIRST batch's build leaves a draft meta
+    carrying the final n_docs — the replay must RESUME the build (not
+    fast-skip on n_docs, not route to append_index)."""
+    import json
+
+    from anomaly_detection_spark.index.storage import IndexPaths
+
+    tmp = tempfile.mkdtemp(prefix="adspark_crash_")
+    try:
+        docs = generate_transcripts(spark, 1200, seed=13)
+        writer = index_stream_writer(f"{tmp}/idx", seg_size=256,
+                                     block_size=64,
+                                     segments_per_batch=2)
+        writer(docs, 0)
+        want = {q: _topk(spark, f"{tmp}/idx", q) for q in QUERIES}
+        meta_done = read_meta(f"{tmp}/idx")
+
+        # simulate the mid-build crash state: ledger intent recorded,
+        # draft meta present (final n_docs, avgdl 0), finalize marker
+        # gone — exactly what a kill between draft-meta and finalize
+        # leaves behind
+        paths = IndexPaths(f"{tmp}/idx")
+        os.remove(paths.ckpt("finalize"))
+        with open(f"{tmp}/idx/_meta.json") as f:
+            m = json.load(f)
+        m["avgdl"] = 0.0
+        with open(f"{tmp}/idx/_meta.json", "w") as f:
+            json.dump(m, f)
+
+        writer(docs, 0)                      # the replay
+        got = {q: _topk(spark, f"{tmp}/idx", q) for q in QUERIES}
+        assert got == want
+        m2 = read_meta(f"{tmp}/idx")
+        assert abs(m2.avgdl - meta_done.avgdl) < 1e-9   # re-finalized
+        # and a replay of the now-complete batch is a clean no-op
+        writer(docs, 0)
+        assert {q: _topk(spark, f"{tmp}/idx", q) for q in QUERIES} \
+            == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
