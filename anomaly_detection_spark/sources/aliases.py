@@ -116,3 +116,78 @@ def write_through_alias(df: DataFrame, registry_path: str, alias: str,
         raise ValueError(
             f"no write table is defined for alias {alias!r}")
     write_table(df, wt, mode=mode)
+
+
+def rollover_alias(
+    spark: SparkSession,
+    registry_path: str,
+    alias: str,
+    conditions: dict[str, Any] | None = None,
+    new_table_ident: str | None = None,
+) -> dict[str, Any]:
+    """``_rollover`` analog: when the alias's WRITE table satisfies any
+    condition (``max_docs``, ``max_size_bytes``), create the next
+    generation table, point the alias's write table at it, and keep
+    the old generation as a read member — the index-lifecycle rollover
+    the reference's ISM policies drive.
+
+    ``new_table_ident`` defaults to the ``<stem>-NNNNNN`` convention:
+    a trailing number in the current write table's name increments,
+    otherwise ``-000002`` is appended.  Returns the rollover response
+    shape: ``{"rolled_over": bool, "conditions": {name: bool}, "old":
+    ..., "new": ...}``.  With no conditions the rollover is
+    unconditional (the reference's empty-body behavior).
+    """
+    import re
+
+    reg = _read(registry_path)
+    if alias not in reg:
+        raise KeyError(f"alias {alias!r} does not exist")
+    spec = reg[alias]
+    wt = spec.get("write_table")
+    if not wt:
+        raise ValueError(
+            f"no write table is defined for alias {alias!r}")
+
+    met: dict[str, bool] = {}
+    if conditions:
+        unknown = set(conditions) - {"max_docs", "max_size_bytes"}
+        if unknown:
+            raise ValueError(
+                f"unsupported rollover conditions: {sorted(unknown)}")
+        cur = load_table(spark, wt)
+        if "max_docs" in conditions:
+            met["max_docs"] = cur.count() >= int(conditions["max_docs"])
+        if "max_size_bytes" in conditions:
+            size = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(wt) for f in fs) \
+                if os.path.isdir(wt) else 0
+            met["max_size_bytes"] = (
+                size >= int(conditions["max_size_bytes"]))
+        if not any(met.values()):
+            return {"rolled_over": False, "conditions": met,
+                    "old": wt, "new": None}
+
+    if new_table_ident is None:
+        m = re.fullmatch(r"(.*?)(\d+)", wt)
+        if m:
+            new_table_ident = (m.group(1)
+                               + str(int(m.group(2)) + 1)
+                               .zfill(len(m.group(2))))
+        else:
+            new_table_ident = wt + "-000002"
+    if new_table_ident in spec["tables"]:
+        raise ValueError(
+            f"rollover target {new_table_ident!r} is already an "
+            f"alias member")
+    # the new generation starts EMPTY with the old schema, so reads
+    # union cleanly before the first write lands
+    load_table(spark, wt).limit(0).write.mode("error") \
+        .parquet(new_table_ident)
+    reg[alias] = {**spec,
+                  "tables": spec["tables"] + [new_table_ident],
+                  "write_table": new_table_ident}
+    _write(registry_path, reg)
+    return {"rolled_over": True, "conditions": met, "old": wt,
+            "new": new_table_ident}

@@ -72,3 +72,45 @@ def test_write_through_alias(spark, reg, tmp_path):
     # write table must be a member
     with pytest.raises(ValueError, match="member"):
         put_alias(reg, "bad_w", [a], write_table_ident=b)
+
+
+def test_rollover_alias(spark, tmp_path):
+    from anomaly_detection_spark.sources.aliases import (
+        get_aliases, put_alias, resolve_alias, rollover_alias,
+        write_through_alias)
+
+    reg = str(tmp_path / "reg.json")
+    t1 = str(tmp_path / "logs-000001")
+    spark.createDataFrame([(i, f"m{i}") for i in range(10)],
+                          "id long, msg string").write.parquet(t1)
+    put_alias(reg, "logs", [t1], write_table_ident=t1)
+
+    # condition not met: no rollover
+    r = rollover_alias(spark, reg, "logs",
+                       conditions={"max_docs": 100})
+    assert r == {"rolled_over": False,
+                 "conditions": {"max_docs": False},
+                 "old": t1, "new": None}
+
+    # condition met: new generation, write table switches, old stays
+    r = rollover_alias(spark, reg, "logs",
+                       conditions={"max_docs": 10})
+    assert r["rolled_over"] and r["conditions"]["max_docs"]
+    t2 = r["new"]
+    assert t2.endswith("logs-000002")
+    spec = get_aliases(reg)["logs"]
+    assert spec["write_table"] == t2 and t1 in spec["tables"]
+    # reads still see everything; writes land in the new generation
+    assert resolve_alias(spark, reg, "logs").count() == 10
+    df = spark.createDataFrame([(99, "new")], "id long, msg string")
+    write_through_alias(df, reg, "logs")
+    assert resolve_alias(spark, reg, "logs").count() == 11
+    assert spark.read.parquet(t2).count() == 1
+    assert spark.read.parquet(t1).count() == 10
+
+    # unconditional rollover increments the generation again
+    r3 = rollover_alias(spark, reg, "logs")
+    assert r3["rolled_over"] and r3["new"].endswith("logs-000003")
+    with pytest.raises(ValueError, match="unsupported rollover"):
+        rollover_alias(spark, reg, "logs",
+                       conditions={"max_age": "7d"})
