@@ -32,6 +32,22 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# The same deterministic lat/lon synthesis, once for the Spark queries
+# and once for the DuckDB oracles — plain integer/double arithmetic so
+# both engines compute bit-identical coordinates.
+_GEO_LAT_SQL = "((user_id * 131) % 1700) / 10.0 - 85.0"
+_GEO_LON_SQL = "((user_id * 379) % 3600) / 10.0 - 180.0"
+
+
+def _geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + deterministic geo_point columns (loc_lat/loc_lon on a
+    0.1° grid derived from user_id — no external data, identical
+    arithmetic in the SQL oracles)."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.withColumn("loc_lat", F.expr(_GEO_LAT_SQL))
+            .withColumn("loc_lon", F.expr(_GEO_LON_SQL)))
+
+
 def _build_cached(docs, idx_dir, **kw):
     """Resumable build; a stale cache from an older index format (the
     geometry pin raises) is wiped and rebuilt instead of failing."""
@@ -793,10 +809,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_pairs(_read(s, d, "documents"), threshold=0.5)
     q["minhash_lsh_05"] = dd_minhash  # rows-only (hash-seeded candidates)
 
-    def dd_simhash(s, d):
-        from anomaly_detection_spark.pipeline import simhash_neardup_pairs
-        return simhash_neardup_pairs(_read(s, d, "documents"), max_hamming=3)
-    q["simhash_pairs"] = dd_simhash  # rows-only
+    # (simhash_pairs folds into pytest — its driver row was rows-only
+    # with no oracle signal; tests/test_pipeline_ops.py locks t≤3
+    # completeness by pigeonhole + the batch-vectorized fingerprint
+    # kernel.  Replaced by a strict-SQL geo entry below.)
 
     def emb_topk(s, d):
         from anomaly_detection_spark.pipeline import cosine_topk_bruteforce
@@ -811,13 +827,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_neardup_pairs(_read(s, d, "embeddings"), threshold=0.3)
     q["embedding_neardup_03"] = emb_pairs
 
-    def ann(s, d):
-        from anomaly_detection_spark.pipeline import lsh_ann_topk
-        embs = _read(s, d, "embeddings")
-        queries_df = embs.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), "embedding")
-        return lsh_ann_topk(embs, queries_df, k=10, n_planes=16, bands=8)
-    q["lsh_ann_topk"] = ann  # rows-only (approximate by design)
+    # (lsh_ann_topk folds into pytest — rows-only with no oracle
+    # signal; tests/test_similarity.py locks its recall floor vs the
+    # exact twin, which IS driver-checked as embedding_cosine_topk.)
+
+    # ---- geo ring (geo_distance agg + geotile_grid, strict SQL) ----------
+    def geo_rings(s, d):
+        """geo_distance range agg: haversine rings around an origin
+        (codegen arc distance, broadcast range join — rings overlap-
+        capable), avg sub-metric.  Points are synthesized
+        deterministically from user_id so the DuckDB oracle computes
+        the identical lat/lon arithmetic."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        out = run_aggs(_geo_events(s, d), {"aggs": {"rings": {
+            "geo_distance": {
+                "field": "loc", "origin": {"lat": 12.0, "lon": 34.0},
+                "unit": "km",
+                "ranges": [{"to": 3000}, {"from": 3000, "to": 8000},
+                           {"from": 8000}]},
+            "aggs": {"v_avg": {"avg": {"field": "value"}}}}}})["rings"]
+        return out.select(
+            F.col("range_id").cast("long").alias("range_id"),
+            "from_v", "to_v", "doc_count",
+            F.round("v_avg", 6).alias("v_avg"))
+    q["geo_distance_rings"] = geo_rings
+
+    def geo_tiles(s, d):
+        """geotile_grid agg at zoom 4: Web-Mercator z/x/y cell keys in
+        pure codegen, one map-side-combinable groupBy (bounded key
+        space — 4^zoom cells)."""
+        from anomaly_detection_spark.query.aggs_body import run_aggs
+        out = run_aggs(_geo_events(s, d), {"aggs": {"g": {
+            "geotile_grid": {"field": "loc", "precision": 4,
+                             "size": 100_000}}}})["g"]
+        return out.select("key", "doc_count")
+    q["geotile_grid_z4"] = geo_tiles
 
     def text_analysis(s, d):
         """The text-analysis suite in ONE scan-side pass: language-ID
@@ -995,6 +1039,40 @@ def oracle_sql() -> dict[str, str]:
 
     sql["query_string_topk"] = _bm25_sql(["data", "merge"], 10,
                                          require_all=True)
+
+    from anomaly_detection_spark.functions.geo import (EARTH_MEAN_RADIUS_M,
+                                                       geotile_key_sql)
+    sql["geo_distance_rings"] = f"""
+WITH pts AS (
+  SELECT {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon, value FROM events),
+d AS (
+  SELECT 2.0 * {EARTH_MEAN_RADIUS_M!r} * asin(sqrt(least(
+           pow(sin((radians(lat) - radians(12.0)) / 2), 2)
+           + cos(radians(lat)) * cos(radians(12.0))
+             * pow(sin((radians(lon) - radians(34.0)) / 2), 2),
+           1.0))) / 1000.0 AS dist_km,
+         value
+  FROM pts),
+r AS (SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(NULL AS DOUBLE), CAST(3000.0 AS DOUBLE)),
+        (1, 3000.0, 8000.0),
+        (2, 8000.0, NULL)) AS t(range_id, from_v, to_v))
+SELECT range_id, from_v, to_v, count(*) AS doc_count,
+       round(avg(value), 6) AS v_avg
+FROM d JOIN r
+  ON (from_v IS NULL OR dist_km >= from_v)
+ AND (to_v IS NULL OR dist_km < to_v)
+GROUP BY range_id, from_v, to_v
+ORDER BY range_id
+"""
+
+    sql["geotile_grid_z4"] = f"""
+WITH pts AS (
+  SELECT {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM events)
+SELECT {geotile_key_sql('lat', 'lon', 4)} AS key,
+       count(*) AS doc_count
+FROM pts GROUP BY 1
+"""
 
     sql["term_filter_stats"] = """
 SELECT count(*) AS doc_count,

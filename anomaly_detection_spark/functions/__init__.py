@@ -10,3 +10,13 @@ from .codecs import (  # noqa: F401
 )
 from .entity import entity_value, with_entity  # noqa: F401
 from .tokenizer import tokenize_column, tokenize_texts  # noqa: F401
+from .geo import (  # noqa: F401
+    geo_columns,
+    geohash_encode,
+    geohash_key,
+    geotile_key,
+    haversine_m,
+    parse_distance,
+    parse_point,
+    point_in_polygon,
+)

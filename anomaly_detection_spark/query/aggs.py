@@ -1816,3 +1816,104 @@ def variable_width_histogram(df: DataFrame, field: str, buckets: int,
          int(r["_n"])) for r in stats)
     return df.sparkSession.createDataFrame(
         out, "key double, min double, max double, doc_count long")
+
+
+def geo_distance_agg(
+    df: DataFrame,
+    field: str,
+    origin: Any,
+    ranges: list[dict],
+    unit: str = "m",
+    sub_specs: dict[str, dict] | None = None,
+) -> DataFrame:
+    """``geo_distance`` range agg (GeoDistanceAggregationBuilder):
+    half-open [from, to) distance rings around ``origin``, bucket
+    bounds expressed in ``unit`` (default meters).  The distance is
+    computed ONCE per row in codegen, then bucketed via the same
+    broadcast range join as :func:`range_agg` (rings may overlap, a
+    groupBy key cannot express that)."""
+    from ..functions.geo import (_UNIT_M, geo_columns, haversine_m,
+                                 parse_point)
+
+    sub_specs = sub_specs or {}
+    if unit not in _UNIT_M:
+        raise ValueError(f"unknown distance unit {unit!r}")
+    scale = _UNIT_M[unit]
+    lat, lon = parse_point(origin)
+    lat_c, lon_c = geo_columns(df, field)
+    spark = df.sparkSession
+    rows = [(i,
+             None if r.get("from") is None else float(r["from"]),
+             None if r.get("to") is None else float(r["to"]))
+            for i, r in enumerate(ranges)]
+    rdf = F.broadcast(spark.createDataFrame(
+        rows, "range_id int, from_v double, to_v double"))
+    d = (haversine_m(lat_c, lon_c, lat, lon) / F.lit(scale)).alias("_dist")
+    joined = (df.withColumn("_dist", d)
+              .join(rdf,
+                    (F.col("from_v").isNull()
+                     | (F.col("_dist") >= F.col("from_v")))
+                    & (F.col("to_v").isNull()
+                       | (F.col("_dist") < F.col("to_v")))))
+    out = (joined.groupBy("range_id", "from_v", "to_v")
+           .agg(F.count("*").alias("doc_count"),
+                *metric_agg_cols(sub_specs)))
+    return out.orderBy("range_id")
+
+
+def geo_grid_agg(
+    df: DataFrame,
+    field: str,
+    precision: int,
+    kind: str = "geohash_grid",
+    size: int = 10_000,
+    sub_specs: dict[str, dict] | None = None,
+) -> DataFrame:
+    """``geohash_grid`` / ``geotile_grid`` bucket agg: cell key in
+    codegen, one map-side-combinable groupBy (key space is bounded:
+    32^precision hashes / 4^zoom tiles), top ``size`` cells by doc
+    count desc then key asc (the reference's bucket order)."""
+    from ..functions.geo import geo_columns, geohash_key, geotile_key
+
+    sub_specs = sub_specs or {}
+    lat_c, lon_c = geo_columns(df, field)
+    if kind == "geohash_grid":
+        key = geohash_key(lat_c, lon_c, precision)
+    elif kind == "geotile_grid":
+        key = geotile_key(lat_c, lon_c, precision)
+    else:
+        raise ValueError(f"unknown grid agg kind {kind!r}")
+    return (df.groupBy(key.alias("key"))
+            .agg(F.count("*").alias("doc_count"),
+                 *metric_agg_cols(sub_specs))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(size))
+
+
+def geo_bounds_agg(df: DataFrame, field: str) -> DataFrame:
+    """``geo_bounds`` metric agg: the tightest lat/lon box over the
+    points (GeoBoundsAggregationBuilder with wrap_longitude=false —
+    the dateline-wrapping variant is a response-size optimization the
+    engine's flat output does not need; documented divergence)."""
+    from ..functions.geo import geo_columns
+
+    lat_c, lon_c = geo_columns(df, field)
+    return df.agg(F.max(lat_c).alias("top_left_lat"),
+                  F.min(lon_c).alias("top_left_lon"),
+                  F.min(lat_c).alias("bottom_right_lat"),
+                  F.max(lon_c).alias("bottom_right_lon"))
+
+
+def geo_centroid_agg(df: DataFrame, field: str) -> DataFrame:
+    """``geo_centroid`` metric agg: arithmetic mean of lat/lon over
+    non-null points plus the contributing count
+    (GeoCentroidAggregationBuilder accumulates the same per-dimension
+    mean over doc-values points)."""
+    from ..functions.geo import geo_columns
+
+    lat_c, lon_c = geo_columns(df, field)
+    ok = lat_c.isNotNull() & lon_c.isNotNull()
+    return df.agg(
+        F.avg(F.when(ok, lat_c)).alias("lat"),
+        F.avg(F.when(ok, lon_c)).alias("lon"),
+        F.count(F.when(ok, F.lit(1))).alias("count"))

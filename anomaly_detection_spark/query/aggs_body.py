@@ -660,6 +660,31 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                                          kbody["ranges"],
                                          sub_specs=metrics)
             continue
+        if kind == "geo_distance":
+            from .aggs import geo_distance_agg
+
+            results[name] = geo_distance_agg(
+                df, kbody["field"], kbody["origin"], kbody["ranges"],
+                unit=kbody.get("unit", "m"), sub_specs=metrics)
+            continue
+        if kind in ("geohash_grid", "geotile_grid"):
+            from .aggs import geo_grid_agg
+
+            default_p = 5 if kind == "geohash_grid" else 7
+            results[name] = geo_grid_agg(
+                df, kbody["field"], kbody.get("precision", default_p),
+                kind=kind, size=kbody.get("size", 10_000),
+                sub_specs=metrics)
+            continue
+        if kind in ("geo_bounds", "geo_centroid"):
+            from .aggs import geo_bounds_agg, geo_centroid_agg
+
+            if metrics or pipes:
+                raise ValueError(f"{kind} takes no sub-aggregations")
+            results[name] = (geo_bounds_agg(df, kbody["field"])
+                             if kind == "geo_bounds"
+                             else geo_centroid_agg(df, kbody["field"]))
+            continue
         if kind == "date_range":
             import time as _time
 

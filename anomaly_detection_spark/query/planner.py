@@ -350,6 +350,79 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         return QueryPlan(F.col(body.get("field", "docid"))
                          .isin(list(body["values"])))
 
+    if kind == "geo_distance":
+        # GeoDistanceQueryBuilder: haversine(point, origin) ≤ distance.
+        # Pure-codegen arithmetic predicate — pushes to the scan.
+        from ..functions.geo import (geo_columns, haversine_m,
+                                     parse_distance, parse_point)
+
+        opts = {"distance", "distance_type", "validation_method",
+                "_name", "ignore_unmapped", "boost"}
+        dtype = body.get("distance_type", "arc")
+        if dtype != "arc":
+            raise ValueError(
+                f"geo_distance distance_type {dtype!r} unsupported "
+                "(only 'arc'; 'plane' is an accuracy downgrade the "
+                "engine never needs — haversine is already codegen)")
+        flds = [k for k in body if k not in opts]
+        if len(flds) != 1:
+            raise ValueError(f"geo_distance needs exactly one field, "
+                             f"got {flds}")
+        fld = flds[0]
+        lat, lon = parse_point(body[fld])
+        lat_c, lon_c = geo_columns(df, fld)
+        meters = parse_distance(body["distance"])
+        return QueryPlan(haversine_m(lat_c, lon_c, lat, lon)
+                         <= F.lit(meters))
+
+    if kind == "geo_bounding_box":
+        # GeoBoundingBoxQueryBuilder; a box whose left > right crosses
+        # the dateline and matches the wrapped lon range (the
+        # reference's LatLonPoint.newBoxQuery splits the same way)
+        from ..functions.geo import geo_columns, parse_point
+
+        opts = {"validation_method", "type", "_name", "ignore_unmapped",
+                "boost"}
+        flds = [k for k in body if k not in opts]
+        if len(flds) != 1:
+            raise ValueError(f"geo_bounding_box needs exactly one "
+                             f"field, got {flds}")
+        fld = flds[0]
+        spec = body[fld]
+        if {"top_left", "bottom_right"} <= set(spec):
+            top, left = parse_point(spec["top_left"])
+            bottom, right = parse_point(spec["bottom_right"])
+        elif {"top", "left", "bottom", "right"} <= set(spec):
+            top, left = float(spec["top"]), float(spec["left"])
+            bottom, right = float(spec["bottom"]), float(spec["right"])
+        else:
+            raise ValueError(
+                f"geo_bounding_box needs top_left/bottom_right or "
+                f"top/left/bottom/right, got {sorted(spec)}")
+        lat_c, lon_c = geo_columns(df, fld)
+        cond = (lat_c <= F.lit(top)) & (lat_c >= F.lit(bottom))
+        if left <= right:
+            cond = cond & (lon_c >= F.lit(left)) & (lon_c <= F.lit(right))
+        else:
+            cond = cond & ((lon_c >= F.lit(left)) | (lon_c <= F.lit(right)))
+        return QueryPlan(cond)
+
+    if kind == "geo_polygon":
+        # GeoPolygonQueryBuilder: even-odd ray casting, edge loop
+        # unrolled into codegen XOR terms
+        from ..functions.geo import (geo_columns, parse_point,
+                                     point_in_polygon)
+
+        opts = {"validation_method", "_name", "ignore_unmapped", "boost"}
+        flds = [k for k in body if k not in opts]
+        if len(flds) != 1:
+            raise ValueError(f"geo_polygon needs exactly one field, "
+                             f"got {flds}")
+        fld = flds[0]
+        pts = [parse_point(p) for p in body[fld]["points"]]
+        lat_c, lon_c = geo_columns(df, fld)
+        return QueryPlan(point_in_polygon(lat_c, lon_c, pts))
+
     if kind == "match":
         (fld, spec), = body.items()
         text = _field_value(spec, key="query")
@@ -1002,6 +1075,55 @@ def search(
                 "at build time (build_index keep_cols) and filter on "
                 "them directly")
         target = _apply_runtime_mappings(target, rmaps)
+    sort_in = body.get("sort") or []
+    if any(isinstance(s, dict) and "_geo_distance" in s for s in sort_in):
+        # GeoDistanceSortBuilder: materialize the codegen haversine
+        # column once, then sort on it like any field — the distance
+        # column stays in the hit frame (OpenSearch returns the same
+        # value in the hit's sort array)
+        from ..functions.geo import (_UNIT_M, geo_columns, haversine_m,
+                                     parse_point)
+
+        if isinstance(target, IndexReader):
+            raise ValueError(
+                "_geo_distance sort needs the docs frame — keep the "
+                "lat/lon columns at build time (build_index keep_cols) "
+                "and search the brute-force target")
+        new_sort: list = []
+        n_g = 0
+        for s in sort_in:
+            if not (isinstance(s, dict) and "_geo_distance" in s):
+                new_sort.append(s)
+                continue
+            spec = dict(s["_geo_distance"])
+            order = str(spec.pop("order", "asc")).lower()
+            unit = spec.pop("unit", "m")
+            dtype = spec.pop("distance_type", "arc")
+            spec.pop("ignore_unmapped", None)
+            if dtype != "arc":
+                raise ValueError(
+                    f"_geo_distance distance_type {dtype!r} "
+                    "unsupported (only 'arc')")
+            if "mode" in spec:
+                raise ValueError(
+                    "_geo_distance sort over multi-valued points "
+                    "(mode) is unsupported — one point per doc")
+            if unit not in _UNIT_M:
+                raise ValueError(f"unknown distance unit {unit!r}")
+            if len(spec) != 1:
+                raise ValueError(
+                    f"_geo_distance needs exactly one field, "
+                    f"got {sorted(spec)}")
+            (gfld, pt), = spec.items()
+            glat, glon = parse_point(pt)
+            cname = "_geo_distance" if n_g == 0 else f"_geo_distance_{n_g}"
+            n_g += 1
+            lat_c, lon_c = geo_columns(target, gfld)
+            target = target.withColumn(
+                cname, haversine_m(lat_c, lon_c, glat, glon)
+                / F.lit(_UNIT_M[unit]))
+            new_sort.append({cname: order})
+        body = {**body, "sort": new_sort}
     if isinstance(target, IndexReader):
         schema_df = target.doc_stats()
     else:

@@ -322,6 +322,29 @@ def main() -> None:
                        "t": {"cumulative_cardinality": {
                            "buckets_path": "u"}}}}}})["h"].collect())
 
+    # eighth-session geo ring: geotile cells + haversine distance
+    # rings over events with deterministic synthesized coordinates —
+    # all codegen, one map-side-combinable groupBy / broadcast range
+    # join (the 100 TB shapes)
+    geo_ev = (events
+              .withColumn("loc_lat", F.expr(
+                  "((user_id * 131) % 1700) / 10.0 - 85.0"))
+              .withColumn("loc_lon", F.expr(
+                  "((user_id * 379) % 3600) / 10.0 - 180.0")))
+    timed("geotile_grid_events",
+          lambda: run_aggs(geo_ev, {"aggs": {"g": {
+              "geotile_grid": {"field": "loc", "precision": 7,
+                               "size": 100_000}}}})["g"].collect())
+    timed("geo_distance_rings_events",
+          lambda: run_aggs(geo_ev, {"aggs": {"r": {
+              "geo_distance": {
+                  "field": "loc", "origin": {"lat": 12.0, "lon": 34.0},
+                  "unit": "km",
+                  "ranges": [{"to": 3000}, {"from": 3000, "to": 8000},
+                             {"from": 8000}]},
+              "aggs": {"v_avg": {"avg": {"field": "value"}}}}}})[
+                  "r"].collect())
+
     # fifth-session ops: hybrid BM25+knn fusion over the docs index
     # corpus; deterministic budget sampling, paragraph dedup and
     # duplicate-span detection over the documents table
