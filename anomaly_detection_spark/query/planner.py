@@ -1875,6 +1875,29 @@ def scroll(target, body: dict[str, Any], page_size: int = 1000,
         raise ValueError("scroll requires a sort spec")
     if "docid" not in [c for c, _, _ in sort]:
         sort = sort + [("docid", "asc", "_last")]
+    body = dict(body)
+    sl = body.pop("slice", None)
+    if sl is not None:
+        # sliced scroll (SliceBuilder): `max` independent workers each
+        # export a disjoint hash partition of the result set — the
+        # reference's parallel-reindex fan-out.  The slice is one
+        # codegen hash filter on the target frame, so each worker's
+        # scan prunes before the query filter; the union over
+        # id = 0..max-1 is exactly the unsliced set (the slice field
+        # must be unique and non-null, docid by default).
+        from .index_search import IndexReader
+
+        if isinstance(target, IndexReader):
+            raise ValueError(
+                "sliced scroll needs the docs frame target — slice "
+                "predicates hash a doc field, which index postings "
+                "don't carry")
+        sid, smax = int(sl["id"]), int(sl["max"])
+        if not 0 <= sid < smax:
+            raise ValueError(f"slice id must be in [0, max): {sl}")
+        sfld = sl.get("field", "docid")
+        target = target.filter(
+            F.pmod(F.xxhash64(F.col(sfld)), F.lit(smax)) == F.lit(sid))
     after = body.get("search_after")
     while True:
         page_body = {**body, "sort": sort, "size": page_size}

@@ -272,3 +272,37 @@ def test_scroll_rejects_scored_queries(docs):
         "query": {"bool": {"filter": [{"match": {"text": "quick"}}]}},
         "sort": [{"docid": "asc"}]}, page_size=2) for r in p]
     assert got == [0, 1, 4]
+
+
+def test_sliced_scroll_partitions_exactly(tiny_transcripts):
+    from anomaly_detection_spark.query.planner import scroll
+
+    docs = tiny_transcripts
+    body = {"query": {"term": {"role": "user"}},
+            "sort": [{"docid": "asc"}]}
+    full = [r["docid"] for p in scroll(docs, body, page_size=200)
+            for r in p]
+    assert len(full) > 100
+    smax = 3
+    sliced = []
+    for sid in range(smax):
+        part = [r["docid"] for p in scroll(
+            docs, {**body, "slice": {"id": sid, "max": smax}},
+            page_size=200) for r in p]
+        # each slice is internally sorted and non-trivial
+        assert part == sorted(part) and part
+        sliced.append(set(part))
+    # disjoint and complete: the union over id=0..max-1 is exactly
+    # the unsliced export
+    assert sum(len(s) for s in sliced) == len(full)
+    assert set().union(*sliced) == set(full)
+
+
+def test_sliced_scroll_rejects_bad_specs(tiny_transcripts):
+    from anomaly_detection_spark.query.planner import scroll
+
+    with pytest.raises(ValueError, match="slice id"):
+        next(scroll(tiny_transcripts,
+                    {"query": {"match_all": {}},
+                     "sort": [{"docid": "asc"}],
+                     "slice": {"id": 3, "max": 3}}, page_size=10))
