@@ -105,6 +105,13 @@ def build_star_tree(
     for d in dims:
         if isinstance(d, str):
             d = {"field": d}
+        unknown = set(d) - {"field", "target_field", "fixed_interval"}
+        if unknown:
+            raise ValueError(
+                f"star_tree dim options {sorted(unknown)} unsupported "
+                f"(field/target_field/fixed_interval only — a "
+                f"calendar_interval dim would silently degrade to a "
+                f"raw-timestamp terms dim)")
         fld = d["field"]
         name = d.get("target_field", fld)
         if "fixed_interval" in d:
@@ -130,7 +137,11 @@ def build_star_tree(
                  *_carriers(metrics),
                  F.grouping_id().alias("_gid")))
     os.makedirs(dest, exist_ok=True)
-    (cube.repartition("_gid")
+    # repartition by (_gid, dims), not _gid alone: each slice still
+    # lands in its own partition dir, but the big gid=0 slice (all k
+    # dims materialized) spreads over many writer tasks instead of
+    # funneling through one.
+    (cube.repartition(F.col("_gid"), *[F.col(n) for n in names])
      .write.mode("overwrite").partitionBy("_gid")
      .parquet(os.path.join(dest, "cube")))
     tmp = _meta_path(dest) + ".tmp"
@@ -157,7 +168,10 @@ def _filter_conds(meta_dims: list[dict], query: dict | None
                 raise ValueError(
                     f"star_tree query bool supports filter only, "
                     f"got {sorted(extra)}")
-            for sub in body.get("filter") or []:
+            subs = body.get("filter") or []
+            if isinstance(subs, dict):  # single-clause form
+                subs = [subs]
+            for sub in subs:
                 one(sub)
             return
         if kind not in ("term", "terms"):

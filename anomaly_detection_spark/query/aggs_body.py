@@ -663,6 +663,13 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         if kind == "geo_distance":
             from .aggs import geo_distance_agg
 
+            bad = set(kbody) - {"field", "origin", "ranges", "unit"}
+            if bad:
+                # match the query path's posture: distance_type
+                # 'plane' / keyed must reject, not silently run arc
+                raise ValueError(
+                    f"geo_distance agg options {sorted(bad)} "
+                    f"unsupported (field/origin/ranges/unit only)")
             results[name] = geo_distance_agg(
                 df, kbody["field"], kbody["origin"], kbody["ranges"],
                 unit=kbody.get("unit", "m"), sub_specs=metrics)
@@ -670,6 +677,13 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
         if kind in ("geohash_grid", "geotile_grid"):
             from .aggs import geo_grid_agg
 
+            bad = set(kbody) - {"field", "precision", "size"}
+            if bad:
+                # 'bounds' would need cell clipping — silently
+                # returning out-of-bounds cells is worse than raising
+                raise ValueError(
+                    f"{kind} options {sorted(bad)} unsupported "
+                    f"(field/precision/size only)")
             default_p = 5 if kind == "geohash_grid" else 7
             results[name] = geo_grid_agg(
                 df, kbody["field"], kbody.get("precision", default_p),

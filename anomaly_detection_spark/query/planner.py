@@ -372,6 +372,11 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         lat, lon = parse_point(body[fld])
         lat_c, lon_c = geo_columns(df, fld)
         meters = parse_distance(body["distance"])
+        if meters <= 0:
+            # GeoDistanceQueryBuilder: "distance must be greater than
+            # zero" — a sign typo must not silently match nothing
+            raise ValueError(
+                f"geo_distance distance must be > 0, got {meters} m")
         return QueryPlan(haversine_m(lat_c, lon_c, lat, lon)
                          <= F.lit(meters))
 
@@ -399,6 +404,12 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
             raise ValueError(
                 f"geo_bounding_box needs top_left/bottom_right or "
                 f"top/left/bottom/right, got {sorted(spec)}")
+        if top < bottom:
+            # GeoBoundingBoxQueryBuilder rejects "top is below bottom
+            # corner" — swapped lat corners must not silently match 0
+            raise ValueError(
+                f"geo_bounding_box top ({top}) is below bottom "
+                f"({bottom})")
         lat_c, lon_c = geo_columns(df, fld)
         cond = (lat_c <= F.lit(top)) & (lat_c >= F.lit(bottom))
         if left <= right:

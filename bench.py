@@ -326,11 +326,10 @@ def main() -> None:
     # rings over events with deterministic synthesized coordinates —
     # all codegen, one map-side-combinable groupBy / broadcast range
     # join (the 100 TB shapes)
+    from __spark_entry__ import _GEO_LAT_SQL, _GEO_LON_SQL
     geo_ev = (events
-              .withColumn("loc_lat", F.expr(
-                  "((user_id * 131) % 1700) / 10.0 - 85.0"))
-              .withColumn("loc_lon", F.expr(
-                  "((user_id * 379) % 3600) / 10.0 - 180.0")))
+              .withColumn("loc_lat", F.expr(_GEO_LAT_SQL))
+              .withColumn("loc_lon", F.expr(_GEO_LON_SQL)))
     timed("geotile_grid_events",
           lambda: run_aggs(geo_ev, {"aggs": {"g": {
               "geotile_grid": {"field": "loc", "precision": 7,

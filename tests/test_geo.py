@@ -297,3 +297,31 @@ def test_geo_distance_sort_through_search(spark):
     with pytest.raises(ValueError, match="mode"):
         search(df, {"sort": [{"_geo_distance": {
             "loc": [0.0, 0.0], "mode": "min"}}], "size": 1})
+
+
+def test_geo_distance_nonpositive_rejected(spark):
+    df, _, _ = _points(spark, n=5)
+    with pytest.raises(ValueError, match="greater|> 0"):
+        compile_filter(df, {"geo_distance": {
+            "distance": "-5km", "loc": [0.0, 0.0]}})
+
+
+def test_geo_bounding_box_inverted_lat_rejected(spark):
+    df, _, _ = _points(spark, n=5)
+    with pytest.raises(ValueError, match="below bottom"):
+        compile_filter(df, {"geo_bounding_box": {"loc": {
+            "top": -10.0, "left": 0.0, "bottom": 60.0, "right": 40.0}}})
+
+
+def test_geo_agg_unknown_options_reject_by_name(spark):
+    from anomaly_detection_spark.query.aggs_body import run_aggs
+    df, _, _ = _points(spark, n=5)
+    with pytest.raises(ValueError, match="distance_type"):
+        run_aggs(df, {"aggs": {"r": {"geo_distance": {
+            "field": "loc", "origin": {"lat": 0.0, "lon": 0.0},
+            "distance_type": "plane", "ranges": [{"to": 10}]}}}})
+    with pytest.raises(ValueError, match="bounds"):
+        run_aggs(df, {"aggs": {"g": {"geotile_grid": {
+            "field": "loc", "precision": 7,
+            "bounds": {"top_left": {"lat": 1.0, "lon": 0.0},
+                       "bottom_right": {"lat": 0.0, "lon": 1.0}}}}}})

@@ -160,3 +160,20 @@ def test_rejections_by_name(spark, raw, tree):
         star_tree_search(spark, tree, {
             "query": {"term": {"ts": "2023-11-14"}},
             "group_by": [{"terms": {"field": "source"}}]})
+
+
+def test_single_clause_bool_filter_dict(spark, raw, tree):
+    # the reference accepts bool.filter as a bare clause dict
+    out = star_tree_search(spark, tree, {
+        "query": {"bool": {"filter": {"term": {"lang": "fr"}}}},
+        "aggregations": _AGGS})
+    r = out.collect()[0]
+    want = raw.filter(F.col("lang") == "fr").count()
+    assert r["doc_count"] == want
+
+
+def test_unknown_dim_option_rejects_by_name(raw):
+    with pytest.raises(ValueError, match="calendar_interval"):
+        build_star_tree(raw, tempfile.mkdtemp(), dims=[
+            {"field": "ts", "calendar_interval": "1d"}],
+            metrics={})
