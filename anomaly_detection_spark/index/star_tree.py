@@ -92,6 +92,7 @@ def build_star_tree(
     queries may re-bucket at any multiple).  ``metrics``:
     ``{name: {kind: {"field": f}}}`` with mergeable kinds only.
     """
+    from ..query.aggs import to_millis
     from ..query.aggs_body import interval_ms
 
     if not dims:
@@ -117,7 +118,7 @@ def build_star_tree(
         if "fixed_interval" in d:
             iv = interval_ms(d["fixed_interval"])
             col = F.timestamp_millis(
-                (F.floor(F.unix_millis(F.col(fld)) / iv) * iv)
+                (F.floor(to_millis(fld) / iv) * iv)
                 .cast("long"))
             dim_meta.append({"field": fld, "name": name,
                              "interval_ms": iv})
@@ -212,6 +213,7 @@ def star_tree_search(spark: SparkSession, dest: str,
     reads exactly ONE cube slice (partition-pruned by grouping id);
     re-aggregation happens only over that slice's carriers.
     """
+    from ..query.aggs import to_millis
     from ..query.aggs_body import interval_ms
 
     with open(_meta_path(dest)) as f:
@@ -243,7 +245,7 @@ def star_tree_search(spark: SparkSession, dest: str,
                     f"requested interval must be a multiple of the "
                     f"build interval ({q_iv} % {m['interval_ms']})")
             col = F.timestamp_millis(
-                (F.floor(F.unix_millis(col) / q_iv) * q_iv)
+                (F.floor(F.unix_millis(col.cast("timestamp")) / q_iv) * q_iv)
                 .cast("long"))
         elif kind != "terms":
             raise ValueError(

@@ -428,6 +428,35 @@ def main() -> None:
               {"drop": {"if": "doc['n_chars'].value < 10"}},
           ]}).count())
 
+    # eighth-session star-tree: one-pass cube pre-aggregation over
+    # events, then a routed slice query — the read-amplification win
+    # vs aggregating the raw table is the whole point
+    import tempfile as _tf
+
+    from anomaly_detection_spark.index import (build_star_tree,
+                                               star_tree_search)
+    _st = _tf.mkdtemp(prefix="bench_star_")
+    ev_st = events.withColumn("vbin", (F.col("value") > 50).cast("int"))
+    timed("star_tree_build_events",
+          lambda: build_star_tree(
+              ev_st, _st,
+              dims=["event_type", "vbin",
+                    {"field": "ts", "fixed_interval": "1d"}],
+              metrics={"v_sum": {"sum": {"field": "value"}},
+                       "v_avg": {"avg": {"field": "value"}}}))
+    timed("star_tree_slice_query",
+          lambda: star_tree_search(spark, _st, {
+              "query": {"term": {"event_type": "click"}},
+              "group_by": [{"date_histogram": {
+                  "field": "ts", "fixed_interval": "1d"}}],
+              "aggregations": {"v_sum": {"sum": {"field": "value"}},
+                               "v_avg": {"avg": {"field": "value"}}}})
+          .collect())
+    timed("star_tree_equiv_raw_scan",
+          lambda: (ev_st.filter(F.col("event_type") == "click")
+                   .groupBy(F.date_trunc("day", "ts").alias("d"))
+                   .agg(F.sum("value"), F.avg("value")).collect()))
+
     print(json.dumps({
         "metric": "index-build throughput (turns/sec)",
         "value": round(turns_per_sec, 1),
