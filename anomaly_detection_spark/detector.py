@@ -182,15 +182,29 @@ def preview(spark: SparkSession, det: Detector,
             c = F.col(n).isNotNull()
             cond_all = c if cond_all is None else cond_all & c
         basej = base.filter(cond_all)
+        # a joint scorer may also attribute each anomaly across the
+        # feature vector (returns_attribution — e.g. rcf_scorer_joint's
+        # DiVector split): surfaced as the reference's
+        # relevant_attribution / expected_value result fields
+        # (AnomalyResult.java:66-67,171; null when the point isn't
+        # anomalous, ModelUtil.normalizeAttribution's null contract)
+        ret_attr = getattr(scorer, "returns_attribution", False)
         out_fields = list(basej.schema.fields) + [
             *[T.StructField(f"_exp_{n}", T.DoubleType()) for n in feats],
+            *([T.StructField(f"_attr_{n}", T.DoubleType())
+               for n in feats] if ret_attr else []),
             T.StructField("_z", T.DoubleType())]
         out_schema = T.StructType(out_fields)
 
         def fnj(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("bucket_start").reset_index(drop=True)
             V = pdf[feats].to_numpy(dtype=np.float64)
-            z, exps = scorer(V)
+            if ret_attr:
+                z, exps, attrs = scorer(V)
+                for j, n in enumerate(feats):
+                    pdf[f"_attr_{n}"] = attrs[:, j]
+            else:
+                z, exps = scorer(V)
             for j, n in enumerate(feats):
                 pdf[f"_exp_{n}"] = exps[:, j]
             pdf["_z"] = z
@@ -227,10 +241,33 @@ def preview(spark: SparkSession, det: Detector,
             result = result.withColumn(
                 "entity",
                 F.array().cast("array<struct<name:string,value:string>>"))
+        extra_cols = []
+        if ret_attr:
+            # reference result fields for anomalous points only
+            # (anomaly-results.json: relevant_attribution is a
+            # DataByFeatureId list, expected_value a likelihood-tagged
+            # value list; both absent when grade == 0)
+            anomalous = (F.col("anomaly_grade") > 0) & \
+                ~F.isnan(F.col(f"_attr_{feats[0]}"))
+            result = result.withColumn(
+                "relevant_attribution",
+                F.when(anomalous, F.array(*[
+                    F.struct(F.lit(n).alias("feature_name"),
+                             F.round(F.col(f"_attr_{n}"), 6).alias("data"))
+                    for n in feats])))
+            result = result.withColumn(
+                "expected_values",
+                F.when(anomalous, F.array(F.struct(
+                    F.lit(1.0).alias("likelihood"),
+                    F.array(*[
+                        F.struct(F.lit(n).alias("feature_name"),
+                                 F.col(f"_exp_{n}").alias("data"))
+                        for n in feats]).alias("value_list")))))
+            extra_cols = ["relevant_attribution", "expected_values"]
         return result.select(
             "detector_id", "entity", "data_start_time", "data_end_time",
             *feats, "anomaly_score", "anomaly_grade", "confidence",
-            *ent, "bucket_start")
+            *extra_cols, *ent, "bucket_start")
     # Single-pass multi-feature scoring: melt features to rows, run ONE
     # applyInPandas over (entity, feature), pivot the scores back.  An
     # F-feature detector costs one FlatMapGroupsInPandas + one pivot

@@ -299,6 +299,78 @@ class RandomCutTree:
             s += pr / (depth + 1.0)
         return s * math.log2(1.0 + self.mass[self.root]), leaf_pt
 
+    def attribution(self, p: tuple) -> tuple[float, list[float]]:
+        """Per-dimension attribution of the anomaly score — the
+        AnomalyAttributionVisitor decomposition of the same
+        separation-probability traversal :meth:`score` runs (the RCF
+        library's ``DiVector`` with high+low sides summed per dim).
+
+        At each node the separated-at-this-depth mass
+        ``pr·psep/(depth+1)`` is split across dimensions proportional
+        to each dimension's share of the required bounding-box
+        extension (the probability THAT dimension's cut separates p);
+        the final-leaf mass splits proportional to |p − leaf| per dim
+        (evenly for an exact duplicate, where no dimension separates).
+        Invariant (tested): ``sum(attr) == score`` exactly, per tree
+        and therefore per forest average — the library's
+        DiVector.getHighLowSum() totalling property.
+        """
+        node = self.root
+        attr = [0.0] * self.dims
+        if node < 0:
+            return 0.0, attr
+        depth = 0
+        pr = 1.0
+        s = 0.0
+        while self.point[node] is None:
+            bmin, bmax = self.bbmin[node], self.bbmax[node]
+            span = 0.0
+            extra = 0.0
+            ext = [0.0] * self.dims
+            for d in range(self.dims):
+                span += bmax[d] - bmin[d]
+                if p[d] < bmin[d]:
+                    ext[d] = bmin[d] - p[d]
+                    extra += ext[d]
+                elif p[d] > bmax[d]:
+                    ext[d] = p[d] - bmax[d]
+                    extra += ext[d]
+            if extra > 0.0:
+                psep = extra / (span + extra)
+                contrib = pr * psep / (depth + 1.0)
+                s += contrib
+                for d in range(self.dims):
+                    if ext[d] > 0.0:
+                        attr[d] += contrib * (ext[d] / extra)
+                pr *= 1.0 - psep
+            node = (self.left[node] if p[self.cutdim[node]]
+                    <= self.cutval[node] else self.right[node])
+            depth += 1
+        leaf_pt = self.point[node]
+        if leaf_pt == p:
+            tm = self.mass[self.root]
+            lm = self.mass[node]
+            damp = 1.0 - lm / (2.0 * tm)
+            contrib = pr * damp / (depth + math.log2(1.0 + lm))
+            s += contrib
+            ev = contrib / self.dims
+            for d in range(self.dims):
+                attr[d] += ev
+        else:
+            contrib = pr / (depth + 1.0)
+            s += contrib
+            diffs = [abs(p[d] - leaf_pt[d]) for d in range(self.dims)]
+            tot = sum(diffs)
+            if tot > 0.0:
+                for d in range(self.dims):
+                    attr[d] += contrib * (diffs[d] / tot)
+            else:
+                ev = contrib / self.dims
+                for d in range(self.dims):
+                    attr[d] += ev
+        norm = math.log2(1.0 + self.mass[self.root])
+        return s * norm, [a * norm for a in attr]
+
 
 class StreamingRCF:
     """Forest of :class:`RandomCutTree` with per-tree time-decayed
@@ -355,6 +427,22 @@ class StreamingRCF:
             meds.append(vals[m // 2] if m % 2 else
                         0.5 * (vals[m // 2 - 1] + vals[m // 2]))
         return tot / n, meds
+
+    def attribution(self, p: tuple) -> list[float]:
+        """Forest-averaged per-dim attribution (same averaging as
+        :meth:`score`, so ``sum(attribution(p)) == score(p)[0]``)."""
+        acc = [0.0] * self.dims
+        n = 0
+        for t in self.trees:
+            if t.root < 0:
+                continue
+            _, a = t.attribution(p)
+            for d in range(self.dims):
+                acc[d] += a[d]
+            n += 1
+        if n == 0:
+            return acc
+        return [a / n for a in acc]
 
     def impute(self, p: tuple, missing: frozenset) -> list[float]:
         """Median across trees of the conditional-leaf values for the
@@ -475,6 +563,10 @@ class RCFStream:
         self.n_in = 0
         self.in_mean = [0.0] * n_features
         self.in_var = [0.0] * n_features
+        # per-feature attribution of the LAST update's anomaly (None
+        # when the point wasn't anomalous — the reference's raw
+        # attribution is null when grade ≤ 0, ModelUtil.java:133-136)
+        self.last_attribution: list[float] | None = None
 
     def _transform(self, vs: list[float]) -> list[float]:
         """Standardize against the CURRENT stats (no absorption — the
@@ -528,12 +620,13 @@ class RCFStream:
         self.buf.extend(xs)
         if len(self.buf) > self.shingle * F:
             del self.buf[:F]
+        self.last_attribution = None
         if len(self.buf) < self.shingle * F:
             self._absorb(vs)
             nan = float("nan")
             return (nan, nan) if F == 1 else (nan, [nan] * F)
         p = tuple(self.buf)
-        s, exp = self.forest.score_and_update(p, expected_dims=F)
+        s, exp = self.forest.score(p, expected_dims=F)
         # denormalize the expected value with the PRE-absorb stats —
         # the forest scored the pre-absorb point, and folding the
         # current (possibly anomalous) value into the stats first
@@ -554,6 +647,20 @@ class RCFStream:
                 else:
                     self.in_run = False
                     self.run_max = 0.0
+        if z == z and abs(z) > self.alert_threshold:
+            # anomalous (and not a suppressed continuation): attribute
+            # the score against the PRE-ingest forest (the reference
+            # scores and attributes before the model absorbs the
+            # point), keep the most recent shingle block's per-feature
+            # share (PredictorCorrector: last baseDimension entries of
+            # the DiVector) normalized to sum 1
+            # (ModelUtil.normalizeAttribution)
+            raw = self.forest.attribution(p)
+            block = raw[(self.shingle - 1) * F:]
+            ssum = sum(block)
+            if ssum > 0.0:
+                self.last_attribution = [b / ssum for b in block]
+        self.forest.update(p)
         # absorb the score into the discounted deviation AFTER z
         if self.n_scored == 0:
             self.s_mean = s
@@ -605,6 +712,8 @@ class RCFStream:
             obj.n_features = 1
             obj.in_mean = [obj.in_mean]
             obj.in_var = [obj.in_var]
+        if not hasattr(obj, "last_attribution"):
+            obj.last_attribution = None
         return obj
 
 
@@ -683,13 +792,15 @@ def rcf_scorer_joint(n_features: int, shingle: int = 8, n_trees: int = 50,
     through the per-entity wide path instead of the per-feature melt.
     """
 
-    def score(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def score(values: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]:
         V = np.asarray(values, dtype=np.float64)
         if V.ndim == 1:
             V = V[:, None]
         n = len(V)
         z = np.full(n, np.nan)
         exp = np.full((n, n_features), np.nan)
+        attr = np.full((n, n_features), np.nan)
         stream = RCFStream(shingle=shingle, n_trees=n_trees,
                            sample_size=sample_size, time_decay=time_decay,
                            min_samples=min_samples, seed=seed,
@@ -703,10 +814,13 @@ def rcf_scorer_joint(n_features: int, shingle: int = 8, n_trees: int = 50,
             zi, ei = stream.update(V[i])
             z[i] = zi
             exp[i] = ei if n_features > 1 else [ei]
-        return z, exp
+            if stream.last_attribution is not None:
+                attr[i] = stream.last_attribution
+        return z, exp, attr
 
     score.multivariate = True
     score.returns_expected = True
+    score.returns_attribution = True
     return score
 
 

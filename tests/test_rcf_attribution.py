@@ -1,0 +1,190 @@
+"""RCF anomaly attribution + expected-value result fields.
+
+The reference's result rows carry ``relevant_attribution`` (per-feature
+share of the anomaly, normalized to 1 — ``ModelUtil.normalizeAttribution``,
+``AnomalyResult.java:66-67``) and ``expected_value`` (likelihood-tagged
+expected feature vector) for anomalous points only (raw attribution is
+null when grade ≤ 0, ``ModelUtil.java:133-136``).  The engine's numpy
+RCF decomposes its own score traversal (AnomalyAttributionVisitor /
+DiVector analog) — so the checkable invariant is exact:
+``sum(attribution) == score`` per tree and per forest.
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from anomaly_detection_spark.features.rcf import (
+    RandomCutTree,
+    RCFStream,
+    StreamingRCF,
+    rcf_scorer_joint,
+)
+
+
+def test_tree_attribution_sums_to_score():
+    rng = random.Random(11)
+    nrng = np.random.default_rng(13)
+    t = RandomCutTree(3, rng)
+    pts = [tuple(np.round(nrng.normal(0, 1, 3), 3).tolist())
+           for _ in range(200)]
+    for p in pts:
+        t.insert(p)
+    # seen points (duplicates), near points, and far outliers
+    queries = pts[:20] + [
+        tuple(np.round(nrng.normal(0, 1, 3), 3).tolist())
+        for _ in range(20)] + [(9.0, -9.0, 9.0), (0.0, 50.0, 0.0)]
+    for q in queries:
+        s_ref, _ = t.score(q)
+        s_attr, attr = t.attribution(q)
+        assert s_attr == pytest.approx(s_ref, rel=1e-12)
+        assert sum(attr) == pytest.approx(s_ref, rel=1e-12)
+        assert all(a >= 0.0 for a in attr)
+
+
+def test_forest_attribution_sums_to_score():
+    forest = StreamingRCF(dims=4, n_trees=7, sample_size=64, seed=3)
+    nrng = np.random.default_rng(17)
+    for _ in range(300):
+        forest.update(tuple(np.round(nrng.normal(0, 1, 4), 3).tolist()))
+    for q in [(0.1, 0.2, -0.3, 0.0), (6.0, 0.0, 0.0, 0.0),
+              (0.0, 0.0, 0.0, -12.0)]:
+        s, _ = forest.score(q)
+        attr = forest.attribution(q)
+        assert sum(attr) == pytest.approx(s, rel=1e-12)
+
+
+def test_attribution_concentrates_on_outlying_dimension():
+    """A point far outside the data in ONE dimension must attribute the
+    bulk of its score to that dimension."""
+    forest = StreamingRCF(dims=3, n_trees=10, sample_size=64, seed=5)
+    nrng = np.random.default_rng(23)
+    for _ in range(300):
+        forest.update(tuple(np.round(nrng.normal(0, 1, 3), 3).tolist()))
+    for d in range(3):
+        q = [0.0, 0.0, 0.0]
+        q[d] = 25.0
+        attr = forest.attribution(tuple(q))
+        share = attr[d] / sum(attr)
+        assert share > 0.8, (d, attr)
+
+
+def test_stream_attribution_null_normal_set_on_spike():
+    """last_attribution is None through a normal stretch, set (to the
+    spiked feature) on the planted anomaly, and normalized to 1."""
+    rng = np.random.default_rng(31)
+    stream = RCFStream(shingle=8, n_trees=10, sample_size=64,
+                       min_samples=32, n_features=2, seed=7)
+    n = 400
+    f0 = 50.0 + 5.0 * np.sin(np.arange(n) / 15.0) + rng.normal(0, 0.5, n)
+    f1 = 20.0 + np.cos(np.arange(n) / 10.0) + rng.normal(0, 0.3, n)
+    f1[350] += 30.0                       # spike in feature 1 only
+    seen_normal = 0
+    spike_attr = None
+    for i in range(n):
+        z, _ = stream.update([f0[i], f1[i]])
+        if i == 350:
+            spike_attr = stream.last_attribution
+            assert not math.isnan(z) and abs(z) > 3.0
+        elif 100 <= i < 340:
+            assert stream.last_attribution is None
+            seen_normal += 1
+    assert seen_normal > 200
+    assert spike_attr is not None
+    assert sum(spike_attr) == pytest.approx(1.0, rel=1e-9)
+    assert spike_attr[1] > spike_attr[0], spike_attr
+    assert spike_attr[1] > 0.5
+
+
+def test_scorer_joint_returns_attribution_matrix():
+    fn = rcf_scorer_joint(n_features=2, shingle=4, n_trees=8,
+                          sample_size=64, min_samples=32, seed=9)
+    assert fn.returns_attribution and fn.multivariate
+    rng = np.random.default_rng(41)
+    n = 300
+    V = np.column_stack([
+        10.0 + rng.normal(0, 0.5, n),
+        5.0 + rng.normal(0, 0.2, n)])
+    V[250, 0] += 25.0
+    z, exp, attr = fn(V)
+    assert z.shape == (n,) and exp.shape == (n, 2) and attr.shape == (n, 2)
+    assert abs(z[250]) > 3.0
+    assert not np.isnan(attr[250]).any()
+    assert attr[250].sum() == pytest.approx(1.0)
+    assert attr[250, 0] > attr[250, 1]
+    # non-anomalous rows carry NaN attribution
+    normal = ~np.isnan(z) & (np.abs(z) <= 3.0)
+    assert normal.sum() > 100
+    assert np.isnan(attr[normal]).all()
+
+
+def test_checkpoint_roundtrip_preserves_attribution_state():
+    stream = RCFStream(shingle=4, n_trees=5, sample_size=32,
+                       min_samples=16, n_features=1, seed=13)
+    rng = np.random.default_rng(43)
+    for v in 10.0 + rng.normal(0, 1, 100):
+        stream.update(float(v))
+    clone = RCFStream.from_bytes(stream.to_bytes())
+    spike = 60.0
+    z1, _ = stream.update(spike)
+    z2, _ = clone.update(spike)
+    assert z1 == z2
+    assert stream.last_attribution == clone.last_attribution
+    if abs(z1) > 3.0:
+        assert stream.last_attribution == [1.0]   # single feature
+
+
+def test_preview_joint_rcf_emits_reference_result_fields(
+        spark, tmp_path_factory):
+    """End-to-end: a two-feature joint-RCF preview carries
+    relevant_attribution / expected_values on anomalous rows (naming
+    the spiked feature with the max share) and null on grade-0 rows —
+    and adding the fields doesn't disturb the base result columns."""
+    import pandas as pd
+
+    from anomaly_detection_spark.detector import Detector, preview
+
+    rng = np.random.default_rng(47)
+    n, interval_ms = 500, 60_000
+    base = pd.Timestamp("2025-01-01")
+    a = 50.0 + 5.0 * np.sin(np.arange(n) / 20.0) + rng.normal(0, 0.5, n)
+    b = 20.0 + np.cos(np.arange(n) / 10.0) + rng.normal(0, 0.3, n)
+    b[420] += 40.0                        # anomaly lives in feature fb
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(milliseconds=i * interval_ms)
+               for i in range(n)],
+        "va": a, "vb": b,
+    })
+    path = str(tmp_path_factory.mktemp("rcfattr") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    det = Detector(
+        detector_id="attr-det", indices=path,
+        feature_specs={"fa": {"avg": {"field": "va"}},
+                       "fb": {"avg": {"field": "vb"}}},
+        time_field="ts", interval_ms=interval_ms, anomaly_threshold=3.0)
+    res = preview(spark, det,
+                  scorer=rcf_scorer_joint(n_features=2, shingle=8,
+                                          n_trees=8, sample_size=64,
+                                          seed=19)).toPandas()
+    assert {"relevant_attribution", "expected_values"} <= set(res.columns)
+    hot = res[res.anomaly_grade > 0]
+    assert len(hot) >= 1
+    spike = res.loc[res.bucket_start
+                    == base + pd.Timedelta(milliseconds=420 * interval_ms)]
+    assert len(spike) == 1 and spike.anomaly_grade.iloc[0] > 0
+    ra = spike.relevant_attribution.iloc[0]
+    shares = {e["feature_name"]: e["data"] for e in ra}
+    assert set(shares) == {"fa", "fb"}
+    assert sum(shares.values()) == pytest.approx(1.0, abs=1e-5)
+    assert shares["fb"] > shares["fa"]
+    ev = spike.expected_values.iloc[0]
+    assert len(ev) == 1 and ev[0]["likelihood"] == 1.0
+    vals = {e["feature_name"]: e["data"] for e in ev[0]["value_list"]}
+    # the model's expected fb is far below the spiked actual
+    assert vals["fb"] < spike.fb.iloc[0] - 10.0
+    cold = res[res.anomaly_grade == 0]
+    assert len(cold) > 100
+    assert cold.relevant_attribution.isna().all()
+    assert cold.expected_values.isna().all()
