@@ -193,6 +193,9 @@ def preview(spark: SparkSession, det: Detector,
             *[T.StructField(f"_exp_{n}", T.DoubleType()) for n in feats],
             *([T.StructField(f"_attr_{n}", T.DoubleType())
                for n in feats] if ret_attr else []),
+            *([T.StructField("_rel", T.DoubleType()),
+               *[T.StructField(f"_past_{n}", T.DoubleType())
+                 for n in feats]] if ret_attr else []),
             T.StructField("_z", T.DoubleType())]
         out_schema = T.StructType(out_fields)
 
@@ -200,9 +203,11 @@ def preview(spark: SparkSession, det: Detector,
             pdf = pdf.sort_values("bucket_start").reset_index(drop=True)
             V = pdf[feats].to_numpy(dtype=np.float64)
             if ret_attr:
-                z, exps, attrs = scorer(V)
+                z, exps, attrs, rel, past = scorer(V)
                 for j, n in enumerate(feats):
                     pdf[f"_attr_{n}"] = attrs[:, j]
+                    pdf[f"_past_{n}"] = past[:, j]
+                pdf["_rel"] = rel
             else:
                 z, exps = scorer(V)
             for j, n in enumerate(feats):
@@ -263,7 +268,23 @@ def preview(spark: SparkSession, det: Detector,
                         F.struct(F.lit(n).alias("feature_name"),
                                  F.col(f"_exp_{n}").alias("data"))
                         for n in feats]).alias("value_list")))))
-            extra_cols = ["relevant_attribution", "expected_values"]
+            # relative_index ≤ 0 locates the anomaly within the shingle
+            # (0 = this interval); past_values = the inputs at that
+            # earlier slot, only when the anomaly is in the past
+            # (ThresholdingResult.relativeIndex / pastValues)
+            result = result.withColumn(
+                "relative_index",
+                F.when(anomalous, F.col("_rel").cast("int")))
+            result = result.withColumn(
+                "past_values",
+                F.when(anomalous & (F.col("_rel") < 0)
+                       & ~F.isnan(F.col(f"_past_{feats[0]}")),
+                       F.array(*[
+                           F.struct(F.lit(n).alias("feature_name"),
+                                    F.col(f"_past_{n}").alias("data"))
+                           for n in feats])))
+            extra_cols = ["relevant_attribution", "expected_values",
+                          "relative_index", "past_values"]
         return result.select(
             "detector_id", "entity", "data_start_time", "data_end_time",
             *feats, "anomaly_score", "anomaly_grade", "confidence",

