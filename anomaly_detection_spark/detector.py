@@ -257,7 +257,7 @@ def preview(spark: SparkSession, det: Detector,
             result = result.withColumn(
                 "relevant_attribution",
                 F.when(anomalous, F.array(*[
-                    F.struct(F.lit(n).alias("feature_name"),
+                    F.struct(F.lit(n).alias("feature_id"),
                              F.round(F.col(f"_attr_{n}"), 6).alias("data"))
                     for n in feats])))
             result = result.withColumn(
@@ -265,7 +265,7 @@ def preview(spark: SparkSession, det: Detector,
                 F.when(anomalous, F.array(F.struct(
                     F.lit(1.0).alias("likelihood"),
                     F.array(*[
-                        F.struct(F.lit(n).alias("feature_name"),
+                        F.struct(F.lit(n).alias("feature_id"),
                                  F.col(f"_exp_{n}").alias("data"))
                         for n in feats]).alias("value_list")))))
             # relative_index ≤ 0 locates the anomaly within the shingle
@@ -275,16 +275,27 @@ def preview(spark: SparkSession, det: Detector,
             result = result.withColumn(
                 "relative_index",
                 F.when(anomalous, F.col("_rel").cast("int")))
+            # persisted form of the localization: data_start_time +
+            # relativeIndex·interval, null when the anomaly is current
+            # (AnomalyResult.java:489-491)
+            result = result.withColumn(
+                "approx_anomaly_start_time",
+                F.when(anomalous & (F.col("_rel") < 0),
+                       F.timestamp_millis(
+                           F.unix_millis(F.col("data_start_time")
+                                         .cast("timestamp"))
+                           + F.col("_rel").cast("long") * det.interval_ms)))
             result = result.withColumn(
                 "past_values",
                 F.when(anomalous & (F.col("_rel") < 0)
                        & ~F.isnan(F.col(f"_past_{feats[0]}")),
                        F.array(*[
-                           F.struct(F.lit(n).alias("feature_name"),
+                           F.struct(F.lit(n).alias("feature_id"),
                                     F.col(f"_past_{n}").alias("data"))
                            for n in feats])))
             extra_cols = ["relevant_attribution", "expected_values",
-                          "relative_index", "past_values"]
+                          "relative_index", "approx_anomaly_start_time",
+                          "past_values"]
         return result.select(
             "detector_id", "entity", "data_start_time", "data_end_time",
             *feats, "anomaly_score", "anomaly_grade", "confidence",

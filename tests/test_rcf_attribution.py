@@ -209,23 +209,26 @@ def test_preview_joint_rcf_emits_reference_result_fields(
                                           n_trees=8, sample_size=64,
                                           seed=19)).toPandas()
     assert {"relevant_attribution", "expected_values", "relative_index",
-            "past_values"} <= set(res.columns)
+            "approx_anomaly_start_time", "past_values"} <= set(res.columns)
     hot = res[res.anomaly_grade > 0]
     assert len(hot) >= 1
     spike = res.loc[res.bucket_start
                     == base + pd.Timedelta(milliseconds=420 * interval_ms)]
     assert len(spike) == 1 and spike.anomaly_grade.iloc[0] > 0
     ra = spike.relevant_attribution.iloc[0]
-    shares = {e["feature_name"]: e["data"] for e in ra}
+    shares = {e["feature_id"]: e["data"] for e in ra}
     assert set(shares) == {"fa", "fb"}
     assert sum(shares.values()) == pytest.approx(1.0, abs=1e-5)
     assert shares["fb"] > shares["fa"]
     ev = spike.expected_values.iloc[0]
     assert len(ev) == 1 and ev[0]["likelihood"] == 1.0
-    vals = {e["feature_name"]: e["data"] for e in ev[0]["value_list"]}
+    vals = {e["feature_id"]: e["data"] for e in ev[0]["value_list"]}
     # the model's expected fb is far below the spiked actual
     assert vals["fb"] < spike.fb.iloc[0] - 10.0
     assert spike.relative_index.iloc[0] == 0
+    # anomaly is current → no approximate start time (the reference
+    # persists it only when relativeIndex < 0)
+    assert spike.approx_anomaly_start_time.isna().all()
     assert spike.past_values.isna().all()
     cold = res[res.anomaly_grade == 0]
     assert len(cold) > 100
