@@ -262,8 +262,21 @@ def star_tree_search(spark: SparkSession, dest: str,
     for i, m in enumerate(dims):
         if m["name"] not in needed:
             gid |= 1 << (len(dims) - 1 - i)
-    raw = (spark.read.parquet(os.path.join(dest, "cube"))
-           .filter(F.col("_gid") == gid))
+    # read the routed slice's partition DIRECTORY directly (basePath
+    # keeps _gid as a column): pruning happens at file-listing time —
+    # the reader never lists or footer-reads the other 2^k−1 slices,
+    # the literal analog of descending the star tree to one node set
+    cube_path = os.path.join(dest, "cube")
+    slice_dir = os.path.join(cube_path, f"_gid={gid}")
+    if os.path.isdir(slice_dir):
+        raw = (spark.read.option("basePath", cube_path)
+               .parquet(slice_dir))
+    else:
+        # degenerate cube (e.g. built from an empty frame writes no
+        # partition dirs): fall back to the root read — same result,
+        # no listing-pruning win to be had
+        raw = (spark.read.parquet(cube_path)
+               .filter(F.col("_gid") == gid))
     for c in conds:
         raw = raw.filter(c)
 
