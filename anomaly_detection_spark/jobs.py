@@ -1,0 +1,213 @@
+"""Detector job lifecycle: the reference's scheduled-execution ring.
+
+A reference user starts/stops a detector job (``_start``/``_stop``,
+``RestAnomalyDetectorJobAction``); the job-scheduler then fires
+``JobProcessor.process`` per interval, which acquires a per-job lock,
+runs one realtime detection pass, and handles failures with the
+EndRunException protocol (``JobProcessor.java:350-420``): an
+``endNow`` failure stops the job immediately; a soft EndRunException
+stops it only after ``maxRetryForEndRunException`` (default 6,
+``LegacyOpenDistroAnomalyDetectorSettings.java:164-167``) CONSECUTIVE
+occurrences — any other error records an error result row and leaves
+the job enabled (transient), resetting the consecutive count.
+
+The Spark analog keeps the job document's exact shape (``Job.java:71-
+79``: schedule, window_delay, enabled flag, enabled/disabled/
+last_update times, lock_duration_seconds, result_index) in a JSON doc
+per job (atomic tmp+rename, same posture as every other registry
+here), and replaces the scheduler callback with an explicit
+:meth:`JobStore.tick` — a driver/cron calls it with the current time
+and every DUE enabled job runs one :func:`~anomaly_detection_spark.
+detector.run_once_stateful` pass (which is idempotent per interval,
+so an overlapping or retried tick can never double-ingest).  Missed
+intervals are NOT backfilled — the reference's scheduler likewise
+just fires next time, and gap analysis is what ``run_historical`` is
+for.  The lock is a lease field in the job doc (acquire = write
+``lock_until``; expired leases are stealable), standing in for the
+job-scheduler's LockService at single-driver scope.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .detector import Detector, run_once_stateful
+
+__all__ = ["EndRunError", "JobStore",
+           "MAX_RETRY_FOR_END_RUN_EXCEPTION"]
+
+#: consecutive soft EndRunException budget before the job is stopped
+MAX_RETRY_FOR_END_RUN_EXCEPTION = 6
+
+
+class EndRunError(RuntimeError):
+    """The detection body judged the job unrunnable (the reference's
+    EndRunException: e.g. invalid feature query, missing source
+    index).  ``end_now=True`` stops the job immediately; otherwise it
+    stops after :data:`MAX_RETRY_FOR_END_RUN_EXCEPTION` consecutive
+    failures."""
+
+    def __init__(self, message: str, end_now: bool = False):
+        super().__init__(message)
+        self.end_now = end_now
+
+
+def _det_to_json(det: Detector) -> dict:
+    d = dataclasses.asdict(det)
+    d["category_fields"] = list(d["category_fields"])
+    d["suppression_rules"] = list(d["suppression_rules"])
+    return d
+
+
+def _det_from_json(d: dict) -> Detector:
+    d = dict(d)
+    d["category_fields"] = tuple(d["category_fields"])
+    d["suppression_rules"] = tuple(d["suppression_rules"])
+    return Detector(**d)
+
+
+class JobStore:
+    """Job registry + scheduler tick over a directory of job docs."""
+
+    def __init__(self, jobs_dir: str):
+        self.jobs_dir = jobs_dir
+        os.makedirs(jobs_dir, exist_ok=True)
+
+    def _path(self, job_id: str) -> str:
+        if "/" in job_id or job_id.startswith("."):
+            raise ValueError(f"bad job id {job_id!r}")
+        return os.path.join(self.jobs_dir, f"{job_id}.json")
+
+    def _write(self, doc: dict) -> None:
+        p = self._path(doc["name"])
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, p)
+
+    def get_job(self, job_id: str) -> dict:
+        with open(self._path(job_id)) as f:
+            return json.load(f)
+
+    def list_jobs(self) -> list[str]:
+        return sorted(f[:-5] for f in os.listdir(self.jobs_dir)
+                      if f.endswith(".json"))
+
+    # -- lifecycle (RestAnomalyDetectorJobAction: _start / _stop) ----------
+
+    def create_job(self, det: Detector, now_ms: int,
+                   lock_duration_s: int = 60,
+                   result_index: str | None = None) -> dict:
+        """Register + start a job for ``det`` (job id = detector id,
+        schedule interval = detection interval — the reference creates
+        the job doc exactly so, ``IndexJobActionHandler``)."""
+        doc = {
+            "name": det.detector_id,
+            "schedule_interval_ms": det.interval_ms,
+            "window_delay_ms": det.window_delay_ms,
+            "enabled": True,
+            "enabled_time": now_ms,
+            "disabled_time": None,
+            "last_update_time": now_ms,
+            "lock_duration_seconds": lock_duration_s,
+            "result_index": result_index,
+            "detector": _det_to_json(det),
+            # runner state
+            "last_end_ms": None,        # newest interval end already run
+            "lock_until_ms": 0,
+            "end_run_count": 0,         # consecutive soft EndRunErrors
+            "last_error": None,
+        }
+        self._write(doc)
+        return doc
+
+    def stop_job(self, job_id: str, now_ms: int,
+                 reason: str | None = None) -> dict:
+        doc = self.get_job(job_id)
+        doc["enabled"] = False
+        doc["disabled_time"] = now_ms
+        doc["last_update_time"] = now_ms
+        if reason:
+            doc["last_error"] = reason
+        self._write(doc)
+        return doc
+
+    def start_job(self, job_id: str, now_ms: int) -> dict:
+        doc = self.get_job(job_id)
+        doc["enabled"] = True
+        doc["enabled_time"] = now_ms
+        doc["disabled_time"] = None
+        doc["last_update_time"] = now_ms
+        doc["end_run_count"] = 0
+        doc["last_error"] = None
+        self._write(doc)
+        return doc
+
+    # -- the scheduler callback --------------------------------------------
+
+    def _due(self, doc: dict, now_ms: int) -> int | None:
+        """The interval end the job would run for at ``now``, or None
+        if that interval was already run (not due)."""
+        iv = doc["schedule_interval_ms"]
+        end = ((now_ms - doc["window_delay_ms"]) // iv) * iv
+        if doc["last_end_ms"] is not None and end <= doc["last_end_ms"]:
+            return None
+        return end
+
+    def tick(self, spark: SparkSession, now_ms: int, state_dir: str,
+             scorer_factory=None,
+             runner: Callable[..., DataFrame] | None = None,
+             ) -> dict[str, Any]:
+        """Run every due, enabled, unlocked job once for its latest
+        closed interval.  Returns ``{job_id: result DataFrame}`` for
+        the jobs that ran; failures are recorded on the job doc
+        (``last_error`` — the indexResultException analog) and follow
+        the EndRunException stop protocol."""
+        out: dict[str, Any] = {}
+        run = runner or run_once_stateful
+        for job_id in self.list_jobs():
+            doc = self.get_job(job_id)
+            if not doc["enabled"]:
+                continue
+            end = self._due(doc, now_ms)
+            if end is None:
+                continue
+            if doc["lock_until_ms"] > now_ms:
+                continue                      # another runner holds it
+            # acquire the lease
+            doc["lock_until_ms"] = now_ms + \
+                doc["lock_duration_seconds"] * 1000
+            self._write(doc)
+            det = _det_from_json(doc["detector"])
+            try:
+                res = run(spark, det, now_ms, state_dir,
+                          scorer_factory=scorer_factory)
+                out[job_id] = res
+                doc["last_end_ms"] = end
+                doc["end_run_count"] = 0
+                doc["last_error"] = None
+            except EndRunError as e:
+                doc["last_error"] = str(e)
+                if e.end_now:
+                    doc["enabled"] = False
+                    doc["disabled_time"] = now_ms
+                else:
+                    doc["end_run_count"] += 1
+                    if (doc["end_run_count"]
+                            > MAX_RETRY_FOR_END_RUN_EXCEPTION):
+                        doc["enabled"] = False
+                        doc["disabled_time"] = now_ms
+            except Exception as e:            # transient: stay enabled
+                doc["end_run_count"] = 0
+                doc["last_error"] = f"{type(e).__name__}: {e}"
+            finally:
+                doc["lock_until_ms"] = 0
+                doc["last_update_time"] = now_ms
+                self._write(doc)
+        return out

@@ -1,0 +1,176 @@
+"""Detector job lifecycle (JobProcessor.java / Job.java analog):
+create/start/stop, due-interval ticking over run_once_stateful,
+lease-based locking, and the EndRunException stop protocol (soft
+failures stop the job only after 6 consecutive occurrences; endNow
+stops immediately; transient errors never stop it)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anomaly_detection_spark.detector import Detector
+from anomaly_detection_spark.jobs import (
+    MAX_RETRY_FOR_END_RUN_EXCEPTION,
+    EndRunError,
+    JobStore,
+)
+
+INTERVAL = 60_000
+
+
+@pytest.fixture(scope="module")
+def source(spark, tmp_path_factory):
+    rng = np.random.default_rng(61)
+    n = 200
+    base = pd.Timestamp("2025-01-01")
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(milliseconds=i * INTERVAL)
+               for i in range(n)],
+        "v": 50.0 + rng.normal(0, 1, n),
+    })
+    path = str(tmp_path_factory.mktemp("jobsrc") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    return path, int(base.value // 10**6), n
+
+
+def _det(path, det_id="job-det"):
+    return Detector(detector_id=det_id, indices=path,
+                    feature_specs={"f": {"avg": {"field": "v"}}},
+                    time_field="ts", interval_ms=INTERVAL)
+
+
+def test_job_lifecycle_and_tick(spark, tmp_path, source):
+    path, start_ms, n = source
+    store = JobStore(str(tmp_path / "jobs"))
+    det = _det(path)
+    now = start_ms + 50 * INTERVAL
+    doc = store.create_job(det, now)
+    assert doc["enabled"] and doc["enabled_time"] == now
+    assert doc["schedule_interval_ms"] == INTERVAL
+    assert store.list_jobs() == ["job-det"]
+
+    res = store.tick(spark, now, str(tmp_path / "state"))
+    assert set(res) == {"job-det"}
+    # same now → interval already run → not due
+    assert store.tick(spark, now, str(tmp_path / "state")) == {}
+    assert store.get_job("job-det")["last_end_ms"] == \
+        (now // INTERVAL) * INTERVAL
+    # next interval → due again
+    res = store.tick(spark, now + INTERVAL, str(tmp_path / "state"))
+    assert set(res) == {"job-det"}
+
+    store.stop_job("job-det", now + 2 * INTERVAL)
+    assert store.tick(spark, now + 2 * INTERVAL,
+                      str(tmp_path / "state")) == {}
+    doc = store.get_job("job-det")
+    assert not doc["enabled"] and doc["disabled_time"] == now + 2 * INTERVAL
+    store.start_job("job-det", now + 3 * INTERVAL)
+    assert store.get_job("job-det")["enabled"]
+
+
+def test_lock_lease_blocks_until_expiry(spark, tmp_path, source):
+    path, start_ms, _ = source
+    store = JobStore(str(tmp_path / "jobs"))
+    store.create_job(_det(path, "locked"), start_ms, lock_duration_s=120)
+    now = start_ms + 40 * INTERVAL
+    doc = store.get_job("locked")
+    doc["lock_until_ms"] = now + 60_000         # someone else holds it
+    store._write(doc)
+    assert store.tick(spark, now, str(tmp_path / "state")) == {}
+    # lease expired → stealable
+    later = now + 61_000
+    res = store.tick(spark, later, str(tmp_path / "state"))
+    assert set(res) == {"locked"}
+    assert store.get_job("locked")["lock_until_ms"] == 0   # released
+
+
+def test_end_run_protocol(spark, tmp_path, source):
+    path, start_ms, _ = source
+    store = JobStore(str(tmp_path / "jobs"))
+    store.create_job(_det(path, "erj"), start_ms)
+
+    calls = {"n": 0}
+
+    def soft_fail(spark_, det, now_ms, state_dir, scorer_factory=None):
+        calls["n"] += 1
+        raise EndRunError("bad feature query")
+
+    # six consecutive soft failures: still enabled, count climbing
+    now = start_ms + 30 * INTERVAL
+    for i in range(MAX_RETRY_FOR_END_RUN_EXCEPTION):
+        store.tick(spark, now + i * INTERVAL, str(tmp_path / "s"),
+                   runner=soft_fail)
+        doc = store.get_job("erj")
+        assert doc["enabled"] and doc["end_run_count"] == i + 1
+        assert "bad feature query" in doc["last_error"]
+    # the 7th stops the job (count > max)
+    store.tick(spark, now + 6 * INTERVAL, str(tmp_path / "s"),
+               runner=soft_fail)
+    doc = store.get_job("erj")
+    assert not doc["enabled"]
+    assert calls["n"] == 7
+
+
+def test_transient_error_resets_count_and_stays_enabled(
+        spark, tmp_path, source):
+    path, start_ms, _ = source
+    store = JobStore(str(tmp_path / "jobs"))
+    store.create_job(_det(path, "trj"), start_ms)
+    now = start_ms + 30 * INTERVAL
+
+    def soft_fail(*a, **k):
+        raise EndRunError("soft")
+
+    def transient(*a, **k):
+        raise TimeoutError("source briefly unreachable")
+
+    store.tick(spark, now, str(tmp_path / "s"), runner=soft_fail)
+    assert store.get_job("trj")["end_run_count"] == 1
+    store.tick(spark, now + INTERVAL, str(tmp_path / "s"),
+               runner=transient)
+    doc = store.get_job("trj")
+    assert doc["enabled"] and doc["end_run_count"] == 0
+    assert "TimeoutError" in doc["last_error"]
+    # a real success clears the error
+    res = store.tick(spark, now + 2 * INTERVAL, str(tmp_path / "s"))
+    assert set(res) == {"trj"}
+    assert store.get_job("trj")["last_error"] is None
+
+
+def test_end_now_stops_immediately(spark, tmp_path, source):
+    path, start_ms, _ = source
+    store = JobStore(str(tmp_path / "jobs"))
+    store.create_job(_det(path, "enj"), start_ms)
+
+    def hard_fail(*a, **k):
+        raise EndRunError("model memory limit", end_now=True)
+
+    store.tick(spark, start_ms + 30 * INTERVAL, str(tmp_path / "s"),
+               runner=hard_fail)
+    doc = store.get_job("enj")
+    assert not doc["enabled"] and doc["end_run_count"] == 0
+    assert "model memory" in doc["last_error"]
+
+
+def test_tick_results_match_run_once_stateful(spark, tmp_path, source):
+    """The tick's result rows ARE run_once_stateful's (same state dir
+    → same scores), so the scheduler wrapper adds no semantics."""
+    from anomaly_detection_spark.detector import run_once_stateful
+
+    path, start_ms, _ = source
+    store = JobStore(str(tmp_path / "jobs"))
+    det = _det(path, "par")
+    store.create_job(det, start_ms)
+    now = start_ms + 60 * INTERVAL
+    # warm both state dirs identically over 10 consecutive intervals
+    rows_tick, rows_direct = [], []
+    for i in range(10):
+        t = now + i * INTERVAL
+        res = store.tick(spark, t, str(tmp_path / "st_tick"))
+        if res:
+            rows_tick.extend(res["par"].select(
+                "bucket_start", "anomaly_score").collect())
+        rows_direct.extend(run_once_stateful(
+            spark, det, t, str(tmp_path / "st_direct")).select(
+            "bucket_start", "anomaly_score").collect())
+    assert rows_tick == rows_direct
