@@ -332,3 +332,105 @@ def run_forecast(
         "forecast_value", "forecast_lower_bound", "forecast_upper_bound",
         "confidence_interval_width", "data_end_time",
         "forecast_data_start_time", "forecast_data_end_time", *ent)
+
+
+_BUILD_IN = {
+    # name -> (needs latest-horizon filter, agg field, asc?)
+    "MIN_CONFIDENCE_INTERVAL_WIDTH": (True, "confidence_interval_width",
+                                      "min", True),
+    "MAX_CONFIDENCE_INTERVAL_WIDTH": (True, "confidence_interval_width",
+                                      "max", False),
+    "MIN_VALUE_WITHIN_THE_HORIZON": (False, "forecast_value", "min", True),
+    "MAX_VALUE_WITHIN_THE_HORIZON": (False, "forecast_value", "max", False),
+}
+
+
+def top_forecasts(
+    results: DataFrame,
+    *,
+    forecast_from_ms: int,
+    interval_ms: int,
+    horizon: int,
+    entity_cols: tuple[str, ...],
+    size: int = 10,
+    build_in_query: str | None = "MAX_VALUE_WITHIN_THE_HORIZON",
+    threshold: float | None = None,
+    relation_to_threshold: str | None = None,
+    custom_aggs: list[tuple] | None = None,
+    feature_name: str | None = None,
+) -> DataFrame:
+    """Top entities of one forecast run — the
+    ``SearchTopForecastResultTransportAction`` analog, as ONE
+    DataFrame plan (filter → groupBy entity → agg → global top-k).
+
+    Reference semantics (``SearchTopForecastResultTransportAction.
+    java:637-760``): select the run whose ``data_end_time`` falls in
+    ``[forecast_from, forecast_from + interval)``, group by entity
+    (terms agg sized ``size``), and rank by the built-in query —
+    MIN/MAX_CONFIDENCE_INTERVAL_WIDTH restrict to the LAST horizon
+    step (``horizon_index == horizon``) and min/max the CI width;
+    MIN/MAX_VALUE_WITHIN_THE_HORIZON min/max ``forecast_value`` over
+    every step; DISTANCE_TO_THRESHOLD_VALUE filters values past the
+    ``threshold`` per ``relation_to_threshold`` (gt/gte → max desc,
+    lt/lte → min asc).  ``custom_aggs`` is the CUSTOM_QUERY path: a
+    list of ``(alias, aggregate Column, "asc"|"desc")`` ranking
+    buckets like the reference's user-defined subaggregations.
+
+    The client-side bucket heap + pagination become a single
+    ``TakeOrderedAndProject`` — the same collapse as
+    ``top_entities_by_severity``.
+    """
+    ent = list(entity_cols)
+    if not ent:
+        raise ValueError("top_forecasts needs entity (category) columns")
+    win = (F.unix_millis(F.col("data_end_time").cast("timestamp")))
+    out = results.filter(
+        (win >= forecast_from_ms) & (win < forecast_from_ms + interval_ms))
+    if feature_name is not None:
+        out = out.filter(F.col("feature_name") == feature_name)
+
+    order_cols: list = []
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if custom_aggs:
+        for alias, col, direction in custom_aggs:
+            if direction not in ("asc", "desc"):
+                raise ValueError(
+                    f"custom agg {alias!r} order must be asc/desc")
+            aggs.append(col.alias(alias))
+            order_cols.append(F.col(alias).asc() if direction == "asc"
+                              else F.col(alias).desc())
+    elif build_in_query == "DISTANCE_TO_THRESHOLD_VALUE":
+        if threshold is None or relation_to_threshold not in (
+                "gt", "gte", "lt", "lte"):
+            raise ValueError(
+                "DISTANCE_TO_THRESHOLD_VALUE needs threshold and "
+                "relation_to_threshold in gt/gte/lt/lte")
+        v = F.col("forecast_value")
+        cond = {"gt": v > threshold, "gte": v >= threshold,
+                "lt": v < threshold, "lte": v <= threshold}[
+            relation_to_threshold]
+        out = out.filter(cond)
+        name = "distance_to_threshold_value"
+        if relation_to_threshold in ("gt", "gte"):
+            aggs.append(F.max("forecast_value").alias(name))
+            order_cols.append(F.col(name).desc())
+        else:
+            aggs.append(F.min("forecast_value").alias(name))
+            order_cols.append(F.col(name).asc())
+    else:
+        spec = _BUILD_IN.get(build_in_query or "")
+        if spec is None:
+            raise ValueError(
+                f"unknown build_in_query {build_in_query!r} "
+                f"({sorted(_BUILD_IN)} + DISTANCE_TO_THRESHOLD_VALUE)")
+        latest_only, fld, kind, asc = spec
+        if latest_only:
+            out = out.filter(F.col("horizon_index") == horizon)
+        name = build_in_query.lower()
+        aggs.append((F.min(fld) if kind == "min"
+                     else F.max(fld)).alias(name))
+        order_cols.append(F.col(name).asc() if asc else F.col(name).desc())
+
+    return (out.groupBy(*ent).agg(*aggs)
+            .orderBy(*order_cols, *[F.col(c).asc() for c in ent])
+            .limit(size))

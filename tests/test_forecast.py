@@ -219,3 +219,75 @@ def test_rcf_forecaster_through_run_forecast_seam(spark, tmp_path_factory):
         truth = 40 + 15 * np.sin(
             2 * np.pi * ((n + np.arange(horizon)) / period + phase))
         assert float(np.mean(np.abs(got - truth))) < 3.0, svc
+
+
+def test_top_forecasts_build_in_queries(spark, tmp_path_factory):
+    """SearchTopForecastResult analog: rank entities of one forecast
+    run by each built-in query (SearchTopForecastResultTransportAction
+    semantics: CI-width queries look only at the LAST horizon step,
+    value queries at every step, threshold queries filter first)."""
+    from anomaly_detection_spark.forecast import top_forecasts
+
+    path = _write(spark, tmp_path_factory, [
+        _series("A", 5.0 + 0.1 * np.arange(60)),      # low values
+        _series("B", 50.0 + 0.2 * np.arange(60)),     # high values
+        _series("C", 20.0 + 2.0 * np.sin(np.arange(60))),  # noisy → wide CI
+    ])
+    fc = Forecaster(
+        forecaster_id="fc-top", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL, horizon=4,
+        category_fields=("service",))
+    now = int(BASE.value // 10**6) + 60 * INTERVAL + 1
+    res = run_forecast(spark, fc, now)
+    # every row of this run shares one data_end_time == forecast_from
+    from_ms = int(res.select("data_end_time").first()[0]
+                  .timestamp() * 1000)
+    kw = dict(forecast_from_ms=from_ms, interval_ms=INTERVAL,
+              horizon=4, entity_cols=("service",))
+
+    top = top_forecasts(res, size=2,
+                        build_in_query="MAX_VALUE_WITHIN_THE_HORIZON",
+                        **kw).toPandas()
+    assert list(top.service) == ["B", "C"]
+    assert top.columns.tolist() == [
+        "service", "doc_count", "max_value_within_the_horizon"]
+    assert top.doc_count.iloc[0] == 4                 # horizon rows
+
+    bot = top_forecasts(res, size=1,
+                        build_in_query="MIN_VALUE_WITHIN_THE_HORIZON",
+                        **kw).toPandas()
+    assert list(bot.service) == ["A"]
+
+    wide = top_forecasts(res, size=3,
+                         build_in_query="MAX_CONFIDENCE_INTERVAL_WIDTH",
+                         **kw).toPandas()
+    assert wide.service.iloc[0] == "C"                # noisiest
+    assert wide.doc_count.eq(1).all()                 # last step only
+
+    # threshold: entities whose forecast exceeds 30 → only B
+    thr = top_forecasts(res, size=5,
+                        build_in_query="DISTANCE_TO_THRESHOLD_VALUE",
+                        threshold=30.0, relation_to_threshold="gt",
+                        **kw).toPandas()
+    assert list(thr.service) == ["B"]
+    assert "distance_to_threshold_value" in thr.columns
+
+    # custom agg (CUSTOM_QUERY path): order by avg forecast asc
+    import pyspark.sql.functions as F
+
+    cust = top_forecasts(
+        res, size=3, build_in_query=None,
+        custom_aggs=[("avg_fc", F.avg("forecast_value"), "asc")],
+        **kw).toPandas()
+    assert list(cust.service) == ["A", "C", "B"]
+
+    # wrong window → empty; bad query name → error
+    assert top_forecasts(res, size=2, forecast_from_ms=from_ms + INTERVAL,
+                         interval_ms=INTERVAL, horizon=4,
+                         entity_cols=("service",)).count() == 0
+    with pytest.raises(ValueError, match="build_in_query"):
+        top_forecasts(res, build_in_query="NOPE", **kw)
+    with pytest.raises(ValueError, match="threshold"):
+        top_forecasts(res, build_in_query="DISTANCE_TO_THRESHOLD_VALUE",
+                      **kw)
