@@ -248,21 +248,39 @@ def preview(spark: SparkSession, det: Detector,
                 F.array().cast("array<struct<name:string,value:string>>"))
         extra_cols = []
         if ret_attr:
+            # the scorer attributes points past ITS alert threshold;
+            # the grade lifts off at det.anomaly_threshold.  If the
+            # scorer's is higher, rows the detector reports anomalous
+            # would carry null attribution — reject the inconsistent
+            # wiring instead of silently violating the "present iff
+            # grade > 0" contract (align alert_threshold with
+            # det.anomaly_threshold; the reference derives both from
+            # the same thresholder so they can never diverge)
+            s_thr = getattr(scorer, "alert_threshold", None)
+            if s_thr is not None and s_thr > det.anomaly_threshold:
+                raise ValueError(
+                    f"scorer alert_threshold ({s_thr}) > detector "
+                    f"anomaly_threshold ({det.anomaly_threshold}): "
+                    f"anomalous rows would lack attribution — pass "
+                    f"alert_threshold={det.anomaly_threshold} to the "
+                    f"scorer")
             # reference result fields for anomalous points only
             # (anomaly-results.json: relevant_attribution is a
             # DataByFeatureId list, expected_value a likelihood-tagged
             # value list; both absent when grade == 0)
-            anomalous = (F.col("anomaly_grade") > 0) & \
-                ~F.isnan(F.col(f"_attr_{feats[0]}"))
+            graded = F.col("anomaly_grade") > 0
+            anomalous = graded & ~F.isnan(F.col(f"_attr_{feats[0]}"))
             result = result.withColumn(
                 "relevant_attribution",
                 F.when(anomalous, F.array(*[
                     F.struct(F.lit(n).alias("feature_id"),
                              F.round(F.col(f"_attr_{n}"), 6).alias("data"))
                     for n in feats])))
+            # expected values come from the model on EVERY row (the
+            # _exp columns) — gate on the grade alone
             result = result.withColumn(
                 "expected_values",
-                F.when(anomalous, F.array(F.struct(
+                F.when(graded, F.array(F.struct(
                     F.lit(1.0).alias("likelihood"),
                     F.array(*[
                         F.struct(F.lit(n).alias("feature_id"),

@@ -265,7 +265,12 @@ class RandomCutTree:
         separated-at-depth-d contributes 1/(d+1) (unseen score), an
         exact duplicate contributes the mass-damped seen score.  The
         result is normalized by log2(1 + tree mass) so a typical inlier
-        scores ≈ 1 — the scale the reference thresholds on."""
+        scores ≈ 1 — the scale the reference thresholds on.
+
+        :meth:`attribution` re-runs this exact traversal with per-dim
+        bookkeeping (kept separate so this hot path stays
+        allocation-free) — any change here must be mirrored there;
+        the ``sum(attr) == score`` property test enforces it."""
         node = self.root
         if node < 0:
             return 0.0, float("nan")
@@ -528,8 +533,13 @@ class RCFStream:
                  clip: float = 10.0,
                  alert_once: bool = True, alert_threshold: float = 3.0,
                  realert_factor: float = 1.2,
-                 n_features: int = 1):
+                 n_features: int = 1,
+                 attribution: bool = True):
         self.shingle = shingle
+        # attribution=False skips the second forest traversal on
+        # anomalous points for consumers that never read
+        # last_attribution (e.g. the univariate melt scorer)
+        self.attribution = attribution
         self.n_features = n_features
         self.min_samples = min_samples
         self.eps = eps
@@ -661,7 +671,7 @@ class RCFStream:
                 else:
                     self.in_run = False
                     self.run_max = 0.0
-        if z == z and abs(z) > self.alert_threshold:
+        if self.attribution and z == z and abs(z) > self.alert_threshold:
             # anomalous (and not a suppressed continuation): attribute
             # the score against the PRE-ingest forest (the reference
             # scores and attributes before the model absorbs the
@@ -736,6 +746,8 @@ class RCFStream:
             obj.n_features = 1
             obj.in_mean = [obj.in_mean]
             obj.in_var = [obj.in_var]
+        if not hasattr(obj, "attribution"):
+            obj.attribution = True
         if not hasattr(obj, "last_attribution"):
             obj.last_attribution = None
         if not hasattr(obj, "last_relative_index"):
@@ -789,12 +801,14 @@ def rcf_scorer(shingle: int = 8, n_trees: int = 50,
                            norm_discount=norm_discount,
                            alert_once=alert_once,
                            alert_threshold=alert_threshold,
-                           realert_factor=realert_factor)
+                           realert_factor=realert_factor,
+                           attribution=False)  # never read on this path
         for i in range(n):
             z[i], exp[i] = stream.update(float(values[i]))
         return z, exp
 
     score.returns_expected = True
+    score.alert_threshold = alert_threshold
     return score
 
 
@@ -855,6 +869,7 @@ def rcf_scorer_joint(n_features: int, shingle: int = 8, n_trees: int = 50,
     score.multivariate = True
     score.returns_expected = True
     score.returns_attribution = True
+    score.alert_threshold = alert_threshold
     return score
 
 

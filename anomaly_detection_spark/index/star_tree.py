@@ -268,10 +268,16 @@ def star_tree_search(spark: SparkSession, dest: str,
     # the literal analog of descending the star tree to one node set
     cube_path = os.path.join(dest, "cube")
     slice_dir = os.path.join(cube_path, f"_gid={gid}")
-    if os.path.isdir(slice_dir):
+    from pyspark.errors import AnalysisException
+
+    try:
+        # try/except instead of a local isdir so the pruning also
+        # holds for hdfs://-style dests Spark can read but the local
+        # os module can't see (the meta JSON above is the documented
+        # local/shared-fs scope; the cube itself may live anywhere)
         raw = (spark.read.option("basePath", cube_path)
                .parquet(slice_dir))
-    else:
+    except AnalysisException:
         # degenerate cube (e.g. built from an empty frame writes no
         # partition dirs): fall back to the root read — same result,
         # no listing-pruning win to be had

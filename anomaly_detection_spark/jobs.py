@@ -6,9 +6,10 @@ A reference user starts/stops a detector job (``_start``/``_stop``,
 runs one realtime detection pass, and handles failures with the
 EndRunException protocol (``JobProcessor.java:350-420``): an
 ``endNow`` failure stops the job immediately; a soft EndRunException
-stops it only after ``maxRetryForEndRunException`` (default 6,
-``LegacyOpenDistroAnomalyDetectorSettings.java:164-167``) CONSECUTIVE
-occurrences — any other error records an error result row and leaves
+stops it on the first failure PAST ``maxRetryForEndRunException``
+consecutive occurrences (count > 6, i.e. the 7th — default 6,
+``LegacyOpenDistroAnomalyDetectorSettings.java:164-167``; the
+reference's comparison is strictly greater) — any other error records an error result row and leaves
 the job enabled (transient), resetting the consecutive count.
 
 The Spark analog keeps the job document's exact shape (``Job.java:71-
@@ -32,7 +33,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import time
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,8 +50,8 @@ class EndRunError(RuntimeError):
     """The detection body judged the job unrunnable (the reference's
     EndRunException: e.g. invalid feature query, missing source
     index).  ``end_now=True`` stops the job immediately; otherwise it
-    stops after :data:`MAX_RETRY_FOR_END_RUN_EXCEPTION` consecutive
-    failures."""
+    stops on the failure after :data:`MAX_RETRY_FOR_END_RUN_EXCEPTION`
+    consecutive failures (count > 6, the reference's comparison)."""
 
     def __init__(self, message: str, end_now: bool = False):
         super().__init__(message)
@@ -120,6 +120,7 @@ class JobStore:
             "detector": _det_to_json(det),
             # runner state
             "last_end_ms": None,        # newest interval end already run
+            "last_attempt_end_ms": None,  # newest interval end attempted
             "lock_until_ms": 0,
             "end_run_count": 0,         # consecutive soft EndRunErrors
             "last_error": None,
@@ -153,10 +154,16 @@ class JobStore:
 
     def _due(self, doc: dict, now_ms: int) -> int | None:
         """The interval end the job would run for at ``now``, or None
-        if that interval was already run (not due)."""
+        if that interval was already ATTEMPTED (the scheduler fires
+        once per interval whether or not the fire succeeded — a failed
+        interval is not retried within the interval, so the EndRun
+        budget burns once per scheduled fire like the reference, not
+        once per tick call)."""
         iv = doc["schedule_interval_ms"]
         end = ((now_ms - doc["window_delay_ms"]) // iv) * iv
-        if doc["last_end_ms"] is not None and end <= doc["last_end_ms"]:
+        seen = max((doc["last_end_ms"] or 0),
+                   (doc.get("last_attempt_end_ms") or 0))
+        if seen and end <= seen:
             return None
         return end
 
@@ -184,30 +191,39 @@ class JobStore:
             doc["lock_until_ms"] = now_ms + \
                 doc["lock_duration_seconds"] * 1000
             self._write(doc)
-            det = _det_from_json(doc["detector"])
+            # fields this attempt owns; everything else (enabled,
+            # disabled_time, ...) is re-read at release time so a
+            # concurrent stop_job/start_job during the (multi-second)
+            # run is never clobbered by this stale snapshot
+            upd: dict[str, Any] = {"last_attempt_end_ms": end}
+            disable = False
             try:
+                det = _det_from_json(doc["detector"])
                 res = run(spark, det, now_ms, state_dir,
                           scorer_factory=scorer_factory)
                 out[job_id] = res
-                doc["last_end_ms"] = end
-                doc["end_run_count"] = 0
-                doc["last_error"] = None
+                upd["last_end_ms"] = end
+                upd["end_run_count"] = 0
+                upd["last_error"] = None
             except EndRunError as e:
-                doc["last_error"] = str(e)
+                upd["last_error"] = str(e)
                 if e.end_now:
-                    doc["enabled"] = False
-                    doc["disabled_time"] = now_ms
+                    disable = True
                 else:
-                    doc["end_run_count"] += 1
-                    if (doc["end_run_count"]
+                    upd["end_run_count"] = doc["end_run_count"] + 1
+                    if (upd["end_run_count"]
                             > MAX_RETRY_FOR_END_RUN_EXCEPTION):
-                        doc["enabled"] = False
-                        doc["disabled_time"] = now_ms
+                        disable = True
             except Exception as e:            # transient: stay enabled
-                doc["end_run_count"] = 0
-                doc["last_error"] = f"{type(e).__name__}: {e}"
+                upd["end_run_count"] = 0
+                upd["last_error"] = f"{type(e).__name__}: {e}"
             finally:
-                doc["lock_until_ms"] = 0
-                doc["last_update_time"] = now_ms
-                self._write(doc)
+                fresh = self.get_job(job_id)
+                fresh.update(upd)
+                if disable:
+                    fresh["enabled"] = False
+                    fresh["disabled_time"] = now_ms
+                fresh["lock_until_ms"] = 0
+                fresh["last_update_time"] = now_ms
+                self._write(fresh)
         return out

@@ -111,6 +111,58 @@ def test_end_run_protocol(spark, tmp_path, source):
     assert calls["n"] == 7
 
 
+def test_failed_interval_not_retried_within_interval(spark, tmp_path,
+                                                     source):
+    """The EndRun budget burns once per SCHEDULED interval, not once
+    per tick call: ticking every few seconds inside one interval
+    attempts the job once (the scheduler fires per interval)."""
+    path, start_ms, _ = source
+    store = JobStore(str(tmp_path / "jobs"))
+    store.create_job(_det(path, "gate"), start_ms)
+    calls = {"n": 0}
+
+    def soft_fail(*a, **k):
+        calls["n"] += 1
+        raise EndRunError("soft")
+
+    now = start_ms + 30 * INTERVAL
+    for sec in range(0, 50, 10):          # five ticks, same interval
+        store.tick(spark, now + sec * 1000, str(tmp_path / "s"),
+                   runner=soft_fail)
+    doc = store.get_job("gate")
+    assert calls["n"] == 1 and doc["end_run_count"] == 1
+    assert doc["enabled"]
+    # next interval → one more attempt
+    store.tick(spark, now + INTERVAL, str(tmp_path / "s"),
+               runner=soft_fail)
+    assert calls["n"] == 2
+    assert store.get_job("gate")["end_run_count"] == 2
+
+
+def test_concurrent_stop_survives_running_tick(spark, tmp_path, source):
+    """A stop_job issued while the tick's runner is executing must not
+    be clobbered when the tick releases the lease (the tick re-reads
+    the doc and writes only the fields it owns)."""
+    path, start_ms, _ = source
+    store = JobStore(str(tmp_path / "jobs"))
+    store.create_job(_det(path, "race"), start_ms)
+    now = start_ms + 30 * INTERVAL
+
+    def stopper(spark_, det, now_ms, state_dir, scorer_factory=None):
+        # simulates a user stopping the job mid-run
+        store.stop_job("race", now_ms)
+        from anomaly_detection_spark.detector import run_once_stateful
+        return run_once_stateful(spark_, det, now_ms, state_dir)
+
+    res = store.tick(spark, now, str(tmp_path / "s"), runner=stopper)
+    assert set(res) == {"race"}
+    doc = store.get_job("race")
+    assert not doc["enabled"]             # the stop survived
+    assert doc["disabled_time"] == now
+    assert doc["lock_until_ms"] == 0      # lease still released
+    assert doc["last_end_ms"] == (now // INTERVAL) * INTERVAL
+
+
 def test_transient_error_resets_count_and_stays_enabled(
         spark, tmp_path, source):
     path, start_ms, _ = source
