@@ -83,6 +83,19 @@ def _grade(z: F.Column, thr: float = 3.0) -> F.Column:
                       F.least(F.lit(1.0), (F.abs(z) - thr) / thr))
 
 
+def _feature_imputed(feats: list[str]) -> F.Column:
+    """``feature_imputed`` result field (anomaly-results.json nested
+    {feature_id, imputed}; ``ModelUtil.calculateImputedFeatures``):
+    a bucket the imputation step materialized carries ``doc_count``
+    0 — this engine's imputation fills whole missing buckets, so the
+    flag is uniform across features (the reference flags per-NaN
+    coordinate; a present bucket here never has a filled feature)."""
+    return F.array(*[
+        F.struct(F.lit(n).alias("feature_id"),
+                 (F.col("doc_count") == 0).alias("imputed"))
+        for n in feats])
+
+
 def _rule_suppressed(det: Detector, feats: list[str]) -> F.Column:
     """Compile ``det.suppression_rules`` to a boolean Column over the
     per-feature actual (`<f>`) and expected (`_exp_<f>`) columns.
@@ -314,6 +327,10 @@ def preview(spark: SparkSession, det: Detector,
             extra_cols = ["relevant_attribution", "expected_values",
                           "relative_index", "approx_anomaly_start_time",
                           "past_values"]
+        if det.imputation_method:
+            result = result.withColumn("feature_imputed",
+                                       _feature_imputed(feats))
+            extra_cols = extra_cols + ["feature_imputed"]
         return result.select(
             "detector_id", "entity", "data_start_time", "data_end_time",
             *feats, "anomaly_score", "anomaly_grade", "confidence",
@@ -398,10 +415,15 @@ def preview(spark: SparkSession, det: Detector,
         result = result.withColumn(
             "entity",
             F.array().cast("array<struct<name:string,value:string>>"))
+    imp_cols = []
+    if det.imputation_method:
+        result = result.withColumn("feature_imputed",
+                                   _feature_imputed(feats))
+        imp_cols = ["feature_imputed"]
     return result.select(
         "detector_id", "entity", "data_start_time", "data_end_time",
         *feats, "anomaly_score", "anomaly_grade", "confidence",
-        *ent, "bucket_start")
+        *imp_cols, *ent, "bucket_start")
 
 
 def run_once(spark: SparkSession, det: Detector, now_ms: int,

@@ -142,6 +142,7 @@ def impute_linear(
             .when(F.col("_pidx").isNull(), nv)          # leading edge
             .when(F.col("_nidx").isNull(), pv)          # trailing edge
             .otherwise(pv + (nv - pv) * frac))
+    dense = dense.withColumn("is_filled", ~present)
     return dense.drop("_idx", "_pidx", "_nidx", "_present", "_orig")
 
 

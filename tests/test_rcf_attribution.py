@@ -235,3 +235,55 @@ def test_preview_joint_rcf_emits_reference_result_fields(
     assert cold.relevant_attribution.isna().all()
     assert cold.expected_values.isna().all()
     assert cold.relative_index.isna().all()
+
+
+def test_feature_imputed_result_field(spark, tmp_path_factory):
+    """feature_imputed (anomaly-results.json nested {feature_id,
+    imputed}) marks exactly the buckets the imputation materialized —
+    on both the melt path and the joint multivariate path — and is
+    absent when no imputation is configured."""
+    import pandas as pd
+
+    from anomaly_detection_spark.detector import Detector, preview
+
+    rng = np.random.default_rng(71)
+    n, interval_ms = 120, 60_000
+    base = pd.Timestamp("2025-03-01")
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(milliseconds=i * interval_ms)
+               for i in range(n)],
+        "v": 10.0 + rng.normal(0, 0.5, n),
+    })
+    # remove bucket 60 entirely → one imputed bucket
+    pdf = pdf[pdf.index != 60]
+    path = str(tmp_path_factory.mktemp("fimp") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+
+    def det(**kw):
+        return Detector(detector_id="fi", indices=path,
+                        feature_specs={"f": {"avg": {"field": "v"}}},
+                        time_field="ts", interval_ms=interval_ms, **kw)
+
+    plain = preview(spark, det())
+    assert "feature_imputed" not in plain.columns
+
+    res = preview(spark, det(imputation_method="previous")).toPandas()
+    assert "feature_imputed" in res.columns
+    t60 = base + pd.Timedelta(milliseconds=60 * interval_ms)
+    flags = {pd.Timestamp(r.bucket_start): r.feature_imputed[0]["imputed"]
+             for r in res.itertuples()}
+    assert flags[t60] is True or flags[t60] == True          # noqa: E712
+    others = [v for k, v in flags.items() if k != t60]
+    assert others and not any(others)
+    assert res.feature_imputed.iloc[0][0]["feature_id"] == "f"
+
+    # joint path carries the same field next to the attribution ring
+    res_j = preview(spark, det(imputation_method="previous"),
+                    scorer=rcf_scorer_joint(n_features=1, shingle=4,
+                                            n_trees=5, sample_size=32,
+                                            min_samples=16, seed=3)
+                    ).toPandas()
+    assert {"feature_imputed", "relevant_attribution"} <= set(res_j.columns)
+    flags_j = {pd.Timestamp(r.bucket_start): r.feature_imputed[0]["imputed"]
+               for r in res_j.itertuples()}
+    assert flags_j.get(t60) == True                          # noqa: E712
