@@ -665,6 +665,55 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
         *ent, "bucket_start")
 
 
+#: the reference's checkpoint TTL (AnomalyDetectorSettings.java:213-218)
+CHECKPOINT_TTL_MS = 7 * 24 * 3600 * 1000
+
+
+def prune_state(spark: SparkSession, detector_id: str, state_dir: str,
+                now_ms: int, ttl_ms: int = CHECKPOINT_TTL_MS) -> int:
+    """Expire per-entity model checkpoints not updated within the TTL
+    (the reference's checkpoint maintenance: a periodic delete of
+    checkpoint docs whose last update is older than ``checkpoint_ttl``,
+    default 7 days — ``AnomalyDetectorSettings.java:213-218``,
+    ``ADCheckpointMaintainWorker``).
+
+    Scale posture: under entity churn (the HC-detector norm — new
+    session/user entities appear, old ones stop emitting), the state
+    table otherwise grows monotonically with every entity EVER seen;
+    at the 100 TB / million-entity target that's unbounded model bytes
+    scanned by every interval's full-outer join.  Pruning keeps the
+    state bounded by the ACTIVE entity count.  Expired entities that
+    reappear later cold-start fresh, exactly like the reference after
+    a checkpoint expiry.
+
+    Same tmp+swap crash posture as the state writes; returns the
+    number of rows pruned.  A retention pass is idempotent."""
+    import os
+    import shutil
+
+    spath = _state_path(state_dir, detector_id)
+    if not os.path.exists(spath):
+        return 0
+    state = spark.read.parquet(spath)
+    cutoff = now_ms - ttl_ms
+    # rows that never scored (last_ms null) are kept only while the
+    # detector is younger than the TTL grace — they carry no model
+    keep = state.filter(F.col("last_ms").isNotNull()
+                        & (F.col("last_ms") >= cutoff))
+    n_total = state.count()
+    kept = keep.localCheckpoint()            # cut lineage before swap
+    n_keep = kept.count()
+    if n_keep == n_total:
+        return 0
+    tmp, trash = spath + ".__tmp__", spath + ".__old__"
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.move(spath, trash)
+    shutil.move(tmp, spath)
+    shutil.rmtree(trash, ignore_errors=True)
+    return n_total - n_keep
+
+
 # --- historical (batch) analysis ---------------------------------------------
 #
 # The reference's historical analysis (ADBatchTaskRunner.java) walks a

@@ -226,3 +226,55 @@ def test_tick_results_match_run_once_stateful(spark, tmp_path, source):
             spark, det, t, str(tmp_path / "st_direct")).select(
             "bucket_start", "anomaly_score").collect())
     assert rows_tick == rows_direct
+
+
+def test_prune_state_expires_stale_entities(spark, tmp_path):
+    """Checkpoint TTL maintenance (AD_CHECKPOINT_TTL analog): entities
+    whose state wasn't updated within the TTL are dropped; active
+    entities keep scoring with their model state intact; pruned entities
+    cold-start on return."""
+    import pandas as pd
+
+    from anomaly_detection_spark.detector import (
+        Detector,
+        prune_state,
+        run_once_stateful,
+    )
+
+    rng = np.random.default_rng(73)
+    base = pd.Timestamp("2025-01-01")
+    n = 40
+    rows = []
+    for i in range(n):
+        ts = base + pd.Timedelta(milliseconds=i * INTERVAL)
+        rows.append({"ts": ts, "service": "live", "v": 10 + rng.normal()})
+        if i < 20:                      # "gone" stops emitting halfway
+            rows.append({"ts": ts, "service": "gone",
+                         "v": 20 + rng.normal()})
+    path = str(tmp_path / "events")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(path)
+    det = Detector(detector_id="ttl", indices=path,
+                   feature_specs={"f": {"avg": {"field": "v"}}},
+                   time_field="ts", interval_ms=INTERVAL,
+                   category_fields=("service",))
+    start_ms = int(base.value // 10**6)
+    sd = str(tmp_path / "state")
+    for i in range(1, n + 1):
+        run_once_stateful(spark, det, start_ms + i * INTERVAL, sd)
+    state = spark.read.parquet(sd + "/ttl")
+    assert set(r.service for r in state.select("service").collect()) \
+        == {"live", "gone"}
+    # 'gone' last updated at interval start 19·I; now = 40·I, so a
+    # TTL of 20 intervals (cutoff 20·I) expires it while 'live'
+    # (last_ms 39·I) survives
+    now = start_ms + n * INTERVAL
+    pruned = prune_state(spark, "ttl", sd, now, ttl_ms=20 * INTERVAL)
+    assert pruned == 1
+    state = spark.read.parquet(sd + "/ttl")
+    assert set(r.service for r in state.select("service").collect()) \
+        == {"live"}
+    # idempotent; live keeps its shingle history (scores next interval)
+    assert prune_state(spark, "ttl", sd, now, ttl_ms=20 * INTERVAL) == 0
+    res = run_once_stateful(spark, det, now + INTERVAL, sd)
+    assert res.count() == 0 or set(
+        r.service for r in res.select("service").collect()) <= {"live"}
