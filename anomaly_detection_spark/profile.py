@@ -24,12 +24,16 @@ from .detector import Detector, _state_path
 
 
 def profile_detector(spark: SparkSession, det: Detector,
-                     state_dir: str) -> dict:
+                     state_dir: str, job_store=None) -> dict:
     """Detector profile from the checkpointed state table.
 
     Fields (ProfileRunner parity, engine-shaped):
     - ``state``: INIT (no state yet) / RUNNING (some entity still in
-      warm-up) / READY (every entity fully warm)
+      warm-up) / READY (every entity fully warm) / DISABLED (the
+      reference derives it from the job doc — pass ``job_store``, a
+      :class:`~anomaly_detection_spark.jobs.JobStore`, and a stopped
+      job overrides the model-derived state; the job's ``last_error``
+      is surfaced as ``error`` like ProfileRunner's error field)
     - ``init_progress``: min over entities of scored_cnt /
       confidence_ramp, capped at 1.0 (the reference reports
       rcfTotalUpdates / requiredSamples)
@@ -41,10 +45,12 @@ def profile_detector(spark: SparkSession, det: Detector,
     spath = _state_path(state_dir, det.detector_id)
     ent = list(det.category_fields)
     if not os.path.exists(spath):
-        return {"detector_id": det.detector_id, "state": "INIT",
-                "init_progress": 0.0, "entity_count": 0,
-                "model_count": 0, "total_model_bytes": 0,
-                "last_data_time_ms": None}
+        out = {"detector_id": det.detector_id, "state": "INIT",
+               "init_progress": 0.0, "entity_count": 0,
+               "model_count": 0, "total_model_bytes": 0,
+               "last_data_time_ms": None}
+        _apply_job_state(out, det.detector_id, job_store)
+        return out
     st = spark.read.parquet(spath)
     aggs = [F.count("*").alias("models"),
             F.min("scored_cnt").alias("min_cnt"),
@@ -65,7 +71,7 @@ def profile_detector(spark: SparkSession, det: Detector,
     progress = min(1.0, min_cnt / float(det.confidence_ramp))
     state = ("READY" if progress >= 1.0
              else ("RUNNING" if row["models"] else "INIT"))
-    return {
+    out = {
         "detector_id": det.detector_id,
         "state": state,
         "init_progress": round(progress, 6),
@@ -75,6 +81,23 @@ def profile_detector(spark: SparkSession, det: Detector,
         "last_data_time_ms": (int(row["last_ms"])
                               if row["last_ms"] is not None else None),
     }
+    _apply_job_state(out, det.detector_id, job_store)
+    return out
+
+
+def _apply_job_state(profile: dict, detector_id: str, job_store) -> None:
+    """Overlay the job doc on the model-derived profile (the reference
+    reads the Job to report DISABLED and the latest error)."""
+    if job_store is None:
+        return
+    try:
+        job = job_store.get_job(detector_id)
+    except FileNotFoundError:
+        return
+    if not job["enabled"]:
+        profile["state"] = "DISABLED"
+    if job.get("last_error"):
+        profile["error"] = job["last_error"]
 
 
 def profile_index(spark: SparkSession, index_dir: str) -> dict:

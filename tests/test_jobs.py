@@ -278,3 +278,33 @@ def test_prune_state_expires_stale_entities(spark, tmp_path):
     res = run_once_stateful(spark, det, now + INTERVAL, sd)
     assert res.count() == 0 or set(
         r.service for r in res.select("service").collect()) <= {"live"}
+
+
+def test_profile_reports_job_state(spark, tmp_path, source):
+    """profile_detector overlays the job doc: a stopped job reports
+    DISABLED (the reference's ProfileRunner reads the Job), and the
+    job's last_error surfaces as the profile error field."""
+    from anomaly_detection_spark.profile import profile_detector
+
+    path, start_ms, _ = source
+    store = JobStore(str(tmp_path / "jobs"))
+    det = _det(path, "pj")
+    store.create_job(det, start_ms)
+    now = start_ms + 40 * INTERVAL
+    store.tick(spark, now, str(tmp_path / "state"))
+
+    p = profile_detector(spark, det, str(tmp_path / "state"),
+                         job_store=store)
+    assert p["state"] in ("INIT", "RUNNING", "READY")
+    assert "error" not in p
+
+    store.stop_job("pj", now + INTERVAL, reason="user stop")
+    p2 = profile_detector(spark, det, str(tmp_path / "state"),
+                          job_store=store)
+    assert p2["state"] == "DISABLED"
+    assert p2["error"] == "user stop"
+    # no job registered → unchanged model-derived state
+    det2 = _det(path, "unregistered")
+    p3 = profile_detector(spark, det2, str(tmp_path / "state"),
+                          job_store=store)
+    assert p3["state"] == "INIT"
