@@ -180,3 +180,46 @@ def validate_detector(spark: SparkSession, det) -> dict:
                     "or zero time span)")
 
     return {"issues": issues, "suggested_interval_minutes": suggested}
+
+
+# --- forecaster validation (RestValidateForecasterAction analog) ------------
+
+#: TimeSeriesSettings.MAX_SHINGLE_SIZE × Forecaster.DEFAULT_HORIZON_
+#: SHINGLE_RATIO (128 × 3) — the reference's horizon ceiling
+#: (Forecaster.java:237)
+MAX_HORIZON = 128 * 3
+
+
+def suggest_shingle(horizon: int | None = None,
+                    seasonality: int | None = None,
+                    default: int = 8) -> int:
+    """The reference's forecaster shingle recommendation
+    (``Forecaster.ForecastShingleGetter``): with a seasonality hint or
+    horizon, ``max(seasonality/2, horizon/3)`` clamped to
+    [MINIMUM_SHINGLE_SIZE=4, MAX_SHINGLE_SIZE=128]; otherwise the
+    default."""
+    candidate = 0
+    if seasonality:
+        candidate = max(candidate, seasonality // 2)
+    if horizon:
+        candidate = max(candidate, horizon // 3)
+    if candidate == 0:
+        return default
+    return max(4, min(128, candidate))
+
+
+def validate_forecaster(spark: SparkSession, fc) -> dict:
+    """Forecaster pre-flight validation: every detector-shaped check
+    (source, time field, filter, features, categories, interval
+    recommendation) plus the forecast-specific horizon bounds
+    (``Forecaster.java:237``: 1 ≤ horizon ≤ 384) and the suggested
+    shingle size.  ``fc`` is an
+    :class:`~anomaly_detection_spark.forecast.Forecaster` (any object
+    with the detector-shaped fields + ``horizon`` works)."""
+    out = validate_detector(spark, fc)
+    horizon = getattr(fc, "horizon", None)
+    if horizon is None or horizon < 1 or horizon > MAX_HORIZON:
+        out["issues"]["horizon"] = (
+            f"horizon must be in [1, {MAX_HORIZON}], got {horizon!r}")
+    out["suggested_shingle_size"] = suggest_shingle(horizon=horizon)
+    return out

@@ -291,3 +291,60 @@ def test_top_forecasts_build_in_queries(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="threshold"):
         top_forecasts(res, build_in_query="DISTANCE_TO_THRESHOLD_VALUE",
                       **kw)
+
+
+def test_validate_forecaster_and_shingle_suggestion(
+        spark, tmp_path_factory):
+    """RestValidateForecasterAction analog: detector-shaped checks plus
+    horizon bounds (1..384, Forecaster.java:237) and the
+    ForecastShingleGetter recommendation (max(seasonality/2,
+    horizon/3), clamped to [4, 128])."""
+    from anomaly_detection_spark.validation import (
+        MAX_HORIZON,
+        suggest_shingle,
+        validate_forecaster,
+    )
+
+    path = _write(spark, tmp_path_factory,
+                  [_series("A", 5.0 + 0.1 * np.arange(120))])
+    good = Forecaster(
+        forecaster_id="vf", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL, horizon=24,
+        category_fields=("service",))
+    res = validate_forecaster(spark, good)
+    assert res["issues"] == {}
+    assert res["suggested_interval_minutes"] == INTERVAL // 60_000
+    assert res["suggested_shingle_size"] == 8   # horizon 24 → 24//3 = 8
+
+    # horizon out of bounds (duck-typed config evades __post_init__)
+    class FakeFc:
+        forecaster_id = "bad"
+        indices = path
+        feature_specs = {"v": {"avg": {"field": "value"}}}
+        time_field = "ts"
+        interval_ms = INTERVAL
+        window_delay_ms = 0
+        filter_query = None
+        category_fields = ("service",)
+        horizon = MAX_HORIZON + 1
+
+    bad = validate_forecaster(spark, FakeFc())
+    assert "horizon" in bad["issues"]
+
+    # bad feature + missing category still reported through the shared path
+    broken = Forecaster(
+        forecaster_id="vf2", indices=path,
+        feature_specs={"v": {"avg": {"field": "nope"}}},
+        time_field="ts", interval_ms=INTERVAL, horizon=4,
+        category_fields=("ghost",))
+    res2 = validate_forecaster(spark, broken)
+    assert "feature:v" in res2["issues"]
+    assert "category:ghost" in res2["issues"]
+
+    # shingle heuristic shapes (Forecaster.ForecastShingleGetter)
+    assert suggest_shingle() == 8                       # no hints
+    assert suggest_shingle(horizon=24) == 8             # 24/3
+    assert suggest_shingle(horizon=384) == 128          # capped
+    assert suggest_shingle(horizon=6) == 4              # floor clamp
+    assert suggest_shingle(seasonality=48, horizon=24) == 24  # 48/2
