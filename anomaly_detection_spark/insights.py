@@ -157,3 +157,43 @@ def correlated_anomaly_clusters(
                     F.col("_e").alias("end_ms"), "cluster_id",
                     "cluster_size", "window_start", "window_end")
             .orderBy("cluster_id", "start_ms", *id_cols))
+
+
+def top_anomaly_results(
+    results: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    entity_cols: tuple[str, ...],
+    order: str = "severity",
+    size: int = 10,
+    grade_col: str = "anomaly_grade",
+    time_col: str = "data_end_time",
+) -> DataFrame:
+    """Top entities by anomaly severity or occurrence — the
+    ``SearchTopAnomalyResultTransportAction`` analog as ONE plan.
+
+    Reference semantics (the composite query its docs spell out +
+    ``OrderType``): anomalous rows (``anomaly_grade > 0``) with
+    ``data_end_time`` in ``[start, end)``, bucketed by entity, ranked
+    by ``severity`` (max grade, desc) or ``occurrence`` (anomalous-
+    interval count, desc); page size ≤ 1000 (MAX_SIZE).  The
+    reference's composite-agg pagination + client-side bucket heap
+    collapse into groupBy → TakeOrderedAndProject.
+    """
+    if order not in ("severity", "occurrence"):
+        raise ValueError(f"order must be severity/occurrence: {order!r}")
+    if not entity_cols:
+        raise ValueError("top_anomaly_results needs entity columns")
+    if not 1 <= size <= 1000:
+        raise ValueError(f"size must be in [1, 1000]: {size}")
+    t = to_millis(time_col)
+    ent = list(entity_cols)
+    agg = (results
+           .filter((F.col(grade_col) > 0)
+                   & (t >= start_ms) & (t < end_ms))
+           .groupBy(*ent)
+           .agg(F.max(grade_col).alias("max_anomaly_grade"),
+                F.count(F.lit(1)).alias("doc_count")))
+    key = ("max_anomaly_grade" if order == "severity" else "doc_count")
+    return (agg.orderBy(F.desc(key), *[F.asc(c) for c in ent])
+            .limit(size))

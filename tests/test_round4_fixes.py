@@ -605,3 +605,42 @@ def test_class_key_distinguishes_sum_xor_ties(spark):
     assert pairs[(1, 3)] == 1.0
     # 1-2 and 2-3 are near-dups, NOT exact: jaccard strictly < 1
     assert 0 < pairs[(1, 2)] < 1.0 and pairs[(1, 2)] == pairs[(2, 3)]
+
+
+def test_top_anomaly_results_severity_and_occurrence(spark):
+    """SearchTopAnomalyResult analog: severity ranks by max grade,
+    occurrence by anomalous-interval count; window + grade filters."""
+    import pandas as pd
+
+    from anomaly_detection_spark.insights import top_anomaly_results
+
+    base = pd.Timestamp("2025-01-01")
+    m = 60_000
+    rows = []
+    # A: one extreme anomaly; B: many mild ones; C: outside window
+    rows.append(("A", 0.9, base + pd.Timedelta(minutes=1)))
+    for i in range(5):
+        rows.append(("B", 0.2, base + pd.Timedelta(minutes=2 + i)))
+    rows.append(("C", 1.0, base + pd.Timedelta(minutes=500)))
+    rows.append(("A", 0.0, base + pd.Timedelta(minutes=9)))  # grade 0
+    pdf = pd.DataFrame(rows, columns=["service", "anomaly_grade",
+                                      "data_end_time"])
+    df = spark.createDataFrame(pdf)
+    start = int(base.value // 10**6)
+    end = start + 100 * m
+
+    sev = top_anomaly_results(df, start, end, ("service",),
+                              order="severity").toPandas()
+    assert list(sev.service) == ["A", "B"]
+    assert sev.max_anomaly_grade.iloc[0] == 0.9
+    assert sev.doc_count.tolist() == [1, 5]      # grade-0 row excluded
+
+    occ = top_anomaly_results(df, start, end, ("service",),
+                              order="occurrence").toPandas()
+    assert list(occ.service) == ["B", "A"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="order"):
+        top_anomaly_results(df, start, end, ("service",), order="nope")
+    with _pt.raises(ValueError, match="size"):
+        top_anomaly_results(df, start, end, ("service",), size=0)
