@@ -665,6 +665,246 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
         *ent, "bucket_start")
 
 
+def run_once_stateful_joint(spark: SparkSession, det: Detector,
+                            now_ms: int, state_dir: str,
+                            stream_factory) -> DataFrame:
+    """One realtime interval with ONE checkpointed JOINT multivariate
+    model per entity — the reference's actual model shape (one
+    ThresholdedRandomCutForest over the feature vector per entity,
+    ``ADModelManager``), where :func:`run_once_stateful` checkpoints a
+    scalar model per (entity, feature).
+
+    ``stream_factory`` builds/restores a multivariate stream (e.g.
+    :func:`~anomaly_detection_spark.features.rcf_stream_factory` with
+    ``n_features=len(feature_specs)``): ``update(vector) -> (z,
+    expected_vector)`` plus the attribution state
+    (``last_attribution``/``last_relative_index``/``last_past_values``).
+    Result rows carry the full anomaly-results ring —
+    ``relevant_attribution``, ``expected_values``, ``relative_index``,
+    ``approx_anomaly_start_time``, ``past_values`` — for anomalous
+    intervals (null at grade 0, like preview's joint path).
+
+    Same replay/idempotency contract as :func:`run_once_stateful`
+    (retried intervals replay the stored outputs without double-
+    ingesting; the serialized replay outputs ride the state table).
+    Buckets missing any feature are skipped, like preview's joint
+    path — configure imputation upstream for gappy entities.  State
+    lives under ``<detector_id>__joint`` so the two stateful modes
+    never read each other's schema.
+    """
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .features import feature_matrix
+
+    if det.imputation_method:
+        raise NotImplementedError(
+            "imputation is a preview/run_historical-shape concern; the "
+            "single-interval stateful path cannot observe a gap")
+    end = ((now_ms - det.window_delay_ms) // det.interval_ms) \
+        * det.interval_ms
+    start = end - det.interval_ms
+    ent = list(det.category_fields)
+    gcols = ent or ["_g"]
+    feats = sorted(det.feature_specs)
+    nf = len(feats)
+
+    rng = {"range": {det.time_field: {"gte": start, "lt": end}}}
+    q = ({"bool": {"filter": [rng, det.filter_query]}}
+         if det.filter_query else rng)
+    src = load_table(spark, det.indices)
+    fm = feature_matrix(src, det.time_field, det.interval_ms,
+                        det.feature_specs,
+                        entity_cols=tuple(det.category_fields),
+                        filter_cond=compile_filter(src, q))
+    base = fm if ent else fm.withColumn("_g", F.lit("_"))
+    cond_all = None
+    for n in feats:
+        c = F.col(n).isNotNull()
+        cond_all = c if cond_all is None else cond_all & c
+    cur = base.filter(cond_all).select(
+        *gcols,
+        F.array(*[F.col(n).cast("double") for n in feats]).alias("_vec"))
+
+    spath = _state_path(state_dir, f"{det.detector_id}__joint")
+    import os
+
+    state_fields = ([f for f in cur.schema.fields if f.name != "_vec"]
+                    + [T.StructField("scored_cnt", T.LongType()),
+                       T.StructField("last_ms", T.LongType()),
+                       T.StructField("model", T.BinaryType()),
+                       T.StructField("last_out", T.BinaryType())])
+    state_schema = T.StructType(state_fields)
+    if os.path.exists(spath):
+        state = spark.read.parquet(spath)
+    else:
+        state = spark.createDataFrame([], state_schema)
+
+    joined = state.join(cur, gcols, "full_outer")
+    out_extra = [T.StructField("_z", T.DoubleType()),
+                 T.StructField("_exp", T.ArrayType(T.DoubleType())),
+                 T.StructField("_attr", T.ArrayType(T.DoubleType())),
+                 T.StructField("_rel", T.IntegerType()),
+                 T.StructField("_past", T.ArrayType(T.DoubleType()))]
+    upd_schema = T.StructType(list(state_fields) + out_extra)
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            z = np.full(n, np.nan)
+            exps: list = [None] * n
+            attrs: list = [None] * n
+            rels: list = [None] * n
+            pasts: list = [None] * n
+            models = list(pdf["model"])
+            louts = list(pdf["last_out"])
+            lm = pdf["last_ms"].to_numpy(dtype=np.float64)
+            lm_orig = lm.copy()                  # pre-ingest snapshot
+            vecs = list(pdf["_vec"])
+
+            def has(x):
+                return x is not None and not (isinstance(x, float)
+                                              and pd.isna(x))
+
+            for i in range(n):
+                if not has(vecs[i]):
+                    continue
+                if lm[i] == float(start):            # replay, no ingest
+                    if has(louts[i]):
+                        o = pickle.loads(bytes(louts[i]))
+                        z[i] = o["z"]
+                        exps[i] = o["exp"]
+                        attrs[i] = o["attr"]
+                        rels[i] = o["rel"]
+                        pasts[i] = o["past"]
+                    continue
+                if lm[i] > float(start):             # out-of-order call
+                    continue
+                stream = (stream_factory() if not has(models[i])
+                          else stream_factory.restore(bytes(models[i])))
+                zi, ei = stream.update(
+                    [float(x) for x in vecs[i]])
+                z[i] = zi
+                if zi == zi:                          # scored (warm)
+                    exps[i] = ([float(x) for x in ei]
+                               if nf > 1 else [float(ei)])
+                attrs[i] = stream.last_attribution
+                rels[i] = stream.last_relative_index
+                pasts[i] = stream.last_past_values
+                models[i] = stream.to_bytes()
+                louts[i] = pickle.dumps(
+                    {"z": z[i], "exp": exps[i], "attr": attrs[i],
+                     "rel": rels[i], "past": pasts[i]})
+                lm[i] = float(start)
+            cnt = pdf["scored_cnt"].fillna(0).to_numpy(dtype=np.int64)
+            # count only fresh scores (replays already counted)
+            fresh = (~np.isnan(z)) & (np.isnan(lm_orig)
+                                      | (lm_orig != float(start)))
+            cnt = cnt + fresh.astype(np.int64)
+            out = pdf.drop(columns=["_vec", "scored_cnt", "last_ms",
+                                    "model", "last_out"],
+                           errors="ignore").copy()
+            out["scored_cnt"] = cnt
+            out["last_ms"] = pd.Series(lm).astype("Int64")
+            out["model"] = models
+            out["last_out"] = louts
+            out["_z"] = z
+            out["_exp"] = exps
+            out["_attr"] = attrs
+            out["_rel"] = pd.array(
+                [r if r is not None else None for r in rels],
+                dtype="Int32")
+            out["_past"] = pasts
+            yield out[[f.name for f in upd_schema.fields]]
+
+    upd = joined.mapInPandas(fn, schema=upd_schema)
+    upd = upd.localCheckpoint()
+
+    import shutil
+
+    tmp, trash = spath + ".__tmp__", spath + ".__old__"
+    (upd.select(*[f.name for f in state_fields])
+     .write.mode("overwrite").parquet(tmp))
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(spath):
+        shutil.move(spath, trash)
+    shutil.move(tmp, spath)
+    shutil.rmtree(trash, ignore_errors=True)
+
+    scored = upd.filter(F.col("_z").isNotNull())
+    out = base.join(scored.select(
+        *gcols, "scored_cnt", "_z", "_exp", "_attr", "_rel", "_past"),
+        gcols)
+    score = F.abs(F.col("_z"))
+    conf = F.least(F.lit(1.0), F.col("scored_cnt")
+                   / F.lit(float(det.confidence_ramp)))
+    result = (out
+              .withColumn("anomaly_score", F.round(score, 6))
+              .withColumn("anomaly_grade",
+                          F.round(_grade(score, det.anomaly_threshold), 6))
+              .withColumn("confidence", F.round(conf, 6))
+              .withColumn("detector_id", F.lit(det.detector_id))
+              .withColumn("bucket_start", F.timestamp_millis(F.lit(start)))
+              .withColumn("data_start_time", F.col("bucket_start"))
+              .withColumn("data_end_time", F.timestamp_millis(F.lit(end))))
+    if det.suppression_rules:
+        for j, n in enumerate(feats):
+            result = result.withColumn(f"_exp_{n}",
+                                       F.element_at("_exp", j + 1))
+        result = result.withColumn(
+            "anomaly_grade",
+            F.when(_rule_suppressed(det, feats), F.lit(0.0))
+            .otherwise(F.col("anomaly_grade")))
+    if ent:
+        result = with_entity(result, {c: c for c in ent})
+    else:
+        result = result.withColumn(
+            "entity",
+            F.array().cast("array<struct<name:string,value:string>>"))
+    graded = F.col("anomaly_grade") > 0
+    anomalous = graded & F.col("_attr").isNotNull()
+    result = result.withColumn(
+        "relevant_attribution",
+        F.when(anomalous, F.array(*[
+            F.struct(F.lit(n).alias("feature_id"),
+                     F.round(F.element_at("_attr", j + 1), 6)
+                     .alias("data"))
+            for j, n in enumerate(feats)])))
+    result = result.withColumn(
+        "expected_values",
+        F.when(graded & F.col("_exp").isNotNull(), F.array(F.struct(
+            F.lit(1.0).alias("likelihood"),
+            F.array(*[
+                F.struct(F.lit(n).alias("feature_id"),
+                         F.element_at("_exp", j + 1).alias("data"))
+                for j, n in enumerate(feats)]).alias("value_list")))))
+    result = result.withColumn(
+        "relative_index", F.when(anomalous, F.col("_rel")))
+    result = result.withColumn(
+        "approx_anomaly_start_time",
+        F.when(anomalous & (F.col("_rel") < 0),
+               F.timestamp_millis(
+                   F.lit(start)
+                   + F.col("_rel").cast("long") * det.interval_ms)))
+    result = result.withColumn(
+        "past_values",
+        F.when(anomalous & (F.col("_rel") < 0)
+               & F.col("_past").isNotNull(),
+               F.array(*[
+                   F.struct(F.lit(n).alias("feature_id"),
+                            F.element_at("_past", j + 1).alias("data"))
+                   for j, n in enumerate(feats)])))
+    return result.select(
+        "detector_id", "entity", "data_start_time", "data_end_time",
+        *feats, "anomaly_score", "anomaly_grade", "confidence",
+        "relevant_attribution", "expected_values", "relative_index",
+        "approx_anomaly_start_time", "past_values",
+        *ent, "bucket_start")
+
+
 #: the reference's checkpoint TTL (AnomalyDetectorSettings.java:213-218)
 CHECKPOINT_TTL_MS = 7 * 24 * 3600 * 1000
 

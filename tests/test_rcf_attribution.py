@@ -287,3 +287,87 @@ def test_feature_imputed_result_field(spark, tmp_path_factory):
     flags_j = {pd.Timestamp(r.bucket_start): r.feature_imputed[0]["imputed"]
                for r in res_j.itertuples()}
     assert flags_j.get(t60) == True                          # noqa: E712
+
+
+def test_stateful_joint_matches_preview_and_replays(
+        spark, tmp_path_factory):
+    """run_once_stateful_joint called once per interval in order is
+    row-identical to the joint preview (same model sequence), carries
+    the full attribution ring, and replays retried intervals without
+    double-ingesting."""
+    import pandas as pd
+
+    from anomaly_detection_spark.detector import (
+        Detector,
+        preview,
+        run_once_stateful_joint,
+    )
+    from anomaly_detection_spark.features import rcf_stream_factory
+
+    rng = np.random.default_rng(83)
+    n, interval_ms = 90, 60_000
+    base = pd.Timestamp("2025-04-01")
+    a = 30.0 + 2.0 * np.sin(np.arange(n) / 12.0) + rng.normal(0, 0.3, n)
+    b = 8.0 + rng.normal(0, 0.2, n)
+    b[70] += 15.0                          # anomaly in feature fb
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(milliseconds=i * interval_ms)
+               for i in range(n)],
+        "va": a, "vb": b,
+    })
+    path = str(tmp_path_factory.mktemp("sfj") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    det = Detector(detector_id="sfj", indices=path,
+                   feature_specs={"fa": {"avg": {"field": "va"}},
+                                  "fb": {"avg": {"field": "vb"}}},
+                   time_field="ts", interval_ms=interval_ms)
+    conf = dict(shingle=4, n_trees=5, sample_size=32, min_samples=16,
+                n_features=2, seed=21)
+
+    from anomaly_detection_spark.features import rcf_scorer_joint
+
+    res_p = (preview(spark, det, scorer=rcf_scorer_joint(**conf))
+             .toPandas().sort_values("bucket_start")
+             .reset_index(drop=True))
+
+    start_ms = int(base.value // 10**6)
+    sd = str(tmp_path_factory.mktemp("sfj_state"))
+    factory = rcf_stream_factory(**conf)
+    rows = []
+    for i in range(1, n + 1):
+        r = run_once_stateful_joint(
+            spark, det, start_ms + i * interval_ms, sd,
+            stream_factory=factory).toPandas()
+        rows.append(r)
+    res_s = (pd.concat(rows, ignore_index=True)
+             .sort_values("bucket_start").reset_index(drop=True))
+
+    assert len(res_s) == len(res_p) > 50
+    assert (res_s.bucket_start == res_p.bucket_start).all()
+    assert np.allclose(res_s.anomaly_score, res_p.anomaly_score)
+    assert np.allclose(res_s.anomaly_grade, res_p.anomaly_grade)
+    assert np.allclose(res_s.confidence, res_p.confidence)
+
+    # the spike interval carries the ring, attributed to fb
+    t_spike = base + pd.Timedelta(milliseconds=70 * interval_ms)
+    sp = res_s[res_s.bucket_start == t_spike]
+    pp = res_p[res_p.bucket_start == t_spike]
+    assert len(sp) == 1 and sp.anomaly_grade.iloc[0] > 0
+    shares = {e["feature_id"]: e["data"]
+              for e in sp.relevant_attribution.iloc[0]}
+    shares_p = {e["feature_id"]: e["data"]
+                for e in pp.relevant_attribution.iloc[0]}
+    assert shares == shares_p and shares["fb"] > shares["fa"]
+    assert sp.relative_index.iloc[0] == pp.relative_index.iloc[0]
+
+    # replay: re-running the last interval returns identical rows and
+    # does not advance the model (next interval unchanged)
+    r1 = run_once_stateful_joint(
+        spark, det, start_ms + n * interval_ms, sd,
+        stream_factory=factory).toPandas()
+    r2 = run_once_stateful_joint(
+        spark, det, start_ms + n * interval_ms, sd,
+        stream_factory=factory).toPandas()
+    assert len(r1) == len(r2) == 1
+    assert r1.anomaly_score.iloc[0] == r2.anomaly_score.iloc[0]
+    assert r1.confidence.iloc[0] == r2.confidence.iloc[0]
