@@ -83,6 +83,99 @@ def _grade(z: F.Column, thr: float = 3.0) -> F.Column:
                       F.least(F.lit(1.0), (F.abs(z) - thr) / thr))
 
 
+def _attribution_ring(result: DataFrame, feats: list[str],
+                      interval_ms: int) -> DataFrame:
+    """Attach the anomaly-results explanation ring from normalized
+    intermediate columns (shared by preview's joint path and
+    :func:`run_once_stateful_joint`, so the two can never drift):
+
+    - ``_attr``: array<double> per-feature shares, null when the model
+      didn't attribute (grade ≤ alert threshold)
+    - ``_exp``: array<double> expected feature vector, null when warm
+    - ``_rel``: int relative index (≤ 0), null when no attribution
+    - ``_past``: array<double> raw inputs at the relative slot, null
+      unless the anomaly is in the past
+
+    Emits ``relevant_attribution`` / ``expected_values`` /
+    ``relative_index`` / ``approx_anomaly_start_time`` /
+    ``past_values`` — all null when ``anomaly_grade`` is 0, matching
+    the mapping's presence contract (raw attribution null at grade ≤ 0,
+    ``ModelUtil.java:133-136``; approx start only when relativeIndex
+    < 0, ``AnomalyResult.java:489-491``)."""
+    graded = F.col("anomaly_grade") > 0
+    anomalous = graded & F.col("_attr").isNotNull()
+    result = result.withColumn(
+        "relevant_attribution",
+        F.when(anomalous, F.array(*[
+            F.struct(F.lit(n).alias("feature_id"),
+                     F.round(F.element_at("_attr", j + 1), 6)
+                     .alias("data"))
+            for j, n in enumerate(feats)])))
+    # expected values come from the model on every scored row — gate
+    # on the grade alone
+    result = result.withColumn(
+        "expected_values",
+        F.when(graded & F.col("_exp").isNotNull(), F.array(F.struct(
+            F.lit(1.0).alias("likelihood"),
+            F.array(*[
+                F.struct(F.lit(n).alias("feature_id"),
+                         F.element_at("_exp", j + 1).alias("data"))
+                for j, n in enumerate(feats)]).alias("value_list")))))
+    result = result.withColumn(
+        "relative_index", F.when(anomalous, F.col("_rel")))
+    result = result.withColumn(
+        "approx_anomaly_start_time",
+        F.when(anomalous & (F.col("_rel") < 0),
+               F.timestamp_millis(
+                   F.unix_millis(F.col("data_start_time")
+                                 .cast("timestamp"))
+                   + F.col("_rel").cast("long") * interval_ms)))
+    return result.withColumn(
+        "past_values",
+        F.when(anomalous & (F.col("_rel") < 0)
+               & F.col("_past").isNotNull(),
+               F.array(*[
+                   F.struct(F.lit(n).alias("feature_id"),
+                            F.element_at("_past", j + 1).alias("data"))
+                   for j, n in enumerate(feats)])))
+
+
+RING_COLS = ["relevant_attribution", "expected_values", "relative_index",
+             "approx_anomaly_start_time", "past_values"]
+
+
+def _check_attr_threshold(alert_threshold, det: Detector) -> None:
+    """The model attributes points past ITS alert threshold; the grade
+    lifts off at ``det.anomaly_threshold``.  If the model's is higher,
+    rows the detector reports anomalous would carry null attribution —
+    reject the inconsistent wiring instead of silently violating the
+    "present iff grade > 0" contract (the reference derives both from
+    the same thresholder so they can never diverge)."""
+    if alert_threshold is not None and alert_threshold > det.anomaly_threshold:
+        raise ValueError(
+            f"model alert_threshold ({alert_threshold}) > detector "
+            f"anomaly_threshold ({det.anomaly_threshold}): anomalous "
+            f"rows would lack attribution — pass "
+            f"alert_threshold={det.anomaly_threshold} to the model")
+
+
+def _swap_state_dir(frame: DataFrame, spath: str,
+                    field_names: list[str]) -> None:
+    """Atomic-ish state rewrite: write ``frame[field_names]`` to a tmp
+    dir, then swap directories (the crash window is two renames, and
+    the rewritten data survives either way)."""
+    import os
+    import shutil
+
+    tmp, trash = spath + ".__tmp__", spath + ".__old__"
+    frame.select(*field_names).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(spath):
+        shutil.move(spath, trash)
+    shutil.move(tmp, spath)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
 def _feature_imputed(feats: list[str]) -> F.Column:
     """``feature_imputed`` result field (anomaly-results.json nested
     {feature_id, imputed}; ``ModelUtil.calculateImputedFeatures``):
@@ -261,72 +354,26 @@ def preview(spark: SparkSession, det: Detector,
                 F.array().cast("array<struct<name:string,value:string>>"))
         extra_cols = []
         if ret_attr:
-            # the scorer attributes points past ITS alert threshold;
-            # the grade lifts off at det.anomaly_threshold.  If the
-            # scorer's is higher, rows the detector reports anomalous
-            # would carry null attribution — reject the inconsistent
-            # wiring instead of silently violating the "present iff
-            # grade > 0" contract (align alert_threshold with
-            # det.anomaly_threshold; the reference derives both from
-            # the same thresholder so they can never diverge)
-            s_thr = getattr(scorer, "alert_threshold", None)
-            if s_thr is not None and s_thr > det.anomaly_threshold:
-                raise ValueError(
-                    f"scorer alert_threshold ({s_thr}) > detector "
-                    f"anomaly_threshold ({det.anomaly_threshold}): "
-                    f"anomalous rows would lack attribution — pass "
-                    f"alert_threshold={det.anomaly_threshold} to the "
-                    f"scorer")
-            # reference result fields for anomalous points only
-            # (anomaly-results.json: relevant_attribution is a
-            # DataByFeatureId list, expected_value a likelihood-tagged
-            # value list; both absent when grade == 0)
-            graded = F.col("anomaly_grade") > 0
-            anomalous = graded & ~F.isnan(F.col(f"_attr_{feats[0]}"))
-            result = result.withColumn(
-                "relevant_attribution",
-                F.when(anomalous, F.array(*[
-                    F.struct(F.lit(n).alias("feature_id"),
-                             F.round(F.col(f"_attr_{n}"), 6).alias("data"))
-                    for n in feats])))
-            # expected values come from the model on EVERY row (the
-            # _exp columns) — gate on the grade alone
-            result = result.withColumn(
-                "expected_values",
-                F.when(graded, F.array(F.struct(
-                    F.lit(1.0).alias("likelihood"),
-                    F.array(*[
-                        F.struct(F.lit(n).alias("feature_id"),
-                                 F.col(f"_exp_{n}").alias("data"))
-                        for n in feats]).alias("value_list")))))
-            # relative_index ≤ 0 locates the anomaly within the shingle
-            # (0 = this interval); past_values = the inputs at that
-            # earlier slot, only when the anomaly is in the past
-            # (ThresholdingResult.relativeIndex / pastValues)
-            result = result.withColumn(
-                "relative_index",
-                F.when(anomalous, F.col("_rel").cast("int")))
-            # persisted form of the localization: data_start_time +
-            # relativeIndex·interval, null when the anomaly is current
-            # (AnomalyResult.java:489-491)
-            result = result.withColumn(
-                "approx_anomaly_start_time",
-                F.when(anomalous & (F.col("_rel") < 0),
-                       F.timestamp_millis(
-                           F.unix_millis(F.col("data_start_time")
-                                         .cast("timestamp"))
-                           + F.col("_rel").cast("long") * det.interval_ms)))
-            result = result.withColumn(
-                "past_values",
-                F.when(anomalous & (F.col("_rel") < 0)
-                       & ~F.isnan(F.col(f"_past_{feats[0]}")),
-                       F.array(*[
-                           F.struct(F.lit(n).alias("feature_id"),
-                                    F.col(f"_past_{n}").alias("data"))
-                           for n in feats])))
-            extra_cols = ["relevant_attribution", "expected_values",
-                          "relative_index", "approx_anomaly_start_time",
-                          "past_values"]
+            _check_attr_threshold(
+                getattr(scorer, "alert_threshold", None), det)
+            # normalize the per-feature NaN-sentinel columns to the
+            # null-sentinel arrays the shared ring builder expects
+            # (_rel as NaN must be nulled BEFORE the int cast — a raw
+            # cast would turn NaN into 0)
+            attr_present = ~F.isnan(F.col(f"_attr_{feats[0]}"))
+            result = (result
+                      .withColumn("_attr", F.when(attr_present, F.array(
+                          *[F.col(f"_attr_{n}") for n in feats])))
+                      .withColumn("_exp", F.array(
+                          *[F.col(f"_exp_{n}") for n in feats]))
+                      .withColumn("_rel", F.when(
+                          ~F.isnan("_rel"),
+                          F.col("_rel").cast("int")))
+                      .withColumn("_past", F.when(
+                          ~F.isnan(F.col(f"_past_{feats[0]}")), F.array(
+                              *[F.col(f"_past_{n}") for n in feats]))))
+            result = _attribution_ring(result, feats, det.interval_ms)
+            extra_cols = list(RING_COLS)
         if det.imputation_method:
             result = result.withColumn("feature_imputed",
                                        _feature_imputed(feats))
@@ -615,18 +662,7 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
     upd = joined.mapInPandas(fn, schema=upd_schema)
     # truncate lineage before swapping the state dir the plan reads from
     upd = upd.localCheckpoint()
-
-    # atomic-ish state rewrite (tmp + dir swap)
-    import shutil
-
-    tmp, trash = spath + ".__tmp__", spath + ".__old__"
-    (upd.select(*[f.name for f in state_fields])
-     .write.mode("overwrite").parquet(tmp))
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(spath):
-        shutil.move(spath, trash)
-    shutil.move(tmp, spath)
-    shutil.rmtree(trash, ignore_errors=True)
+    _swap_state_dir(upd, spath, [f.name for f in state_fields])
 
     scored = upd.filter(F.col("_z").isNotNull())
     zw = (scored.groupBy(*gcols)
@@ -667,7 +703,8 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
 
 def run_once_stateful_joint(spark: SparkSession, det: Detector,
                             now_ms: int, state_dir: str,
-                            stream_factory) -> DataFrame:
+                            stream_factory=None,
+                            scorer_factory=None) -> DataFrame:
     """One realtime interval with ONE checkpointed JOINT multivariate
     model per entity — the reference's actual model shape (one
     ThresholdedRandomCutForest over the feature vector per entity,
@@ -704,6 +741,17 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
         raise NotImplementedError(
             "imputation is a preview/run_historical-shape concern; the "
             "single-interval stateful path cannot observe a gap")
+    # scorer_factory is the JobStore.tick runner-seam spelling of the
+    # same argument (tick calls run(..., scorer_factory=...)) — accept
+    # either name so the joint path schedules like the scalar one
+    if stream_factory is None:
+        stream_factory = scorer_factory
+    if stream_factory is None:
+        raise ValueError("run_once_stateful_joint needs a stream/"
+                         "scorer factory (e.g. rcf_stream_factory("
+                         "n_features=F))")
+    _check_attr_threshold(
+        getattr(stream_factory, "alert_threshold", None), det)
     end = ((now_ms - det.window_delay_ms) // det.interval_ms) \
         * det.interval_ms
     start = end - det.interval_ms
@@ -785,8 +833,11 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
                     continue
                 stream = (stream_factory() if not has(models[i])
                           else stream_factory.restore(bytes(models[i])))
+                # an F=1 stream takes a scalar (RCFStream.update's
+                # univariate spelling), F>1 the vector
                 zi, ei = stream.update(
-                    [float(x) for x in vecs[i]])
+                    float(vecs[i][0]) if nf == 1
+                    else [float(x) for x in vecs[i]])
                 z[i] = zi
                 if zi == zi:                          # scored (warm)
                     exps[i] = ([float(x) for x in ei]
@@ -822,17 +873,7 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
 
     upd = joined.mapInPandas(fn, schema=upd_schema)
     upd = upd.localCheckpoint()
-
-    import shutil
-
-    tmp, trash = spath + ".__tmp__", spath + ".__old__"
-    (upd.select(*[f.name for f in state_fields])
-     .write.mode("overwrite").parquet(tmp))
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(spath):
-        shutil.move(spath, trash)
-    shutil.move(tmp, spath)
-    shutil.rmtree(trash, ignore_errors=True)
+    _swap_state_dir(upd, spath, [f.name for f in state_fields])
 
     scored = upd.filter(F.col("_z").isNotNull())
     out = base.join(scored.select(
@@ -864,45 +905,11 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
         result = result.withColumn(
             "entity",
             F.array().cast("array<struct<name:string,value:string>>"))
-    graded = F.col("anomaly_grade") > 0
-    anomalous = graded & F.col("_attr").isNotNull()
-    result = result.withColumn(
-        "relevant_attribution",
-        F.when(anomalous, F.array(*[
-            F.struct(F.lit(n).alias("feature_id"),
-                     F.round(F.element_at("_attr", j + 1), 6)
-                     .alias("data"))
-            for j, n in enumerate(feats)])))
-    result = result.withColumn(
-        "expected_values",
-        F.when(graded & F.col("_exp").isNotNull(), F.array(F.struct(
-            F.lit(1.0).alias("likelihood"),
-            F.array(*[
-                F.struct(F.lit(n).alias("feature_id"),
-                         F.element_at("_exp", j + 1).alias("data"))
-                for j, n in enumerate(feats)]).alias("value_list")))))
-    result = result.withColumn(
-        "relative_index", F.when(anomalous, F.col("_rel")))
-    result = result.withColumn(
-        "approx_anomaly_start_time",
-        F.when(anomalous & (F.col("_rel") < 0),
-               F.timestamp_millis(
-                   F.lit(start)
-                   + F.col("_rel").cast("long") * det.interval_ms)))
-    result = result.withColumn(
-        "past_values",
-        F.when(anomalous & (F.col("_rel") < 0)
-               & F.col("_past").isNotNull(),
-               F.array(*[
-                   F.struct(F.lit(n).alias("feature_id"),
-                            F.element_at("_past", j + 1).alias("data"))
-                   for j, n in enumerate(feats)])))
+    result = _attribution_ring(result, feats, det.interval_ms)
     return result.select(
         "detector_id", "entity", "data_start_time", "data_end_time",
         *feats, "anomaly_score", "anomaly_grade", "confidence",
-        "relevant_attribution", "expected_values", "relative_index",
-        "approx_anomaly_start_time", "past_values",
-        *ent, "bucket_start")
+        *RING_COLS, *ent, "bucket_start")
 
 
 #: the reference's checkpoint TTL (AnomalyDetectorSettings.java:213-218)
@@ -926,32 +933,35 @@ def prune_state(spark: SparkSession, detector_id: str, state_dir: str,
     reappear later cold-start fresh, exactly like the reference after
     a checkpoint expiry.
 
-    Same tmp+swap crash posture as the state writes; returns the
+    Both state layouts are pruned — the scalar per-(entity, feature)
+    table under ``detector_id`` and the joint multivariate table under
+    ``<detector_id>__joint`` (:func:`run_once_stateful_joint`).  Same
+    tmp+swap crash posture as the state writes; returns the total
     number of rows pruned.  A retention pass is idempotent."""
     import os
-    import shutil
 
-    spath = _state_path(state_dir, detector_id)
-    if not os.path.exists(spath):
-        return 0
-    state = spark.read.parquet(spath)
     cutoff = now_ms - ttl_ms
-    # rows that never scored (last_ms null) are kept only while the
-    # detector is younger than the TTL grace — they carry no model
-    keep = state.filter(F.col("last_ms").isNotNull()
-                        & (F.col("last_ms") >= cutoff))
-    n_total = state.count()
-    kept = keep.localCheckpoint()            # cut lineage before swap
-    n_keep = kept.count()
-    if n_keep == n_total:
-        return 0
-    tmp, trash = spath + ".__tmp__", spath + ".__old__"
-    kept.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(trash, ignore_errors=True)
-    shutil.move(spath, trash)
-    shutil.move(tmp, spath)
-    shutil.rmtree(trash, ignore_errors=True)
-    return n_total - n_keep
+    pruned = 0
+    for ident in (detector_id, f"{detector_id}__joint"):
+        spath = _state_path(state_dir, ident)
+        if not os.path.exists(spath):
+            continue
+        state = spark.read.parquet(spath)
+        # rows that never ingested an interval (last_ms null — e.g. an
+        # entity-feature whose only interval had a null value) are
+        # KEPT: they carry no model bytes and no timestamp to age them
+        # by, and counting them as TTL expiries would misreport the
+        # prune
+        keep = state.filter(F.col("last_ms").isNull()
+                            | (F.col("last_ms") >= cutoff))
+        n_total = state.count()
+        kept = keep.localCheckpoint()        # cut lineage before swap
+        n_keep = kept.count()
+        if n_keep == n_total:
+            continue
+        _swap_state_dir(kept, spath, kept.columns)
+        pruned += n_total - n_keep
+    return pruned
 
 
 # --- historical (batch) analysis ---------------------------------------------

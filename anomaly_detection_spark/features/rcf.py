@@ -768,6 +768,11 @@ def rcf_stream_factory(**kwargs):
         return RCFStream(**kwargs)
 
     make.restore = RCFStream.from_bytes
+    # surfaced so the detector paths can check threshold wiring and
+    # route multivariate factories (run_once_stateful_joint)
+    make.alert_threshold = kwargs.get("alert_threshold", 3.0)
+    make.n_features = kwargs.get("n_features", 1)
+    make.multivariate = make.n_features > 1
     return make
 
 

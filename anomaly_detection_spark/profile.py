@@ -42,16 +42,31 @@ def profile_detector(spark: SparkSession, det: Detector,
       checkpoints, 0 for the z-state whose window IS the state)
     - ``last_data_time_ms``: newest ingested interval across entities
     """
-    spath = _state_path(state_dir, det.detector_id)
+    # a detector's state lives under its id (scalar per-feature
+    # models) and/or '<id>__joint' (run_once_stateful_joint's one
+    # multivariate model per entity) — profile whichever exist
+    paths = [p for p in (_state_path(state_dir, det.detector_id),
+                         _state_path(state_dir,
+                                     f"{det.detector_id}__joint"))
+             if os.path.exists(p)]
     ent = list(det.category_fields)
-    if not os.path.exists(spath):
+    if not paths:
         out = {"detector_id": det.detector_id, "state": "INIT",
                "init_progress": 0.0, "entity_count": 0,
                "model_count": 0, "total_model_bytes": 0,
                "last_data_time_ms": None}
         _apply_job_state(out, det.detector_id, job_store)
         return out
-    st = spark.read.parquet(spath)
+    frames = []
+    for p in paths:
+        f = spark.read.parquet(p)
+        for c, t in (("model", "binary"), ("last_ms", "long")):
+            if c not in f.columns:
+                f = f.withColumn(c, F.lit(None).cast(t))
+        frames.append(f.select(*ent, "scored_cnt", "model", "last_ms"))
+    st = frames[0]
+    for f in frames[1:]:
+        st = st.unionByName(f)
     aggs = [F.count("*").alias("models"),
             F.min("scored_cnt").alias("min_cnt"),
             F.max("scored_cnt").alias("max_cnt")]

@@ -198,13 +198,16 @@ def suggest_shingle(horizon: int | None = None,
     horizon, ``max(seasonality/2, horizon/3)`` clamped to
     [MINIMUM_SHINGLE_SIZE=4, MAX_SHINGLE_SIZE=128]; otherwise the
     default."""
+    if not seasonality and not horizon:
+        return default
     candidate = 0
     if seasonality:
         candidate = max(candidate, seasonality // 2)
     if horizon:
         candidate = max(candidate, horizon // 3)
-    if candidate == 0:
-        return default
+    # clamp even when the hint rounds to 0 (horizon=2 → 0 → floor 4):
+    # a supplied hint always yields the clamped recommendation, so a
+    # larger horizon can never suggest a SMALLER shingle
     return max(4, min(128, candidate))
 
 

@@ -308,3 +308,49 @@ def test_profile_reports_job_state(spark, tmp_path, source):
     p3 = profile_detector(spark, det2, str(tmp_path / "state"),
                           job_store=store)
     assert p3["state"] == "INIT"
+
+
+def test_tick_schedules_joint_runner(spark, tmp_path, source):
+    """The joint stateful path wires into the scheduler through the
+    same runner seam (tick passes scorer_factory=...), including the
+    single-feature case; threshold mismatches are rejected up front."""
+    from anomaly_detection_spark.detector import (
+        Detector,
+        run_once_stateful_joint,
+    )
+    from anomaly_detection_spark.features import rcf_stream_factory
+
+    path, start_ms, _ = source
+    store = JobStore(str(tmp_path / "jobs"))
+    det = _det(path, "joint-job")
+    store.create_job(det, start_ms)
+    factory = rcf_stream_factory(shingle=4, n_trees=5, sample_size=32,
+                                 min_samples=8, n_features=1, seed=31)
+    now = start_ms + 60 * INTERVAL
+    ran = 0
+    for i in range(30):
+        res = store.tick(spark, now + i * INTERVAL,
+                         str(tmp_path / "state"),
+                         scorer_factory=factory,
+                         runner=run_once_stateful_joint)
+        doc = store.get_job("joint-job")
+        assert doc["last_error"] is None, doc["last_error"]
+        if res and res["joint-job"].count():
+            ran += 1
+    assert ran > 5                      # warm-up passed, scores flowing
+    # the joint state landed under the __joint suffix and is visible
+    # to profile + prune
+    from anomaly_detection_spark.detector import prune_state
+    from anomaly_detection_spark.profile import profile_detector
+
+    p = profile_detector(spark, det, str(tmp_path / "state"),
+                         job_store=store)
+    assert p["model_count"] == 1 and p["total_model_bytes"] > 0
+    assert p["state"] in ("RUNNING", "READY")
+    assert prune_state(spark, "joint-job", str(tmp_path / "state"),
+                       now + 100 * INTERVAL, ttl_ms=5 * INTERVAL) == 1
+    # threshold wiring rejected up front (grade would outrun attribution)
+    bad = rcf_stream_factory(n_features=2, alert_threshold=4.0)
+    with pytest.raises(ValueError, match="alert_threshold"):
+        run_once_stateful_joint(spark, det, now, str(tmp_path / "s2"),
+                                stream_factory=bad)
