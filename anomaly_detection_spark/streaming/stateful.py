@@ -91,6 +91,7 @@ def streaming_detector(
     confidence_ramp: int = 32,
     anomaly_threshold: float = 3.0,
     eps: float = 1e-9,
+    scorer_factory=None,
 ) -> DataFrame:
     """Realtime detection as ONE stateful stream over RAW events:
     bucket aggregation, the per-entity trailing window, and the scored
@@ -111,7 +112,17 @@ def streaming_detector(
     the batch paths (prior-k z, grade lift-off at
     ``anomaly_threshold`` σ, scored-count confidence ramp), so the
     emitted rows match ``detector.preview`` exactly (tested).  State
-    survives restarts via the streaming checkpoint."""
+    survives restarts via the streaming checkpoint.
+
+    ``scorer_factory`` (the same protocol as the batch stateful
+    paths — e.g. :func:`~anomaly_detection_spark.features.
+    rcf_stream_factory`) swaps the trailing-z window for a
+    checkpointed streaming model: the serialized model rides in the
+    streaming state (the CheckpointDao round-trip inside Structured
+    Streaming's own checkpoint), updated once per closed interval in
+    bucket order — so the emitted scores are the same float sequence
+    as ``preview(scorer=rcf_scorer(...))`` / ``run_once_stateful``
+    with the same config (tested)."""
     if agg not in _STREAM_AGGS:
         raise ValueError(f"agg must be one of {_STREAM_AGGS}; got {agg!r}")
     out_schema = (f"{entity_col} string, bucket_start timestamp, "
@@ -120,21 +131,22 @@ def streaming_detector(
     state_schema = ("open_ms array<long>, open_cnt array<long>, "
                     "open_sum array<double>, open_min array<double>, "
                     "open_max array<double>, "
-                    "values array<double>, scored_cnt long")
+                    "values array<double>, scored_cnt long, "
+                    "model binary")
     thr = float(anomaly_threshold)
     iv = int(interval_ms)
 
     def fn(key: Any, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterable[pd.DataFrame]:
         if state.exists:
-            o_ms, o_cnt, o_sum, o_min, o_max, win, cnt0 = state.get
+            o_ms, o_cnt, o_sum, o_min, o_max, win, cnt0, mb = state.get
             opens = {int(m): [int(c), float(s), float(lo), float(hi)]
                      for m, c, s, lo, hi
                      in zip(o_ms, o_cnt, o_sum, o_min, o_max)}
             win = list(win)
             cnt0 = int(cnt0)
         else:
-            opens, win, cnt0 = {}, [], 0
+            opens, win, cnt0, mb = {}, [], 0, None
 
         wm_in = state.getCurrentWatermarkMs()
         if not state.hasTimedOut:
@@ -182,12 +194,18 @@ def streaming_detector(
             else:
                 v = hi
             z = np.nan
-            if len(win) == k:
+            if scorer_factory is not None:
+                stream = (scorer_factory() if mb is None
+                          else scorer_factory.restore(bytes(mb)))
+                z, _ = stream.update(float(v))
+                mb = stream.to_bytes()
+            elif len(win) == k:
                 w = np.asarray(win, dtype=np.float64)
                 m = w.sum() / k
                 m2 = (w * w).sum() / k
                 std = np.sqrt(max(m2 - m * m, 0.0))
                 z = (v - m) / (std + eps)
+            if z == z:                        # scored (model warm)
                 cnt0 += 1
                 az = abs(z)
                 emit_rows.append((
@@ -202,7 +220,7 @@ def streaming_detector(
             ob,
             [opens[b][0] for b in ob], [opens[b][1] for b in ob],
             [opens[b][2] for b in ob], [opens[b][3] for b in ob],
-            win, cnt0))
+            win, cnt0, mb))
         if ob:
             # flush the earliest open interval when the watermark
             # passes its end, even if no new data arrives for this key

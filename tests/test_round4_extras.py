@@ -374,3 +374,93 @@ def test_stats_and_percentiles_bucket(spark):
     assert p.m_percentiles == 30.0
     p2 = percentiles_bucket(buckets, "m", [25.0, 75.0]).toPandas().iloc[0]
     assert list(p2.m_percentiles) == [20.0, 40.0]
+
+
+def test_streaming_detector_rcf_matches_preview(spark, tmp_path):
+    """streaming_detector(scorer_factory=rcf_stream_factory(...)) —
+    the serialized RCF model riding in streaming state — emits the
+    same float sequence as preview with the matching rcf_scorer: the
+    reference model family now runs identically on all three
+    execution modes (preview / batch stateful / streaming)."""
+    from anomaly_detection_spark.detector import Detector, preview
+    from anomaly_detection_spark.features import (
+        rcf_scorer,
+        rcf_stream_factory,
+    )
+    from anomaly_detection_spark.streaming.stateful import streaming_detector
+
+    import numpy as np
+
+    rng = np.random.default_rng(97)
+    base = pd.Timestamp("2025-05-01")
+    rows = []
+    eid = 0
+    for h in range(60):
+        n = 5
+        bump = 40.0 if h == 50 else 0.0
+        for i in range(n):
+            rows.append((eid, "A",
+                         base + pd.Timedelta(hours=h, minutes=i * 9),
+                         float(10 + rng.normal(0, 0.3) + bump)))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "service", "ts",
+                                      "value"])
+    src_path = str(tmp_path / "stream_src")
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    os.makedirs(src_path)
+    t0 = _time.time()
+    for part, lo in enumerate(range(0, 60, 12)):
+        chunk = pdf[(pdf.ts >= base + pd.Timedelta(hours=lo))
+                    & (pdf.ts < base + pd.Timedelta(hours=lo + 12))]
+        wtmp = str(tmp_path / f"_w{part}")
+        spark.createDataFrame(chunk).coalesce(1) \
+            .write.mode("overwrite").parquet(wtmp)
+        pf = glob.glob(wtmp + "/part-*.parquet")[0]
+        dst = os.path.join(src_path, f"chunk-{part:03d}.parquet")
+        shutil.copy(pf, dst)
+        os.utime(dst, (t0 + part, t0 + part))
+
+    conf = dict(shingle=4, n_trees=5, sample_size=32, min_samples=16,
+                seed=17)
+    det = Detector(
+        detector_id="d", indices=src_path,
+        feature_specs={"v_avg": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=3_600_000,
+        category_fields=("service",))
+    want = preview(spark, det, scorer=rcf_scorer(**conf)).toPandas()
+    want = want.set_index([want.service,
+                           want.bucket_start.map(pd.Timestamp)])
+
+    batch_schema = spark.read.parquet(src_path).schema
+    stream = (spark.readStream.schema(batch_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_path))
+    scored = streaming_detector(
+        stream.withWatermark("ts", "1 minute"),
+        ts_col="ts", interval_ms=3_600_000, agg="avg",
+        value_col="value", entity_col="service",
+        scorer_factory=rcf_stream_factory(**conf))
+    q = (scored.writeStream.outputMode("append").format("memory")
+         .queryName("det_stream_rcf")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from det_stream_rcf").toPandas()
+
+    assert len(got) >= len(want) - 2 > 20, (len(got), len(want))
+    for r in got.itertuples():
+        w = want.loc[(r.service, pd.Timestamp(r.bucket_start))]
+        assert abs(r.v - float(w.v_avg)) < 1e-9, r
+        assert abs(r.anomaly_score - float(w.anomaly_score)) < 1e-9, r
+        assert abs(r.anomaly_grade - float(w.anomaly_grade)) < 1e-9
+        assert abs(r.confidence - float(w.confidence)) < 1e-9
+    spike = got[got.anomaly_grade > 0]
+    assert len(spike) >= 1
+    assert pd.Timestamp(spike.bucket_start.iloc[0]) == \
+        base + pd.Timedelta(hours=50)
