@@ -517,7 +517,7 @@ def _state_path(state_dir: str, detector_id: str) -> str:
 
 def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
                       state_dir: str, eps: float = 1e-9,
-                      scorer_factory=None) -> DataFrame:
+                      scorer_factory=None, cache_policy=None) -> DataFrame:
     """One realtime interval using checkpointed per-entity state.
 
     Produces rows identical to :func:`preview`'s output at the same
@@ -540,6 +540,16 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
     each interval — the reference's realtime checkpoint round-trip
     (``CheckpointDao``).  Replay semantics are identical (the model is
     NOT updated twice for a retried interval).
+
+    ``cache_policy`` (a :class:`~anomaly_detection_spark.caching.
+    CachePolicy`) bounds how many entities hold state rows — the
+    reference's HC PriorityCache (doorkeeper + decayed-frequency
+    priority + dedicated/shared budget with strict-greater
+    replacement, PriorityCache.java).  Entities the cache defers
+    (``cold``) produce no result and no state mutation this interval;
+    evicted entities lose their model rows and cold-start on
+    re-admission.  With no policy every entity is hosted (the
+    single-stream posture).
     """
     import numpy as np
     import pandas as pd
@@ -593,6 +603,19 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
                 state = state.withColumn(c, F.lit(None).cast(t))
     else:
         state = spark.createDataFrame([], state_schema)
+
+    if cache_policy is not None:
+        from .caching import admit_entities
+
+        present = cur.select(*gcols).distinct()
+        hosted = state.select(*gcols).distinct()
+        hot, _cold, evicted = admit_entities(
+            spark, state_dir, det.detector_id, present, hosted,
+            cache_policy, now_ms, det.interval_ms)
+        # evicted models drop (cold-start on re-admission); cold and
+        # doorkeeper-skipped entities contribute nothing this interval
+        state = state.join(evicted, gcols, "left_anti")
+        cur = cur.join(hot, gcols, "left_semi")
 
     joined = state.join(cur, [*gcols, "_feat"], "full_outer")
     upd_schema = T.StructType(list(state_fields)

@@ -1,0 +1,171 @@
+"""HC entity-model cache policy (PriorityCache / PriorityTracker /
+DoorKeeper / MemoryTracker analogs in `caching.py`)."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.caching import (
+    CachePolicy, admit_entities, estimate_caster_model_size,
+    estimate_trcf_model_size, priority_increment, update_priority_py)
+
+MIN = 60_000
+T0 = 1_700_000_000_000
+
+
+def test_priority_is_log_sum_exp_of_decayed_hits():
+    # PriorityTracker.getUpdatedPriority accumulates e^{inc} in log
+    # space.  A new node enters at priority 0 (PriorityNode ctor), so
+    # after hits with increments i1..in, p = log(1 + sum e^{ik}) — the
+    # leading 1 is the e^0 the initial zero contributes.
+    incs = [0, 0, 1, 3, 3]
+    p = None
+    for i in incs:
+        p = update_priority_py(p, i)
+    assert p == pytest.approx(
+        math.log(1 + sum(math.exp(i) for i in incs)))
+    # recency wins over an equal hit count (decay favors later periods)
+    old = update_priority_py(update_priority_py(None, 0), 1)
+    new = update_priority_py(update_priority_py(None, 10), 11)
+    assert new > old
+    # overflow falls back to the latest increment (reference float path)
+    assert update_priority_py(0.0, 1000) == 1000.0
+    # increment = elapsed periods >> 3
+    assert priority_increment(T0 + 16 * 8 * MIN, T0, MIN) == 16
+    assert priority_increment(T0 + 7 * MIN, T0, MIN) == 0
+
+
+def test_trcf_model_size_matches_reference_expected_values():
+    # TRCFMemoryTests.testEstimateModelSize exact expectations
+    assert estimate_trcf_model_size(8, 50, 0.0, 8, 256) == 400768
+    assert estimate_trcf_model_size(32, 50, 0.0, 8, 256) == 623944
+    assert estimate_trcf_model_size(9, 50, 1.0, 1, 256) == 1789092
+    assert estimate_trcf_model_size(6, 50, 0.0, 1, 256) == 609244
+    assert estimate_trcf_model_size(8, 50, 0.0, 2, 256) == 518960
+    assert estimate_trcf_model_size(32, 50, 0.0, 4, 256) == 746392
+    # caster adds the ErrorHandler term on top
+    assert (estimate_caster_model_size(8, 50, 0.0, 8, 256, 24)
+            > estimate_trcf_model_size(8, 50, 0.0, 8, 256))
+    with pytest.raises(ValueError, match="shingle"):
+        estimate_trcf_model_size(256, 50, 0.0, 256, 256)
+
+
+def _ents(spark, *names):
+    return spark.createDataFrame(pd.DataFrame({"service": list(names)})) \
+        if names else spark.createDataFrame(
+            [], "service string")
+
+
+def _run(spark, sd, present, hosted, pol, now):
+    hot, cold, ev = admit_entities(
+        spark, sd, "det-c", _ents(spark, *present), _ents(spark, *hosted),
+        pol, now, MIN)
+    key = lambda df: sorted(r.service for r in df.collect())  # noqa: E731
+    return key(hot), key(cold), key(ev)
+
+
+def test_doorkeeper_defers_first_appearance(spark, tmp_path):
+    sd = str(tmp_path)
+    pol = CachePolicy(dedicated_cache_size=4, shared_memory_bytes=0)
+    hot, cold, ev = _run(spark, sd, ["a", "b"], [], pol, T0)
+    assert hot == [] and cold == ["a", "b"] and ev == []
+    # second appearance passes the doorkeeper and fills free slots
+    hot, cold, ev = _run(spark, sd, ["a", "b"], [], pol, T0 + MIN)
+    assert hot == ["a", "b"] and cold == [] and ev == []
+    # hosted entities never consult the doorkeeper (isActive bypass)
+    hot, cold, ev = _run(spark, sd, ["a"], ["a", "b"], pol, T0 + 2 * MIN)
+    assert hot == ["a"] and cold == [] and ev == []
+
+
+def test_doorkeeper_resets_after_maintenance_window(spark, tmp_path):
+    sd = str(tmp_path)
+    pol = CachePolicy(dedicated_cache_size=4, doorkeeper_reset_intervals=10)
+    _run(spark, sd, ["a"], [], pol, T0)          # count -> 1
+    # past the reset window the count is wiped: first visit defers again
+    hot, cold, _ = _run(spark, sd, ["a"], [], pol, T0 + 11 * MIN)
+    assert hot == [] and cold == ["a"]
+    hot, cold, _ = _run(spark, sd, ["a"], [], pol, T0 + 12 * MIN)
+    assert hot == ["a"]
+
+
+def test_strict_greater_replacement_evicts_minimum(spark, tmp_path):
+    sd = str(tmp_path)
+    pol = CachePolicy(dedicated_cache_size=2, shared_memory_bytes=0)
+    now = T0
+    _run(spark, sd, ["a", "b"], [], pol, now)               # doorkeeper
+    now += MIN
+    hot, _, _ = _run(spark, sd, ["a", "b"], [], pol, now)    # admitted
+    assert hot == ["a", "b"]
+    hosted = ["a", "b"]
+    for _ in range(4):                                       # build priority
+        now += MIN
+        hot, cold, ev = _run(spark, sd, ["a", "b"], hosted, pol, now)
+        assert hot == ["a", "b"] and ev == []
+    # newcomer with one admitted visit cannot out-prioritize (strict >)
+    now += MIN
+    _run(spark, sd, ["c"], hosted, pol, now)                 # doorkeeper
+    now += MIN
+    hot, cold, ev = _run(spark, sd, ["c"], hosted, pol, now)
+    assert hot == [] and cold == ["c"] and ev == []
+    # keep hitting c while a/b idle: decayed counts eventually cross,
+    # and the MINIMUM hosted entity is evicted (tie -> key asc = "a")
+    evicted = None
+    for _ in range(200):
+        now += MIN
+        hot, cold, ev = _run(spark, sd, ["c"], hosted, pol, now)
+        if ev:
+            evicted = (hot, ev)
+            break
+    assert evicted == (["c"], ["a"])
+
+
+def test_run_once_stateful_cache_policy_bounds_models(spark, tmp_path):
+    from anomaly_detection_spark.detector import Detector, run_once_stateful
+
+    base = pd.Timestamp("2025-03-01")
+    rows = []
+    for h in range(40):
+        for ent in ("a", "b", "c"):
+            for i in range(3):
+                rows.append((ent, base + pd.Timedelta(hours=h, minutes=i),
+                             float(10 + i)))
+    pdf = pd.DataFrame(rows, columns=["service", "ts", "value"])
+    path = str(tmp_path / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    det = Detector(
+        detector_id="det-cache", indices=path,
+        feature_specs={"n": {"value_count": {"field": "value"}}},
+        time_field="ts", interval_ms=3600_000,
+        category_fields=("service",), shingle_size=4)
+    t0 = int(base.value // 1_000_000)
+
+    # permissive policy (slots cover all entities, doorkeeper off)
+    # must equal the uncached run row-for-row
+    sd_p, sd_n = str(tmp_path / "sp"), str(tmp_path / "sn")
+    permissive = CachePolicy(dedicated_cache_size=10,
+                             doorkeeper_count_threshold=0)
+    for h in range(1, 10):
+        now = t0 + h * 3600_000
+        a = run_once_stateful(spark, det, now, sd_p,
+                              cache_policy=permissive).toPandas()
+        b = run_once_stateful(spark, det, now, sd_n).toPandas()
+        pd.testing.assert_frame_equal(
+            a.drop(columns=["entity"]).sort_values("service")
+            .reset_index(drop=True),
+            b.drop(columns=["entity"]).sort_values("service")
+            .reset_index(drop=True))
+
+    # one-slot budget: exactly one entity ever holds state rows
+    sd_1 = str(tmp_path / "s1")
+    tight = CachePolicy(dedicated_cache_size=1,
+                        doorkeeper_count_threshold=0)
+    for h in range(1, 10):
+        res = run_once_stateful(spark, det, t0 + h * 3600_000, sd_1,
+                                cache_policy=tight)
+        assert res.select("service").distinct().count() <= 1
+    state = spark.read.parquet(sd_1 + "/det-cache")
+    assert state.select("service").distinct().count() == 1
+    # deterministic winner: first fill is priority-tie -> key asc
+    assert state.select("service").first().service == "a"
