@@ -217,6 +217,43 @@ def sloppy_phrase_freq(toks: Column, terms: list[str],
     return F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def lucene_sloppy_freq_col(toks: Column, terms: list[str],
+                           slop: int) -> Column:
+    """Reference-exact sloppy frequency (``slop_semantics="lucene"``):
+    the SloppyPhraseScorer sweep of :mod:`..query.sloppy` as an
+    Arrow-batched pandas UDF over the analyzed token array.  The inner
+    per-row sweep is O(phrase-term occurrences log m) — the same
+    per-doc cost Lucene pays — and only rows surviving the codegen
+    all-terms-present prefilter the callers install reach it.
+    Distinct phrase terms only (repeats reject by name)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .sloppy import build_plists, lucene_sloppy_freq, require_distinct
+
+    require_distinct(terms)
+    terms_l, slop_i = list(terms), int(slop)
+
+    @F.pandas_udf(T.DoubleType())
+    def _pf(tok_s: pd.Series) -> pd.Series:
+        out = [0.0] * len(tok_s)
+        for r, toks_arr in enumerate(tok_s):
+            if toks_arr is None:
+                continue
+            pls = build_plists(toks_arr, terms_l)
+            if pls is not None:
+                out[r] = lucene_sloppy_freq(pls, slop_i)
+        return pd.Series(out)
+
+    return _pf(toks)
+
+
+def _all_terms_present(toks: Column, terms: list[str]) -> Column:
+    """Codegen prefilter: every phrase term occurs in the doc."""
+    arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    return F.forall(arr, lambda t: F.array_contains(toks, t))
+
+
 def phrase_prefix_expansions(analyzed: DataFrame, prefix: str,
                              max_expansions: int = 50) -> list[str]:
     """The terms a trailing-prefix expands to: the first
@@ -306,6 +343,7 @@ def match_phrase_topk(
     b: float = B_DEFAULT,
     id_col: str = "docid",
     slop: int = 0,
+    slop_semantics: str = "anchor",
 ) -> DataFrame:
     """Scored ``match_phrase`` (Lucene PhraseQuery): tf = the number of
     positions where the analyzed doc contains the full phrase
@@ -313,12 +351,19 @@ def match_phrase_topk(
     enumeration), weight = Σ idf over the phrase's term positions
     (duplicates counted per position), BM25 saturation over that tf.
     With ``slop > 0``, tf is the sloppy frequency from
-    :func:`sloppy_phrase_freq` (weighted 1/(1+matchLength) matches).
+    :func:`sloppy_phrase_freq` (weighted 1/(1+matchLength) matches);
+    ``slop_semantics="lucene"`` switches to the reference-exact
+    SloppyPhraseScorer sweep (:func:`lucene_sloppy_freq_col` —
+    distinct terms only, not SQL-oracle-checkable, pytest-locked).
 
     The occurrence count is a pure codegen expression — ``filter`` +
     ``slice`` higher-order functions over the token array — so the
     scan stays JVM-side; only matching docs reach the top-k.
     """
+    if slop_semantics not in ("anchor", "lucene"):
+        raise ValueError(
+            f"slop_semantics must be 'anchor' or 'lucene': "
+            f"{slop_semantics!r}")
     terms = tokenize_query(phrase)
     if not terms:
         return analyzed.select(
@@ -339,7 +384,12 @@ def match_phrase_topk(
 
     cand = analyzed if filter_cond is None else analyzed.filter(filter_cond)
     toks = F.col("tokens")
-    if slop > 0:
+    if slop > 0 and slop_semantics == "lucene":
+        # codegen all-terms prefilter keeps the Arrow sweep off docs
+        # that cannot match
+        cand = cand.filter(_all_terms_present(toks, terms))
+        pf = lucene_sloppy_freq_col(toks, terms, slop)
+    elif slop > 0:
         pf = sloppy_phrase_freq(toks, terms, slop)
     else:
         arr = F.array(*[F.lit(t) for t in terms])

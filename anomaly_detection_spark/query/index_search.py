@@ -535,6 +535,7 @@ def match_phrase_topk_indexed(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     slop: int = 0,
+    slop_semantics: str = "anchor",
 ) -> DataFrame:
     """Scored ``match_phrase`` via positional postings (Lucene
     PhraseQuery over the positions index): reads ONLY the phrase
@@ -556,9 +557,25 @@ def match_phrase_topk_indexed(
     NEAREST neighbor in every other offset's sorted key set (two
     ``searchsorted`` probes per offset), matchLength = Σ distances,
     tf = Σ 1/(1+matchLength) over anchors within slop — still one
-    pass over only the phrase terms' postings."""
+    pass over only the phrase terms' postings.
+
+    ``slop_semantics="lucene"`` runs the reference-exact
+    SloppyPhraseScorer sweep instead (:mod:`.sloppy`): candidate docs
+    (those containing every phrase term) are found with the same
+    vectorized key intersection, then each candidate's adjusted
+    position lists are sliced out of the sorted key arrays and swept —
+    score-identical to ``match_phrase_topk(slop_semantics="lucene")``,
+    distinct terms only."""
     from ..functions.codecs import decode_positions
 
+    if slop_semantics not in ("anchor", "lucene"):
+        raise ValueError(
+            f"slop_semantics must be 'anchor' or 'lucene': "
+            f"{slop_semantics!r}")
+    if slop > 0 and slop_semantics == "lucene":
+        from .sloppy import require_distinct
+
+        require_distinct(tokenize_query(phrase))
     spark = reader.spark
     meta = reader.meta
     if not meta.positions:
@@ -612,7 +629,36 @@ def match_phrase_topk_indexed(
             occ[t] = (np.concatenate(locs), np.concatenate(poss))
         if any(t not in occ for t in terms):
             return out_empty
-        if slop > 0:
+        if slop > 0 and slop_semantics == "lucene":
+            # reference-exact sweep: intersect candidate docids
+            # vectorized, then slice each candidate's adjusted
+            # positions out of the packed sorted keys (one
+            # searchsorted pair per term per doc) and sweep
+            from .sloppy import lucene_sloppy_freq
+
+            sets = []
+            cand = None
+            for j, t in enumerate(terms):
+                loc, pos = occ[t]
+                sets.append(np.sort(loc * STRIDE + (pos - j) + m))
+                u = np.unique(loc)
+                cand = u if cand is None else np.intersect1d(
+                    cand, u, assume_unique=True)
+            if cand is None or len(cand) == 0:
+                return out_empty
+            pf = np.zeros(len(cand), dtype=np.float64)
+            for ci, dloc in enumerate(cand):
+                lo_key, hi_key = dloc * STRIDE, (dloc + 1) * STRIDE
+                pls = []
+                for kj in sets:
+                    a, bnd = np.searchsorted(kj, (lo_key, hi_key))
+                    pls.append(kj[a:bnd] - lo_key - m)
+                pf[ci] = lucene_sloppy_freq(pls, slop)
+            keepc = pf > 0.0
+            if not keepc.any():
+                return out_empty
+            cand, pf = cand[keepc].astype(np.int64), pf[keepc]
+        elif slop > 0:
             # sloppy: anchors are offset-0 keys; every other offset
             # contributes its nearest same-doc neighbor's distance.
             # Keys pack (local docid, adjusted pos + m) so adjusted

@@ -523,6 +523,18 @@ def plan_query(df: DataFrame, query: dict[str, Any], scoring: bool = True) -> Qu
         if not toks:
             return QueryPlan(F.lit(False))
         if slop > 0:
+            sem = (spec.get("slop_semantics", "anchor")
+                   if isinstance(spec, dict) else "anchor")
+            if sem == "lucene":
+                # reference-exact sweep; the codegen all-terms
+                # prefilter keeps the Arrow batch off non-candidates
+                from .brute_force import (_all_terms_present,
+                                          lucene_sloppy_freq_col)
+
+                doc_toks = tokenize_column(fld)
+                return QueryPlan(
+                    _all_terms_present(doc_toks, toks)
+                    & (lucene_sloppy_freq_col(doc_toks, toks, slop) > 0))
             from .brute_force import sloppy_phrase_freq
 
             return QueryPlan(
@@ -1611,6 +1623,11 @@ def search(
         slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
         if slop < 0:
             raise ValueError(f"match_phrase slop must be >= 0: {slop}")
+        # engine extension: "slop_semantics": "lucene" selects the
+        # reference-exact SloppyPhraseScorer sweep (default "anchor"
+        # is the oracle-checkable engine semantics)
+        sem = (spec.get("slop_semantics", "anchor")
+               if isinstance(spec, dict) else "anchor")
         if isinstance(target, IndexReader):
             from .index_search import match_phrase_topk_indexed
 
@@ -1619,13 +1636,14 @@ def search(
                     f"scored match_phrase over an index target supports "
                     f"the indexed text field {text_field!r}; got {fld!r}")
             out = match_phrase_topk_indexed(target, text, k=size,
-                                            slop=slop)
+                                            slop=slop, slop_semantics=sem)
         else:
             from .brute_force import analyze_docs, match_phrase_topk
 
             tgt = (target if "tokens" in target.columns
                    else analyze_docs(target, text_col=fld))
-            out = match_phrase_topk(tgt, text, k=size, slop=slop)
+            out = match_phrase_topk(tgt, text, k=size, slop=slop,
+                                    slop_semantics=sem)
         return finish(out)
 
     if set(query) == {"match"}:
