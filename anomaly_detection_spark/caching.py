@@ -200,6 +200,9 @@ def _cache_schema(key_fields: list[T.StructField]) -> T.StructType:
         T.StructField("hosted", T.BooleanType()),
         T.StructField("landmark_ms", T.LongType()),
         T.StructField("dk_reset_ms", T.LongType()),
+        # EntityCache.getLastActiveMs — feeds profile_entity's
+        # entity_info and inactive-entry maintenance
+        T.StructField("last_hit_ms", T.LongType()),
     ])
 
 
@@ -231,6 +234,9 @@ def admit_entities(spark: SparkSession, state_dir: str, detector_id: str,
     schema = _cache_schema(key_fields)
     if os.path.exists(cpath):
         cache = spark.read.parquet(cpath)
+        if "last_hit_ms" not in cache.columns:
+            cache = cache.withColumn("last_hit_ms",
+                                     F.lit(None).cast("long"))
         meta = cache.agg(F.min("landmark_ms"), F.min("dk_reset_ms")).first()
         landmark_ms = meta[0] if meta[0] is not None else now_ms
         dk_reset_ms = meta[1] if meta[1] is not None else now_ms
@@ -328,7 +334,11 @@ def admit_entities(spark: SparkSession, state_dir: str, detector_id: str,
                   .join(evicted, key_cols, "left_anti")
                   .unionByName(admitted)
                   .withColumn("_h", F.lit(True)))
-    out = (merged.select(*key_cols, "dk_count", "priority")
+    out = (merged.select(*key_cols, "dk_count", "priority",
+                         F.when(F.col("_present"),
+                                F.lit(now_ms).cast("long"))
+                         .otherwise(F.col("last_hit_ms"))
+                         .alias("last_hit_ms"))
            .join(new_hosted, key_cols, "left_outer")
            .withColumn("hosted", F.coalesce("_h", F.lit(False)))
            .withColumn("landmark_ms", F.lit(landmark_ms).cast("long"))

@@ -100,6 +100,110 @@ def profile_detector(spark: SparkSession, det: Detector,
     return out
 
 
+def profile_entity(spark: SparkSession, det: Detector, state_dir: str,
+                   entity: dict) -> dict:
+    """Per-entity profile (``EntityProfileRunner.java:61`` — the
+    ``_profile`` API's entity variant).
+
+    ``entity`` maps every category field to its value.  Fields:
+
+    - ``state``: UNKNOWN (no updates recorded — the reference's
+      sendUnknownState for totalUpdates == 0), INIT (warming up) or
+      RUNNING (totalUpdates >= required samples;
+      EntityProfileRunner.java:358-373 thresholds with required =
+      ``det.confidence_ramp``)
+    - ``init_progress``: present only in INIT, with the reference's
+      InitProgressProfile content as numbers — ``percentage``,
+      ``needed_intervals`` and ``estimated_minutes_left``
+      (intervals-left × interval minutes)
+    - ``total_updates``: min across features of scored intervals (the
+      same definition the detector profile and confidence ramp use)
+    - ``model``: ``model_id`` (``<detector_id>_entity_<v1[,v2...]>``,
+      the reference's Entity.getModelId shape with values in place of
+      the attribute digest) and ``model_size_in_bytes`` (serialized
+      checkpoints; 0 for the z-window state)
+    - ``is_active`` / ``last_active_timestamp_ms``: from the cache
+      table when :func:`~anomaly_detection_spark.caching.
+      admit_entities` manages this detector (EntityCache.isActive /
+      getLastActiveMs); with no cache table every stateful entity is
+      hosted, so activity falls back to the state row's presence and
+      ``last_ms``.
+
+    Raises for a non-HC detector (NOT_HC_DETECTOR_ERR_MSG) and when
+    ``entity``'s keys differ from the category fields (the reference
+    validates the entity against the detector's categories).
+    """
+    ent = list(det.category_fields)
+    if not ent:
+        raise ValueError("This is not a high cardinality detector")
+    if set(entity) != set(ent):
+        raise ValueError(
+            f"entity keys {sorted(entity)} must match the detector's "
+            f"category fields {sorted(ent)}")
+    out: dict = {
+        "entity": [{"name": c, "value": str(entity[c])} for c in ent],
+        "model_id": f"{det.detector_id}_entity_"
+                    + ",".join(str(entity[c]) for c in ent),
+    }
+    paths = [p for p in (_state_path(state_dir, det.detector_id),
+                         _state_path(state_dir,
+                                     f"{det.detector_id}__joint"))
+             if os.path.exists(p)]
+    cond = None
+    for c in ent:
+        e = F.col(c) == entity[c]
+        cond = e if cond is None else cond & e
+    rows = []
+    for p in paths:
+        f = spark.read.parquet(p)
+        for c, t in (("model", "binary"), ("last_ms", "long")):
+            if c not in f.columns:
+                f = f.withColumn(c, F.lit(None).cast(t))
+        rows.extend(f.filter(cond).select(
+            "scored_cnt", F.coalesce(F.length("model"), F.lit(0))
+            .alias("mb"), "last_ms").collect())
+    total_updates = min((r["scored_cnt"] for r in rows), default=0)
+    model_bytes = sum(r["mb"] for r in rows)
+    last_ms = max((r["last_ms"] for r in rows
+                   if r["last_ms"] is not None), default=None)
+    out["total_updates"] = int(total_updates)
+    out["model"] = {"model_id": out.pop("model_id"),
+                    "model_size_in_bytes": int(model_bytes)}
+    required = float(det.confidence_ramp)
+    if not rows or total_updates == 0:
+        out["state"] = "UNKNOWN"
+    elif total_updates >= required:
+        out["state"] = "RUNNING"
+    else:
+        out["state"] = "INIT"
+        needed = int(required - total_updates)
+        out["init_progress"] = {
+            "percentage": round(total_updates / required, 6),
+            "needed_intervals": needed,
+            "estimated_minutes_left": round(
+                needed * det.interval_ms / 60_000.0, 3),
+        }
+    from .caching import _cache_path
+
+    cpath = _cache_path(state_dir, det.detector_id)
+    if os.path.exists(cpath):
+        crow = spark.read.parquet(cpath).filter(cond).collect()
+        if crow:
+            out["is_active"] = bool(crow[0]["hosted"])
+            lh = crow[0]["last_hit_ms"] if "last_hit_ms" in crow[0] \
+                .__fields__ else None
+            out["last_active_timestamp_ms"] = (int(lh) if lh is not None
+                                               else None)
+        else:
+            out["is_active"] = False
+            out["last_active_timestamp_ms"] = None
+    else:
+        out["is_active"] = bool(rows)
+        out["last_active_timestamp_ms"] = (int(last_ms)
+                                           if last_ms is not None else None)
+    return out
+
+
 def _apply_job_state(profile: dict, detector_id: str, job_store) -> None:
     """Overlay the job doc on the model-derived profile (the reference
     reads the Job to report DISABLED and the latest error)."""

@@ -145,3 +145,84 @@ def test_stats_and_maintenance(spark, tmp_path_factory):
                        retention_ms=30 * 86_400_000)
     assert n == 2
     assert spark.read.parquet(res_path).count() == 2
+
+
+def test_profile_entity_lifecycle(spark, tmp_path_factory):
+    import pytest
+
+    from anomaly_detection_spark.profile import profile_entity
+
+    path = _events(spark, tmp_path_factory)
+    state = str(tmp_path_factory.mktemp("prof_ent"))
+    det = Detector(
+        detector_id="prof-ent", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL,
+        category_fields=("service",), shingle_size=4, confidence_ramp=8)
+    base_ms = int(BASE.value // 10**6)
+
+    # validation: non-HC and mismatched entity keys reject by name
+    flat = Detector(
+        detector_id="flat", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL)
+    with pytest.raises(ValueError, match="high cardinality"):
+        profile_entity(spark, flat, state, {"service": "A"})
+    with pytest.raises(ValueError, match="category fields"):
+        profile_entity(spark, det, state, {"wrong": "A"})
+
+    # before any run: UNKNOWN, inactive, zero-size model
+    p = profile_entity(spark, det, state, {"service": "A"})
+    assert p["state"] == "UNKNOWN" and p["is_active"] is False
+    assert p["model"]["model_size_in_bytes"] == 0
+    assert p["model"]["model_id"] == "prof-ent_entity_A"
+
+    for i in range(6):
+        run_once_stateful(spark, det, base_ms + (i + 1) * INTERVAL + 1,
+                          state).count()
+    # 6 ingested, shingle 4 → 2 scored of 8 required → INIT at 25%
+    p = profile_entity(spark, det, state, {"service": "A"})
+    assert p["state"] == "INIT" and p["total_updates"] == 2
+    assert p["init_progress"]["percentage"] == 0.25
+    assert p["init_progress"]["needed_intervals"] == 6
+    assert p["init_progress"]["estimated_minutes_left"] == 60.0
+    assert p["is_active"] is True
+    assert p["last_active_timestamp_ms"] == base_ms + 5 * INTERVAL
+    # an entity the detector never saw stays UNKNOWN
+    assert profile_entity(spark, det, state,
+                          {"service": "Z"})["state"] == "UNKNOWN"
+
+    for i in range(6, 14):
+        run_once_stateful(spark, det, base_ms + (i + 1) * INTERVAL + 1,
+                          state).count()
+    p = profile_entity(spark, det, state, {"service": "A"})
+    assert p["state"] == "RUNNING" and p["total_updates"] >= 8
+    assert "init_progress" not in p
+
+
+def test_profile_entity_cache_activity(spark, tmp_path_factory):
+    from anomaly_detection_spark.caching import CachePolicy
+    from anomaly_detection_spark.profile import profile_entity
+
+    path = _events(spark, tmp_path_factory)
+    state = str(tmp_path_factory.mktemp("prof_entc"))
+    det = Detector(
+        detector_id="prof-entc", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL,
+        category_fields=("service",), shingle_size=4, confidence_ramp=8)
+    base_ms = int(BASE.value // 10**6)
+    pol = CachePolicy(dedicated_cache_size=1,
+                      doorkeeper_count_threshold=0)
+    last_now = None
+    for i in range(4):
+        last_now = base_ms + (i + 1) * INTERVAL + 1
+        run_once_stateful(spark, det, last_now, state,
+                          cache_policy=pol).count()
+    pa = profile_entity(spark, det, state, {"service": "A"})
+    pb = profile_entity(spark, det, state, {"service": "B"})
+    # one slot: A hosted (deterministic tie-break), B tracked but cold
+    assert pa["is_active"] is True and pb["is_active"] is False
+    assert pa["last_active_timestamp_ms"] == last_now
+    assert pb["last_active_timestamp_ms"] == last_now
+    assert pb["state"] == "UNKNOWN"     # no model rows → no updates
