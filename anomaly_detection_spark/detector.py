@@ -77,6 +77,18 @@ class Detector:
         require_safe_names(self.feature_specs, "feature names")
 
 
+class TaskCancelledError(RuntimeError):
+    """A cancel flag was observed between pieces — the reference's
+    TaskCancelledException (``ADBatchTaskRunner.java:1377-1396``: the
+    runner checks the cancel flag when starting the next piece and
+    throws with the recorded reason + who stopped it)."""
+
+    def __init__(self, reason: str, stopped_by: str | None = None):
+        super().__init__(reason)
+        self.reason = reason
+        self.stopped_by = stopped_by
+
+
 def _grade(z: F.Column, thr: float = 3.0) -> F.Column:
     """|z| → anomaly grade in [0, 1]: 0 below ``thr``σ, 1 at ≥2·thr σ."""
     return F.greatest(F.lit(0.0),
@@ -1010,6 +1022,8 @@ def run_historical(
     piece_intervals: int = 128,
     eps: float = 1e-9,
     scorer_factory=None,
+    on_piece=None,
+    cancel_check=None,
 ) -> DataFrame:
     """Batch detection over ``[start_ms, end_ms)`` in pieces.
 
@@ -1034,6 +1048,14 @@ def run_historical(
     The per-(entity, feature) model bytes ride in the state snapshot's
     ``model`` column.  ``det.suppression_rules`` are honored in both
     modes (margins against the model's expected value, like preview).
+
+    Task-tracking hooks (both opt-in; see
+    :mod:`anomaly_detection_spark.tasks`): ``cancel_check()`` is called
+    before each piece — return a ``(reason, stopped_by)`` pair to abort
+    with :class:`TaskCancelledError` (the reference checks its cancel
+    flag exactly there, ``ADBatchTaskRunner.java:1377``); ``on_piece(p,
+    n_pieces, snapshot_path)`` fires after piece ``p`` completes (or is
+    skipped on resume) so a task store can record progress.
     """
     import os
     import shutil
@@ -1079,8 +1101,14 @@ def run_historical(
         return os.path.join(results_dir, f"_state_piece_{p}")
 
     for p in range(n_pieces):
+        if cancel_check is not None:
+            cancelled = cancel_check()
+            if cancelled:
+                raise TaskCancelledError(*cancelled)
         marker = os.path.join(results_dir, f"_piece_{p}.done")
         if os.path.exists(marker):
+            if on_piece is not None:
+                on_piece(p, n_pieces, snap(p))
             continue
         lo = start_ms + p * piece_ms
         hi = min(end_ms, lo + piece_ms)
@@ -1246,6 +1274,8 @@ def run_historical(
              os.path.join(results_dir, f"piece={p}")))
         with open(marker, "w") as f:
             f.write("done")
+        if on_piece is not None:
+            on_piece(p, n_pieces, snap(p))
 
     # finalize: publish the last piece's snapshot as the live state
     # (tmp+swap), then drop the snapshots.  Re-running after a crash

@@ -170,12 +170,20 @@ class JobStore:
     def tick(self, spark: SparkSession, now_ms: int, state_dir: str,
              scorer_factory=None,
              runner: Callable[..., DataFrame] | None = None,
+             task_store=None,
              ) -> dict[str, Any]:
         """Run every due, enabled, unlocked job once for its latest
         closed interval.  Returns ``{job_id: result DataFrame}`` for
         the jobs that ran; failures are recorded on the job doc
         (``last_error`` — the indexResultException analog) and follow
-        the EndRunException stop protocol."""
+        the EndRunException stop protocol.
+
+        Pass a :class:`~anomaly_detection_spark.tasks.TaskStore` as
+        ``task_store`` to mirror the reference's realtime-task
+        tracking (``JobProcessor`` → ``updateLatestRealtimeTask``):
+        each attempted job refreshes its REALTIME task doc's
+        state/init_progress/error, and a job the EndRun protocol
+        disables marks it STOPPED."""
         out: dict[str, Any] = {}
         run = runner or run_once_stateful
         for job_id in self.list_jobs():
@@ -197,6 +205,7 @@ class JobStore:
             # run is never clobbered by this stale snapshot
             upd: dict[str, Any] = {"last_attempt_end_ms": end}
             disable = False
+            det = None
             try:
                 det = _det_from_json(doc["detector"])
                 res = run(spark, det, now_ms, state_dir,
@@ -226,4 +235,12 @@ class JobStore:
                 fresh["lock_until_ms"] = 0
                 fresh["last_update_time"] = now_ms
                 self._write(fresh)
+                if task_store is not None and det is not None:
+                    from .tasks import update_realtime_task
+                    update_realtime_task(spark, task_store, det,
+                                         state_dir,
+                                         error=upd.get("last_error"))
+                    if disable:
+                        update_realtime_task(spark, task_store, det,
+                                             state_dir, stopped=True)
         return out
