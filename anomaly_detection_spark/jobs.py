@@ -128,6 +128,12 @@ class JobStore:
         self._write(doc)
         return doc
 
+    def delete_job(self, job_id: str) -> None:
+        """Remove the job doc (BaseDeleteConfigTransportAction deletes
+        the job before the config; refusal while enabled is the
+        caller's check — see ``tasks.delete_detector``)."""
+        os.remove(self._path(job_id))
+
     def stop_job(self, job_id: str, now_ms: int,
                  reason: str | None = None) -> dict:
         doc = self.get_job(job_id)

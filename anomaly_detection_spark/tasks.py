@@ -41,7 +41,8 @@ from .detector import (Detector, TaskCancelledError, _state_path,
                        run_historical)
 
 __all__ = ["TaskStore", "start_historical_task", "profile_task",
-           "update_realtime_task", "NUM_MIN_SAMPLES"]
+           "update_realtime_task", "stop_detector", "delete_detector",
+           "NUM_MIN_SAMPLES"]
 
 #: TimeSeriesSettings.NUM_MIN_SAMPLES — the RCF update count that
 #: flips a task's state from INIT to RUNNING (init_progress = 1.0)
@@ -275,6 +276,86 @@ def profile_task(spark: SparkSession, store: TaskStore, task_id: str,
     if det.category_fields:
         out["total_entities_count"] = prof["entity_count"]
     return out
+
+
+def stop_detector(spark: SparkSession, jobs, tasks: TaskStore,
+                  det: Detector, state_dir: str, now_ms: int,
+                  stopped_by: str = "user") -> dict:
+    """Stop everything running for a detector — the ``_stop`` cascade
+    (``IndexJobActionHandler.stopJob``: disable the job, mark the
+    realtime task stopped; ``TaskManager.stopHistoricalAnalysis``:
+    flag + stop the latest not-ended historical task).
+
+    Returns ``{"job_stopped": bool, "realtime_task": ...,
+    "historical_task": ...}`` with the final docs (None where nothing
+    existed).  The historical task is both FLAGGED cancelled (so a
+    live resumed runner aborts at its next piece) and marked STOPPED
+    (this engine's runs are synchronous, so a not-ended doc means no
+    runner is alive to observe the flag)."""
+    out: dict = {"job_stopped": False, "realtime_task": None,
+                 "historical_task": None}
+    if jobs is not None:
+        try:
+            doc = jobs.get_job(det.detector_id)
+        except FileNotFoundError:
+            doc = None
+        if doc is not None and doc["enabled"]:
+            jobs.stop_job(det.detector_id, now_ms)
+            out["job_stopped"] = True
+    out["realtime_task"] = update_realtime_task(
+        spark, tasks, det, state_dir, stopped=True) or None
+    hist = tasks.latest_task(det.detector_id, prefix="HISTORICAL")
+    if hist is not None and hist["state"] in NOT_ENDED_STATES:
+        tasks.update_task(hist["task_id"], cancelled=True,
+                          stopped_by=stopped_by,
+                          cancel_reason="Task cancelled by user")
+        hist = tasks.update_task(
+            hist["task_id"], state="STOPPED",
+            error="Task cancelled by user",
+            execution_end_time=tasks.clock())
+    out["historical_task"] = hist
+    return out
+
+
+def delete_detector(spark: SparkSession, jobs, tasks: TaskStore,
+                    det: Detector, state_dir: str,
+                    results_dir: str | None = None) -> None:
+    """Delete a detector's job, tasks and model state — refusing while
+    anything is running, exactly like the reference
+    (``BaseDeleteConfigTransportAction.deleteConfigIfNotRunning``:
+    a running historical task → "<task> is running" BAD_REQUEST;
+    an enabled job → "Job is running").
+
+    Removes: the job doc, every task doc of the detector, the scalar
+    and joint state tables, the entity-cache table, and (only when
+    ``results_dir`` is passed) the results — the reference keeps
+    results on detector delete too, behind a separate delete-results
+    API."""
+    import shutil
+
+    if jobs is not None:
+        try:
+            doc = jobs.get_job(det.detector_id)
+        except FileNotFoundError:
+            doc = None
+        if doc is not None:
+            if doc["enabled"]:
+                raise ValueError(f"Job is running: {det.detector_id}")
+            jobs.delete_job(det.detector_id)
+    hist = tasks.latest_task(det.detector_id, prefix="HISTORICAL")
+    if hist is not None and hist["state"] in NOT_ENDED_STATES:
+        raise ValueError("Historical is running")
+    for t in tasks.list_tasks(det.detector_id):
+        os.remove(tasks._path(t))
+    from .caching import _cache_path
+
+    doomed = [_state_path(state_dir, det.detector_id),
+              _state_path(state_dir, f"{det.detector_id}__joint"),
+              _cache_path(state_dir, det.detector_id)]
+    if results_dir is not None:
+        doomed.append(results_dir)
+    for p in doomed:
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def update_realtime_task(spark: SparkSession, store: TaskStore,

@@ -212,3 +212,56 @@ def test_realtime_task_via_job_tick(spark, tmp_path_factory):
     # stop again: no-op on an ended task
     again = update_realtime_task(spark, tasks, det, state, stopped=True)
     assert again["state"] == "STOPPED"
+
+
+def test_stop_and_delete_detector(spark, tmp_path_factory):
+    from anomaly_detection_spark.detector import _state_path
+    from anomaly_detection_spark.jobs import JobStore
+    from anomaly_detection_spark.tasks import (delete_detector,
+                                               stop_detector)
+
+    path = _events(spark, tmp_path_factory, n=12)
+    state = str(tmp_path_factory.mktemp("sd_state"))
+    det = _det(path, "sd-det")
+    jobs = JobStore(str(tmp_path_factory.mktemp("sd_jobs")))
+    tasks = TaskStore(str(tmp_path_factory.mktemp("sd_tasks")),
+                      clock=lambda: 5_000)
+    jobs.create_job(det, BASE_MS)
+    jobs.tick(spark, BASE_MS + INTERVAL + 1, state, task_store=tasks)
+    # a crashed historical run leaves a not-ended task doc behind
+    crashed = tasks._new_task(det, "HISTORICAL_HC_DETECTOR",
+                              "HISTORICAL", {})
+    tasks.update_task(crashed["task_id"], state="INIT")
+
+    # delete while the job is enabled refuses, reference message shape
+    with pytest.raises(ValueError, match="Job is running"):
+        delete_detector(spark, jobs, tasks, det, state)
+
+    out = stop_detector(spark, jobs, tasks, det, state, BASE_MS,
+                        stopped_by="ops")
+    assert out["job_stopped"] is True
+    assert jobs.get_job("sd-det")["enabled"] is False
+    assert out["realtime_task"]["state"] == "STOPPED"
+    assert out["historical_task"]["state"] == "STOPPED"
+    assert out["historical_task"]["stopped_by"] == "ops"
+    assert out["historical_task"]["cancelled"] is True
+    # idempotent: nothing left running
+    out2 = stop_detector(spark, jobs, tasks, det, state, BASE_MS)
+    assert out2["job_stopped"] is False
+    assert out2["historical_task"]["state"] == "STOPPED"
+
+    # a fresh not-ended historical blocks delete even with the job off
+    crashed2 = tasks._new_task(det, "HISTORICAL_HC_DETECTOR",
+                               "HISTORICAL", {})
+    tasks.update_task(crashed2["task_id"], state="RUNNING")
+    with pytest.raises(ValueError, match="Historical is running"):
+        delete_detector(spark, jobs, tasks, det, state)
+    tasks.update_task(crashed2["task_id"], state="STOPPED")
+
+    assert os.path.exists(_state_path(state, "sd-det"))
+    delete_detector(spark, jobs, tasks, det, state)
+    assert tasks.list_tasks("sd-det") == []
+    assert "sd-det" not in jobs.list_jobs()
+    assert not os.path.exists(_state_path(state, "sd-det"))
+    # deleting an already-deleted detector is a no-op
+    delete_detector(spark, jobs, tasks, det, state)
