@@ -41,15 +41,21 @@ from .detector import (Detector, TaskCancelledError, _state_path,
                        run_historical)
 
 __all__ = ["TaskStore", "start_historical_task", "profile_task",
-           "update_realtime_task", "stop_detector", "delete_detector",
-           "NUM_MIN_SAMPLES"]
+           "update_realtime_task", "run_once_forecast_task",
+           "stop_detector", "delete_detector", "NUM_MIN_SAMPLES"]
 
 #: TimeSeriesSettings.NUM_MIN_SAMPLES — the RCF update count that
 #: flips a task's state from INIT to RUNNING (init_progress = 1.0)
 NUM_MIN_SAMPLES = 32
 
 #: states a task can still be cancelled in (TaskState.NOT_ENDED_STATES)
-NOT_ENDED_STATES = ("CREATED", "INIT", "RUNNING")
+NOT_ENDED_STATES = ("CREATED", "INIT", "RUNNING", "INIT_TEST")
+
+
+def _config_id(cfg) -> str:
+    """Detector or Forecaster — tasks track both config families
+    (the reference's TimeSeriesTask is shared the same way)."""
+    return getattr(cfg, "detector_id", None) or cfg.forecaster_id
 
 
 def _default_clock() -> int:
@@ -130,16 +136,17 @@ class TaskStore:
             if doc["is_latest"] and doc["task_type"].startswith(prefix):
                 self.update_task(t, is_latest=False)
 
-    def _new_task(self, det: Detector, task_type: str,
+    def _new_task(self, cfg, task_type: str,
                   prefix: str, extra: dict) -> dict:
-        n = sum(1 for t in self.list_tasks(det.detector_id)
+        cid = _config_id(cfg)
+        n = sum(1 for t in self.list_tasks(cid)
                 if self.get_task(t)["task_type"].startswith(prefix))
-        self._flip_latest(det.detector_id, prefix)
+        self._flip_latest(cid, prefix)
         now = self.clock()
         doc = {
-            "task_id": f"{det.detector_id}__{prefix.lower()}_{n}",
+            "task_id": f"{cid}__{prefix.lower()}_{n}",
             "task_type": task_type,
-            "detector_id": det.detector_id,
+            "detector_id": cid,
             "state": "CREATED",
             "task_progress": 0.0,
             "init_progress": None,
@@ -276,6 +283,46 @@ def profile_task(spark: SparkSession, store: TaskStore, task_id: str,
     if det.category_fields:
         out["total_entities_count"] = prof["entity_count"]
     return out
+
+
+def run_once_forecast_task(
+    spark: SparkSession,
+    store: TaskStore,
+    fc,
+    now_ms: int,
+    history_intervals: int = 1024,
+    forecaster=None,
+    started_by: str = "user",
+) -> tuple[dict, DataFrame | None]:
+    """Tracked run-once forecast — the reference's test-mode task
+    family (``ForecastTaskType.RUN_ONCE_FORECAST_SINGLE_STREAM /
+    _HC_FORECASTER``; states ``INIT_TEST`` while running,
+    ``TEST_COMPLETE`` on success, ``INIT_TEST_FAILED`` with the error
+    recorded on failure, ``TaskState.java:66-69``).
+
+    Returns ``(task_doc, results)``; the results frame is forced
+    (``localCheckpoint``) so a failing forecast surfaces here and
+    lands on the task doc, not on the caller's first action."""
+    from .forecast import run_forecast
+
+    task_type = ("RUN_ONCE_FORECAST_HC_FORECASTER" if fc.category_fields
+                 else "RUN_ONCE_FORECAST_SINGLE_STREAM")
+    doc = store._new_task(fc, task_type, "RUN_ONCE",
+                          {"started_by": started_by})
+    store.update_task(doc["task_id"], state="INIT_TEST")
+    try:
+        res = run_forecast(spark, fc, now_ms,
+                           history_intervals=history_intervals,
+                           forecaster=forecaster).localCheckpoint()
+    except Exception as e:
+        store.update_task(doc["task_id"], state="INIT_TEST_FAILED",
+                          error=f"{type(e).__name__}: {e}",
+                          execution_end_time=store.clock())
+        raise
+    doc = store.update_task(doc["task_id"], state="TEST_COMPLETE",
+                            task_progress=1.0,
+                            execution_end_time=store.clock())
+    return doc, res
 
 
 def stop_detector(spark: SparkSession, jobs, tasks: TaskStore,

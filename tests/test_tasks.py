@@ -265,3 +265,47 @@ def test_stop_and_delete_detector(spark, tmp_path_factory):
     assert not os.path.exists(_state_path(state, "sd-det"))
     # deleting an already-deleted detector is a no-op
     delete_detector(spark, jobs, tasks, det, state)
+
+
+def test_run_once_forecast_task(spark, tmp_path_factory):
+    from anomaly_detection_spark.forecast import (Forecaster,
+                                                  holt_forecaster)
+    from anomaly_detection_spark.tasks import run_once_forecast_task
+
+    n = 120
+    vals = 10.0 + 0.5 * np.arange(n)
+    pdf = pd.DataFrame({
+        "service": "A",
+        "ts": [BASE + pd.Timedelta(milliseconds=i * INTERVAL)
+               for i in range(n)],
+        "value": vals,
+    })
+    path = str(tmp_path_factory.mktemp("rof") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    fc = Forecaster(
+        forecaster_id="rof-fc", indices=path,
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL, horizon=6,
+        category_fields=("service",))
+    store = TaskStore(str(tmp_path_factory.mktemp("rof_tasks")),
+                      clock=lambda: 6_000)
+    now = BASE_MS + n * INTERVAL + 1
+    doc, res = run_once_forecast_task(
+        spark, store, fc, now, forecaster=holt_forecaster(6))
+    assert doc["task_type"] == "RUN_ONCE_FORECAST_HC_FORECASTER"
+    assert doc["state"] == "TEST_COMPLETE"
+    assert doc["task_progress"] == 1.0
+    assert doc["detector_id"] == "rof-fc"
+    assert res.count() == 6
+
+    # failure path: unreadable source → INIT_TEST_FAILED, error kept
+    bad = Forecaster(
+        forecaster_id="rof-bad", indices="/nonexistent/rof",
+        feature_specs={"v": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=INTERVAL, horizon=6)
+    with pytest.raises(Exception):
+        run_once_forecast_task(spark, store, bad, now)
+    fdoc = store.latest_task("rof-bad", prefix="RUN_ONCE")
+    assert fdoc["task_type"] == "RUN_ONCE_FORECAST_SINGLE_STREAM"
+    assert fdoc["state"] == "INIT_TEST_FAILED"
+    assert fdoc["error"]
