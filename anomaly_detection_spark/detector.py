@@ -529,7 +529,8 @@ def _state_path(state_dir: str, detector_id: str) -> str:
 
 def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
                       state_dir: str, eps: float = 1e-9,
-                      scorer_factory=None, cache_policy=None) -> DataFrame:
+                      scorer_factory=None, cache_policy=None,
+                      cold_start_history: int | None = None) -> DataFrame:
     """One realtime interval using checkpointed per-entity state.
 
     Produces rows identical to :func:`preview`'s output at the same
@@ -562,6 +563,22 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
     evicted entities lose their model rows and cold-start on
     re-admission.  With no policy every entity is hosted (the
     single-stream posture).
+
+    ``cold_start_history`` enables the reference's historical
+    cold-start training (``ModelColdStart.java:340-418``,
+    ``ADColdStart.java:192``): an (entity, feature) with NO state row
+    trains on up to ``max(32, cold_start_history)`` trailing interval
+    features ending at the CURRENT bucket's start (training excludes
+    the scored interval, like the reference's ``endTimeMs =
+    dataStartTime``), with interior gaps linearly interpolated
+    between present neighboring samples — so a detector started over
+    existing data initializes in ONE call instead of waiting out the
+    warm-up in live intervals.  Training replays the exact live
+    recurrence, so a cold-started state equals the state a sequential
+    interval-by-interval run over the same history would have built.
+    The trailing scan is restricted to new entities by a broadcast
+    semi-join before aggregation (at steady state new entities per
+    interval are few).
     """
     import numpy as np
     import pandas as pd
@@ -630,6 +647,43 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
         cur = cur.join(hot, gcols, "left_semi")
 
     joined = state.join(cur, [*gcols, "_feat"], "full_outer")
+    if cold_start_history:
+        # selectNumberOfSamples: at least numMinSamples (32)
+        n_train = max(32, int(cold_start_history))
+        new_keys = (cur.select(*gcols, "_feat").distinct()
+                    .join(state.select(*gcols, "_feat").distinct(),
+                          [*gcols, "_feat"], "left_anti"))
+        src_new = (src.join(F.broadcast(new_keys.select(*ent).distinct()),
+                            ent, "left_semi") if ent else src)
+        rng_h = {"range": {det.time_field: {
+            "gte": start - n_train * det.interval_ms, "lt": start}}}
+        qh = ({"bool": {"filter": [rng_h, det.filter_query]}}
+              if det.filter_query else rng_h)
+        fmh = feature_matrix(src_new, det.time_field, det.interval_ms,
+                             det.feature_specs,
+                             entity_cols=tuple(det.category_fields),
+                             filter_cond=compile_filter(src_new, qh))
+        bh = fmh if ent else fmh.withColumn("_g", F.lit("_"))
+        cs = (bh.select(
+                  *gcols,
+                  F.unix_millis(F.col("bucket_start").cast("timestamp"))
+                  .alias("_bms"),
+                  F.expr(f"stack({len(feats)}, {pairs})")
+                  .alias("_feat", "_hv"))
+              .filter(F.col("_hv").isNotNull())
+              .groupBy(*gcols, "_feat")
+              .agg(F.array_sort(F.collect_list(F.struct("_bms", "_hv")))
+                   .alias("_p"))
+              .select(*gcols, "_feat",
+                      F.col("_p._bms").alias("_cs_ms"),
+                      F.col("_p._hv").alias("_cs_v"))
+              .join(new_keys, [*gcols, "_feat"], "left_semi"))
+        joined = joined.join(cs, [*gcols, "_feat"], "left_outer")
+    else:
+        joined = (joined
+                  .withColumn("_cs_ms", F.lit(None).cast("array<long>"))
+                  .withColumn("_cs_v", F.lit(None).cast("array<double>")))
+    interval_ms = det.interval_ms
     upd_schema = T.StructType(list(state_fields)
                               + [T.StructField("_z", T.DoubleType())])
 
@@ -651,6 +705,44 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
             z = np.full(n, np.nan)
             models = list(pdf["model"]) if "model" in pdf.columns \
                 else [None] * n
+            extra_cnt = np.zeros(n, dtype=np.int64)
+            # historical cold start: rows with no prior state train on
+            # the joined trailing series before the live update below
+            # runs (the recurrence is the live one, so the resulting
+            # state equals a sequential run over the same history)
+            for i in range(n):
+                hv = pdf["_cs_v"].iloc[i]
+                if (hv is None or (isinstance(hv, float) and pd.isna(hv))
+                        or len(hv) == 0 or not ingest[i]
+                        or lens[i] > 0 or not (
+                            models[i] is None
+                            or (isinstance(models[i], float)
+                                and pd.isna(models[i])))):
+                    continue
+                times = np.asarray(pdf["_cs_ms"].iloc[i], dtype=np.float64)
+                values = np.asarray(hv, dtype=np.float64)
+                if len(times) > 1:
+                    # interpolate interior gaps between present
+                    # neighboring samples (ModelColdStart.java:346)
+                    grid = np.arange(times[0],
+                                     times[-1] + interval_ms / 2,
+                                     interval_ms)
+                    values = np.interp(grid, times, values)
+                if scorer_factory is not None:
+                    stream = scorer_factory()
+                    for val in values:
+                        zt, _ = stream.update(float(val))
+                        if not np.isnan(zt):
+                            extra_cnt[i] += 1
+                    models[i] = stream.to_bytes()
+                else:
+                    w: list = []
+                    for val in values:
+                        if len(w) == k:
+                            extra_cnt[i] += 1
+                        w = (w + [float(val)])[-k:]
+                    vals_list[i] = w
+                    lens[i] = len(w)
             if scorer_factory is not None:
                 # one checkpointed streaming model per row (a row IS one
                 # entity-feature model — the per-entity loop mirrors the
@@ -680,11 +772,13 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
                 else vals_list[i]
                 for i in range(n)]
             cnt = pdf["scored_cnt"].fillna(0).to_numpy(dtype=np.int64)
-            cnt = cnt + ((~np.isnan(z)) & ingest).astype(np.int64)
+            cnt = cnt + extra_cnt \
+                + ((~np.isnan(z)) & ingest).astype(np.int64)
             new_lm = np.where(ingest, float(start), lm)
             new_lz = np.where(ingest, z, lz)
             out = pdf.drop(columns=["vals", "scored_cnt", "last_ms",
-                                    "last_z", "_v", "model"],
+                                    "last_z", "_v", "model",
+                                    "_cs_ms", "_cs_v"],
                            errors="ignore").copy()
             out["vals"] = newvals
             out["scored_cnt"] = cnt
