@@ -833,7 +833,8 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
 def run_once_stateful_joint(spark: SparkSession, det: Detector,
                             now_ms: int, state_dir: str,
                             stream_factory=None,
-                            scorer_factory=None) -> DataFrame:
+                            scorer_factory=None,
+                            cold_start_history: int | None = None) -> DataFrame:
     """One realtime interval with ONE checkpointed JOINT multivariate
     model per entity — the reference's actual model shape (one
     ThresholdedRandomCutForest over the feature vector per entity,
@@ -857,6 +858,15 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
     path — configure imputation upstream for gappy entities.  State
     lives under ``<detector_id>__joint`` so the two stateful modes
     never read each other's schema.
+
+    ``cold_start_history`` trains a NEW entity's joint model on up to
+    ``max(32, N)`` trailing complete-feature buckets ending at the
+    scored bucket's start (the scalar path's historical cold start,
+    ``ModelColdStart.java:340-418``) — feeding the exact live
+    recurrence, so the cold-started model is byte-identical to a
+    sequential run's.  Unlike the scalar path no interior
+    interpolation happens: the joint path skips incomplete buckets
+    live, and cold start mirrors that.
     """
     import pickle
 
@@ -921,6 +931,37 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
         state = spark.createDataFrame([], state_schema)
 
     joined = state.join(cur, gcols, "full_outer")
+    if cold_start_history:
+        n_train = max(32, int(cold_start_history))
+        new_ent = (cur.select(*gcols).distinct()
+                   .join(state.select(*gcols).distinct(), gcols,
+                         "left_anti"))
+        src_new = (src.join(F.broadcast(new_ent), ent, "left_semi")
+                   if ent else src)
+        rng_h = {"range": {det.time_field: {
+            "gte": start - n_train * det.interval_ms, "lt": start}}}
+        qh = ({"bool": {"filter": [rng_h, det.filter_query]}}
+              if det.filter_query else rng_h)
+        fmh = feature_matrix(src_new, det.time_field, det.interval_ms,
+                             det.feature_specs,
+                             entity_cols=tuple(det.category_fields),
+                             filter_cond=compile_filter(src_new, qh))
+        bhh = fmh if ent else fmh.withColumn("_g", F.lit("_"))
+        csj = (bhh.filter(cond_all)
+               .select(*gcols,
+                       F.unix_millis(F.col("bucket_start")
+                                     .cast("timestamp")).alias("_bms"),
+                       F.array(*[F.col(nm).cast("double")
+                                 for nm in feats]).alias("_hvec"))
+               .groupBy(*gcols)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("_bms", "_hvec"))).alias("_p"))
+               .select(*gcols, F.col("_p._hvec").alias("_cs_vecs"))
+               .join(new_ent, gcols, "left_semi"))
+        joined = joined.join(csj, gcols, "left_outer")
+    else:
+        joined = joined.withColumn(
+            "_cs_vecs", F.lit(None).cast("array<array<double>>"))
     out_extra = [T.StructField("_z", T.DoubleType()),
                  T.StructField("_exp", T.ArrayType(T.DoubleType())),
                  T.StructField("_attr", T.ArrayType(T.DoubleType())),
@@ -941,6 +982,7 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
             lm = pdf["last_ms"].to_numpy(dtype=np.float64)
             lm_orig = lm.copy()                  # pre-ingest snapshot
             vecs = list(pdf["_vec"])
+            extra_cnt = np.zeros(n, dtype=np.int64)
 
             def has(x):
                 return x is not None and not (isinstance(x, float)
@@ -960,6 +1002,20 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
                     continue
                 if lm[i] > float(start):             # out-of-order call
                     continue
+                cvs = pdf["_cs_vecs"].iloc[i]
+                if (not has(models[i]) and has(cvs) and len(cvs)
+                        and np.isnan(lm_orig[i])):
+                    # historical cold start: train the fresh joint
+                    # model on the trailing complete-feature buckets
+                    # through the live recurrence
+                    cs_stream = stream_factory()
+                    for hv in cvs:
+                        zt, _ = cs_stream.update(
+                            float(hv[0]) if nf == 1
+                            else [float(x) for x in hv])
+                        if zt == zt:
+                            extra_cnt[i] += 1
+                    models[i] = cs_stream.to_bytes()
                 stream = (stream_factory() if not has(models[i])
                           else stream_factory.restore(bytes(models[i])))
                 # an F=1 stream takes a scalar (RCFStream.update's
@@ -983,9 +1039,9 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
             # count only fresh scores (replays already counted)
             fresh = (~np.isnan(z)) & (np.isnan(lm_orig)
                                       | (lm_orig != float(start)))
-            cnt = cnt + fresh.astype(np.int64)
+            cnt = cnt + extra_cnt + fresh.astype(np.int64)
             out = pdf.drop(columns=["_vec", "scored_cnt", "last_ms",
-                                    "model", "last_out"],
+                                    "model", "last_out", "_cs_vecs"],
                            errors="ignore").copy()
             out["scored_cnt"] = cnt
             out["last_ms"] = pd.Series(lm).astype("Int64")

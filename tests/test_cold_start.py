@@ -153,3 +153,59 @@ def test_cold_start_existing_entities_untouched(spark, tmp_path_factory):
     assert list(after["vals"].iloc[0]) == \
         list(before["vals"].iloc[0]) + [after["vals"].iloc[0][-1]]
     assert after["scored_cnt"].iloc[0] <= before["scored_cnt"].iloc[0] + 1
+
+
+def test_cold_start_joint_equals_sequential(spark, tmp_path_factory):
+    from anomaly_detection_spark.detector import run_once_stateful_joint
+    from anomaly_detection_spark.features import rcf_stream_factory
+
+    rng = np.random.default_rng(19)
+    n = 40
+    pdf = pd.DataFrame({
+        "service": "A",
+        "ts": [BASE + pd.Timedelta(milliseconds=i * INTERVAL)
+               for i in range(n)],
+        "value": rng.normal(10, 1, n),
+        "lat": rng.normal(100, 5, n),
+    })
+    path = str(tmp_path_factory.mktemp("csj") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+
+    def det(det_id):
+        return Detector(
+            detector_id=det_id, indices=path,
+            feature_specs={"v": {"avg": {"field": "value"}},
+                           "l": {"avg": {"field": "lat"}}},
+            time_field="ts", interval_ms=INTERVAL,
+            category_fields=("service",), shingle_size=4,
+            confidence_ramp=8)
+
+    def factory():
+        return rcf_stream_factory(n_trees=10, sample_size=64,
+                                  shingle=4, min_samples=8,
+                                  n_features=2)
+
+    seq_state = str(tmp_path_factory.mktemp("csj_seq"))
+    last = None
+    for i in range(n):
+        last = run_once_stateful_joint(
+            spark, det("csj-seq"), BASE_MS + (i + 1) * INTERVAL + 1,
+            seq_state, stream_factory=factory())
+    seq_rows = sorted(last.select("service", "anomaly_score",
+                                  "confidence").collect())
+
+    cold_state = str(tmp_path_factory.mktemp("csj_cold"))
+    cold = run_once_stateful_joint(
+        spark, det("csj-cold"), BASE_MS + n * INTERVAL + 1, cold_state,
+        stream_factory=factory(), cold_start_history=64)
+    cold_rows = sorted(cold.select("service", "anomaly_score",
+                                   "confidence").collect())
+    assert cold_rows == seq_rows
+
+    from anomaly_detection_spark.detector import _state_path
+    sA = spark.read.parquet(
+        _state_path(seq_state, "csj-seq__joint")).toPandas()
+    sB = spark.read.parquet(
+        _state_path(cold_state, "csj-cold__joint")).toPandas()
+    assert bytes(sB["model"].iloc[0]) == bytes(sA["model"].iloc[0])
+    assert sB["scored_cnt"].iloc[0] == sA["scored_cnt"].iloc[0]
