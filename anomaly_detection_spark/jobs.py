@@ -177,6 +177,7 @@ class JobStore:
              scorer_factory=None,
              runner: Callable[..., DataFrame] | None = None,
              task_store=None,
+             cold_start_history: int | None = None,
              ) -> dict[str, Any]:
         """Run every due, enabled, unlocked job once for its latest
         closed interval.  Returns ``{job_id: result DataFrame}`` for
@@ -214,8 +215,13 @@ class JobStore:
             det = None
             try:
                 det = _det_from_json(doc["detector"])
+                # the reference's job processor always cold-starts new
+                # models from history (ModelColdStart); pass-through is
+                # opt-in here so custom runners keep their signature
+                kw = ({"cold_start_history": cold_start_history}
+                      if cold_start_history else {})
                 res = run(spark, det, now_ms, state_dir,
-                          scorer_factory=scorer_factory)
+                          scorer_factory=scorer_factory, **kw)
                 out[job_id] = res
                 upd["last_end_ms"] = end
                 upd["end_run_count"] = 0

@@ -90,6 +90,15 @@ def profile_detector(spark: SparkSession, det: Detector,
         "detector_id": det.detector_id,
         "state": state,
         "init_progress": round(progress, 6),
+        # InitProgressProfile content (ProfileRunner wraps the bare
+        # percentage the same way) — only while still initializing
+        **({"init_progress_detail": {
+            "percentage": round(progress, 6),
+            "needed_intervals": int(det.confidence_ramp - min_cnt),
+            "estimated_minutes_left": round(
+                (det.confidence_ramp - min_cnt)
+                * det.interval_ms / 60_000.0, 3),
+        }} if progress < 1.0 else {}),
         "entity_count": int(n_entities),
         "model_count": int(row["models"]),
         "total_model_bytes": int(row["model_bytes"] or 0),

@@ -209,3 +209,33 @@ def test_cold_start_joint_equals_sequential(spark, tmp_path_factory):
         _state_path(cold_state, "csj-cold__joint")).toPandas()
     assert bytes(sB["model"].iloc[0]) == bytes(sA["model"].iloc[0])
     assert sB["scored_cnt"].iloc[0] == sA["scored_cnt"].iloc[0]
+
+
+def test_tick_cold_start_passthrough(spark, tmp_path_factory):
+    from anomaly_detection_spark.jobs import JobStore
+    from anomaly_detection_spark.profile import profile_detector
+
+    rng = np.random.default_rng(23)
+    rows = [("A", i, float(v)) for i, v in enumerate(rng.normal(10, 1, 30))]
+    path = _write(spark, tmp_path_factory, rows)
+    state = str(tmp_path_factory.mktemp("tcs"))
+    det = _det(path, "tick-cs")
+    jobs = JobStore(str(tmp_path_factory.mktemp("tcs_jobs")))
+    jobs.create_job(det, BASE_MS)
+    # one tick at interval 20, cold-starting from the 20 prior buckets
+    jobs.tick(spark, BASE_MS + 21 * INTERVAL + 1, state,
+              cold_start_history=64)
+    p = profile_detector(spark, det, state)
+    # 20 history buckets → 16 scored + live = 17 >= ramp 8 → READY
+    assert p["state"] == "READY" and p["init_progress"] == 1.0
+    assert "init_progress_detail" not in p
+
+    # a fresh detector with no runs reports the InitProgressProfile
+    det2 = _det(path, "tick-cs2")
+    run_once_stateful(spark, det2, BASE_MS + 6 * INTERVAL + 1, state)
+    p2 = profile_detector(spark, det2, state)
+    assert p2["state"] == "RUNNING"
+    d = p2["init_progress_detail"]
+    assert d["percentage"] == p2["init_progress"]
+    assert d["needed_intervals"] == 8
+    assert d["estimated_minutes_left"] == 80.0
