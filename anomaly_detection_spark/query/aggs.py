@@ -1008,6 +1008,64 @@ def ip_range_agg(
             .orderBy("range_id"))
 
 
+def _ipv4_str(col: Column) -> Column:
+    """Long → dotted-quad IPv4 string, pure codegen."""
+    return F.concat_ws(
+        ".",
+        F.shiftright(col, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(col, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(col, 8).bitwiseAND(F.lit(255)).cast("string"),
+        col.bitwiseAND(F.lit(255)).cast("string"))
+
+
+def ip_prefix_agg(
+    df: DataFrame,
+    field: str,
+    prefix_length: int,
+    is_ipv6: bool = False,
+    append_prefix_length: bool = False,
+    min_doc_count: int = 1,
+    sub_specs: dict[str, dict] | None = None,
+) -> DataFrame:
+    """``ip_prefix`` agg (IpPrefixAggregationBuilder): one bucket per
+    network prefix of the IPv4 field at ``prefix_length`` bits, keyed
+    by the network address (``append_prefix_length`` appends
+    ``/<len>`` like the reference), sorted ascending by address.
+
+    The mask is a single codegen ``bitwiseAND`` over the same
+    string→long conversion as :func:`ip_range_agg` — one map-side
+    combinable groupBy over a ≤2^prefix_length key space, so the
+    shape is a plain partial-agg shuffle at any corpus size.
+    Invalid / null addresses never bucket (the reference's missing
+    handling); ``is_ipv6`` raises (the engine stores IPv4 quads)."""
+    if is_ipv6:
+        raise ValueError("ip_prefix supports IPv4 only (is_ipv6=true)")
+    if not 0 <= int(prefix_length) <= 32:
+        raise ValueError(
+            f"ip_prefix prefix_length must be in [0, 32]: "
+            f"{prefix_length}")
+    sub_specs = sub_specs or {}
+    mask = (0xFFFFFFFF << (32 - int(prefix_length))) & 0xFFFFFFFF
+    v = _ipv4_long(F.col(field))
+    net = v.bitwiseAND(F.lit(mask))
+    key = _ipv4_str(F.col("_net"))
+    if append_prefix_length:
+        key = F.concat(key, F.lit(f"/{int(prefix_length)}"))
+    out = (df.withColumn("_net", net)
+           .filter(F.col("_net").isNotNull())
+           .groupBy("_net")
+           .agg(F.count("*").alias("doc_count"),
+                *metric_agg_cols(sub_specs)))
+    if min_doc_count > 1:
+        out = out.filter(F.col("doc_count") >= min_doc_count)
+    return (out.withColumn("key", key)
+            .orderBy("_net")
+            .drop("_net")
+            .select("key", "doc_count",
+                    *[c for c in out.columns
+                      if c not in ("_net", "doc_count")]))
+
+
 def top_hits_agg(
     df: DataFrame,
     group_cols: list[str],

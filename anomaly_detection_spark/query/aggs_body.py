@@ -660,6 +660,22 @@ def run_aggs(df: DataFrame, body: dict[str, Any]) -> dict[str, DataFrame]:
                                          kbody["ranges"],
                                          sub_specs=metrics)
             continue
+        if kind == "ip_prefix":
+            from .aggs import ip_prefix_agg
+
+            bad = set(kbody) - {"field", "prefix_length", "is_ipv6",
+                                "append_prefix_length", "min_doc_count"}
+            if bad:
+                raise ValueError(
+                    f"ip_prefix agg options {sorted(bad)} unsupported")
+            results[name] = ip_prefix_agg(
+                df, kbody["field"], kbody["prefix_length"],
+                is_ipv6=kbody.get("is_ipv6", False),
+                append_prefix_length=kbody.get("append_prefix_length",
+                                               False),
+                min_doc_count=kbody.get("min_doc_count", 1),
+                sub_specs=metrics)
+            continue
         if kind == "geo_distance":
             from .aggs import geo_distance_agg
 

@@ -166,6 +166,36 @@ def test_ip_range_agg(spark):
             "field": "ip", "ranges": [{"from": "::1"}]}}}})
 
 
+def test_ip_prefix_agg(spark):
+    rows = [(0, "10.0.0.1"), (1, "10.0.0.120"), (2, "10.0.0.200"),
+            (3, "192.168.1.1"), (4, "not-an-ip"), (5, None),
+            (6, "10.0.0.5"), (7, "10.0.1.9")]
+    df = spark.createDataFrame(rows, "id long, ip string")
+    out = run_aggs(df, {"aggs": {"p": {"ip_prefix": {
+        "field": "ip", "prefix_length": 24}}}})["p"].collect()
+    # sorted ascending by network address; invalid / null never bucket
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        ("10.0.0.0", 4), ("10.0.1.0", 1), ("192.168.1.0", 1)]
+    out = run_aggs(df, {"aggs": {"p": {
+        "ip_prefix": {"field": "ip", "prefix_length": 25,
+                      "append_prefix_length": True, "min_doc_count": 2},
+        "aggs": {"mx": {"max": {"field": "id"}}}}}})["p"].collect()
+    # /25 splits 10.0.0.x at 128: {.1,.5,.120} vs {.200}; mdc=2 keeps
+    # only the low half; sub-agg rides the same groupBy
+    assert [(r["key"], r["doc_count"], r["mx"]) for r in out] == [
+        ("10.0.0.0/25", 3, 6.0)]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="IPv4"):
+        run_aggs(df, {"aggs": {"p": {"ip_prefix": {
+            "field": "ip", "prefix_length": 64, "is_ipv6": True}}}})
+    with _pt.raises(ValueError, match="prefix_length"):
+        run_aggs(df, {"aggs": {"p": {"ip_prefix": {
+            "field": "ip", "prefix_length": 33}}}})
+    with _pt.raises(ValueError, match="unsupported"):
+        run_aggs(df, {"aggs": {"p": {"ip_prefix": {
+            "field": "ip", "prefix_length": 24, "keyed": True}}}})
+
+
 def test_parent_id_query(spark):
     from anomaly_detection_spark.query.relations import parent_id
 
