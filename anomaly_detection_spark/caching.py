@@ -37,9 +37,11 @@ Divergences, documented:
   reference routes them to a rate-limited cold-entity worker whose
   results also arrive in later intervals).
 * one cache table per detector; the cross-detector shared-cache
-  replacement (PriorityCache.canReplaceInSharedCache) compares
-  ``scaled_priority`` across tables — the scaling helper is provided,
-  the multi-detector arbitration loop is not.
+  replacement (PriorityCache.canReplaceInSharedCache) runs as a
+  per-tick rebalance step (:func:`rebalance_shared_cache`) rather
+  than inside each get() call — same fixed point (an entity is hosted
+  iff its scaled priority ranks inside the shared pool after every
+  detector's dedicated slots), applied once per interval.
 """
 
 from __future__ import annotations
@@ -348,3 +350,193 @@ def admit_entities(spark: SparkSession, state_dir: str, detector_id: str,
     _swap_state_dir(out, cpath, [f.name for f in schema.fields])
     return hot.localCheckpoint(), cold.localCheckpoint(), \
         evicted.localCheckpoint()
+
+
+_CACHE_META_COLS = ("dk_count", "priority", "hosted", "landmark_ms",
+                    "dk_reset_ms", "last_hit_ms")
+
+
+def _drop_state_keys(spark: SparkSession, state_dir: str,
+                     detector_id: str, keys: list[tuple],
+                     key_fields: list[T.StructField]) -> None:
+    """Drop the state rows (scalar AND joint layouts) of the given
+    entity keys — the model-byte release of a shared-cache eviction."""
+    from .detector import _state_path, _swap_state_dir
+
+    key_cols = [f.name for f in key_fields]
+    kdf = spark.createDataFrame(keys, T.StructType(key_fields))
+    for ident in (detector_id, f"{detector_id}__joint"):
+        spath = _state_path(state_dir, ident)
+        if not os.path.exists(spath):
+            continue
+        state = spark.read.parquet(spath)
+        if not set(key_cols) <= set(state.columns):
+            continue
+        kept = state.join(kdf, key_cols, "left_anti").localCheckpoint()
+        _swap_state_dir(kept, spath, state.columns)
+
+
+def rebalance_shared_cache(
+    spark: SparkSession, state_dir: str,
+    configs: list[tuple[str, CachePolicy]],
+    shared_memory_bytes: int, now_ms: int, interval_ms: int,
+) -> tuple[dict[str, CachePolicy], dict]:
+    """Cross-detector shared-cache arbitration —
+    ``PriorityCache.canReplaceInSharedCache`` (PriorityCache.java:
+    314-326, 515-537) over one GLOBAL shared pool instead of the
+    per-detector static split a lone :class:`CachePolicy` models.
+
+    The reference lets any detector's CacheBuffer grow into shared
+    memory until ``MemoryTracker.canAllocate`` fails, then lets a
+    candidate whose **scaled** priority (``p − inc(now)``, comparable
+    across detectors with different landmarks) is STRICTLY greater
+    evict the minimum-scaled-priority entity of another buffer — but
+    only entities beyond that buffer's dedicated slots
+    (``CacheBuffer.canRemove``: size > minimumCapacity).  Run to its
+    fixed point, that rule hosts exactly the globally top-priority
+    entities in the shared pool, after each detector's dedicated
+    slots; this function computes that fixed point once per tick:
+
+    1. per detector, the top ``dedicated_cache_size`` hosted entities
+       (by scaled priority) occupy dedicated slots — never arbitrated;
+       remaining hosted entities are shared-pool INCUMBENTS, and
+       doorkeeper-passed tracked non-hosted entities are CANDIDATES
+       (each bounded to the detector's own maximum admissible count
+       before the driver-side pull, so the pairing stays
+       budget-bounded like :func:`admit_entities`),
+    2. candidates first take their own detector's free dedicated
+       slots (``dedicatedCacheAvailable`` → put),
+    3. incumbents and remaining candidates compete for
+       ``shared_memory_bytes`` in scaled-priority order, incumbents
+       winning ties (the reference's strict-greater rule); each
+       entity costs its own detector's ``model_bytes``,
+    4. losing incumbents are EVICTED — their state rows (scalar +
+       joint) drop immediately and their cache ``hosted`` flag
+       clears; winning candidates flip ``hosted`` (their model rows
+       appear on their next interval, the cold-start-on-admission
+       posture :func:`admit_entities` already has).
+
+    Returns ``(policies, report)``: ``policies[detector_id]`` is the
+    input policy with ``shared_memory_bytes`` set to the bytes this
+    detector WON, so the caller's next per-detector
+    ``run_once_stateful(cache_policy=...)`` admits exactly the
+    arbitrated set; ``report`` lists admissions/evictions per
+    detector.  Detectors without a cache table yet keep zero shared
+    bytes (nothing tracked to rank)."""
+    import pandas as pd
+
+    per_det: list[dict] = []
+    for det_id, pol in configs:
+        cpath = _cache_path(state_dir, det_id)
+        info = {"id": det_id, "pol": pol, "cache": None}
+        per_det.append(info)
+        if not os.path.exists(cpath):
+            continue
+        cache = spark.read.parquet(cpath)
+        key_cols = [c for c in cache.columns
+                    if c not in _CACHE_META_COLS]
+        meta = cache.agg(F.min("landmark_ms")).first()
+        landmark = meta[0] if meta[0] is not None else now_ms
+        inc = priority_increment(now_ms, landmark, interval_ms)
+        sp = (F.coalesce(F.col("priority"), F.lit(0.0))
+              - F.lit(float(inc))).alias("_sp")
+        hosted = (cache.filter(F.col("hosted"))
+                  .select(*key_cols, sp)
+                  .orderBy(F.col("_sp").desc(), *key_cols).toPandas())
+        max_admit = int(pol.dedicated_cache_size
+                        + shared_memory_bytes
+                        // max(1, pol.model_bytes))
+        cand = (cache.filter(~F.coalesce(F.col("hosted"), F.lit(False))
+                             & (F.col("dk_count")
+                                >= pol.doorkeeper_count_threshold)
+                             & F.col("priority").isNotNull())
+                .select(*key_cols, sp)
+                .orderBy(F.col("_sp").desc(), *key_cols)
+                .limit(max_admit).toPandas())
+        info.update(cache=cpath, key_cols=key_cols,
+                    key_fields=[f for f in cache.schema.fields
+                                if f.name in key_cols],
+                    hosted=hosted, cand=cand)
+
+    # step 2/3: one global greedy fill of the shared pool
+    entries = []  # (neg scaled, incumbent-first, det idx, key) → cost
+    dedicated_admits: dict[int, list[tuple]] = {}
+    for i, info in enumerate(per_det):
+        if info["cache"] is None:
+            continue
+        pol, kc = info["pol"], info["key_cols"]
+        ded = pol.dedicated_cache_size
+        hosted, cand = info["hosted"], info["cand"]
+        free_ded = max(0, ded - len(hosted))
+        dedicated_admits[i] = [
+            tuple(r[c] for c in kc)
+            for r in cand.head(free_ded).to_dict("records")]
+        for r in hosted.iloc[ded:].to_dict("records"):
+            entries.append((-r["_sp"], 0, i,
+                            tuple(r[c] for c in kc)))
+        for r in cand.iloc[free_ded:].to_dict("records"):
+            entries.append((-r["_sp"], 1, i,
+                            tuple(r[c] for c in kc)))
+    entries.sort(key=lambda e: (e[0], e[1], per_det[e[2]]["id"], e[3]))
+    remaining = int(shared_memory_bytes)
+    winners: set[tuple[int, tuple]] = set()
+    won_bytes = [0] * len(per_det)
+    for neg_sp, _inc_first, i, key in entries:
+        cost = max(1, per_det[i]["pol"].model_bytes)
+        if cost <= remaining:
+            remaining -= cost
+            winners.add((i, key))
+            won_bytes[i] += cost
+
+    # step 4: apply per detector
+    from .detector import _swap_state_dir
+
+    policies: dict[str, CachePolicy] = {}
+    report: dict = {}
+    for i, info in enumerate(per_det):
+        det_id, pol = info["id"], info["pol"]
+        from dataclasses import replace
+
+        policies[det_id] = replace(pol, shared_memory_bytes=won_bytes[i])
+        if info["cache"] is None:
+            report[det_id] = {"admitted": [], "evicted": []}
+            continue
+        kc, ded = info["key_cols"], pol.dedicated_cache_size
+        evicted = [tuple(r[c] for c in kc)
+                   for r in info["hosted"].iloc[ded:].to_dict("records")
+                   if (i, tuple(r[c] for c in kc)) not in winners]
+        admitted = dedicated_admits.get(i, []) + [
+            key for (_n, first, j, key)
+            in ((e[0], e[1], e[2], e[3]) for e in entries)
+            if j == i and first == 1 and (i, key) in winners]
+        report[det_id] = {"admitted": admitted, "evicted": evicted}
+        if not admitted and not evicted:
+            continue
+        if evicted:
+            _drop_state_keys(spark, state_dir, det_id, evicted,
+                             info["key_fields"])
+        cache = spark.read.parquet(info["cache"])
+        cols = cache.columns
+
+        def _keys_df(keys: list[tuple]):
+            return spark.createDataFrame(
+                keys, T.StructType(info["key_fields"]))
+
+        if evicted:
+            cache = (cache.join(_keys_df(evicted).withColumn(
+                        "_ev", F.lit(True)), kc, "left_outer")
+                     .withColumn("hosted",
+                                 F.when(F.coalesce("_ev", F.lit(False)),
+                                        F.lit(False))
+                                 .otherwise(F.col("hosted")))
+                     .drop("_ev"))
+        if admitted:
+            cache = (cache.join(_keys_df(admitted).withColumn(
+                        "_ad", F.lit(True)), kc, "left_outer")
+                     .withColumn("hosted",
+                                 F.when(F.coalesce("_ad", F.lit(False)),
+                                        F.lit(True))
+                                 .otherwise(F.col("hosted")))
+                     .drop("_ad"))
+        _swap_state_dir(cache.localCheckpoint(), info["cache"], cols)
+    return policies, report

@@ -169,3 +169,111 @@ def test_run_once_stateful_cache_policy_bounds_models(spark, tmp_path):
     assert state.select("service").distinct().count() == 1
     # deterministic winner: first fill is priority-tie -> key asc
     assert state.select("service").first().service == "a"
+
+
+def _write_cache(spark, state_dir, det_id, rows, landmark):
+    """rows: (service, priority, hosted) with dk_count=5 (past gate)."""
+    from anomaly_detection_spark.caching import _cache_path
+
+    pdf = pd.DataFrame(rows, columns=["service", "priority", "hosted"])
+    pdf["dk_count"] = 5
+    pdf["landmark_ms"] = landmark
+    pdf["dk_reset_ms"] = landmark
+    pdf["last_hit_ms"] = landmark
+    (spark.createDataFrame(pdf)
+     .select("service", "dk_count", "priority", "hosted",
+             "landmark_ms", "dk_reset_ms", "last_hit_ms")
+     .write.mode("overwrite").parquet(_cache_path(state_dir, det_id)))
+
+
+def _write_state(spark, state_dir, det_id, services):
+    from anomaly_detection_spark.detector import _state_path
+
+    pdf = pd.DataFrame({"service": services, "_feat": "v",
+                        "last_ms": T0, "scored_cnt": 40})
+    (spark.createDataFrame(pdf).write.mode("overwrite")
+     .parquet(_state_path(state_dir, det_id)))
+
+
+def test_rebalance_shared_cache_cross_detector(spark, tmp_path):
+    from anomaly_detection_spark.caching import rebalance_shared_cache
+    from anomaly_detection_spark.detector import _state_path
+
+    sd = str(tmp_path)
+    now = T0 + 10 * MIN
+    # A hosts a1 (dedicated) + a2 (shared incumbent, scaled 2.0);
+    # B hosts b1 (dedicated) and tracks candidate b2 (scaled 5.0)
+    _write_cache(spark, sd, "A", [("a1", 10.0, True), ("a2", 2.0, True)],
+                 T0)
+    _write_cache(spark, sd, "B", [("b1", 50.0, True), ("b2", 5.0, False)],
+                 T0)
+    _write_state(spark, sd, "A", ["a1", "a2"])
+    _write_state(spark, sd, "B", ["b1"])
+    pol = CachePolicy(dedicated_cache_size=1, model_bytes=1)
+    policies, report = rebalance_shared_cache(
+        spark, sd, [("A", pol), ("B", pol)], shared_memory_bytes=1,
+        now_ms=now, interval_ms=MIN)
+    # strictly greater candidate evicts the other detector's minimum
+    assert report["A"] == {"admitted": [], "evicted": [("a2",)]}
+    assert report["B"] == {"admitted": [("b2",)], "evicted": []}
+    assert policies["A"].shared_memory_bytes == 0
+    assert policies["B"].shared_memory_bytes == 1
+    # the evicted entity's model rows are GONE; the dedicated one stays
+    sa = spark.read.parquet(_state_path(sd, "A")).toPandas()
+    assert sorted(sa["service"]) == ["a1"]
+    # cache flags track the arbitration
+    from anomaly_detection_spark.caching import _cache_path
+    ca = spark.read.parquet(_cache_path(sd, "A")).toPandas()
+    assert not ca.set_index("service")["hosted"]["a2"]
+    cb = spark.read.parquet(_cache_path(sd, "B")).toPandas()
+    assert cb.set_index("service")["hosted"]["b2"]
+
+
+def test_rebalance_ties_keep_incumbent_and_dedicated_is_free(
+        spark, tmp_path):
+    from anomaly_detection_spark.caching import rebalance_shared_cache
+
+    sd = str(tmp_path)
+    now = T0 + 10 * MIN
+    # equal scaled priorities: the incumbent wins (strict-greater rule)
+    _write_cache(spark, sd, "A", [("a1", 10.0, True), ("a2", 5.0, True)],
+                 T0)
+    _write_cache(spark, sd, "B", [("b1", 50.0, True), ("b2", 5.0, False)],
+                 T0)
+    _write_state(spark, sd, "A", ["a1", "a2"])
+    pol = CachePolicy(dedicated_cache_size=1, model_bytes=1)
+    policies, report = rebalance_shared_cache(
+        spark, sd, [("A", pol), ("B", pol)], shared_memory_bytes=1,
+        now_ms=now, interval_ms=MIN)
+    assert report["A"]["evicted"] == [] and report["B"]["admitted"] == []
+    assert policies["A"].shared_memory_bytes == 1
+    # a candidate with free dedicated slots is admitted WITHOUT
+    # consuming shared bytes (dedicatedCacheAvailable -> put)
+    _write_cache(spark, sd, "C", [("c1", 0.5, False)], T0)
+    policies, report = rebalance_shared_cache(
+        spark, sd, [("A", pol), ("C", pol)], shared_memory_bytes=1,
+        now_ms=now, interval_ms=MIN)
+    assert report["C"]["admitted"] == [("c1",)]
+    assert policies["C"].shared_memory_bytes == 0
+
+
+def test_rebalance_scaled_priority_compares_across_landmarks(
+        spark, tmp_path):
+    from anomaly_detection_spark.caching import rebalance_shared_cache
+
+    sd = str(tmp_path)
+    # A's landmark is 16 intervals older -> inc(A) = 2, inc(B) = 0:
+    # a2 raw 5.0 scales to 3.0; b2 raw 4.0 scales to 4.0 and wins
+    # despite the lower raw priority
+    now = T0 + 16 * 8 * MIN  # inc = 16 periods >> 3 = 2
+    _write_cache(spark, sd, "A", [("a1", 99.0, True), ("a2", 5.0, True)],
+                 T0)
+    _write_cache(spark, sd, "B", [("b1", 99.0, True), ("b2", 4.0, False)],
+                 now)
+    _write_state(spark, sd, "A", ["a1", "a2"])
+    pol = CachePolicy(dedicated_cache_size=1, model_bytes=1)
+    _, report = rebalance_shared_cache(
+        spark, sd, [("A", pol), ("B", pol)], shared_memory_bytes=1,
+        now_ms=now, interval_ms=MIN)
+    assert report["A"]["evicted"] == [("a2",)]
+    assert report["B"]["admitted"] == [("b2",)]
