@@ -426,7 +426,12 @@ def rebalance_shared_cache(
     import pandas as pd
 
     per_det: list[dict] = []
-    for det_id, pol in configs:
+    for cfg in configs:
+        # (det_id, policy) or (det_id, policy, interval_ms) — detector
+        # schedules can differ, and the scaled priority uses each
+        # tracker's own interval (PriorityTracker.intervalSecs)
+        det_id, pol = cfg[0], cfg[1]
+        det_interval = cfg[2] if len(cfg) > 2 else interval_ms
         cpath = _cache_path(state_dir, det_id)
         info = {"id": det_id, "pol": pol, "cache": None}
         per_det.append(info)
@@ -437,7 +442,7 @@ def rebalance_shared_cache(
                     if c not in _CACHE_META_COLS]
         meta = cache.agg(F.min("landmark_ms")).first()
         landmark = meta[0] if meta[0] is not None else now_ms
-        inc = priority_increment(now_ms, landmark, interval_ms)
+        inc = priority_increment(now_ms, landmark, det_interval)
         sp = (F.coalesce(F.col("priority"), F.lit(0.0))
               - F.lit(float(inc))).alias("_sp")
         hosted = (cache.filter(F.col("hosted"))

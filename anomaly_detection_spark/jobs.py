@@ -178,6 +178,7 @@ class JobStore:
              runner: Callable[..., DataFrame] | None = None,
              task_store=None,
              cold_start_history: int | None = None,
+             shared_cache: tuple[int, Any] | None = None,
              ) -> dict[str, Any]:
         """Run every due, enabled, unlocked job once for its latest
         closed interval.  Returns ``{job_id: result DataFrame}`` for
@@ -190,9 +191,35 @@ class JobStore:
         tracking (``JobProcessor`` → ``updateLatestRealtimeTask``):
         each attempted job refreshes its REALTIME task doc's
         state/init_progress/error, and a job the EndRun protocol
-        disables marks it STOPPED."""
+        disables marks it STOPPED.
+
+        ``shared_cache=(shared_memory_bytes, base_policy)`` runs the
+        cross-detector shared-pool arbitration
+        (:func:`~anomaly_detection_spark.caching.
+        rebalance_shared_cache`) over ALL enabled jobs' cache tables
+        before any job runs, then passes each detector its awarded
+        :class:`~anomaly_detection_spark.caching.CachePolicy` as
+        ``cache_policy`` — the reference's one-MemoryTracker-many-
+        CacheBuffers posture on the tick path."""
         out: dict[str, Any] = {}
         run = runner or run_once_stateful
+        awarded: dict[str, Any] = {}
+        base_pol = None
+        if shared_cache is not None:
+            from .caching import rebalance_shared_cache
+
+            shared_bytes, base_pol = shared_cache
+            cfgs = []
+            for job_id in self.list_jobs():
+                d = self.get_job(job_id)
+                if d["enabled"]:
+                    cfgs.append((
+                        _det_from_json(d["detector"]).detector_id,
+                        base_pol, d["schedule_interval_ms"]))
+            if cfgs:
+                awarded, _rep = rebalance_shared_cache(
+                    spark, state_dir, cfgs, shared_bytes, now_ms,
+                    cfgs[0][2])
         for job_id in self.list_jobs():
             doc = self.get_job(job_id)
             if not doc["enabled"]:
@@ -220,6 +247,9 @@ class JobStore:
                 # opt-in here so custom runners keep their signature
                 kw = ({"cold_start_history": cold_start_history}
                       if cold_start_history else {})
+                if shared_cache is not None:
+                    kw["cache_policy"] = awarded.get(
+                        det.detector_id, base_pol)
                 res = run(spark, det, now_ms, state_dir,
                           scorer_factory=scorer_factory, **kw)
                 out[job_id] = res

@@ -354,3 +354,54 @@ def test_tick_schedules_joint_runner(spark, tmp_path, source):
     with pytest.raises(ValueError, match="alert_threshold"):
         run_once_stateful_joint(spark, det, now, str(tmp_path / "s2"),
                                 stream_factory=bad)
+
+
+def test_tick_shared_cache_arbitration(spark, tmp_path, source):
+    """tick(shared_cache=) rebalances the global pool across the
+    enabled jobs' detectors and hands each runner its awarded
+    policy."""
+    from anomaly_detection_spark.caching import CachePolicy, _cache_path
+
+    path, start_ms, n = source
+    store = JobStore(str(tmp_path / "jobs"))
+    state_dir = str(tmp_path / "state")
+    det_a, det_b = _det(path, "sc-a"), _det(path, "sc-b")
+    now = start_ms + 50 * INTERVAL
+    store.create_job(det_a, now)
+    store.create_job(det_b, now)
+    # pre-seeded trackers: A hosts a low-priority shared incumbent,
+    # B tracks a strictly stronger candidate
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _cache(det_id, rows):
+        pdf = pd.DataFrame(rows,
+                           columns=["service", "priority", "hosted"])
+        pdf["dk_count"] = 5
+        pdf["landmark_ms"] = start_ms
+        pdf["dk_reset_ms"] = start_ms
+        pdf["last_hit_ms"] = start_ms
+        (spark.createDataFrame(pdf)
+         .write.mode("overwrite")
+         .parquet(_cache_path(state_dir, det_id)))
+
+    _cache("sc-a", [("a1", 10.0, True), ("a2", 2.0, True)])
+    _cache("sc-b", [("b1", 50.0, True), ("b2", 5.0, False)])
+    pol = CachePolicy(dedicated_cache_size=1, model_bytes=1)
+    got: dict = {}
+
+    def runner(spark_, det, now_ms, sd, scorer_factory=None,
+               cache_policy=None, **kw):
+        got[det.detector_id] = cache_policy
+        from anomaly_detection_spark.detector import run_once_stateful
+        return run_once_stateful(spark_, det, now_ms, sd)
+
+    res = store.tick(spark, now, state_dir, runner=runner,
+                     shared_cache=(1, pol))
+    assert set(res) == {"sc-a", "sc-b"}
+    # B won the single shared slot; A keeps only its dedicated one
+    assert got["sc-a"].shared_memory_bytes == 0
+    assert got["sc-b"].shared_memory_bytes == 1
+    ca = spark.read.parquet(_cache_path(state_dir, "sc-a")).toPandas()
+    assert not ca.set_index("service")["hosted"]["a2"]
