@@ -834,6 +834,7 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
                             now_ms: int, state_dir: str,
                             stream_factory=None,
                             scorer_factory=None,
+                            cache_policy=None,
                             cold_start_history: int | None = None) -> DataFrame:
     """One realtime interval with ONE checkpointed JOINT multivariate
     model per entity — the reference's actual model shape (one
@@ -867,6 +868,11 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
     sequential run's.  Unlike the scalar path no interior
     interpolation happens: the joint path skips incomplete buckets
     live, and cold start mirrors that.
+
+    ``cache_policy`` applies the same HC entity-cache admission as the
+    scalar path (:func:`run_once_stateful`) — the cache table is
+    shared per detector across both state layouts, like the
+    reference's one EntityCache per detector.
     """
     import pickle
 
@@ -929,6 +935,17 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
         state = spark.read.parquet(spath)
     else:
         state = spark.createDataFrame([], state_schema)
+
+    if cache_policy is not None:
+        from .caching import admit_entities
+
+        present = cur.select(*gcols).distinct()
+        hosted = state.select(*gcols).distinct()
+        hot, _cold, evicted = admit_entities(
+            spark, state_dir, det.detector_id, present, hosted,
+            cache_policy, now_ms, det.interval_ms)
+        state = state.join(evicted, gcols, "left_anti")
+        cur = cur.join(hot, gcols, "left_semi")
 
     joined = state.join(cur, gcols, "full_outer")
     if cold_start_history:

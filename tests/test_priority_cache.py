@@ -277,3 +277,41 @@ def test_rebalance_scaled_priority_compares_across_landmarks(
         now_ms=now, interval_ms=MIN)
     assert report["A"]["evicted"] == [("a2",)]
     assert report["B"]["admitted"] == [("b2",)]
+
+
+def test_run_once_stateful_joint_cache_policy_bounds_models(
+        spark, tmp_path):
+    from anomaly_detection_spark.detector import (Detector,
+                                                  run_once_stateful_joint)
+    from anomaly_detection_spark.features import rcf_stream_factory
+
+    base = pd.Timestamp("2025-03-01")
+    rows = []
+    for h in range(12):
+        for ent in ("a", "b", "c"):
+            for i in range(3):
+                rows.append((ent, base + pd.Timedelta(hours=h, minutes=i),
+                             float(10 + i)))
+    pdf = pd.DataFrame(rows, columns=["service", "ts", "value"])
+    path = str(tmp_path / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    det = Detector(
+        detector_id="det-jc", indices=path,
+        feature_specs={"n": {"value_count": {"field": "value"}}},
+        time_field="ts", interval_ms=3600_000,
+        category_fields=("service",), shingle_size=4)
+    t0 = int(base.value // 1_000_000)
+    factory = rcf_stream_factory(n_trees=5, sample_size=32,
+                                 shingle=2, seed=7)
+    # one-slot budget: exactly one entity ever holds joint state rows
+    sd = str(tmp_path / "s1")
+    tight = CachePolicy(dedicated_cache_size=1,
+                        doorkeeper_count_threshold=0)
+    for h in range(1, 8):
+        res = run_once_stateful_joint(
+            spark, det, t0 + h * 3600_000, sd,
+            stream_factory=factory, cache_policy=tight)
+        assert res.select("service").distinct().count() <= 1
+    state = spark.read.parquet(sd + "/det-jc__joint")
+    assert state.select("service").distinct().count() == 1
+    assert state.select("service").first().service == "a"
