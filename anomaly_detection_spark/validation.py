@@ -226,3 +226,74 @@ def validate_forecaster(spark: SparkSession, fc) -> dict:
             f"horizon must be in [1, {MAX_HORIZON}], got {horizon!r}")
     out["suggested_shingle_size"] = suggest_shingle(horizon=horizon)
     return out
+
+
+# TimeSeriesSettings.java:94 — history suggestions cap here
+MAX_HISTORY_INTERVALS = 10_000
+# TimeSeriesSettings.NUM_MIN_SAMPLES — Config.getDefaultHistory adds
+# the shingle size on top
+NUM_MIN_SAMPLES = 32
+
+
+def suggest_history(spark: SparkSession, det, now_ms: int,
+                    interval_minutes: int | None = None) -> dict:
+    """The reference's history suggestion
+    (``rest/handler/HistorySuggest.java`` via
+    ``BaseSuggestConfigParamTransportAction.suggestHistory``): how many
+    trailing intervals of source data a historical run / cold start
+    can train on.
+
+    ``history = clamp((max_ts − min_ts) // interval,
+    default_history, MAX_HISTORY_INTERVALS)`` where ``default_history
+    = NUM_MIN_SAMPLES + shingle_size`` (``Config.getDefaultHistory``)
+    and a future-dated max is capped at ``now`` — all three reference
+    behaviors.  With no usable interval (``interval_minutes`` omitted
+    and the detector interval unset), the default history returns
+    alone, like the reference's null-interval branch.  One min/max
+    aggregation over the (filtered) source."""
+    from .query.planner import compile_filter
+    from .sources import load_table
+
+    default_history = NUM_MIN_SAMPLES + det.shingle_size
+    interval_ms = ((interval_minutes * MINUTE_MS)
+                   if interval_minutes else det.interval_ms)
+    if not interval_ms:
+        return {"history": default_history, "interval_minutes": None}
+    src = load_table(spark, det.indices)
+    base = (src.filter(compile_filter(src, det.filter_query))
+            if det.filter_query else src)
+    ms = to_millis(det.time_field)
+    row = base.agg(F.min(ms).alias("lo"), F.max(ms).alias("hi")).first()
+    if row["lo"] is None:
+        raise ValueError("Empty data. Cannot suggest a history.")
+    hi = min(int(row["hi"]), now_ms)      # future dates cap at now
+    history = max(0, (hi - int(row["lo"]))) // interval_ms
+    return {"history": int(max(default_history,
+                               min(history, MAX_HISTORY_INTERVALS))),
+            "interval_minutes": interval_ms // MINUTE_MS}
+
+
+def suggest_window_delay(spark: SparkSession, det, now_ms: int) -> dict:
+    """The reference's adaptive window-delay suggestion
+    (``BaseSuggestConfigParamTransportAction.suggestWindowDelay``):
+    enough delay that the current query window's data has been
+    ingested.  ``buckets_behind = ceil((now − latest_ts) / interval)``
+    plus one safety bucket, converted to whole minutes (ceiling); a
+    future-dated latest timestamp yields 0 delay.  One max aggregation
+    over the (filtered) source."""
+    from .query.planner import compile_filter
+    from .sources import load_table
+
+    src = load_table(spark, det.indices)
+    base = (src.filter(compile_filter(src, det.filter_query))
+            if det.filter_query else src)
+    row = base.agg(F.max(to_millis(det.time_field)).alias("hi")).first()
+    if row["hi"] is None:
+        raise ValueError("Cannot find a good window delay.")
+    latest = int(row["hi"])
+    delay_ms = 0
+    if now_ms > latest:
+        bucket_ms = det.interval_ms
+        buckets_behind = (now_ms - latest + bucket_ms - 1) // bucket_ms
+        delay_ms = (buckets_behind + 1) * bucket_ms
+    return {"window_delay_minutes": int(math.ceil(delay_ms / 60000.0))}

@@ -464,3 +464,50 @@ def test_streaming_detector_rcf_matches_preview(spark, tmp_path):
     assert len(spike) >= 1
     assert pd.Timestamp(spike.bucket_start.iloc[0]) == \
         base + pd.Timedelta(hours=50)
+
+
+def test_suggest_history_and_window_delay(spark, tmp_path):
+    """HistorySuggest + suggestWindowDelay analogs
+    (BaseSuggestConfigParamTransportAction)."""
+    import pandas as pd
+
+    from anomaly_detection_spark.detector import Detector
+    from anomaly_detection_spark.validation import (
+        MAX_HISTORY_INTERVALS, suggest_history, suggest_window_delay)
+
+    base = pd.Timestamp("2025-01-01")
+    t0 = int(base.value // 1_000_000)
+    minute = 60_000
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=10 * i) for i in range(100)],
+        "v": 1.0})
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(pdf).write.parquet(src)
+    det = Detector(detector_id="d", indices=src,
+                   feature_specs={"f": {"avg": {"field": "v"}}},
+                   time_field="ts", interval_ms=10 * minute,
+                   shingle_size=8)
+    now = t0 + 100 * 10 * minute
+    # span = 99 intervals < default 32+8=40? no: 99 > 40 → history=99
+    got = suggest_history(spark, det, now)
+    assert got == {"history": 99, "interval_minutes": 10}
+    # short span clamps UP to default_history = 32 + shingle
+    got = suggest_history(spark, det, now, interval_minutes=60)
+    assert got["history"] == 40           # 99*10min span = 16 hours
+    # future-dated max caps at now; cap at MAX_HISTORY_INTERVALS
+    got = suggest_history(spark, det, t0 + 5 * 10 * minute)
+    assert got["history"] == 40 or got["history"] == max(40, 5)
+    det1 = Detector(detector_id="d1", indices=src,
+                    feature_specs={"f": {"avg": {"field": "v"}}},
+                    time_field="ts", interval_ms=1,
+                    shingle_size=8)
+    assert suggest_history(spark, det1, now)["history"] == \
+        MAX_HISTORY_INTERVALS
+
+    # window delay: latest = t0+990min; now 25min past it with 10-min
+    # intervals → ceil(25/10)=3 behind + 1 safety = 40 min
+    got = suggest_window_delay(spark, det, t0 + (990 + 25) * minute)
+    assert got == {"window_delay_minutes": 40}
+    # future-dated data → 0
+    got = suggest_window_delay(spark, det, t0)
+    assert got == {"window_delay_minutes": 0}
