@@ -252,12 +252,17 @@ def minhash_lsh_pairs(
     # full-width bit_xor — shingles are already distinct per doc, so
     # this fingerprints the SET).  A sum+xor pair alone is not
     # injective ({1,6} vs {2,5} ties the sum); four independent
-    # functions put accidental collisions at ~2^-120 per pair.  No
-    # per-doc sort, and the same pass yields the set sizes
-    # verification needs.  Sum operands stay < 2^31 (ANSI-safe).
+    # functions put accidental collisions at ~2^-120 per pair.  The
+    # two 31-bit sum operands are DISJOINT bit fields of one xxhash64
+    # (bits 0-30 and 31-61 — uniformly mixed, so independent) rather
+    # than two separate hash evaluations: one less hash per shingle
+    # row on the hottest pass, same collision math.  No per-doc sort,
+    # and the same pass yields the set sizes verification needs.  Sum
+    # operands stay < 2^31 (ANSI-safe).
     cls = (sh_cached
-           .withColumn("_ha", F.pmod(F.xxhash64("_s"), F.lit(1 << 31)))
-           .withColumn("_hb", F.pmod(F.xxhash64("_s", F.lit(2)),
+           .withColumn("_h0", F.xxhash64("_s"))
+           .withColumn("_ha", F.pmod(F.col("_h0"), F.lit(1 << 31)))
+           .withColumn("_hb", F.pmod(F.shiftrightunsigned("_h0", 31),
                                      F.lit(1 << 31)))
            .withColumn("_hx", F.xxhash64("_s", F.lit(3)))
            .groupBy("_id")
