@@ -297,3 +297,153 @@ def suggest_window_delay(spark: SparkSession, det, now_ms: int) -> dict:
         buckets_behind = (now_ms - latest + bucket_ms - 1) // bucket_ms
         delay_ms = (buckets_behind + 1) * bucket_ms
     return {"window_delay_minutes": int(math.ceil(delay_ms / 60000.0))}
+
+
+# CommonMessages.java:55-70 — the model-aspect validation messages
+RAW_DATA_TOO_SPARSE = (
+    "Source index data is potentially too sparse for model training. "
+    "Consider changing interval length or ingesting more data")
+FILTER_QUERY_TOO_SPARSE = ("Data is too sparse after data filter is "
+                           "applied. Consider changing the data filter")
+CATEGORY_FIELD_TOO_SPARSE = (
+    "Data is most likely too sparse with the given category fields. "
+    "Consider revising category field/s or ingesting more data.")
+CATEGORY_FIELD_NO_DATA = (
+    "No entity was found with the given categorical fields. Consider "
+    "revising category field/s or ingesting more data")
+FEATURE_QUERY_TOO_SPARSE = (
+    "Data is most likely too sparse when given feature queries are "
+    "applied. Consider revising feature queries")
+INTERVAL_REC = ("The selected interval might collect sparse data. "
+                "Consider changing interval length to: ")
+WINDOW_DELAY_REC = ("Latest seen data point is at least %d minutes ago. "
+                    "Consider changing window delay to at least %d "
+                    "minutes.")
+# TimeSeriesSettings.java:278 — top-entity window uses at least this
+MAX_INTERVAL_REC_LENGTH_IN_MINUTES = 60
+
+
+def _continuous_shingles(base: DataFrame, det, latest_ms: int,
+                         history: int) -> int:
+    """``SearchFeatureDao.countContinuousShinglesFromHistogramSearch``
+    + ``countShingles``: histogram at the configured interval over
+    ``[latest − history×interval, latest]``, then count the length-
+    ``shingle_size`` windows whose every bucket is non-empty — the
+    density statistic every model-validation sparsity check compares
+    to NUM_MIN_SAMPLES.  One bounded groupBy (≤ history+1 buckets);
+    the window slide runs driver-side on the boolean grid."""
+    interval = det.interval_ms
+    lo = latest_ms - history * interval
+    ms = to_millis(det.time_field)
+    rows = (base.filter((ms >= lo) & (ms <= latest_ms))
+            .groupBy(F.floor((ms - F.lit(lo)) / interval).alias("_b"))
+            .count().collect())
+    nonempty = [False] * (history + 1)
+    for r in rows:
+        nonempty[int(r["_b"])] = r["count"] > 0
+    k = det.shingle_size
+    return sum(1 for i in range(k - 1, len(nonempty))
+               if all(nonempty[i - k + 1:i + 1]))
+
+
+def validate_model(spark: SparkSession, det, now_ms: int,
+                   history_intervals: int | None = None) -> dict:
+    """Model-aspect validation (``ModelValidationActionHandler``,
+    ``validation_type=model``) — the reference's fail-fast root-cause
+    chain, with its exact messages and decision order:
+
+    1. interval recommendation over the filtered source narrowed to
+       the HC top entity (``IntervalCalculation`` with
+       ``LatestTimeRetriever.getTopEntity``): a recommendation ≤ the
+       configured interval means data is dense enough — only the
+       window-delay check remains; a larger recommendation returns
+       ``detection_interval`` with ``INTERVAL_REC`` (:209-224),
+    2. no recommendation at all → add one configuration at a time to
+       find the root cause: raw data (``RAW_DATA_TOO_SPARSE``,
+       :238-266), + filter query (``FILTER_QUERY_TOO_SPARSE``), +
+       top-entity terms (``CATEGORY_FIELD_TOO_SPARSE`` /
+       ``CATEGORY_FIELD_NO_DATA``), + each feature's source field
+       (``FEATURE_QUERY_TOO_SPARSE: <name>``) — every check is
+       "continuous shingle count < NUM_MIN_SAMPLES" over the same
+       histogram (:358-437),
+    3. a clean chain still recommends a window delay when ``now −
+       latest > window_delay`` (``sendWindowDelayRec``, ceil minutes
+       in BOTH message slots, :440-448).
+
+    Returns ``{"issues": {aspect: message}}`` with at most one issue
+    (fail-fast, like the listener chain), plus
+    ``suggested_interval_minutes`` when an interval was recommended.
+    ``history_intervals`` defaults to ``Config.getDefaultHistory`` =
+    NUM_MIN_SAMPLES + shingle_size."""
+    import math as _math
+
+    from .query.planner import compile_filter
+    from .sources import load_table
+
+    history = int(history_intervals
+                  or (NUM_MIN_SAMPLES + det.shingle_size))
+    src = load_table(spark, det.indices)
+    ms = to_millis(det.time_field)
+    row = src.agg(F.max(ms)).first()
+    if row[0] is None:
+        return {"issues": {"indices": RAW_DATA_TOO_SPARSE}}
+    latest = int(row[0])
+    fbase = (src.filter(compile_filter(src, det.filter_query))
+             if det.filter_query else src)
+
+    # HC top entity over the max(60min, interval) × history window
+    # (LatestTimeRetriever.getTopEntity:124-145)
+    top_entity: dict = {}
+    tbase = fbase
+    if det.category_fields:
+        span = max(MAX_INTERVAL_REC_LENGTH_IN_MINUTES * MINUTE_MS,
+                   det.interval_ms)
+        te = (fbase.filter((ms >= latest - history * span)
+                           & (ms <= latest))
+              .groupBy(*det.category_fields).count()
+              .orderBy(F.desc("count"), *det.category_fields)
+              .limit(1).collect())
+        if te:
+            top_entity = {c: te[0][c] for c in det.category_fields}
+            for c, v in top_entity.items():
+                tbase = tbase.filter(F.col(c) == F.lit(v))
+
+    suggested = suggest_interval(tbase, det.time_field)
+    configured_min = det.interval_ms // MINUTE_MS
+
+    def _window_delay_issue() -> dict:
+        if now_ms - latest > det.window_delay_ms:
+            mins = int(_math.ceil((now_ms - latest) / 60000.0))
+            return {"window_delay": WINDOW_DELAY_REC % (mins, mins)}
+        return {}
+
+    if suggested is not None:
+        if configured_min >= suggested:
+            return {"issues": _window_delay_issue()}
+        return {"issues": {"detection_interval":
+                           f"{INTERVAL_REC}{suggested} minutes"},
+                "suggested_interval_minutes": suggested}
+
+    # root-cause chain, one configuration at a time
+    if _continuous_shingles(src, det, latest, history) < NUM_MIN_SAMPLES:
+        return {"issues": {"indices": RAW_DATA_TOO_SPARSE}}
+    if det.filter_query and _continuous_shingles(
+            fbase, det, latest, history) < NUM_MIN_SAMPLES:
+        return {"issues": {"filter_query": FILTER_QUERY_TOO_SPARSE}}
+    if det.category_fields:
+        if not top_entity:
+            return {"issues": {"category_field": CATEGORY_FIELD_NO_DATA}}
+        if _continuous_shingles(tbase, det, latest,
+                                history) < NUM_MIN_SAMPLES:
+            return {"issues": {"category_field":
+                               CATEGORY_FIELD_TOO_SPARSE}}
+    for name in sorted(det.feature_specs):
+        (_agg, b), = det.feature_specs[name].items()
+        fld = b.get("field") if isinstance(b, dict) else None
+        if fld is None:
+            continue            # script features carry no single field
+        if _continuous_shingles(tbase.filter(F.col(fld).isNotNull()),
+                                det, latest, history) < NUM_MIN_SAMPLES:
+            return {"issues": {"feature_attributes":
+                               f"{FEATURE_QUERY_TOO_SPARSE}: {name}"}}
+    return {"issues": _window_delay_issue()}

@@ -511,3 +511,85 @@ def test_suggest_history_and_window_delay(spark, tmp_path):
     # future-dated data → 0
     got = suggest_window_delay(spark, det, t0)
     assert got == {"window_delay_minutes": 0}
+
+
+def test_validate_model_root_cause_chain(spark, tmp_path):
+    """ModelValidationActionHandler fail-fast chain with the
+    reference's exact messages."""
+    import pandas as pd
+
+    from anomaly_detection_spark.detector import Detector
+    from anomaly_detection_spark.validation import (
+        CATEGORY_FIELD_TOO_SPARSE, FEATURE_QUERY_TOO_SPARSE,
+        FILTER_QUERY_TOO_SPARSE, INTERVAL_REC, validate_model)
+
+    base = pd.Timestamp("2025-01-01")
+    t0 = int(base.value // 1_000_000)
+    minute = 60_000
+    # dense 1-minute stream for entity "a"; entity "b" is sparse;
+    # v2 is null on most rows (sparse feature); src="x" keeps 1/5
+    rows = []
+    for i in range(600):
+        rows.append(("a", base + pd.Timedelta(minutes=i), 1.0,
+                     1.0 if i % 40 == 0 else None,
+                     "x" if i % 5 == 0 else "y"))
+        if i % 37 == 0:
+            rows.append(("b", base + pd.Timedelta(minutes=i), 1.0,
+                         None, "y"))
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(pd.DataFrame(
+        rows, columns=["service", "ts", "v", "v2", "src"])) \
+        .write.parquet(src)
+    now = t0 + 599 * minute          # == the latest data point
+
+    def det(**kw):
+        d = dict(detector_id="vm", indices=src,
+                 feature_specs={"f": {"avg": {"field": "v"}}},
+                 time_field="ts", interval_ms=minute, shingle_size=8)
+        d.update(kw)
+        return Detector(**d)
+
+    # dense data at the configured interval → no issues
+    assert validate_model(spark, det(), now) == {"issues": {}}
+    # stale data → window delay recommendation (ceil minutes twice)
+    got = validate_model(spark, det(), now + 30 * minute)
+    assert "at least 30 minutes ago" in got["issues"]["window_delay"]
+    assert "to at least 30 minutes" in got["issues"]["window_delay"]
+    # a 10-minute-cadence view of 1-minute data recommends nothing
+    # smaller; but 1-minute config over 37-minute-cadence entity data
+    # (top entity = a, dense) stays fine — so drop to entity b only:
+    # interval rec replaces the configured 1-minute interval
+    got = validate_model(
+        spark, det(filter_query={"term": {"service": {"value": "b"}}}),
+        now)
+    assert got["issues"].get("detection_interval", "").startswith(
+        INTERVAL_REC)
+    # the root-cause chain runs only when the interval rec is null
+    # (processIntervalRecommendation:206-208) — force that branch to
+    # test the fail-fast order: raw data and the dense feature pass,
+    # the sparse feature fails WITH its name in the message
+    import anomaly_detection_spark.validation as V
+    orig = V.suggest_interval
+    V.suggest_interval = lambda *a, **k: None
+    try:
+        got = validate_model(
+            spark, det(feature_specs={"f": {"avg": {"field": "v"}},
+                                      "g": {"avg": {"field": "v2"}}}),
+            now)
+        assert got["issues"]["feature_attributes"] == \
+            f"{FEATURE_QUERY_TOO_SPARSE}: g"
+        # HC chain: top entity "a" is dense → category passes; the
+        # sparse feature still fails after it
+        got = validate_model(
+            spark, det(category_fields=("service",),
+                       feature_specs={"g": {"avg": {"field": "v2"}}}),
+            now)
+        assert got["issues"]["feature_attributes"] == \
+            f"{FEATURE_QUERY_TOO_SPARSE}: g"
+    finally:
+        V.suggest_interval = orig
+    # empty source → raw-data issue
+    empty = str(tmp_path / "empty")
+    spark.read.parquet(src).limit(0).write.parquet(empty)
+    got = validate_model(spark, det(indices=empty), now)
+    assert got["issues"]["indices"].startswith("Source index data")
