@@ -564,6 +564,18 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
     re-admission.  With no policy every entity is hosted (the
     single-stream posture).
 
+    ``imputation_method`` zero/fixed_values/previous imputes the
+    CURRENT interval for entities that hold state but produced no
+    bucket row (the reference's realtime posture: the imputer fills
+    the model's missing data point, ``ImputationMethod.java``) —
+    rows carry ``feature_imputed`` flags like preview's; sequential
+    calls over a gappy span equal preview-with-imputation row-for-row
+    inside each entity's observed extent.  ``linear`` still raises
+    (it interpolates toward the NEXT sample, unobservable in
+    realtime); ``previous`` carries the last ingested value (the new
+    ``last_v`` state column; pre-upgrade state tables null-fill and
+    start carrying on their next interval).
+
     ``cold_start_history`` enables the reference's historical
     cold-start training (``ModelColdStart.java:340-418``,
     ``ADColdStart.java:192``): an (entity, feature) with NO state row
@@ -586,12 +598,20 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
 
     from .features import feature_matrix
 
-    if det.imputation_method:
+    impute = det.imputation_method
+    if impute == "linear":
         raise NotImplementedError(
-            "imputation is a preview/run_historical-shape concern; the "
-            "single-interval stateful path sees one bucket and cannot "
-            "impute a gap it can't observe — run preview for imputed "
-            "series")
+            "linear imputation interpolates toward the NEXT sample, "
+            "which a single realtime interval cannot observe — use "
+            "zero/fixed_values/previous here, or preview/"
+            "run_historical for linear series")
+    if impute == "fixed_values":
+        missing = [f for f in det.feature_specs
+                   if f not in (det.imputation_values or {})]
+        if missing:
+            raise ValueError(
+                f"fixed_values imputation needs a value per feature; "
+                f"missing {missing}")
     k = det.shingle_size
     end = ((now_ms - det.window_delay_ms) // det.interval_ms) * det.interval_ms
     start = end - det.interval_ms
@@ -619,15 +639,17 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
                        T.StructField("scored_cnt", T.LongType()),
                        T.StructField("last_ms", T.LongType()),
                        T.StructField("last_z", T.DoubleType()),
-                       T.StructField("model", T.BinaryType())])
+                       T.StructField("model", T.BinaryType()),
+                       T.StructField("last_v", T.DoubleType())])
     state_schema = T.StructType(state_fields)
     import os
 
     if os.path.exists(spath):
         state = spark.read.parquet(spath)
-        # state written before the idempotency / model columns existed
+        # state written before the idempotency / model / imputation
+        # columns existed
         for c, t in (("last_ms", "long"), ("last_z", "double"),
-                     ("model", "binary")):
+                     ("model", "binary"), ("last_v", "double")):
             if c not in state.columns:
                 state = state.withColumn(c, F.lit(None).cast(t))
     else:
@@ -647,6 +669,18 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
         cur = cur.join(hot, gcols, "left_semi")
 
     joined = state.join(cur, [*gcols, "_feat"], "full_outer")
+    if impute:
+        # impute only for entities with NO bucket row this interval
+        # (preview's impute_fill fills MISSING buckets; a present
+        # bucket whose feature aggregated to null stays null there
+        # too) — flag entity presence before the per-feature melt
+        joined = joined.join(
+            cur.select(*gcols).distinct()
+            .withColumn("_ent_present", F.lit(True)),
+            gcols, "left_outer")
+    else:
+        joined = joined.withColumn("_ent_present", F.lit(None)
+                                   .cast("boolean"))
     if cold_start_history:
         # selectNumberOfSamples: at least numMinSamples (32)
         n_train = max(32, int(cold_start_history))
@@ -684,8 +718,11 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
                   .withColumn("_cs_ms", F.lit(None).cast("array<long>"))
                   .withColumn("_cs_v", F.lit(None).cast("array<double>")))
     interval_ms = det.interval_ms
+    fixed_vals = dict(det.imputation_values or {})
     upd_schema = T.StructType(list(state_fields)
-                              + [T.StructField("_z", T.DoubleType())])
+                              + [T.StructField("_z", T.DoubleType()),
+                                 T.StructField("_vu", T.DoubleType()),
+                                 T.StructField("_imp", T.BooleanType())])
 
     def fn(batches):
         for pdf in batches:
@@ -698,6 +735,34 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
             havev = ~np.isnan(v)
             lm = pdf["last_ms"].to_numpy(dtype=np.float64)  # NaN = never
             lz = pdf["last_z"].to_numpy(dtype=np.float64)
+            lv = pdf["last_v"].to_numpy(dtype=np.float64)
+            imputed = np.zeros(n, dtype=bool)
+            if impute:
+                # synthesize the missing value BEFORE the replay/
+                # ingest masks so every downstream step (idempotent
+                # replay, cold-start skip, window append, model
+                # update) treats it exactly like an observed one —
+                # replays recompute the same value deterministically
+                # (zero/fixed are constants; 'previous' re-reads the
+                # carried value)
+                ent_absent = ~(pdf["_ent_present"] == True) \
+                    .to_numpy(dtype=bool)      # noqa: E712 (None-safe)
+                has_state = ~np.isnan(lm)
+                cand = ~havev & ent_absent & has_state
+                for i in np.flatnonzero(cand):
+                    if impute == "zero":
+                        v[i] = 0.0
+                    elif impute == "fixed_values":
+                        v[i] = float(fixed_vals[pdf["_feat"].iloc[i]])
+                    else:                      # previous
+                        if vals_list[i]:
+                            v[i] = float(vals_list[i][-1])
+                        elif not np.isnan(lv[i]):
+                            v[i] = lv[i]
+                        else:
+                            continue           # nothing to carry yet
+                    imputed[i] = True
+                havev = ~np.isnan(v)
             # already-ingested interval → replay stored score, no append;
             # an older interval than last_ms → no-op (out-of-order call)
             replay = havev & (lm == float(start))
@@ -776,16 +841,20 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
                 + ((~np.isnan(z)) & ingest).astype(np.int64)
             new_lm = np.where(ingest, float(start), lm)
             new_lz = np.where(ingest, z, lz)
+            new_lv = np.where(ingest, v, lv)
             out = pdf.drop(columns=["vals", "scored_cnt", "last_ms",
-                                    "last_z", "_v", "model",
-                                    "_cs_ms", "_cs_v"],
+                                    "last_z", "last_v", "_v", "model",
+                                    "_cs_ms", "_cs_v", "_ent_present"],
                            errors="ignore").copy()
             out["vals"] = newvals
             out["scored_cnt"] = cnt
             out["last_ms"] = pd.Series(new_lm).astype("Int64")
             out["last_z"] = new_lz
             out["model"] = models
+            out["last_v"] = new_lv
             out["_z"] = z
+            out["_vu"] = np.where(havev, v, np.nan)
+            out["_imp"] = imputed
             yield out[[f.name for f in upd_schema.fields]]
 
     upd = joined.mapInPandas(fn, schema=upd_schema)
@@ -802,7 +871,20 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
     # (a feature that missed an interval holds the entity's count back)
     cnt1 = (scored.groupBy(*gcols)
             .agg(F.min("scored_cnt").alias("_cnt")))
-    out = base.join(zw, gcols).join(cnt1, gcols)
+    if impute:
+        # feature values come from the update rows — an imputed
+        # entity has NO base row this interval, so base can't source
+        # them; the _imp flags feed the feature_imputed result field
+        vw = (scored.groupBy(*gcols)
+              .pivot("_feat", feats)
+              .agg(F.first("_vu").alias("v"),
+                   F.first("_imp").alias("imp")))
+        for n in feats:
+            vw = (vw.withColumnRenamed(f"{n}_v", n)
+                  .withColumnRenamed(f"{n}_imp", f"_imp_{n}"))
+        out = vw.join(zw, gcols).join(cnt1, gcols)
+    else:
+        out = base.join(zw, gcols).join(cnt1, gcols)
     for n in feats:
         out = out.filter(F.col(f"_z_{n}").isNotNull())
     score = F.greatest(*[F.abs(F.col(f"_z_{n}")) for n in feats]) \
@@ -824,10 +906,18 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
         result = result.withColumn(
             "entity",
             F.array().cast("array<struct<name:string,value:string>>"))
+    imp_cols = []
+    if impute:
+        # same nested {feature_id, imputed} shape as the preview paths
+        result = result.withColumn("feature_imputed", F.array(*[
+            F.struct(F.lit(n).alias("feature_id"),
+                     F.coalesce(F.col(f"_imp_{n}"), F.lit(False))
+                     .alias("imputed")) for n in feats]))
+        imp_cols = ["feature_imputed"]
     return result.select(
         "detector_id", "entity", "data_start_time", "data_end_time",
         *feats, "anomaly_score", "anomaly_grade", "confidence",
-        *ent, "bucket_start")
+        *ent, "bucket_start", *imp_cols)
 
 
 def run_once_stateful_joint(spark: SparkSession, det: Detector,
@@ -856,9 +946,13 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
     (retried intervals replay the stored outputs without double-
     ingesting; the serialized replay outputs ride the state table).
     Buckets missing any feature are skipped, like preview's joint
-    path — configure imputation upstream for gappy entities.  State
-    lives under ``<detector_id>__joint`` so the two stateful modes
-    never read each other's schema.
+    path.  ``imputation_method`` zero/fixed_values/previous imputes
+    the WHOLE vector for stateful entities with no bucket row this
+    interval (``previous`` carries the last ingested vector via the
+    ``last_vec`` state column; partial buckets stay skipped, matching
+    preview's impute-then-complete-vector semantics; ``linear``
+    raises).  State lives under ``<detector_id>__joint`` so the two
+    stateful modes never read each other's schema.
 
     ``cold_start_history`` trains a NEW entity's joint model on up to
     ``max(32, N)`` trailing complete-feature buckets ending at the
@@ -882,10 +976,19 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
 
     from .features import feature_matrix
 
-    if det.imputation_method:
+    impute = det.imputation_method
+    if impute == "linear":
         raise NotImplementedError(
-            "imputation is a preview/run_historical-shape concern; the "
-            "single-interval stateful path cannot observe a gap")
+            "linear imputation interpolates toward the NEXT sample, "
+            "which a single realtime interval cannot observe — use "
+            "zero/fixed_values/previous here")
+    if impute == "fixed_values":
+        _missing = [f for f in det.feature_specs
+                    if f not in (det.imputation_values or {})]
+        if _missing:
+            raise ValueError(
+                f"fixed_values imputation needs a value per feature; "
+                f"missing {_missing}")
     # scorer_factory is the JobStore.tick runner-seam spelling of the
     # same argument (tick calls run(..., scorer_factory=...)) — accept
     # either name so the joint path schedules like the scalar one
@@ -929,10 +1032,15 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
                     + [T.StructField("scored_cnt", T.LongType()),
                        T.StructField("last_ms", T.LongType()),
                        T.StructField("model", T.BinaryType()),
-                       T.StructField("last_out", T.BinaryType())])
+                       T.StructField("last_out", T.BinaryType()),
+                       T.StructField("last_vec",
+                                     T.ArrayType(T.DoubleType()))])
     state_schema = T.StructType(state_fields)
     if os.path.exists(spath):
         state = spark.read.parquet(spath)
+        if "last_vec" not in state.columns:   # pre-imputation tables
+            state = state.withColumn(
+                "last_vec", F.lit(None).cast("array<double>"))
     else:
         state = spark.createDataFrame([], state_schema)
 
@@ -948,6 +1056,17 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
         cur = cur.join(hot, gcols, "left_semi")
 
     joined = state.join(cur, gcols, "full_outer")
+    if impute:
+        # entity presence = a bucket ROW exists (pre-complete-vector
+        # filter): partial buckets are present-but-skipped, exactly
+        # like preview's joint path over an imputed-fill grid
+        joined = joined.join(
+            base.select(*gcols).distinct()
+            .withColumn("_ent_present", F.lit(True)),
+            gcols, "left_outer")
+    else:
+        joined = joined.withColumn("_ent_present",
+                                   F.lit(None).cast("boolean"))
     if cold_start_history:
         n_train = max(32, int(cold_start_history))
         new_ent = (cur.select(*gcols).distinct()
@@ -979,11 +1098,15 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
     else:
         joined = joined.withColumn(
             "_cs_vecs", F.lit(None).cast("array<array<double>>"))
+    fixed_vec = ([float((det.imputation_values or {})[f])
+                  for f in feats] if impute == "fixed_values" else None)
     out_extra = [T.StructField("_z", T.DoubleType()),
                  T.StructField("_exp", T.ArrayType(T.DoubleType())),
                  T.StructField("_attr", T.ArrayType(T.DoubleType())),
                  T.StructField("_rel", T.IntegerType()),
-                 T.StructField("_past", T.ArrayType(T.DoubleType()))]
+                 T.StructField("_past", T.ArrayType(T.DoubleType())),
+                 T.StructField("_vu", T.ArrayType(T.DoubleType())),
+                 T.StructField("_imp", T.BooleanType())]
     upd_schema = T.StructType(list(state_fields) + out_extra)
 
     def fn(batches):
@@ -996,14 +1119,37 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
             pasts: list = [None] * n
             models = list(pdf["model"])
             louts = list(pdf["last_out"])
+            lvecs = list(pdf["last_vec"])
             lm = pdf["last_ms"].to_numpy(dtype=np.float64)
             lm_orig = lm.copy()                  # pre-ingest snapshot
             vecs = list(pdf["_vec"])
             extra_cnt = np.zeros(n, dtype=np.int64)
+            imputed = np.zeros(n, dtype=bool)
 
             def has(x):
                 return x is not None and not (isinstance(x, float)
                                               and pd.isna(x))
+
+            if impute:
+                # synthesize the missing vector BEFORE the replay/
+                # ingest logic so it flows through the identical
+                # recurrence; replays recompute the same vector
+                # (zero/fixed constants; previous re-reads last_vec,
+                # which the imputed ingest itself carried forward)
+                ent_p = (pdf["_ent_present"] == True) \
+                    .to_numpy(dtype=bool)      # noqa: E712 (None-safe)
+                for i in range(n):
+                    if has(vecs[i]) or ent_p[i] or np.isnan(lm[i]):
+                        continue
+                    if impute == "zero":
+                        vecs[i] = [0.0] * nf
+                    elif impute == "fixed_values":
+                        vecs[i] = list(fixed_vec)
+                    elif has(lvecs[i]):          # previous
+                        vecs[i] = [float(x) for x in lvecs[i]]
+                    else:
+                        continue                 # nothing to carry yet
+                    imputed[i] = True
 
             for i in range(n):
                 if not has(vecs[i]):
@@ -1051,6 +1197,7 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
                 louts[i] = pickle.dumps(
                     {"z": z[i], "exp": exps[i], "attr": attrs[i],
                      "rel": rels[i], "past": pasts[i]})
+                lvecs[i] = [float(x) for x in vecs[i]]
                 lm[i] = float(start)
             cnt = pdf["scored_cnt"].fillna(0).to_numpy(dtype=np.int64)
             # count only fresh scores (replays already counted)
@@ -1058,12 +1205,17 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
                                       | (lm_orig != float(start)))
             cnt = cnt + extra_cnt + fresh.astype(np.int64)
             out = pdf.drop(columns=["_vec", "scored_cnt", "last_ms",
-                                    "model", "last_out", "_cs_vecs"],
+                                    "model", "last_out", "last_vec",
+                                    "_cs_vecs", "_ent_present"],
                            errors="ignore").copy()
             out["scored_cnt"] = cnt
             out["last_ms"] = pd.Series(lm).astype("Int64")
             out["model"] = models
             out["last_out"] = louts
+            out["last_vec"] = [lv if has(lv) else None for lv in lvecs]
+            out["_vu"] = [([float(x) for x in v] if has(v) else None)
+                          for v in vecs]
+            out["_imp"] = imputed
             out["_z"] = z
             out["_exp"] = exps
             out["_attr"] = attrs
@@ -1078,9 +1230,17 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
     _swap_state_dir(upd, spath, [f.name for f in state_fields])
 
     scored = upd.filter(F.col("_z").isNotNull())
-    out = base.join(scored.select(
-        *gcols, "scored_cnt", "_z", "_exp", "_attr", "_rel", "_past"),
-        gcols)
+    if impute:
+        # imputed entities have no base row — feature values come
+        # from the vector the model actually ingested
+        out = scored.select(*gcols, "scored_cnt", "_z", "_exp",
+                            "_attr", "_rel", "_past", "_vu", "_imp")
+        for j, nm in enumerate(feats):
+            out = out.withColumn(nm, F.element_at("_vu", j + 1))
+    else:
+        out = base.join(scored.select(
+            *gcols, "scored_cnt", "_z", "_exp", "_attr", "_rel",
+            "_past"), gcols)
     score = F.abs(F.col("_z"))
     conf = F.least(F.lit(1.0), F.col("scored_cnt")
                    / F.lit(float(det.confidence_ramp)))
@@ -1108,10 +1268,17 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
             "entity",
             F.array().cast("array<struct<name:string,value:string>>"))
     result = _attribution_ring(result, feats, det.interval_ms)
+    imp_cols = []
+    if impute:
+        result = result.withColumn("feature_imputed", F.array(*[
+            F.struct(F.lit(nm).alias("feature_id"),
+                     F.coalesce(F.col("_imp"), F.lit(False))
+                     .alias("imputed")) for nm in feats]))
+        imp_cols = ["feature_imputed"]
     return result.select(
         "detector_id", "entity", "data_start_time", "data_end_time",
         *feats, "anomaly_score", "anomaly_grade", "confidence",
-        *RING_COLS, *ent, "bucket_start")
+        *RING_COLS, *ent, "bucket_start", *imp_cols)
 
 
 #: the reference's checkpoint TTL (AnomalyDetectorSettings.java:213-218)

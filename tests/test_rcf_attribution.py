@@ -371,3 +371,79 @@ def test_stateful_joint_matches_preview_and_replays(
     assert len(r1) == len(r2) == 1
     assert r1.anomaly_score.iloc[0] == r2.anomaly_score.iloc[0]
     assert r1.confidence.iloc[0] == r2.confidence.iloc[0]
+
+
+def test_stateful_joint_imputation_matches_preview(
+        spark, tmp_path_factory):
+    """run_once_stateful_joint with imputation zero/previous imputes
+    the whole vector for stateful entities with no bucket row —
+    sequential calls over a gappy span equal the imputing joint
+    preview (scores, feature values, feature_imputed flags)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.detector import (
+        Detector, preview, run_once_stateful_joint)
+    from anomaly_detection_spark.features import rcf_stream_factory
+
+    rng = np.random.default_rng(19)
+    n, interval_ms = 60, 60_000
+    gaps = {30, 31, 44}
+    base = pd.Timestamp("2025-04-01")
+    rows = []
+    for i in range(n):
+        if i in gaps:
+            continue
+        rows.append((base + pd.Timedelta(milliseconds=i * interval_ms),
+                     30.0 + rng.normal(0, 0.3),
+                     8.0 + rng.normal(0, 0.2)))
+    pdf = pd.DataFrame(rows, columns=["ts", "va", "vb"])
+    root = tmp_path_factory.mktemp("sfji")
+    full = str(root / "events")
+    spark.createDataFrame(pdf).write.parquet(full)
+
+    for method in ("zero", "previous"):
+        def mk(indices):
+            return Detector(
+                detector_id=f"sfji-{method}", indices=indices,
+                feature_specs={"fa": {"avg": {"field": "va"}},
+                               "fb": {"avg": {"field": "vb"}}},
+                time_field="ts", interval_ms=interval_ms,
+                shingle_size=4, imputation_method=method)
+
+        conf = dict(n_trees=5, sample_size=32, shingle=2, seed=11,
+                    n_features=2, min_samples=16)
+        from anomaly_detection_spark.features import rcf_scorer_joint
+        factory = rcf_stream_factory(**conf)
+        want = preview(spark, mk(full),
+                       scorer=rcf_scorer_joint(**conf)).toPandas()
+        want = want.set_index(want.bucket_start.map(pd.Timestamp))
+
+        sd = str(root / f"st_{method}")
+        got_rows = []
+        for i in range(n):
+            lo = base + pd.Timedelta(milliseconds=i * interval_ms)
+            hi = lo + pd.Timedelta(milliseconds=interval_ms)
+            one = str(root / f"ev_{method}_{i}")
+            (spark.read.parquet(full)
+             .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+             .write.parquet(one))
+            now_ms = int(hi.value // 10**6) + 1
+            got_rows.append(run_once_stateful_joint(
+                spark, mk(one), now_ms, sd,
+                stream_factory=factory).toPandas())
+        got = pd.concat(got_rows, ignore_index=True)
+
+        gap_buckets = {base + pd.Timedelta(milliseconds=g * interval_ms)
+                       for g in gaps}
+        assert gap_buckets <= {pd.Timestamp(b) for b in got.bucket_start}
+        assert len(got) == len(want), method
+        for r in got.itertuples():
+            w = want.loc[pd.Timestamp(r.bucket_start)]
+            assert abs(r.anomaly_score - float(w.anomaly_score)) < 1e-9, \
+                (method, r.bucket_start)
+            assert abs(r.fa - float(w.fa)) < 1e-9
+            assert abs(r.fb - float(w.fb)) < 1e-9
+            gi = {e["feature_id"]: e["imputed"] for e in r.feature_imputed}
+            wi = {e["feature_id"]: e["imputed"] for e in w.feature_imputed}
+            assert gi == wi, (method, r.bucket_start)

@@ -441,3 +441,82 @@ def test_conjunctive_match_scored_indexed_vs_bruteforce(spark,
         analyzed.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_imputation_matches_preview(spark, tmp_path_factory):
+    """run_once_stateful with imputation_method zero/previous fills
+    the CURRENT interval for stateful entities with no bucket row —
+    sequential calls over a gappy span equal preview-with-imputation
+    row-for-row (scores, feature values, feature_imputed flags)."""
+    from anomaly_detection_spark.detector import (
+        Detector, preview, run_once_stateful)
+
+    base_ts = pd.Timestamp("2025-03-01")
+    gaps = {5, 6, 11}                     # interior missing intervals
+    rows = []
+    eid = 0
+    for h in range(20):
+        if h in gaps:
+            continue
+        for i in range(4 + (h % 3)):
+            rows.append((eid, base_ts + pd.Timedelta(hours=h, minutes=i),
+                         float(10 + (i % 3))))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+    root = tmp_path_factory.mktemp("impstate")
+    full = str(root / "events_full")
+    spark.createDataFrame(pdf).write.parquet(full)
+
+    for method in ("zero", "previous"):
+        def mk(indices):
+            return Detector(
+                detector_id=f"det-imp-{method}", indices=indices,
+                feature_specs={
+                    "n_events": {"value_count": {"field": "event_id"}},
+                    "v_avg": {"avg": {"field": "value"}}},
+                time_field="ts", interval_ms=HOUR, shingle_size=4,
+                imputation_method=method)
+
+        want = preview(spark, mk(full)).toPandas()
+        want = want.set_index(want.bucket_start.map(pd.Timestamp))
+
+        state_dir = str(root / f"state_{method}")
+        got_rows = []
+        for h in range(20):
+            lo = base_ts + pd.Timedelta(hours=h)
+            hi = lo + pd.Timedelta(hours=1)
+            one = str(root / f"ev_{method}_h{h}")
+            (spark.read.parquet(full)
+             .filter((F.col("ts") >= F.lit(lo))
+                     & (F.col("ts") < F.lit(hi)))
+             .write.parquet(one))
+            now_ms = int(hi.value // 10**6) + 120_000
+            got_rows.append(run_once_stateful(
+                spark, mk(one), now_ms, state_dir).toPandas())
+        got = pd.concat(got_rows, ignore_index=True)
+
+        # the imputed buckets are SCORED in both paths
+        got_idx = {pd.Timestamp(b) for b in got.bucket_start}
+        gap_buckets = {base_ts + pd.Timedelta(hours=g) for g in gaps}
+        assert gap_buckets <= got_idx, method
+        assert len(got) == len(want), method
+        for r in got.itertuples():
+            w = want.loc[pd.Timestamp(r.bucket_start)]
+            assert abs(r.anomaly_score - float(w.anomaly_score)) < 1e-9, \
+                (method, r)
+            assert abs(r.confidence - float(w.confidence)) < 1e-9
+            assert abs(r.v_avg - float(w.v_avg)) < 1e-9
+            assert abs(r.n_events - float(w.n_events)) < 1e-9
+            gi = {e["feature_id"]: e["imputed"] for e in r.feature_imputed}
+            wi = {e["feature_id"]: e["imputed"] for e in w.feature_imputed}
+            assert gi == wi, (method, r.bucket_start)
+
+    # linear still refuses on the realtime path, by name
+    with pytest.raises(NotImplementedError, match="linear"):
+        run_once_stateful(
+            spark, Detector(
+                detector_id="d", indices=full,
+                feature_specs={"v": {"avg": {"field": "value"}}},
+                time_field="ts", interval_ms=HOUR,
+                imputation_method="linear"),
+            int(base_ts.value // 10**6) + HOUR, str(root / "s2"))
