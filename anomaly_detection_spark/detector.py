@@ -1383,6 +1383,16 @@ def run_historical(
     ``model`` column.  ``det.suppression_rules`` are honored in both
     modes (margins against the model's expected value, like preview).
 
+    ``imputation_method`` zero/fixed_values/previous fills each
+    entity's missing buckets inside its observed extent — the extent
+    is computed ONCE up front (one raw min/max agg, broadcast into
+    every piece) because preview's dense grid stops at the entity's
+    last bucket and a piece cannot know that locally; gaps spanning
+    piece boundaries impute correctly (the ``previous`` carry rides
+    the state snapshot's ``last_v``).  Results carry
+    ``feature_imputed``; ``linear`` raises (its neighbors may live in
+    different pieces).
+
     Task-tracking hooks (both opt-in; see
     :mod:`anomaly_detection_spark.tasks`): ``cancel_check()`` is called
     before each piece — return a ``(reason, stopped_by)`` pair to abort
@@ -1400,10 +1410,20 @@ def run_historical(
 
     from .features import feature_matrix
 
-    if det.imputation_method:
+    impute = det.imputation_method
+    if impute == "linear":
         raise NotImplementedError(
-            "run_historical scores observed buckets; configure "
-            "imputation on preview (whole-series shape) instead")
+            "linear imputation interpolates between present neighbors "
+            "that may live in different pieces — use preview for "
+            "linear series, or zero/fixed_values/previous here")
+    if impute == "fixed_values":
+        _missing = [f for f in det.feature_specs
+                    if f not in (det.imputation_values or {})]
+        if _missing:
+            raise ValueError(
+                f"fixed_values imputation needs a value per feature; "
+                f"missing {_missing}")
+    fixed_vals = dict(det.imputation_values or {})
     k = det.shingle_size
     start_ms = (start_ms // det.interval_ms) * det.interval_ms
     end_ms = (end_ms // det.interval_ms) * det.interval_ms
@@ -1417,6 +1437,28 @@ def run_historical(
     n_pieces = max(1, -(-(end_ms - start_ms) // piece_ms))
 
     src = load_table(spark, det.indices)
+    ext = None
+    if impute:
+        # per-entity bucket extent over the WHOLE range, computed once
+        # up front: preview's dense grid spans each entity's extent, so
+        # imputation must stop at the entity's last observed bucket —
+        # a piece cannot know that locally.  One raw-event min/max agg
+        # (no feature evaluation); output is one small row per entity,
+        # broadcast into every piece.
+        from .query.aggs import to_millis
+
+        rng_all = {"range": {det.time_field: {"gte": start_ms,
+                                              "lt": end_ms}}}
+        q_all = ({"bool": {"filter": [rng_all, det.filter_query]}}
+                 if det.filter_query else rng_all)
+        bms = (F.floor(to_millis(det.time_field) / det.interval_ms)
+               * det.interval_ms)
+        ev = src.filter(compile_filter(src, q_all))
+        ev = (ev.select(*ent, bms.alias("_bms")) if ent
+              else ev.select(F.lit("_").alias("_g"), bms.alias("_bms")))
+        ext = (ev.groupBy(*gcols)
+               .agg(F.min("_bms").alias("_elo"),
+                    F.max("_bms").alias("_ehi"))).localCheckpoint()
     # group-col types from the source (gcols order preserved — the
     # UDF's output columns are matched positionally against the schema)
     gstruct = ([src.schema[c] for c in ent] if ent
@@ -1429,7 +1471,10 @@ def run_historical(
            T.StructField("_exp", T.DoubleType()),
            T.StructField("cnt_after", T.LongType()),
            T.StructField("vals", T.ArrayType(T.DoubleType())),
-           T.StructField("model", T.BinaryType())])
+           T.StructField("model", T.BinaryType()),
+           T.StructField("last_v", T.DoubleType()),
+           T.StructField("_vu", T.DoubleType()),
+           T.StructField("_imp", T.BooleanType())])
 
     def snap(p: int) -> str:
         return os.path.join(results_dir, f"_state_piece_{p}")
@@ -1467,9 +1512,10 @@ def run_historical(
             else spath
         if os.path.exists(in_state):
             state = spark.read.parquet(in_state)
-            if "model" not in state.columns:
-                # snapshot written before the model column existed
-                state = state.withColumn("model", F.lit(None).cast("binary"))
+            # snapshot written before the model / imputation columns
+            for c, t in (("model", "binary"), ("last_v", "double")):
+                if c not in state.columns:
+                    state = state.withColumn(c, F.lit(None).cast(t))
         else:
             state = spark.createDataFrame(
                 [], T.StructType(
@@ -1478,8 +1524,18 @@ def run_historical(
                        T.StructField("vals",
                                      T.ArrayType(T.DoubleType())),
                        T.StructField("scored_cnt", T.LongType()),
-                       T.StructField("model", T.BinaryType())]))
-        st = state.select(*gcols, "_feat", "vals", "scored_cnt", "model")
+                       T.StructField("model", T.BinaryType()),
+                       T.StructField("last_v", T.DoubleType())]))
+        st = state.select(*gcols, "_feat", "vals", "scored_cnt",
+                          "model", "last_v")
+        if impute:
+            cur = cur.join(F.broadcast(ext), gcols, "left")
+            # renamed copy for the state side — joining the SAME frame
+            # onto both cogroup inputs is an ambiguous self-join
+            ext_r = ext.select(*gcols,
+                               F.col("_elo").alias("_elo_r"),
+                               F.col("_ehi").alias("_ehi_r"))
+            st = st.join(F.broadcast(ext_r), gcols, "left")
 
         # COGROUP, not a full-outer join: a serialized model checkpoint
         # is ~MBs, and joining it onto every bucket row would shuffle
@@ -1490,6 +1546,7 @@ def run_historical(
             vals: list = []
             model_b = None
             cnt = 0
+            carry = None                  # last ingested value
             if len(rpdf):
                 r0 = rpdf.iloc[0]
                 if r0["vals"] is not None and not (
@@ -1502,17 +1559,61 @@ def run_historical(
                     model_b = bytes(r0["model"])
                 if not pd.isna(r0["scored_cnt"]):
                     cnt = int(r0["scored_cnt"])
+                if "last_v" in rpdf.columns and not pd.isna(r0["last_v"]):
+                    carry = float(r0["last_v"])
+            if carry is None and vals:
+                carry = float(vals[-1])
             stream = None
             if scorer_factory is not None:
                 stream = (scorer_factory() if model_b is None
                           else scorer_factory.restore(model_b))
             rows = lpdf.sort_values("bucket_ms")
+            # (bucket_ms, value, was_imputed) sequence: observed rows
+            # as-is, or — under imputation — the entity-extent grid
+            # with missing buckets synthesized (preview's
+            # fill-missing-buckets-only semantics: a present bucket
+            # whose feature aggregated to null stays null)
+            seq: list = [(int(r["bucket_ms"]), r["_v"], False)
+                         for _, r in rows.iterrows()]
+            if impute:
+                elo = ehi = None
+                for side, sfx in ((rows, ""), (rpdf, "_r")):
+                    if len(side) and f"_elo{sfx}" in side.columns \
+                            and not pd.isna(side[f"_elo{sfx}"].iloc[0]):
+                        elo = int(side[f"_elo{sfx}"].iloc[0])
+                        ehi = int(side[f"_ehi{sfx}"].iloc[0])
+                        break
+                if elo is not None:
+                    present = {b for b, _v, _i in seq}
+                    feat_name = key[-1]
+                    glo = max(elo, lo)
+                    ghi = min(ehi, hi - det.interval_ms)
+                    merged = dict()
+                    for b, v, _i in seq:
+                        merged[b] = (v, False)
+                    b = glo
+                    while b <= ghi:
+                        if b not in present:
+                            if impute == "zero":
+                                merged[b] = (0.0, True)
+                            elif impute == "fixed_values":
+                                merged[b] = (float(fixed_vals[feat_name]),
+                                             True)
+                            # 'previous' is resolved in the ingest loop
+                            # (the carry evolves as values ingest)
+                            else:
+                                merged[b] = (None, True)
+                        b += det.interval_ms
+                    seq = [(b, *merged[b]) for b in sorted(merged)]
             out = []
-            for _, r in rows.iterrows():
-                v = r["_v"]
+            for bms, v, was_imp in seq:
                 z = np.nan
                 exp = np.nan
+                used = None
+                if was_imp and impute == "previous":
+                    v = carry                 # may still be None
                 if v is not None and not pd.isna(v):
+                    used = float(v)
                     if stream is not None:
                         z, exp = stream.update(float(v))
                         if not np.isnan(z):
@@ -1530,14 +1631,17 @@ def run_historical(
                             exp = m
                             cnt += 1
                         vals = (vals + [float(v)])[-k:]
-                out.append([*key, int(r["bucket_ms"]), z, exp, cnt,
-                            None, None])
+                    carry = float(v)
+                out.append([*key, bms, z, exp, cnt, None, None, None,
+                            used, bool(was_imp)])
             # trailing state row (bucket_ms null)
             out.append([*key, None, None, None, cnt, vals,
-                        stream.to_bytes() if stream is not None else None])
+                        stream.to_bytes() if stream is not None else None,
+                        carry, None, None])
             return pd.DataFrame(
                 out, columns=[*gcols, "_feat", "bucket_ms", "_z", "_exp",
-                              "cnt_after", "vals", "model"])
+                              "cnt_after", "vals", "model", "last_v",
+                              "_vu", "_imp"])
 
         upd = (cur.groupBy(*gcols, "_feat")
                .cogroup(st.groupBy(*gcols, "_feat"))
@@ -1550,7 +1654,7 @@ def run_historical(
         new_state = (upd.filter(F.col("bucket_ms").isNull())
                      .select(*gcols, "_feat", "vals",
                              F.col("cnt_after").alias("scored_cnt"),
-                             "model"))
+                             "model", "last_v"))
         new_state.write.mode("overwrite").parquet(snap(p))
 
         scored = upd.filter(F.col("_z").isNotNull())
@@ -1569,9 +1673,23 @@ def run_historical(
                 zw = zw.withColumnRenamed(n, f"_z_{n}")
         cnt1 = (scored.groupBy(*gcols, "bucket_ms")
                 .agg(F.min("cnt_after").alias("_cnt")))
-        wide = base.withColumn(
-            "bucket_ms",
-            F.unix_millis(F.col("bucket_start").cast("timestamp")))
+        if impute:
+            # imputed buckets have no base row — feature values come
+            # from what the model actually ingested; _imp flags feed
+            # the feature_imputed result field
+            vw = (scored.groupBy(*gcols, "bucket_ms")
+                  .pivot("_feat", feats)
+                  .agg(F.first("_vu").alias("v"),
+                       F.first("_imp").alias("imp")))
+            for n in feats:
+                vw = (vw.withColumnRenamed(f"{n}_v", n)
+                      .withColumnRenamed(f"{n}_imp", f"_imp_{n}"))
+            wide = vw.withColumn("bucket_start",
+                                 F.timestamp_millis(F.col("bucket_ms")))
+        else:
+            wide = base.withColumn(
+                "bucket_ms",
+                F.unix_millis(F.col("bucket_start").cast("timestamp")))
         out = (wide.join(zw, [*gcols, "bucket_ms"])
                .join(cnt1, [*gcols, "bucket_ms"]))
         for n in feats:
@@ -1600,10 +1718,17 @@ def run_historical(
             result = result.withColumn(
                 "entity",
                 F.array().cast("array<struct<name:string,value:string>>"))
+        imp_cols = []
+        if impute:
+            result = result.withColumn("feature_imputed", F.array(*[
+                F.struct(F.lit(n).alias("feature_id"),
+                         F.coalesce(F.col(f"_imp_{n}"), F.lit(False))
+                         .alias("imputed")) for n in feats]))
+            imp_cols = ["feature_imputed"]
         (result.select(
             "detector_id", "entity", "data_start_time", "data_end_time",
             *feats, "anomaly_score", "anomaly_grade", "confidence",
-            *ent, "bucket_start")
+            *ent, "bucket_start", *imp_cols)
          .write.mode("overwrite").parquet(
              os.path.join(results_dir, f"piece={p}")))
         with open(marker, "w") as f:

@@ -462,9 +462,14 @@ def test_detector_imputation_dispatch(spark, tmp_path_factory):
     # one more scored bucket per entity than the skipping detector
     assert len(prev) == len(skip) + 2
 
+    # the realtime stateful path now supports zero/fixed/previous
+    # (test_stateful_imputation_matches_preview); only linear — which
+    # needs the NEXT sample — still refuses there
     from anomaly_detection_spark.detector import run_once_stateful
-    with pytest.raises(NotImplementedError):
-        run_once_stateful(spark, det_prev, 0, str(root / "st"))
+    det_lin = _det(src, feature_specs={"v_avg": {"avg": {"field": "value"}}},
+                   imputation_method="linear")
+    with pytest.raises(NotImplementedError, match="linear"):
+        run_once_stateful(spark, det_lin, 0, str(root / "st"))
 
 
 # --- insights anomaly correlation (verdict #8) -------------------------------
@@ -644,3 +649,75 @@ def test_top_anomaly_results_severity_and_occurrence(spark):
         top_anomaly_results(df, start, end, ("service",), order="nope")
     with _pt.raises(ValueError, match="size"):
         top_anomaly_results(df, start, end, ("service",), size=0)
+
+
+def test_run_historical_imputation_matches_preview(spark, tmp_path):
+    """run_historical with zero/previous imputation equals the
+    imputing preview over the same gappy span — including a gap that
+    SPANS a piece boundary (the previous-carry rides the snapshot)
+    and entities whose extent ends mid-range (imputation stops at the
+    entity's last observed bucket, like preview's dense grid)."""
+    from anomaly_detection_spark.detector import Detector, preview
+
+    base = pd.Timestamp("2025-02-01")
+    HOUR = 3600_000
+    # entity A: hourly 0..39 with gaps {14,15,16} (15|16 crosses the
+    # piece boundary at 16 when piece_intervals=16) and {25}
+    # entity B: stops at 19 — its extent must not extend past 19
+    rows = []
+    eid = 0
+    for h in range(40):
+        if h not in (14, 15, 16, 25):
+            for i in range(3):
+                rows.append((eid, "A",
+                             base + pd.Timedelta(hours=h, minutes=i),
+                             float(10 + (h % 4))))
+                eid += 1
+        if h < 20 and h != 9:
+            rows.append((eid, "B",
+                         base + pd.Timedelta(hours=h), float(5 + h % 2)))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "service", "ts", "v"])
+    src = str(tmp_path / "events")
+    spark.createDataFrame(pdf).write.parquet(src)
+    t0 = int(base.value // 1_000_000)
+
+    for method in ("zero", "previous"):
+        det = Detector(
+            detector_id=f"hist-imp-{method}", indices=src,
+            feature_specs={"va": {"avg": {"field": "v"}}},
+            time_field="ts", interval_ms=HOUR, shingle_size=4,
+            category_fields=("service",), imputation_method=method)
+        want = preview(spark, det).toPandas()
+        got = run_historical(
+            spark, det, t0, t0 + 40 * HOUR,
+            str(tmp_path / f"st_{method}"),
+            str(tmp_path / f"res_{method}"),
+            piece_intervals=16).toPandas()
+        key = ["service", "bucket_start"]
+        want = want.sort_values(key).reset_index(drop=True)
+        got = got.sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want), method
+        assert (got.service.values == want.service.values).all()
+        assert (got.bucket_start.values == want.bucket_start.values).all()
+        assert abs(got.anomaly_score - want.anomaly_score).max() < 1e-9
+        assert abs(got.va - want.va).max() < 1e-9
+        for g, w in zip(got.feature_imputed, want.feature_imputed):
+            assert [dict(e.asDict()) if hasattr(e, "asDict") else dict(e)
+                    for e in g] == \
+                   [dict(e.asDict()) if hasattr(e, "asDict") else dict(e)
+                    for e in w], method
+        # B's extent ends at hour 19: nothing imputed past it
+        bmax = got[got.service == "B"].bucket_start.max()
+        assert pd.Timestamp(bmax) <= base + pd.Timedelta(hours=19)
+
+    # linear refuses by name
+    with pytest.raises(NotImplementedError, match="linear"):
+        run_historical(
+            spark, Detector(
+                detector_id="h", indices=src,
+                feature_specs={"va": {"avg": {"field": "v"}}},
+                time_field="ts", interval_ms=HOUR,
+                imputation_method="linear"),
+            t0, t0 + 40 * HOUR, str(tmp_path / "s2"),
+            str(tmp_path / "r2"))
