@@ -92,6 +92,9 @@ def streaming_detector(
     anomaly_threshold: float = 3.0,
     eps: float = 1e-9,
     scorer_factory=None,
+    imputation_method: str | None = None,
+    imputation_value: float | None = None,
+    impute_limit: int | None = None,
 ) -> DataFrame:
     """Realtime detection as ONE stateful stream over RAW events:
     bucket aggregation, the per-entity trailing window, and the scored
@@ -122,24 +125,54 @@ def streaming_detector(
     Streaming's own checkpoint), updated once per closed interval in
     bucket order — so the emitted scores are the same float sequence
     as ``preview(scorer=rcf_scorer(...))`` / ``run_once_stateful``
-    with the same config (tested)."""
+    with the same config (tested).
+
+    ``imputation_method`` zero/fixed_values/previous closes EVERY
+    bucket between an entity's data buckets — missing ones are
+    synthesized and flagged in a new ``imputed`` output column, and
+    an event-time timeout keeps flushing a quiet entity's intervals
+    (``impute_limit`` caps the consecutive synthetic run — the
+    cache-eviction analog; the entity goes dormant until data
+    returns).  Output/state schemas extend ONLY when imputation is
+    configured, so existing checkpoints stay compatible; ``linear``
+    raises (it needs the NEXT sample)."""
     if agg not in _STREAM_AGGS:
         raise ValueError(f"agg must be one of {_STREAM_AGGS}; got {agg!r}")
+    impute = imputation_method
+    if impute not in (None, "zero", "fixed_values", "previous"):
+        raise NotImplementedError(
+            f"streaming imputation supports zero/fixed_values/previous"
+            f"; got {impute!r} (linear needs the NEXT sample)")
+    if impute == "fixed_values" and imputation_value is None:
+        raise ValueError("fixed_values imputation needs imputation_value")
+    # schemas extend ONLY when imputation is configured, so existing
+    # streaming checkpoints (state schema is pinned per query) and
+    # result consumers are untouched on the default path
     out_schema = (f"{entity_col} string, bucket_start timestamp, "
                   "v double, anomaly_score double, "
-                  "anomaly_grade double, confidence double")
+                  "anomaly_grade double, confidence double"
+                  + (", imputed boolean" if impute else ""))
     state_schema = ("open_ms array<long>, open_cnt array<long>, "
                     "open_sum array<double>, open_min array<double>, "
                     "open_max array<double>, "
                     "values array<double>, scored_cnt long, "
-                    "model binary")
+                    "model binary"
+                    + (", last_closed long, last_v double, imp_run long"
+                       if impute else ""))
     thr = float(anomaly_threshold)
     iv = int(interval_ms)
 
     def fn(key: Any, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterable[pd.DataFrame]:
+        last_closed, last_v, imp_run = None, None, 0
         if state.exists:
-            o_ms, o_cnt, o_sum, o_min, o_max, win, cnt0, mb = state.get
+            if impute:
+                (o_ms, o_cnt, o_sum, o_min, o_max, win, cnt0, mb,
+                 last_closed, last_v, imp_run) = state.get
+                imp_run = int(imp_run or 0)
+            else:
+                o_ms, o_cnt, o_sum, o_min, o_max, win, cnt0, mb = \
+                    state.get
             opens = {int(m): [int(c), float(s), float(lo), float(hi)]
                      for m, c, s, lo, hi
                      in zip(o_ms, o_cnt, o_sum, o_min, o_max)}
@@ -180,19 +213,45 @@ def streaming_detector(
 
         wm = state.getCurrentWatermarkMs()
         closed = sorted(b for b in opens if b + iv <= wm)
+        if impute and last_closed is not None:
+            # close EVERY bucket from the entity's last closed one up
+            # to the watermark — missing ones get imputed (the
+            # run_once posture: an entity holding state imputes its
+            # quiet intervals), bounded by impute_limit consecutive
+            # synthetic intervals (the cache-eviction analog: a long-
+            # dead entity goes dormant until data returns)
+            closed = list(range(int(last_closed) + iv,
+                                wm - iv + 1, iv)) if wm >= 0 else []
         emit_rows = []
         for b in closed:
-            c, s, lo, hi = opens.pop(b)
-            if agg == "value_count":
-                v = float(c)
-            elif agg == "sum":
-                v = s
-            elif agg == "avg":
-                v = s / c
-            elif agg == "min":
-                v = lo
+            was_imp = impute is not None and b not in opens
+            if was_imp:
+                last_closed = b      # the bucket is closed either way
+                if impute_limit is not None and imp_run >= impute_limit:
+                    continue                   # dormant until data
+                if impute == "zero":
+                    v = 0.0
+                elif impute == "fixed_values":
+                    v = float(imputation_value)
+                elif last_v is not None:       # previous
+                    v = float(last_v)
+                else:
+                    continue                   # nothing to carry yet
+                imp_run += 1
             else:
-                v = hi
+                imp_run = 0
+                last_closed = b
+                c, s, lo, hi = opens.pop(b)
+                if agg == "value_count":
+                    v = float(c)
+                elif agg == "sum":
+                    v = s
+                elif agg == "avg":
+                    v = s / c
+                elif agg == "min":
+                    v = lo
+                else:
+                    v = hi
             z = np.nan
             if scorer_factory is not None:
                 stream = (scorer_factory() if mb is None
@@ -208,29 +267,41 @@ def streaming_detector(
             if z == z:                        # scored (model warm)
                 cnt0 += 1
                 az = abs(z)
-                emit_rows.append((
-                    key[0], pd.Timestamp(b, unit="ms"), v,
-                    round(az, 6),
-                    round(min(max((az - thr) / thr, 0.0), 1.0), 6),
-                    round(min(1.0, cnt0 / float(confidence_ramp)), 6)))
+                row = (key[0], pd.Timestamp(b, unit="ms"), v,
+                       round(az, 6),
+                       round(min(max((az - thr) / thr, 0.0), 1.0), 6),
+                       round(min(1.0, cnt0 / float(confidence_ramp)),
+                             6))
+                emit_rows.append(row + (bool(was_imp),)
+                                 if impute else row)
             win = (win + [v])[-k:]
+            last_v = float(v)
 
         ob = sorted(opens)
-        state.update((
+        base_state = (
             ob,
             [opens[b][0] for b in ob], [opens[b][1] for b in ob],
             [opens[b][2] for b in ob], [opens[b][3] for b in ob],
-            win, cnt0, mb))
-        if ob:
+            win, cnt0, mb)
+        state.update(base_state + (last_closed, last_v, imp_run)
+                     if impute else base_state)
+        if (impute and last_closed is not None
+                and (impute_limit is None or imp_run < impute_limit)):
+            # keep flushing intervals for the quiet entity: the NEXT
+            # bucket (last_closed + iv) becomes closable when the
+            # watermark reaches last_closed + 2·iv — never later than
+            # any open bucket's own close (last_closed + iv <= ob[0])
+            state.setTimeoutTimestamp(int(last_closed) + 2 * iv)
+        elif ob:
             # flush the earliest open interval when the watermark
             # passes its end, even if no new data arrives for this key
             state.setTimeoutTimestamp(ob[0] + iv)
+        cols = [entity_col, "bucket_start", "v", "anomaly_score",
+                "anomaly_grade", "confidence"] \
+            + (["imputed"] if impute else [])
         if not emit_rows:
             return iter(())
-        return iter([pd.DataFrame(
-            emit_rows,
-            columns=[entity_col, "bucket_start", "v", "anomaly_score",
-                     "anomaly_grade", "confidence"])])
+        return iter([pd.DataFrame(emit_rows, columns=cols)])
 
     return (events.groupBy(entity_col)
             .applyInPandasWithState(fn, out_schema, state_schema,

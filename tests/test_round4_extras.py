@@ -593,3 +593,98 @@ def test_validate_model_root_cause_chain(spark, tmp_path):
     spark.read.parquet(src).limit(0).write.parquet(empty)
     got = validate_model(spark, det(indices=empty), now)
     assert got["issues"]["indices"].startswith("Source index data")
+
+
+def test_streaming_detector_imputation_matches_preview(spark, tmp_path):
+    """streaming_detector with imputation closes EVERY bucket between
+    an entity's data buckets — synthesized values and scores equal the
+    imputing preview; the imputed flag rides the output; impute_limit
+    caps a quiet entity's synthetic run."""
+    from anomaly_detection_spark.detector import Detector, preview
+    from anomaly_detection_spark.streaming.stateful import \
+        streaming_detector
+
+    base = pd.Timestamp("2025-03-01")
+    gaps = {9, 10, 14}
+    rows = []
+    eid = 0
+    for h in range(20):
+        if h in gaps:
+            continue
+        for i in range(4):
+            rows.append((eid, "A", base + pd.Timedelta(hours=h, minutes=i),
+                         float(10 + (h % 3) + i)))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "service", "ts", "value"])
+    src_path = str(tmp_path / "stream_src")
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    os.makedirs(src_path)
+    t0 = _time.time()
+    for part, lo in enumerate(range(0, 20, 4)):
+        chunk = pd.DataFrame(
+            pdf[(pdf.ts >= base + pd.Timedelta(hours=lo))
+                & (pdf.ts < base + pd.Timedelta(hours=lo + 4))])
+        if not len(chunk):
+            continue
+        wtmp = str(tmp_path / f"_w{part}")
+        spark.createDataFrame(chunk).coalesce(1) \
+            .write.mode("overwrite").parquet(wtmp)
+        pf = glob.glob(wtmp + "/part-*.parquet")[0]
+        dst = os.path.join(src_path, f"chunk-{part:03d}.parquet")
+        shutil.copy(pf, dst)
+        os.utime(dst, (t0 + part, t0 + part))
+
+    det = Detector(
+        detector_id="d", indices=src_path,
+        feature_specs={"v_avg": {"avg": {"field": "value"}}},
+        time_field="ts", interval_ms=3_600_000,
+        category_fields=("service",), shingle_size=4,
+        imputation_method="previous")
+    want = preview(spark, det).toPandas()
+    want = want.set_index(want.bucket_start.map(pd.Timestamp))
+
+    batch_schema = spark.read.parquet(src_path).schema
+    stream = (spark.readStream.schema(batch_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_path))
+    scored = streaming_detector(
+        stream.withWatermark("ts", "1 minute"),
+        ts_col="ts", interval_ms=3_600_000, agg="avg",
+        value_col="value", entity_col="service", k=4,
+        imputation_method="previous")
+    q = (scored.writeStream.outputMode("append").format("memory")
+         .queryName("det_stream_imp")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from det_stream_imp").toPandas()
+
+    # the gap buckets are emitted, flagged, and preview-identical
+    got_ts = {pd.Timestamp(b) for b in got.bucket_start}
+    for g in gaps:
+        assert base + pd.Timedelta(hours=g) in got_ts, g
+    assert len(got) >= len(want) - 2
+    for r in got.itertuples():
+        w = want.loc[pd.Timestamp(r.bucket_start)]
+        assert abs(r.v - float(w.v_avg)) < 1e-9, r
+        assert abs(r.anomaly_score - float(w.anomaly_score)) < 1e-9, r
+        wf = {e["feature_id"]: e["imputed"] for e in w.feature_imputed}
+        assert r.imputed == wf["v_avg"], r
+
+    # rejects
+    with pytest.raises(NotImplementedError, match="linear"):
+        streaming_detector(stream, ts_col="ts", interval_ms=1,
+                           agg="avg", value_col="value",
+                           entity_col="service",
+                           imputation_method="linear")
+    with pytest.raises(ValueError, match="imputation_value"):
+        streaming_detector(stream, ts_col="ts", interval_ms=1,
+                           agg="avg", value_col="value",
+                           entity_col="service",
+                           imputation_method="fixed_values")
