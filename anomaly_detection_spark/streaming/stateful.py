@@ -213,15 +213,18 @@ def streaming_detector(
 
         wm = state.getCurrentWatermarkMs()
         closed = sorted(b for b in opens if b + iv <= wm)
-        if impute and last_closed is not None:
-            # close EVERY bucket from the entity's last closed one up
-            # to the watermark — missing ones get imputed (the
-            # run_once posture: an entity holding state imputes its
-            # quiet intervals), bounded by impute_limit consecutive
+        if impute and (last_closed is not None or opens):
+            # close EVERY bucket from the entity's last closed one
+            # (or its FIRST open one, when nothing closed yet — a gap
+            # between two early buckets must impute too) up to the
+            # watermark — missing ones get imputed (the run_once
+            # posture: an entity holding state imputes its quiet
+            # intervals), bounded by impute_limit consecutive
             # synthetic intervals (the cache-eviction analog: a long-
             # dead entity goes dormant until data returns)
-            closed = list(range(int(last_closed) + iv,
-                                wm - iv + 1, iv)) if wm >= 0 else []
+            start_b = (int(last_closed) + iv if last_closed is not None
+                       else min(opens))
+            closed = list(range(start_b, wm - iv + 1, iv))
         emit_rows = []
         for b in closed:
             was_imp = impute is not None and b not in opens

@@ -688,3 +688,61 @@ def test_streaming_detector_imputation_matches_preview(spark, tmp_path):
                            agg="avg", value_col="value",
                            entity_col="service",
                            imputation_method="fixed_values")
+
+
+def test_streaming_imputation_gap_before_first_close(spark, tmp_path):
+    """A gap between two buckets that are BOTH still open when the
+    first close happens must impute too (last_closed is unset at that
+    point — the range starts from the first open bucket)."""
+    from anomaly_detection_spark.streaming.stateful import \
+        streaming_detector
+
+    base = pd.Timestamp("2025-03-01")
+    # hours 0,1,3,4 in ONE file (gap at 2); a second file at hour 8
+    # advances the watermark past everything in one later trigger
+    rows = [(h * 10 + j, "A", base + pd.Timedelta(hours=h, minutes=j),
+             float(5 + j)) for h in (0, 1, 3, 4) for j in range(2)]
+    late = [(900, "A", base + pd.Timedelta(hours=8), 5.0)]
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    src_path = str(tmp_path / "src")
+    os.makedirs(src_path)
+    t0 = _time.time()
+    for part, chunk in enumerate((rows, late)):
+        wtmp = str(tmp_path / f"_w{part}")
+        spark.createDataFrame(pd.DataFrame(
+            chunk, columns=["eid", "service", "ts", "v"])) \
+            .coalesce(1).write.mode("overwrite").parquet(wtmp)
+        pf = glob.glob(wtmp + "/part-*.parquet")[0]
+        dst = os.path.join(src_path, f"c{part}.parquet")
+        shutil.copy(pf, dst)
+        os.utime(dst, (t0 + part, t0 + part))
+
+    batch_schema = spark.read.parquet(src_path).schema
+    stream = (spark.readStream.schema(batch_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_path))
+    out = streaming_detector(
+        stream.withWatermark("ts", "1 minute"), ts_col="ts",
+        interval_ms=3_600_000, agg="avg", value_col="v",
+        entity_col="service", k=2, imputation_method="previous")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("gap_first_close")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from gap_first_close "
+                    "order by bucket_start").toPandas()
+    by_ts = {pd.Timestamp(r.bucket_start): r for r in got.itertuples()}
+    h2 = base + pd.Timedelta(hours=2)
+    assert h2 in by_ts and by_ts[h2].imputed      # the early gap
+    assert abs(by_ts[h2].v - 5.5) < 1e-9          # previous carry
+    # hours 5 and 6 impute from the quiet-entity timeout path as well
+    # (hour 7 stays open: the final watermark rests at 7:59)
+    for h in (5, 6):
+        t = base + pd.Timedelta(hours=h)
+        assert t in by_ts and by_ts[t].imputed, h
