@@ -1389,9 +1389,14 @@ def run_historical(
     every piece) because preview's dense grid stops at the entity's
     last bucket and a piece cannot know that locally; gaps spanning
     piece boundaries impute correctly (the ``previous`` carry rides
-    the state snapshot's ``last_v``).  Results carry
-    ``feature_imputed``; ``linear`` raises (its neighbors may live in
-    different pieces).
+    the state snapshot's ``last_v``).  ``linear`` interpolates toward
+    neighbors that may live in DIFFERENT pieces, so its fill table is
+    computed ONCE up front instead (one extra whole-range feature
+    aggregation through the same :func:`impute_linear` preview uses —
+    fill values depend only on the raw series, never on model state)
+    and each piece unions in its range-slice of fills; the table holds
+    only the MISSING buckets, so it stays small relative to the data.
+    Results carry ``feature_imputed`` for every method.
 
     Task-tracking hooks (both opt-in; see
     :mod:`anomaly_detection_spark.tasks`): ``cancel_check()`` is called
@@ -1411,11 +1416,6 @@ def run_historical(
     from .features import feature_matrix
 
     impute = det.imputation_method
-    if impute == "linear":
-        raise NotImplementedError(
-            "linear imputation interpolates between present neighbors "
-            "that may live in different pieces — use preview for "
-            "linear series, or zero/fixed_values/previous here")
     if impute == "fixed_values":
         _missing = [f for f in det.feature_specs
                     if f not in (det.imputation_values or {})]
@@ -1438,19 +1438,48 @@ def run_historical(
 
     src = load_table(spark, det.indices)
     ext = None
+    fills = None
     if impute:
-        # per-entity bucket extent over the WHOLE range, computed once
-        # up front: preview's dense grid spans each entity's extent, so
-        # imputation must stop at the entity's last observed bucket —
-        # a piece cannot know that locally.  One raw-event min/max agg
-        # (no feature evaluation); output is one small row per entity,
-        # broadcast into every piece.
         from .query.aggs import to_millis
 
         rng_all = {"range": {det.time_field: {"gte": start_ms,
                                               "lt": end_ms}}}
         q_all = ({"bool": {"filter": [rng_all, det.filter_query]}}
                  if det.filter_query else rng_all)
+    if impute == "linear":
+        # linear's fill values interpolate toward present neighbors
+        # that may live in DIFFERENT pieces, but they depend only on
+        # the raw feature series — never on model state — so the whole
+        # fill table is computed ONCE up front through the exact
+        # function preview uses (impute_linear: dense per-entity grid,
+        # anchor semantics, edge clamps), then each piece unions in
+        # its range-slice.  Only the MISSING buckets are kept, so the
+        # table is small relative to the data; one extra whole-range
+        # feature aggregation is the cost.
+        from .features import impute_linear
+
+        fm_all = feature_matrix(src, det.time_field, det.interval_ms,
+                                det.feature_specs,
+                                entity_cols=tuple(det.category_fields),
+                                filter_cond=compile_filter(src, q_all))
+        lin = impute_linear(fm_all, det.interval_ms, feats,
+                            entity_cols=tuple(det.category_fields))
+        lin = lin.filter(F.col("is_filled"))
+        lin = lin if ent else lin.withColumn("_g", F.lit("_"))
+        _pairs = ", ".join(f"'{n}', cast(`{n}` as double)" for n in feats)
+        fills = (lin.select(
+            *gcols,
+            F.unix_millis(F.col("bucket_start").cast("timestamp"))
+            .alias("bucket_ms"),
+            F.expr(f"stack({len(feats)}, {_pairs})").alias("_feat", "_v"))
+            .localCheckpoint())
+    elif impute:
+        # per-entity bucket extent over the WHOLE range, computed once
+        # up front: preview's dense grid spans each entity's extent, so
+        # imputation must stop at the entity's last observed bucket —
+        # a piece cannot know that locally.  One raw-event min/max agg
+        # (no feature evaluation); output is one small row per entity,
+        # broadcast into every piece.
         bms = (F.floor(to_millis(det.time_field) / det.interval_ms)
                * det.interval_ms)
         ev = src.filter(compile_filter(src, q_all))
@@ -1528,7 +1557,15 @@ def run_historical(
                        T.StructField("last_v", T.DoubleType())]))
         st = state.select(*gcols, "_feat", "vals", "scored_cnt",
                           "model", "last_v")
-        if impute:
+        if impute == "linear":
+            # this piece's slice of the precomputed fill table rides
+            # the melt itself (no join): fill rows ingest in bucket
+            # order like any present value, flagged imputed
+            cur = cur.withColumn("_impin", F.lit(False)).unionByName(
+                fills.filter((F.col("bucket_ms") >= lo)
+                             & (F.col("bucket_ms") < hi))
+                .withColumn("_impin", F.lit(True)))
+        elif impute:
             cur = cur.join(F.broadcast(ext), gcols, "left")
             # renamed copy for the state side — joining the SAME frame
             # onto both cogroup inputs is an ambiguous self-join
@@ -1573,9 +1610,11 @@ def run_historical(
             # with missing buckets synthesized (preview's
             # fill-missing-buckets-only semantics: a present bucket
             # whose feature aggregated to null stays null)
-            seq: list = [(int(r["bucket_ms"]), r["_v"], False)
+            has_fill = "_impin" in rows.columns
+            seq: list = [(int(r["bucket_ms"]), r["_v"],
+                          bool(r["_impin"]) if has_fill else False)
                          for _, r in rows.iterrows()]
-            if impute:
+            if impute and impute != "linear":
                 elo = ehi = None
                 for side, sfx in ((rows, ""), (rpdf, "_r")):
                     if len(side) and f"_elo{sfx}" in side.columns \

@@ -682,7 +682,7 @@ def test_run_historical_imputation_matches_preview(spark, tmp_path):
     spark.createDataFrame(pdf).write.parquet(src)
     t0 = int(base.value // 1_000_000)
 
-    for method in ("zero", "previous"):
+    for method in ("zero", "previous", "linear"):
         det = Detector(
             detector_id=f"hist-imp-{method}", indices=src,
             feature_specs={"va": {"avg": {"field": "v"}}},
@@ -710,14 +710,15 @@ def test_run_historical_imputation_matches_preview(spark, tmp_path):
         # B's extent ends at hour 19: nothing imputed past it
         bmax = got[got.service == "B"].bucket_start.max()
         assert pd.Timestamp(bmax) <= base + pd.Timedelta(hours=19)
-
-    # linear refuses by name
-    with pytest.raises(NotImplementedError, match="linear"):
-        run_historical(
-            spark, Detector(
-                detector_id="h", indices=src,
-                feature_specs={"va": {"avg": {"field": "v"}}},
-                time_field="ts", interval_ms=HOUR,
-                imputation_method="linear"),
-            t0, t0 + 40 * HOUR, str(tmp_path / "s2"),
-            str(tmp_path / "r2"))
+        if method == "linear":
+            # the interpolated values themselves: A's 3-gap between
+            # h13 (v=11) and h17 (v=11) fills with 11s spanning the
+            # piece-16 boundary; B's h9 gap midpoints h8/h10 (5, 5)
+            a = got[(got.service == "A")
+                    & (got.bucket_start
+                       == base + pd.Timedelta(hours=15))].va
+            assert len(a) == 1 and abs(a.iloc[0] - 11.0) < 1e-9
+            b = got[(got.service == "B")
+                    & (got.bucket_start
+                       == base + pd.Timedelta(hours=9))].va
+            assert len(b) == 1 and abs(b.iloc[0] - 5.0) < 1e-9
