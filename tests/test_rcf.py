@@ -196,6 +196,72 @@ def test_rcf_preview_equals_historical(spark, tmp_path_factory):
     assert (res_p.anomaly_grade > 0).sum() >= 1   # the spike alerts
 
 
+def test_rcf_historical_linear_imputation_matches_preview(
+        spark, tmp_path_factory):
+    """run_historical with LINEAR imputation on the checkpointed-RCF
+    path equals the imputing preview — the up-front fill table feeds
+    the same ingest recurrence the scorer seam runs, including a gap
+    that spans the uneven piece boundary (intervals 136-138 with
+    piece_intervals=137)."""
+    import pandas as pd
+
+    from anomaly_detection_spark.detector import (
+        Detector,
+        preview,
+        run_historical,
+    )
+    from anomaly_detection_spark.features import (
+        rcf_scorer,
+        rcf_stream_factory,
+    )
+
+    rng = np.random.default_rng(11)
+    n, interval_ms = 400, 60_000
+    base = pd.Timestamp("2025-03-01")
+    vals = 20.0 + 3.0 * np.sin(np.arange(n) / 15.0) + rng.normal(0, 0.5, n)
+    vals[350] += 25.0
+    gaps = {60, 136, 137, 138, 250}         # 136-138 spans the boundary
+    pdf = pd.DataFrame({
+        "ts": [base + pd.Timedelta(milliseconds=i * interval_ms)
+               for i in range(n) if i not in gaps],
+        "v": [v for i, v in enumerate(vals) if i not in gaps],
+    })
+    path = str(tmp_path_factory.mktemp("rcflin") / "events")
+    spark.createDataFrame(pdf).write.parquet(path)
+    det = Detector(
+        detector_id="rcf-lin", indices=path,
+        feature_specs={"f": {"avg": {"field": "v"}}},
+        time_field="ts", interval_ms=interval_ms, anomaly_threshold=3.0,
+        imputation_method="linear")
+    conf = dict(shingle=8, n_trees=5, sample_size=32)
+
+    res_p = (preview(spark, det, scorer=rcf_scorer(**conf))
+             .select("bucket_start", "anomaly_score", "f",
+                     "feature_imputed").toPandas()
+             .sort_values("bucket_start").reset_index(drop=True))
+    wd = tmp_path_factory.mktemp("rcflinh")
+    start_ms = int(base.value // 10**6)
+    res_h = (run_historical(
+        spark, det, start_ms, start_ms + n * interval_ms,
+        state_dir=str(wd / "state"), results_dir=str(wd / "results"),
+        piece_intervals=137,
+        scorer_factory=rcf_stream_factory(**conf))
+        .select("bucket_start", "anomaly_score", "f",
+                "feature_imputed").toPandas()
+        .sort_values("bucket_start").reset_index(drop=True))
+
+    assert len(res_p) == len(res_h) > 350    # gap buckets present too
+    assert (res_p.bucket_start == res_h.bucket_start).all()
+    assert np.allclose(res_p.anomaly_score, res_h.anomaly_score)
+    assert np.allclose(res_p.f, res_h.f)
+    flags_p = [tuple(e["imputed"] for e in fi)
+               for fi in res_p.feature_imputed]
+    flags_h = [tuple(e["imputed"] for e in fi)
+               for fi in res_h.feature_imputed]
+    assert flags_p == flags_h
+    assert sum(f[0] for f in flags_h) == len(gaps)  # every gap scored
+
+
 def test_rcf_stateful_sequence_matches_preview(spark, tmp_path_factory):
     """run_once_stateful with the checkpointed RCF stream, called once
     per interval in order, must reproduce preview's RCF rows exactly —
