@@ -46,6 +46,19 @@ def get_spark(
     if jvm_procs is None and inner not in ("*", ""):
         jvm_procs = str(min(int(inner) + 2, os.cpu_count() or cpus))
 
+    # glibc hands blocks over its mmap threshold straight back to the
+    # kernel on free; Arrow/pandas workers allocate such blocks once
+    # per batch, so every batch re-faults fresh pages.  On virtualized
+    # hosts where first-touch is slow (hypervisor lazy page supply —
+    # measured 120 MB/s fault-in vs 16 GB/s steady-state on one sandbox
+    # host) that churn dominates the UDF path: a 10x200MB alloc/free
+    # loop ran 3x faster with these tunables.  Keep big freed blocks in
+    # the arena instead; python workers inherit the env at exec.
+    # setdefault only — an explicit user environment wins.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 28))
+
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -55,14 +68,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # -Xms = -Xmx: G1 uncommits idle heap regions below Xmx and
+    # re-commits (re-faults) them on the next allocation burst — the
+    # same first-touch churn as the malloc note above, JVM-side.  A
+    # fixed heap commits each page once for the JVM's lifetime.
+    java_opts = [f"-Xms{driver_mem}"]
     if jvm_procs:
-        builder = builder.config(
-            "spark.driver.extraJavaOptions",
-            f"-XX:ActiveProcessorCount={jvm_procs}")
+        java_opts.append(f"-XX:ActiveProcessorCount={jvm_procs}")
+    builder = builder.config("spark.driver.extraJavaOptions",
+                             " ".join(java_opts))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -87,7 +87,7 @@ def main() -> None:
     # the harness level.
     build_trials = 1 if (os.environ.get("BENCH_ONLY_BUILD")
                          or os.environ.get("BENCH_KEEP_INDEX")) else int(
-        os.environ.get("BENCH_BUILD_TRIALS", "2"))
+        os.environ.get("BENCH_BUILD_TRIALS", "3"))
     build_s = float("inf")
     for _ in range(build_trials):
         if not os.environ.get("BENCH_KEEP_INDEX"):
@@ -115,11 +115,16 @@ def main() -> None:
     reader = IndexReader(spark, idx)
 
     # ---- merge/compaction ---------------------------------------------------
+    # best-of like the build: one-shot numbers on this host can be 2x
+    # first-touch page-fault noise (see BASELINE.md host notes)
     merged_dir = f"{idx}_merged"
-    shutil.rmtree(merged_dir, ignore_errors=True)
-    t0 = time.time()
-    merge_segments(spark, idx, merged_dir, factor=4)
-    queries["segment_merge"] = round(time.time() - t0, 3)
+    merge_s = float("inf")
+    for _ in range(max(1, build_trials - 1)):
+        shutil.rmtree(merged_dir, ignore_errors=True)
+        t0 = time.time()
+        merge_segments(spark, idx, merged_dir, factor=4)
+        merge_s = min(merge_s, time.time() - t0)
+    queries["segment_merge"] = round(merge_s, 3)
 
     # ---- query latencies ----------------------------------------------------
     # best-of-N per query (default 3): the recorded number is the claim,
@@ -161,12 +166,16 @@ def main() -> None:
     # FOR-codec twin of the transcripts index: bit-packed posting
     # blocks (codec="for") — records the decode fast path's query wall
     fidx = idx + "_for"
-    if not os.environ.get("BENCH_KEEP_INDEX"):
-        shutil.rmtree(fidx, ignore_errors=True)
-    t0 = time.time()
-    build_index(docs, fidx, seg_size=seg_size, block_size=1 << 12,
-                segments_per_batch=64, codec="for")
-    queries["index_build_for_codec"] = round(time.time() - t0, 3)
+    for_s = float("inf")
+    for _ in range(1 if os.environ.get("BENCH_KEEP_INDEX")
+                   else max(1, build_trials - 1)):
+        if not os.environ.get("BENCH_KEEP_INDEX"):
+            shutil.rmtree(fidx, ignore_errors=True)
+        t0 = time.time()
+        build_index(docs, fidx, seg_size=seg_size, block_size=1 << 12,
+                    segments_per_batch=64, codec="for")
+        for_s = min(for_s, time.time() - t0)
+    queries["index_build_for_codec"] = round(for_s, 3)
     freader = IndexReader(spark, fidx)
     timed("wand_topk_for_codec",
           lambda: bm25_topk_indexed(
@@ -208,10 +217,15 @@ def main() -> None:
     shutil.rmtree(didx, ignore_errors=True)
     shutil.rmtree(didx + "_src", ignore_errors=True)
     ddocs = documents.select(F.col("doc_id").alias("docid"), "text", "source")
-    t0 = time.time()
-    build_index(ddocs, didx, seg_size=8192, block_size=512,
-                segments_per_batch=8, positions=True, keep_cols=("source",))
-    queries["docs_index_build_positional"] = round(time.time() - t0, 3)
+    pos_s = float("inf")
+    for _ in range(max(1, build_trials - 1)):
+        shutil.rmtree(didx, ignore_errors=True)
+        t0 = time.time()
+        build_index(ddocs, didx, seg_size=8192, block_size=512,
+                    segments_per_batch=8, positions=True,
+                    keep_cols=("source",))
+        pos_s = min(pos_s, time.time() - t0)
+    queries["docs_index_build_positional"] = round(pos_s, 3)
     build_index(ddocs, didx + "_src", seg_size=8192, block_size=512,
                 segments_per_batch=8, text_col="source", keep_cols=())
     dreader = IndexReader(spark, didx)
