@@ -16,6 +16,13 @@ Supported subset (``query_string``):
 - trailing ``*`` → ``match_phrase_prefix`` (analyzed) / ``prefix``
 - embedded ``*``/``?`` on non-analyzed fields → ``wildcard``
 - ``value~N`` fuzziness on non-analyzed fields → ``fuzzy``
+- ranges: ``field:[a TO b]`` / ``{a TO b}`` (mixed brackets OK,
+  ``[`` / ``]`` inclusive, ``{`` / ``}`` exclusive, ``*`` = open
+  end, ``[* TO *]`` → ``exists``) and the ``field:>=v`` ``>v``
+  ``<=v`` ``<v`` shorthands → ``range``; numeric-looking endpoints
+  compare numerically, date-math strings (``now-7d/d``) resolve in
+  the range compiler, everything else compares as the raw column
+  value (no per-term analysis — Lucene's keyword-range posture)
 - ``AND`` / ``OR`` / ``NOT`` (and ``&&`` ``||`` ``!``), parentheses,
   ``+``/``-`` clause modifiers; NOT binds tightest, then AND, then OR;
   adjacency = ``default_operator`` (OR, like OpenSearch).
@@ -27,8 +34,10 @@ degrades to an OR bag of its plain terms, mirroring the reference's
 lenient behavior.
 
 Out of scope (raise in query_string, ignored in simple_query_string):
-ranges (``[a TO b]``), boosts (``^2``), fuzzy/wildcard on analyzed
-fields (needs per-token expansion at parse time).
+boosts (``^2``), fuzzy/wildcard on analyzed fields (needs per-token
+expansion at parse time).  ``simple_query_string`` has NO range
+syntax in the reference either — range-looking input degrades to the
+lenient term bag there.
 """
 
 from __future__ import annotations
@@ -39,10 +48,29 @@ _TOKEN = re.compile(r"""
     \s*(
         \(|\)
       | [^\s():"]+:"(?:[^"\\]|\\.)*"(?:~\d+)?
+      | [^\s():"]+:[\[{][^\]}]*[\]}]
+      | [\[{][^\]}]*[\]}]
       | "(?:[^"\\]|\\.)*"(?:~\d+)?
       | &&|\|\|
       | [^\s()"]+
     )""", re.VERBOSE)
+
+_RANGE = re.compile(r"([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])\Z")
+
+
+def _range_value(s: str):
+    """Range endpoint → comparable value: ints and floats compare
+    numerically, anything else (date-math, ISO dates, keywords) rides
+    through as a string for the range compiler to interpret."""
+    s = s.strip('"')
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        return s
 
 
 def _tokenize(q: str) -> list[str]:
@@ -168,7 +196,7 @@ class _Parser:
     def leaf(self, tok: str) -> dict:
         field = self.default_field
         body = tok
-        if not tok.startswith('"') and ":" in tok:
+        if not tok.startswith(('"', "[", "{")) and ":" in tok:
             field, body = tok.split(":", 1)
             if body == "":
                 # "field:(a b)" tokenizes as "field:" + a group — it
@@ -194,8 +222,35 @@ class _Parser:
             slop = int(m.group(2)) if m.group(2) else 0
             return {"match_phrase": {field: {"query": text, "slop": slop}}}
         if body[:1] in ("[", "{"):
-            raise ValueError("query_string ranges [a TO b] unsupported; "
-                             "use a range query")
+            # Lucene range syntax: [ ] inclusive, { } exclusive (mixed
+            # OK), * = open end.  simple_query_string has no range
+            # syntax in the reference — raising here degrades it to
+            # the lenient term bag like any other parse failure.
+            m = _RANGE.fullmatch(body)
+            if m is None or self.simple:
+                raise ValueError(
+                    f"malformed query_string range {body!r} "
+                    f"(expected [a TO b])")
+            spec: dict = {}
+            if m.group(2) != "*":
+                spec["gte" if m.group(1) == "[" else "gt"] = \
+                    _range_value(m.group(2))
+            if m.group(3) != "*":
+                spec["lte" if m.group(4) == "]" else "lt"] = \
+                    _range_value(m.group(3))
+            if not spec:
+                # field:[* TO *] matches every doc carrying the field
+                return {"exists": {"field": field}}
+            return {"range": {field: spec}}
+        for op, key in ((">=", "gte"), ("<=", "lte"),
+                        (">", "gt"), ("<", "lt")):
+            if body.startswith(op) and len(body) > len(op):
+                if self.simple:
+                    raise ValueError(
+                        f"range shorthand {body!r} has no "
+                        f"simple_query_string syntax")
+                return {"range": {field: {key: _range_value(
+                    body[len(op):])}}}
         analyzed = field in self.analyzed
         fz = re.fullmatch(r"(.+?)~(\d+)?", body)
         if fz and not body.endswith("*"):
@@ -295,7 +350,7 @@ def compile_query_string(spec: dict, simple: bool = False,
     def _fallback() -> dict:
         # the reference's lenient mode: degrade to a bag of the plain
         # terms with every syntax character stripped
-        words = [w for w in re.split(r'[\s+|()":*~-]+', q) if w]
+        words = [w for w in re.split(r'[\s+|()":*~\[\]{}<>=-]+', q) if w]
         if not words:
             return {"match_all": {}}
         if flds and len(flds) > 1:

@@ -64,9 +64,51 @@ def test_compile_modifiers_and_wildcard_fuzzy():
         in b["should"]
 
 
-def test_compile_query_string_raises_on_ranges():
+def test_compile_query_string_ranges():
+    # [ ] inclusive / { } exclusive, mixed brackets, numeric endpoints
+    assert compile_query_string({"query": "v:[1 TO 5]"}) \
+        == {"range": {"v": {"gte": 1, "lte": 5}}}
+    assert compile_query_string({"query": "v:{1.5 TO 5]"}) \
+        == {"range": {"v": {"gt": 1.5, "lte": 5}}}
+    # * = open end; [* TO *] = exists; strings ride through raw
+    assert compile_query_string({"query": "ts:[now-7d/d TO *]"}) \
+        == {"range": {"ts": {"gte": "now-7d/d"}}}
+    assert compile_query_string({"query": "v:[* TO *]"}) \
+        == {"exists": {"field": "v"}}
+    # bare range on the default field (colons inside endpoints OK)
+    assert compile_query_string(
+        {"query": "[2020-01-01T00:00:00 TO 2021-01-01T00:00:00}",
+         "default_field": "ts"}) \
+        == {"range": {"ts": {"gte": "2020-01-01T00:00:00",
+                             "lt": "2021-01-01T00:00:00"}}}
+    # >= > <= < shorthands
+    assert compile_query_string({"query": "v:>=10"}) \
+        == {"range": {"v": {"gte": 10}}}
+    assert compile_query_string({"query": "v:<3 AND v:>1"}) \
+        == {"bool": {"must": [{"range": {"v": {"lt": 3}}},
+                              {"range": {"v": {"gt": 1}}}]}}
+    # malformed ranges still raise in strict mode
     with pytest.raises(ValueError, match="range"):
-        compile_query_string({"query": "v:[1 TO 5]"})
+        compile_query_string({"query": "v:[1 5]"})
+    # simple_query_string has no range syntax → lenient degrade
+    assert set(compile_query_string({"query": "v:[1 TO 5]"},
+                                    simple=True)) \
+        <= {"match", "bool", "match_all"}
+
+
+def test_query_string_range_filter_context(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 5.0), (2, 10.0), (3, None)],
+        ["docid", "value"])
+    got = sorted(r["docid"] for r in df.filter(compile_filter(
+        df, {"query_string": {
+            "query": "value:[1 TO 5] OR value:>9",
+            "default_field": "text"}})).collect())
+    assert got == [0, 1, 2]
+    got2 = sorted(r["docid"] for r in df.filter(compile_filter(
+        df, {"query_string": {"query": "value:{1 TO 10}",
+                              "default_field": "text"}})).collect())
+    assert got2 == [1]
 
 
 def test_simple_query_string_never_raises():
