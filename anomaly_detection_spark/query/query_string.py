@@ -23,6 +23,9 @@ Supported subset (``query_string``):
   compare numerically, date-math strings (``now-7d/d``) resolve in
   the range compiler, everything else compares as the raw column
   value (no per-term analysis — Lucene's keyword-range posture)
+- field grouping ``field:(a b "c d")`` — the group parses with the
+  field as its default, so bare terms, phrases and modifiers inside
+  all bind to it
 - ``AND`` / ``OR`` / ``NOT`` (and ``&&`` ``||`` ``!``), parentheses,
   ``+``/``-`` clause modifiers; NOT binds tightest, then AND, then OR;
   adjacency = ``default_operator`` (OR, like OpenSearch).
@@ -180,6 +183,23 @@ class _Parser:
             # attached negation: Lucene -term, simple_query_string -term
             self.toks[self.i] = t[1:]
             return {"bool": {"must_not": [self.clause()]}}
+        if t and t.endswith(":") and len(t) > 1 \
+                and self.toks[self.i + 1:self.i + 2] == ["("]:
+            # Lucene field grouping "field:(a b)" — the group parses
+            # with the field as its default, so bare terms, phrases
+            # and +/- modifiers inside all bind to it
+            self.next()
+            self.next()
+            saved = self.default_field
+            self.default_field = t[:-1]
+            try:
+                node = self.or_expr()
+            finally:
+                self.default_field = saved
+            if self.peek() != ")":
+                raise ValueError("unbalanced parentheses in query_string")
+            self.next()
+            return node
         if t == "(":
             self.next()
             node = self.or_expr()
@@ -199,15 +219,8 @@ class _Parser:
         if not tok.startswith(('"', "[", "{")) and ":" in tok:
             field, body = tok.split(":", 1)
             if body == "":
-                # "field:(a b)" tokenizes as "field:" + a group — it
-                # must not silently become term{field: ""} plus
-                # default-field clauses (in simple mode the raise
-                # degrades to the term bag, like any parse failure)
-                if self.peek() == "(":
-                    raise ValueError(
-                        "query_string field grouping 'field:(...)' is "
-                        "unsupported — distribute the field over the "
-                        "terms")
+                # "field:(...)" groups are consumed in clause(); a
+                # bare "field:" reaching here is dangling input
                 raise ValueError(f"dangling field prefix {tok!r}")
         if "^" in body and not body.startswith('"'):
             # boosts are documented out of subset: raise, never bake

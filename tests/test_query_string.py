@@ -196,9 +196,24 @@ def test_field_grouping_and_boosts_never_silently_wrong():
     from anomaly_detection_spark.query.query_string import (
         compile_query_string)
 
-    with pytest.raises(ValueError, match="field grouping"):
-        compile_query_string({"query": "role:(user assistant)",
-                              "default_field": "text"})
+    # Lucene field grouping distributes the field over the group
+    assert compile_query_string({"query": "role:(user assistant)",
+                                 "default_field": "text"}) \
+        == {"bool": {"should": [{"term": {"role": "user"}},
+                                {"term": {"role": "assistant"}}],
+                     "minimum_should_match": 1}}
+    # modifiers and phrases inside the group bind to the field too
+    assert compile_query_string({"query": 'text:(+fast -"slow query")',
+                                 "default_field": "other",
+                                 "analyzed_fields": ["text"]}) \
+        == {"bool": {"must": [{"match": {"text": "fast"}}],
+                     "must_not": [{"match_phrase": {
+                         "text": {"query": "slow query", "slop": 0}}}]}}
+    # terms AFTER the group revert to the default field
+    after = compile_query_string({"query": "role:(user) fast",
+                                  "default_field": "text"})
+    assert {"match": {"text": "fast"}} in after["bool"]["should"]
+    assert {"term": {"role": "user"}} in after["bool"]["should"]
     with pytest.raises(ValueError, match="boosts"):
         compile_query_string({"query": "role:admin^2",
                               "default_field": "text"})
