@@ -34,7 +34,9 @@ Supported subset (``query_string``):
 (``+`` = and, ``|`` = or, ``-`` = not, quotes, trailing ``*``,
 parentheses) and NEVER raises: any input that fails to parse
 degrades to an OR bag of its plain terms, mirroring the reference's
-lenient behavior.
+lenient behavior.  Like Lucene's SimpleQueryParser it has NO field
+or range syntax — ``field:value`` and ``[a TO b]`` are literal text
+whose punctuation the match analyzer strips.
 
 Out of scope (raise in query_string, ignored in simple_query_string):
 boosts (``^2``), fuzzy/wildcard on analyzed fields (needs per-token
@@ -183,7 +185,7 @@ class _Parser:
             # attached negation: Lucene -term, simple_query_string -term
             self.toks[self.i] = t[1:]
             return {"bool": {"must_not": [self.clause()]}}
-        if t and t.endswith(":") and len(t) > 1 \
+        if not self.simple and t and t.endswith(":") and len(t) > 1 \
                 and self.toks[self.i + 1:self.i + 2] == ["("]:
             # Lucene field grouping "field:(a b)" — the group parses
             # with the field as its default, so bare terms, phrases
@@ -216,7 +218,11 @@ class _Parser:
     def leaf(self, tok: str) -> dict:
         field = self.default_field
         body = tok
-        if not tok.startswith(('"', "[", "{")) and ":" in tok:
+        # SimpleQueryParser has NO field/range syntax — ':' '[' '>='
+        # are literal text there, and the analyzer strips them; only
+        # the strict Lucene syntax interprets them
+        if not self.simple \
+                and not tok.startswith(('"', "[", "{")) and ":" in tok:
             field, body = tok.split(":", 1)
             if body == "":
                 # "field:(...)" groups are consumed in clause(); a
@@ -234,13 +240,11 @@ class _Parser:
             text = m.group(1).replace('\\"', '"')
             slop = int(m.group(2)) if m.group(2) else 0
             return {"match_phrase": {field: {"query": text, "slop": slop}}}
-        if body[:1] in ("[", "{"):
+        if body[:1] in ("[", "{") and not self.simple:
             # Lucene range syntax: [ ] inclusive, { } exclusive (mixed
-            # OK), * = open end.  simple_query_string has no range
-            # syntax in the reference — raising here degrades it to
-            # the lenient term bag like any other parse failure.
+            # OK), * = open end
             m = _RANGE.fullmatch(body)
-            if m is None or self.simple:
+            if m is None:
                 raise ValueError(
                     f"malformed query_string range {body!r} "
                     f"(expected [a TO b])")
@@ -255,15 +259,12 @@ class _Parser:
                 # field:[* TO *] matches every doc carrying the field
                 return {"exists": {"field": field}}
             return {"range": {field: spec}}
-        for op, key in ((">=", "gte"), ("<=", "lte"),
-                        (">", "gt"), ("<", "lt")):
-            if body.startswith(op) and len(body) > len(op):
-                if self.simple:
-                    raise ValueError(
-                        f"range shorthand {body!r} has no "
-                        f"simple_query_string syntax")
-                return {"range": {field: {key: _range_value(
-                    body[len(op):])}}}
+        if not self.simple:
+            for op, key in ((">=", "gte"), ("<=", "lte"),
+                            (">", "gt"), ("<", "lt")):
+                if body.startswith(op) and len(body) > len(op):
+                    return {"range": {field: {key: _range_value(
+                        body[len(op):])}}}
         analyzed = field in self.analyzed
         fz = re.fullmatch(r"(.+?)~(\d+)?", body)
         if fz and not body.endswith("*"):

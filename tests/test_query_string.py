@@ -220,10 +220,14 @@ def test_field_grouping_and_boosts_never_silently_wrong():
     with pytest.raises(ValueError, match="dangling field"):
         compile_query_string({"query": "role: user",
                               "default_field": "text"})
-    # simple mode degrades to the documented term bag instead
+    # simple mode: SimpleQueryParser has no field syntax — ':' is
+    # literal text and the group is plain parentheses
     out = compile_query_string({"query": "role:(user assistant)",
                                 "default_field": "text"}, simple=True)
-    assert out is not None
+    assert {"match": {"text": "role:"}} in out["bool"]["should"]
+    # ranges/shorthands are literal text in simple mode too
+    assert compile_query_string({"query": "v:[1 TO 5]"}, simple=True) \
+        == {"match": {"text": "v:[1 TO 5]"}}
 
 
 def test_score_script_field_containing_score_substring(spark):
