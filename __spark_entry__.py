@@ -287,6 +287,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "rank", "score"))
     q["query_string_topk"] = qs_topk
 
+    def qs_range(s, d):
+        """query_string Lucene range syntax (round 5): bracket ranges
+        ([ ] inclusive / { } exclusive), the >= shorthand and
+        parenthesized OR, compiled to the engine's range DSL — pure
+        codegen predicates pushed to the parquet scan."""
+        from anomaly_detection_spark.query.planner import compile_filter
+        ev = _read(s, d, "events")
+        cond = compile_filter(ev, {"query_string": {
+            "query": "event_type:click AND "
+                     "(value:[10 TO 50} OR value:>=95)",
+            "default_field": "props"}})
+        return ev.filter(cond).agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+            F.round(F.sum("value"), 6).alias("v_sum"))
+    q["query_string_range"] = qs_range
+
     # ---- filters (Q2, Q3, Q4, Q7, Q8, Q9) ---------------------------------
     def term_filter_stats(s, d):
         from anomaly_detection_spark.query.planner import compile_filter
@@ -1039,6 +1057,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["query_string_topk"] = _bm25_sql(["data", "merge"], 10,
                                          require_all=True)
+    sql["query_string_range"] = """
+SELECT count(*) AS doc_count,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(sum(value), 6) AS v_sum
+FROM events
+WHERE event_type = 'click'
+  AND ((value >= 10 AND value < 50) OR value >= 95)"""
 
     from anomaly_detection_spark.functions.geo import (EARTH_MEAN_RADIUS_M,
                                                        geotile_key_sql)
