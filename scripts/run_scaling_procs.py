@@ -51,8 +51,18 @@ def _env(cores: int, suffix: str, turns: int, seg: int) -> dict:
     # per-executor heap, IDENTICAL at P=1 and P=4 (the library default
     # 48g sizes one lone JVM for the whole box; 4 of those overcommit
     # RAM and collapse into GC/paging — real executors get a fixed
-    # spark.executor.memory each, which is what we model here)
-    env.setdefault("SPARK_DRIVER_MEM", "12g")
+    # spark.executor.memory each, which is what we model here).
+    # Size it to the WORKLOAD, not the box: a 600k-turn build fits
+    # comfortably in 4g, and G1's eden scales with the heap, so an
+    # oversized -Xms-pinned heap multiplies the pages each GC cycle
+    # zeroes/faults.  On the slow-first-touch host class (hypervisor
+    # page supply ~120 MB/s, see session.py) that shared fault path
+    # is what concurrent JVMs contend on: measured on one such host,
+    # 12g heaps gave solo 19.4k t/s and P=4 efficiency 0.35, while 4g
+    # heaps gave solo 24.7k and efficiency 0.8 — same code, same
+    # corpus.  Real executors are sized to their task memory for the
+    # same reason.
+    env.setdefault("SPARK_DRIVER_MEM", "4g")
     return env
 
 
