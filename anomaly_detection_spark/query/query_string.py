@@ -36,7 +36,9 @@ parentheses) and NEVER raises: any input that fails to parse
 degrades to an OR bag of its plain terms, mirroring the reference's
 lenient behavior.  Like Lucene's SimpleQueryParser it has NO field
 or range syntax — ``field:value`` and ``[a TO b]`` are literal text
-whose punctuation the match analyzer strips.
+whose punctuation the match analyzer strips.  The ``flags`` param
+(SimpleQueryStringBuilder.flags) restricts which operators the
+syntax interprets — a disabled operator's character is literal text.
 
 Out of scope (raise in query_string, ignored in simple_query_string):
 boosts (``^2``), fuzzy/wildcard on analyzed fields (needs per-token
@@ -61,6 +63,37 @@ _TOKEN = re.compile(r"""
     )""", re.VERBOSE)
 
 _RANGE = re.compile(r"([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])\Z")
+
+# SimpleQueryStringFlag names (SimpleQueryStringBuilder.flags) — which
+# operators the simple syntax interprets; a disabled operator's
+# character is literal text the analyzer strips.  WHITESPACE and
+# ESCAPE are accepted but always effectively on (the lexer always
+# splits on whitespace; escapes only occur inside quotes here).
+_SQS_FLAGS = {"AND", "ESCAPE", "FUZZY", "NEAR", "NOT", "OR", "PHRASE",
+              "PRECEDENCE", "PREFIX", "WHITESPACE"}
+
+
+def _parse_flags(spec_val) -> frozenset:
+    """``flags`` param → enabled-operator set.  ``ALL`` (default) /
+    ``NONE`` / '|'-joined names; unknown names raise — a bad PARAMETER
+    is a caller error even in the never-raising simple query mode."""
+    if spec_val is None:
+        return frozenset(_SQS_FLAGS)
+    parts = [p.strip().upper() for p in str(spec_val).split("|")
+             if p.strip()]
+    out: set = set()
+    for p in parts:
+        if p == "ALL":
+            out |= _SQS_FLAGS
+        elif p == "NONE":
+            pass
+        elif p in _SQS_FLAGS:
+            out.add(p)
+        else:
+            raise ValueError(
+                f"unknown simple_query_string flag {p!r} "
+                f"(known: ALL, NONE, {', '.join(sorted(_SQS_FLAGS))})")
+    return frozenset(out)
 
 
 def _range_value(s: str):
@@ -99,13 +132,17 @@ def _tokenize(q: str) -> list[str]:
 class _Parser:
     def __init__(self, toks: list[str], default_field: str,
                  analyzed_fields: set[str], simple: bool,
-                 default_operator: str):
+                 default_operator: str, flags: frozenset | None = None):
         self.toks = toks
         self.i = 0
         self.default_field = default_field
         self.analyzed = analyzed_fields
         self.simple = simple
         self.default_op = default_operator.lower()
+        self.flags = flags          # simple mode only; None = ALL
+
+    def _flag(self, name: str) -> bool:
+        return self.flags is None or name in self.flags
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -127,13 +164,16 @@ class _Parser:
         return node
 
     def _is_or(self, t: str) -> bool:
-        return (t == "|" if self.simple else t in ("OR", "||"))
+        return (t == "|" and self._flag("OR") if self.simple
+                else t in ("OR", "||"))
 
     def _is_and(self, t: str) -> bool:
-        return (t == "+" if self.simple else t in ("AND", "&&"))
+        return (t == "+" and self._flag("AND") if self.simple
+                else t in ("AND", "&&"))
 
     def _is_not(self, t: str) -> bool:
-        return (t == "-" if self.simple else t in ("NOT", "!", "-"))
+        return (t == "-" and self._flag("NOT") if self.simple
+                else t in ("NOT", "!", "-"))
 
     def or_expr(self) -> dict:
         groups = [[self.and_expr()]]
@@ -181,7 +221,8 @@ class _Parser:
         if not self.simple and t and t.startswith("+") and len(t) > 1:
             self.toks[self.i] = t[1:]
             return {"bool": {"must": [self.clause()]}}
-        if t and t.startswith("-") and len(t) > 1:
+        if t and t.startswith("-") and len(t) > 1 \
+                and (not self.simple or self._flag("NOT")):
             # attached negation: Lucene -term, simple_query_string -term
             self.toks[self.i] = t[1:]
             return {"bool": {"must_not": [self.clause()]}}
@@ -239,6 +280,12 @@ class _Parser:
                 raise ValueError(f"bad phrase {body!r}")
             text = m.group(1).replace('\\"', '"')
             slop = int(m.group(2)) if m.group(2) else 0
+            if self.simple:
+                if not self._flag("PHRASE"):
+                    # quotes are literal text → analyzed term bag
+                    return {"match": {field: text}}
+                if not self._flag("NEAR"):
+                    slop = 0        # the ~N suffix is literal text
             return {"match_phrase": {field: {"query": text, "slop": slop}}}
         if body[:1] in ("[", "{") and not self.simple:
             # Lucene range syntax: [ ] inclusive, { } exclusive (mixed
@@ -268,6 +315,10 @@ class _Parser:
         analyzed = field in self.analyzed
         fz = re.fullmatch(r"(.+?)~(\d+)?", body)
         if fz and not body.endswith("*"):
+            if self.simple and not self._flag("FUZZY"):
+                # ~ is literal text; the analyzer strips it
+                return {"match" if analyzed else "term":
+                        {field: fz.group(1)}}
             if analyzed:
                 raise ValueError(
                     f"fuzzy ~ on the analyzed field {field!r} is "
@@ -278,6 +329,9 @@ class _Parser:
         if body.endswith("*") and "*" not in body[:-1] \
                 and "?" not in body[:-1]:
             stem = body[:-1]
+            if self.simple and not self._flag("PREFIX"):
+                # * is literal text; the analyzer strips it
+                return {"match" if analyzed else "term": {field: stem}}
             if analyzed:
                 return {"match_phrase_prefix": {field: {"query": stem}}}
             return {"prefix": {field: stem}}
@@ -349,11 +403,19 @@ def compile_query_string(spec: dict, simple: bool = False,
     """``query_string`` / ``simple_query_string`` body → query DSL.
 
     ``spec``: {"query": str, "default_field"?: str, "fields"?: [str],
-    "default_operator"?: "or"|"and", "analyzed_fields"?: [str]}.
+    "default_operator"?: "or"|"and", "analyzed_fields"?: [str],
+    "flags"?: str (simple only)}.
     ``analyzed_fields`` defaults to {default_field} — fields whose
     leaves compile to analyzed match/phrase instead of keyword term.
+    ``flags`` (SimpleQueryStringBuilder.flags): '|'-joined operator
+    names / ``ALL`` / ``NONE`` — a disabled operator's character is
+    literal text the analyzer strips; unknown names raise (a bad
+    parameter is a caller error, unlike unparsable query TEXT).
     """
     q = spec["query"]
+    flags = _parse_flags(spec.get("flags")) if simple else None
+    if not simple and "flags" in spec:
+        raise ValueError("flags is a simple_query_string parameter")
     flds = spec.get("fields")
     default_field = spec.get("default_field")
     if default_field is None:
@@ -374,6 +436,20 @@ def compile_query_string(spec: dict, simple: bool = False,
 
     try:
         toks = _tokenize(q)
+        if simple and flags is not None:
+            # disabled operators' standalone tokens are literal text
+            # the analyzer strips — dropping them is equivalent
+            drop: set = set()
+            if "PRECEDENCE" not in flags:
+                drop |= {"(", ")"}
+            if "OR" not in flags:
+                drop.add("|")
+            if "AND" not in flags:
+                drop.add("+")
+            if "NOT" not in flags:
+                drop.add("-")
+            if drop:
+                toks = [t for t in toks if t not in drop]
         if not toks:
             return {"match_all": {}}
         if flds and len(flds) > 1:
@@ -395,7 +471,7 @@ def compile_query_string(spec: dict, simple: bool = False,
                 "(rewritten to multi_match); qualify other clauses "
                 "with field: explicitly")
         return _Parser(toks, default_field, analyzed, simple,
-                       default_op).parse()
+                       default_op, flags).parse()
     except (ValueError, IndexError):
         if not simple:
             raise

@@ -111,6 +111,36 @@ def test_query_string_range_filter_context(spark):
     assert got2 == [1]
 
 
+def test_simple_query_string_flags():
+    q = 'a | b -c "x y"~1 pre*'
+    # default = ALL: every operator active
+    full = compile_query_string({"query": q}, simple=True)
+    assert {"match_phrase": {"text": {"query": "x y", "slop": 1}}} \
+        in full["bool"]["should"]
+    assert full["bool"]["must_not"] == [{"match": {"text": "c"}}]
+    # NONE: every operator character is literal text
+    none = compile_query_string({"query": q, "flags": "NONE"},
+                                simple=True)
+    assert none == {"bool": {"should": [
+        {"match": {"text": "a"}}, {"match": {"text": "b"}},
+        {"match": {"text": "-c"}}, {"match": {"text": "x y"}},
+        {"match": {"text": "pre"}}], "minimum_should_match": 1}}
+    # PHRASE without NEAR: quoted phrase honored, ~N suffix literal
+    assert compile_query_string({"query": '"x y"~3', "flags": "PHRASE"},
+                                simple=True) \
+        == {"match_phrase": {"text": {"query": "x y", "slop": 0}}}
+    # selective: OR active, NOT disabled → -c is literal
+    sel = compile_query_string({"query": "a | b -c", "flags": "OR"},
+                               simple=True)
+    assert {"match": {"text": "-c"}} in sel["bool"]["should"]
+    # parameter errors raise even in the never-raising simple mode
+    with pytest.raises(ValueError, match="flag"):
+        compile_query_string({"query": "a", "flags": "BOGUS"},
+                             simple=True)
+    with pytest.raises(ValueError, match="simple_query_string"):
+        compile_query_string({"query": "a", "flags": "ALL"})
+
+
 def test_simple_query_string_never_raises():
     # unbalanced parens + range syntax → degrades to a term bag
     dsl = compile_query_string({"query": '((broken v:[1 TO'},
