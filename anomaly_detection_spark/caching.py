@@ -53,6 +53,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from .localdf import local_df
 
 # TimeSeriesSettings.java:60 — doorkeeper resets every 60 intervals
 EXPIRING_VALUE_MAINTENANCE_FREQ = 60
@@ -243,7 +244,7 @@ def admit_entities(spark: SparkSession, state_dir: str, detector_id: str,
         landmark_ms = meta[0] if meta[0] is not None else now_ms
         dk_reset_ms = meta[1] if meta[1] is not None else now_ms
     else:
-        cache = spark.createDataFrame([], schema)
+        cache = local_df(spark, [], schema)
         landmark_ms, dk_reset_ms = now_ms, now_ms
     # DoorKeeper.maintenance: whole-map reset every reset-interval
     if now_ms - dk_reset_ms >= (policy.doorkeeper_reset_intervals
@@ -320,9 +321,7 @@ def admit_entities(spark: SparkSession, state_dir: str, detector_id: str,
                 break
 
     def _keys_df(keys: list[tuple]) -> DataFrame:
-        return spark.createDataFrame(
-            keys, T.StructType(key_fields)) if keys else \
-            spark.createDataFrame([], T.StructType(key_fields))
+        return local_df(spark, keys, T.StructType(key_fields))
 
     admitted = _keys_df(admitted_keys)
     evicted = _keys_df(evicted_keys)
@@ -364,7 +363,7 @@ def _drop_state_keys(spark: SparkSession, state_dir: str,
     from .detector import _state_path, _swap_state_dir
 
     key_cols = [f.name for f in key_fields]
-    kdf = spark.createDataFrame(keys, T.StructType(key_fields))
+    kdf = local_df(spark, keys, T.StructType(key_fields))
     for ident in (detector_id, f"{detector_id}__joint"):
         spath = _state_path(state_dir, ident)
         if not os.path.exists(spath):
@@ -524,8 +523,7 @@ def rebalance_shared_cache(
         cols = cache.columns
 
         def _keys_df(keys: list[tuple]):
-            return spark.createDataFrame(
-                keys, T.StructType(info["key_fields"]))
+            return local_df(spark, keys, T.StructType(info["key_fields"]))
 
         if evicted:
             cache = (cache.join(_keys_df(evicted).withColumn(

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 # ---------------------------------------------------------------------------
 # Vocabulary: ~5k words, Zipf-distributed (s = 1.07), fixed seed.
@@ -301,7 +302,8 @@ def assign_docids(
         offsets[pid] = acc
         acc += counts[pid]
     off_df = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
         )
     )

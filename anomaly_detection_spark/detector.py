@@ -27,6 +27,7 @@ from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .localdf import local_df
 
 from .features import feature_matrix, score_entities
 from .functions.entity import with_entity
@@ -653,7 +654,7 @@ def run_once_stateful(spark: SparkSession, det: Detector, now_ms: int,
             if c not in state.columns:
                 state = state.withColumn(c, F.lit(None).cast(t))
     else:
-        state = spark.createDataFrame([], state_schema)
+        state = local_df(spark, [], state_schema)
 
     if cache_policy is not None:
         from .caching import admit_entities
@@ -1042,7 +1043,7 @@ def run_once_stateful_joint(spark: SparkSession, det: Detector,
             state = state.withColumn(
                 "last_vec", F.lit(None).cast("array<double>"))
     else:
-        state = spark.createDataFrame([], state_schema)
+        state = local_df(spark, [], state_schema)
 
     if cache_policy is not None:
         from .caching import admit_entities
@@ -1546,8 +1547,8 @@ def run_historical(
                 if c not in state.columns:
                     state = state.withColumn(c, F.lit(None).cast(t))
         else:
-            state = spark.createDataFrame(
-                [], T.StructType(
+            state = local_df(
+                spark, [], T.StructType(
                     gstruct
                     + [T.StructField("_feat", T.StringType()),
                        T.StructField("vals",

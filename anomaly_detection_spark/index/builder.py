@@ -420,7 +420,9 @@ def _run_batch(spark, docs: DataFrame, paths: IndexPaths, k: int,
             F.max("last_docid").alias("docid_max"),
         ).withColumn("batch", F.lit(k))
         man_rows = man_df.collect()
-        (spark.createDataFrame(man_rows, man_df.schema).coalesce(1)
+        from ..localdf import local_df
+
+        (local_df(spark, man_rows, man_df.schema).coalesce(1)
          .write.mode("overwrite")
          .parquet(f"{paths.manifest}/batch={k}"))
         man_box.append(man_rows)
@@ -530,15 +532,35 @@ def build_index(
                                     codec=f"delta-gap+{codec}"))
 
     # --- per-batch: doc_stats + postings + manifest -------------------------
-    for k in range(n_batches):
-        if resume and is_done(paths, "batch", k):
-            continue
+    # Two batches in flight (guide §2.6 overlap-independent-jobs):
+    # batch k's wide encode stage back-fills the cores that batch k+1's
+    # narrow scan+tokenize stage (row-group pruned to a docid slice of
+    # the input files) leaves idle, and each batch's fixed job latency
+    # hides inside its neighbor.  Batches touch disjoint batch=K dirs;
+    # the one shared sink (lineage) is lock-serialized in storage.py.
+    # FIFO scheduling keeps the earlier batch's tasks first, so this
+    # changes utilization, not ordering semantics; each batch still
+    # gets its own atomic done-marker on completion.
+    def _one_batch(k: int) -> None:
         lo = k * segments_per_batch * seg_size
         hi = min(n_docs, (k + 1) * segments_per_batch * seg_size)
         _run_batch(spark, docs, paths, k, lo, hi, seg_size, block_size,
                    segments_per_batch, bucket_size, text_col, keep_cols,
                    positions=positions, codec=codec)
         mark_done(paths, "batch", k, docid_lo=lo, docid_hi=hi)
+
+    pending = [k for k in range(n_batches)
+               if not (resume and is_done(paths, "batch", k))]
+    if len(pending) <= 1:
+        for k in pending:
+            _one_batch(k)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_one_batch, k) for k in pending]
+            for f in futs:
+                f.result()
 
     _refresh_stats(spark, paths, seg_size, block_size, bucket_size,
                    resume=resume, positions=positions, codec=codec)

@@ -159,7 +159,14 @@ def merge_segments(
             continue
         t0 = time.time()
         lo, hi = k * segments_per_batch, (k + 1) * segments_per_batch
-        sub = posts.filter((F.col("new_seg") >= lo) & (F.col("new_seg") < hi))
+        # filter on the RAW seg_id range (new_seg = seg_id // factor is
+        # a derived column no parquet stat can serve): [lo, hi) target
+        # segments ⟺ seg_id ∈ [lo·factor, hi·factor), which lands in
+        # PushedFilters and prunes row groups — without it every merge
+        # batch re-scans the whole postings table (B batches ⇒ B full
+        # scans; guide §6 pushdown)
+        sub = posts.filter((F.col("seg_id") >= lo * factor)
+                           & (F.col("seg_id") < hi * factor))
 
         from ..functions.codecs import codec_name as _cn
 
@@ -210,7 +217,9 @@ def merge_segments(
             F.max("last_docid").alias("docid_max"),
         ).withColumn("batch", F.lit(k))
         man_rows = man_df.collect()
-        (spark.createDataFrame(man_rows, man_df.schema).coalesce(1)
+        from ..localdf import local_df
+
+        (local_df(spark, man_rows, man_df.schema).coalesce(1)
          .write.mode("overwrite").parquet(f"{dst.manifest}/batch={k}"))
         ext = (min((r["docid_min"] for r in man_rows), default=0),
                max((r["docid_max"] for r in man_rows), default=-1),

@@ -149,13 +149,22 @@ def log_metric(paths: IndexPaths, stage: str, **fields) -> None:
 LINEAGE_SCHEMA = ("stage string, batch int, docid_lo long, docid_hi long, "
                   "rows long, bytes long, wall_s double, ts double")
 
+# append-mode parquet writes into ONE directory share a _temporary
+# staging dir; concurrent appends (overlapped build batches) would
+# race on it — serialize the tiny lineage appends instead
+_LINEAGE_LOCK = __import__("threading").Lock()
+
 
 def log_lineage(spark, paths: IndexPaths, stage: str, batch: int = 0,
                 docid_lo: int = 0, docid_hi: int = 0, rows: int = 0,
                 bytes_: int = 0, wall_s: float = 0.0) -> None:
     """Append one lineage row (parquet, next to the manifest)."""
-    spark.createDataFrame(
-        [(stage, int(batch), int(docid_lo), int(docid_hi), int(rows),
-          int(bytes_), float(wall_s), time.time())],
-        LINEAGE_SCHEMA,
-    ).coalesce(1).write.mode("append").parquet(paths.lineage)
+    from ..localdf import local_df
+
+    with _LINEAGE_LOCK:
+        local_df(
+            spark,
+            [(stage, int(batch), int(docid_lo), int(docid_hi), int(rows),
+              int(bytes_), float(wall_s), time.time())],
+            LINEAGE_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(paths.lineage)

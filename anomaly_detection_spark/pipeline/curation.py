@@ -604,8 +604,14 @@ def duplicate_ngram_spans(
     grams = bind_once(F.expr(
         f"filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}_]+'), "
         f"x -> x != '')"), windows)
+    # materialized once: the count agg and the semi-join below both
+    # read it, and its lineage is the tokenize + per-window slice/
+    # concat/hash chain — the dominant cost of this op, which would
+    # otherwise execute twice (guide §2.4: share the pass, and the
+    # checkpointed frame is (id, pos, hash) rows — hashes, never text)
     win = (df.select(F.col(id_col), F.posexplode(grams)
-                     .alias("pos", "h")))
+                     .alias("pos", "h"))
+           .localCheckpoint(eager=False))
     counts = (win.groupBy("h")
               .agg(F.count("*").alias("c"))
               .filter(F.col("c") >= int(min_count))

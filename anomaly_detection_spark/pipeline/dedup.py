@@ -173,6 +173,86 @@ def _self_pairs_capped(stacked: DataFrame, key_cols: list[str],
     return pairs_small.unionByName(pairs_big)
 
 
+def _cell_pairs_cosine(v: DataFrame, key_col: str, id_col: str,
+                       vec_col: str, cap: int,
+                       threshold: float) -> DataFrame:
+    """All (id_a < id_b) pairs of rows sharing ``key_col`` whose cosine
+    similarity is ≥ ``threshold`` — computed as chunked BLAS tiles, one
+    numpy matmul per triangular chunk pair, never an exploded id-pair
+    join (which would evaluate a per-pair array aggregate: O(pairs ×
+    dim) interpreted work).
+
+    Rows of a key cell are cut into ``cap``-row chunks by id order; a
+    cell of c chunks yields c(c+1)/2 tile tasks, so one hot cell can
+    never collapse into a single unbounded task.  Pair COUNT semantics
+    match :func:`_self_pairs_capped`: chunks are id-ordered, so each
+    unordered pair lives in exactly one (ci ≤ cj) tile.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(id_col)
+    cw = Window.partitionBy(key_col)
+    # materialized once: left and right both read it, and its lineage
+    # holds the (pandas-UDF) cell assignment — same posture as
+    # _self_pairs_capped's checkpoint of the banded frame
+    vc = (v.withColumn("_chunk",
+                       ((F.row_number().over(w) - 1) / cap).cast("int"))
+          .withColumn("_nch", ((F.count("*").over(cw) - 1) / cap)
+                      .cast("int"))
+          .localCheckpoint(eager=False))
+    left = (vc.withColumn("_cj", F.explode(
+        F.sequence(F.col("_chunk"), F.col("_nch"))))
+        .select(F.col(key_col).alias("_key"),
+                F.col("_chunk").alias("_ci"), "_cj",
+                F.lit(0).alias("_side"), F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v")))
+    right = (vc.filter(F.col("_chunk") > 0)
+             .withColumn("_ci", F.explode(
+                 F.sequence(F.lit(0), F.col("_chunk") - 1)))
+             .select(F.col(key_col).alias("_key"), "_ci",
+                     F.col("_chunk").alias("_cj"),
+                     F.lit(1).alias("_side"), F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_v")))
+    both = left.unionByName(right)
+
+    id_dt = v.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_dt}, id_b {id_dt}"
+    tau = float(threshold)
+
+    def _tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pdf["_id"].iloc[:0],
+                              "id_b": pdf["_id"].iloc[:0]})
+        a = pdf[pdf["_side"] == 0]
+        diagonal = int(pdf["_ci"].iloc[0]) == int(pdf["_cj"].iloc[0])
+        if len(a) == 0 or (diagonal and len(a) < 2):
+            return empty
+        ids_a = a["_id"].to_numpy()
+        Va = np.array(a["_v"].tolist(), dtype=np.float64)
+        Va /= np.maximum(np.linalg.norm(Va, axis=1, keepdims=True), 1e-300)
+        if diagonal:
+            order = np.argsort(ids_a, kind="stable")
+            ids_a, Va = ids_a[order], Va[order]
+            S = Va @ Va.T
+            iu, ju = np.triu_indices(len(ids_a), 1)
+            keep = S[iu, ju] >= tau
+            return pd.DataFrame({"id_a": ids_a[iu[keep]],
+                                 "id_b": ids_a[ju[keep]]})
+        b2 = pdf[pdf["_side"] == 1]
+        if len(b2) == 0:
+            return empty
+        ids_b = b2["_id"].to_numpy()
+        Vb = np.array(b2["_v"].tolist(), dtype=np.float64)
+        Vb /= np.maximum(np.linalg.norm(Vb, axis=1, keepdims=True), 1e-300)
+        S = Va @ Vb.T
+        ai, bj = np.nonzero(S >= tau)
+        ia, ib = ids_a[ai], ids_b[bj]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return (both.groupBy("_key", "_ci", "_cj")
+            .applyInPandas(_tile, schema=out_schema))
+
+
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = np.random.RandomState(seed)
     return [(int(rng.randint(1, _MERSENNE_P)), int(rng.randint(0, _MERSENNE_P)))
@@ -736,7 +816,7 @@ def semantic_dedup(
     Pass ``centroids`` (from a prior fit) to pin the partition of the
     space across corpus increments.
     """
-    from .similarity import ivf_assign, ivf_centroids, _dot
+    from .similarity import ivf_assign, ivf_centroids
 
     if keep not in ("centroid_far", "min_id"):
         raise ValueError(f"unsupported keep policy {keep!r}")
@@ -751,20 +831,20 @@ def semantic_dedup(
     degenerate = base.filter(~(F.col("_n") > 0)).drop("_n")
 
     assigned = ivf_assign(vecs, C, vec_col)
-    pairs_ids = _self_pairs_capped(
-        assigned.select(F.col(id_col).alias("_id"), "_list"),
-        ["_list"], "_id", bucket_cap)
-    lhs = vecs.select(F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("_va"), F.col("_n").alias("_na"))
-    rhs = vecs.select(F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"))
-    verified = (pairs_ids
-                .join(lhs, pairs_ids["id_a"] == lhs["id_a"]).drop(lhs["id_a"])
-                .join(rhs, pairs_ids["id_b"] == rhs["id_b"]).drop(rhs["id_b"])
-                .withColumn("_cos", _dot(F.col("_va"), F.col("_vb"))
-                            / (F.col("_na") * F.col("_nb")))
-                .filter(F.col("_cos") >= threshold)
-                .select("id_a", "id_b"))
+    # within-cell duplicate pairs via chunked BLAS tiles, not a
+    # pair-explosion join: the former id-pair join + per-pair
+    # zip_with/aggregate cosine evaluated the HOF lambda once per
+    # (pair × dimension) — O(N²/n_lists) interpreted JVM work that
+    # measured 29× the wall at 10× the corpus (guide §1.2/§4.2: make
+    # the distributed shape right, then hand whole tiles to BLAS).
+    # Each k-means cell is cut into ≤ bucket_cap row chunks and every
+    # triangular chunk pair is ONE numpy matmul task — identical pair
+    # set (each unordered pair lives in exactly one (ci, cj) tile),
+    # bounded task width, float64 math like the HOF path.
+    verified = _cell_pairs_cosine(
+        assigned.select(F.col(id_col).alias("_id"), "_list",
+                        F.col(vec_col).alias("_v")),
+        "_list", "_id", "_v", bucket_cap, float(threshold))
     clusters = duplicate_clusters(verified)
     members = assigned.join(
         clusters.withColumnRenamed("doc_id", id_col), id_col, "inner")

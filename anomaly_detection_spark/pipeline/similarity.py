@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..localdf import local_df
 
 
 def band_hashes(vec_col, planes: np.ndarray, bands: int) -> F.Column:
@@ -446,7 +447,7 @@ def ivfpq_ann_topk(
                             F.col(vec_col).alias("_qv"))
              .filter(_norm(F.col("_qv")) > 0).collect())
     if not qrows:
-        return corpus.sparkSession.createDataFrame(
+        return local_df(corpus.sparkSession,
             [], f"query_id {queries.schema[query_id_col].dataType.simpleString()},"
                 f" rank long, vec_id {corpus.schema[id_col].dataType.simpleString()},"
                 f" score double")
@@ -461,7 +462,10 @@ def ivfpq_ann_topk(
     spark = corpus.sparkSession
     probe_rows = [(qid, int(l)) for i, qid in enumerate(qids)
                   for l in probes[i]]
-    qdf = spark.createDataFrame(probe_rows, ["query_id", "_list"])
+    qdf = local_df(
+        spark, probe_rows,
+        f"query_id {queries.schema[query_id_col].dataType.simpleString()},"
+        f" _list long")
 
     cand = enc.join(F.broadcast(qdf), "_list") \
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -29,6 +29,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 # ---------------------------------------------------------------------------
 # metric aggregations (§2.2) — dispatched from agg-JSON like the plugin's
@@ -812,8 +813,8 @@ def date_range_agg(
     sampling does) → broadcast range join, never F.when chains."""
     sub_specs = sub_specs or {}
     spark = df.sparkSession
-    rdf = F.broadcast(spark.createDataFrame(
-        [(i, lo, hi) for i, (lo, hi) in enumerate(ranges)],
+    rdf = F.broadcast(local_df(
+        spark, [(i, lo, hi) for i, (lo, hi) in enumerate(ranges)],
         "range_id int, from_ms long, to_ms long"))
     ms = to_millis(ts_col)
     joined = df.join(rdf, (ms >= F.col("from_ms")) & (ms < F.col("to_ms")))
@@ -930,8 +931,8 @@ def range_agg(
     sub_specs = sub_specs or {}
     spark = df.sparkSession
     rows = [(i, r.get("from"), r.get("to")) for i, r in enumerate(ranges)]
-    rdf = F.broadcast(spark.createDataFrame(
-        rows, "range_id int, from_v double, to_v double"))
+    rdf = F.broadcast(local_df(
+        spark, rows, "range_id int, from_v double, to_v double"))
     v = F.col(field)
     cond = (v.isNotNull()
             & (F.col("from_v").isNull() | (v >= F.col("from_v")))
@@ -995,8 +996,8 @@ def ip_range_agg(
             key = f"{r.get('from', '*')}-{r.get('to', '*')}"
             rows.append((i, key, bound(r.get("from")),
                          bound(r.get("to"))))
-    rdf = F.broadcast(spark.createDataFrame(
-        rows, "range_id int, key string, from_v long, to_v long"))
+    rdf = F.broadcast(local_df(
+        spark, rows, "range_id int, key string, from_v long, to_v long"))
     v = _ipv4_long(F.col(field))
     cond = (v.isNotNull()
             & (F.col("from_v").isNull() | (v >= F.col("from_v")))
@@ -1848,8 +1849,8 @@ def variable_width_histogram(df: DataFrame, field: str, buckets: int,
     qs = [(i + 0.5) / buckets for i in range(buckets)]
     row = vals.agg(F.percentile_approx(field, qs).alias("c")).collect()
     if not row or row[0]["c"] is None:
-        return df.sparkSession.createDataFrame(
-            [], "key double, min double, max double, doc_count long")
+        return local_df(df.sparkSession,
+                        [], "key double, min double, max double, doc_count long")
     cents = sorted(set(float(c) for c in row[0]["c"]))
 
     def assign(cs: list[float]):
@@ -1872,8 +1873,9 @@ def variable_width_histogram(df: DataFrame, field: str, buckets: int,
     out = sorted(
         (float(r["_s"]) / r["_n"], float(r["_mn"]), float(r["_mx"]),
          int(r["_n"])) for r in stats)
-    return df.sparkSession.createDataFrame(
-        out, "key double, min double, max double, doc_count long")
+    return local_df(
+        df.sparkSession, out,
+        "key double, min double, max double, doc_count long")
 
 
 def geo_distance_agg(
@@ -1904,8 +1906,8 @@ def geo_distance_agg(
              None if r.get("from") is None else float(r["from"]),
              None if r.get("to") is None else float(r["to"]))
             for i, r in enumerate(ranges)]
-    rdf = F.broadcast(spark.createDataFrame(
-        rows, "range_id int, from_v double, to_v double"))
+    rdf = F.broadcast(local_df(
+        spark, rows, "range_id int, from_v double, to_v double"))
     d = (haversine_m(lat_c, lon_c, lat, lon) / F.lit(scale)).alias("_dist")
     joined = (df.withColumn("_dist", d)
               .join(rdf,

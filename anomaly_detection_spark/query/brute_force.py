@@ -19,6 +19,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 from ..functions.bm25 import B_DEFAULT, K1_DEFAULT, quantize_doc_len
 from ..functions.tokenizer import tokenize_column, tokenize_query
@@ -98,9 +99,8 @@ def bm25_scores(
     # a repeated SHOULD clause in Lucene — it scores once per repeat).
     from collections import Counter
 
-    mult = analyzed.sparkSession.createDataFrame(
-        list(Counter(terms).items()), "term string, mult long"
-    )
+    mult = local_df(analyzed.sparkSession,
+                    list(Counter(terms).items()), "term string, mult long")
     uniq = sorted(set(terms))
     idf = F.broadcast(
         term_doc_freqs(analyzed, uniq)

@@ -31,6 +31,7 @@ from collections import Counter
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 from ..functions.bm25 import B_DEFAULT, K1_DEFAULT
 from ..functions.tokenizer import tokenize_column, tokenize_query
@@ -85,7 +86,7 @@ def combined_fields_topk(
         spark = next(iter(target.values())).spark
     else:
         spark = target.sparkSession
-    empty = spark.createDataFrame([], "docid long, score double")
+    empty = local_df(spark, [], "docid long, score double")
     if not uniq:
         return empty
 
@@ -140,8 +141,8 @@ def combined_fields_topk(
         wlen = wlen.unionByName(fr)
     wlen = wlen.groupBy("docid").agg(F.sum("_wlen").alias("len_c"))
 
-    mult = spark.createDataFrame(list(qcounts.items()),
-                                 "term string, mult long")
+    mult = local_df(spark, list(qcounts.items()),
+                    "term string, mult long")
     dfs = (wtf.groupBy("term").agg(F.count("*").alias("df"))
            .join(mult, "term")
            .withColumn("idf", _idf(F.col("df"), n_docs) * F.col("mult")))

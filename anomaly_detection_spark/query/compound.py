@@ -35,6 +35,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 COMPOUND_KINDS = ("dis_max", "constant_score", "boosting",
                   "function_score", "script_score", "pinned",
@@ -218,7 +219,8 @@ def _scores(tgt: _Target, query: dict[str, Any]) -> DataFrame:
         spark = organic.sparkSession
         # step must survive float64 granularity at 3e38 (~4e22); 1e30
         # keeps 3e8 pins strictly ordered and far above any BM25 score
-        pin = spark.createDataFrame(
+        pin = local_df(
+            spark,
             [(int(i), _PIN_BASE - r * 1e30) for r, i in enumerate(ids)],
             "docid long, score double")
         # only ids that exist in the corpus pin (like the reference,

@@ -20,6 +20,7 @@ from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 from ..functions.bm25 import B_DEFAULT, K1_DEFAULT
 from ..functions.tokenizer import tokenize_query
@@ -42,7 +43,7 @@ def explain_match(target, query_text: str, docids: list[int] | None = None,
               "doc_len long, query_mult long, idf double, "
               "tf_norm double, weight double")
     if not uniq:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
 
     if isinstance(target, IndexReader):
         from .index_search import term_doc_tfs
@@ -69,8 +70,8 @@ def explain_match(target, query_text: str, docids: list[int] | None = None,
 
     if docids is not None:
         tf = tf.filter(F.col("docid").isin([int(d) for d in docids]))
-    side = spark.createDataFrame(
-        [(t, int(dfs[t]), int(qcounts[t])) for t in uniq if t in dfs],
+    side = local_df(
+        spark, [(t, int(dfs[t]), int(qcounts[t])) for t in uniq if t in dfs],
         "term string, df long, query_mult long")
     idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))

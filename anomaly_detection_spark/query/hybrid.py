@@ -32,6 +32,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..localdf import local_df
+
 
 def _knn_scores(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """Full (docid, score) set for a knn sub-query — the same
@@ -122,6 +124,12 @@ def hybrid_search(
         if window is not None:
             fr = (fr.orderBy(F.desc("score"), F.asc("docid"))
                   .limit(int(window)))
+        # materialize the (docid, score) set once: the normalization
+        # stats collect below AND the final union both read it — without
+        # truncation the whole sub-query (tokenize + score) re-executes
+        # for the union (guide §5: cache only what is reused; these are
+        # two-column frames)
+        fr = fr.localCheckpoint()
         if normalization == "min_max":
             row = fr.agg(F.min("score").alias("lo"),
                          F.max("score").alias("hi")).collect()[0]
@@ -143,10 +151,9 @@ def hybrid_search(
             F.lit(float(w)).alias("w")))
 
     if not frames:
-        return target.sparkSession.createDataFrame(
-            [], "docid long, score double") \
-            if isinstance(target, DataFrame) else \
-            target.spark.createDataFrame([], "docid long, score double")
+        spark = (target.sparkSession if isinstance(target, DataFrame)
+                 else target.spark)
+        return local_df(spark, [], "docid long, score double")
 
     union = frames[0]
     for fr in frames[1:]:

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 from ..functions.bm25 import B_DEFAULT, K1_DEFAULT, bm25_idf
 from ..functions.codecs import BLOB_DECODERS, codec_name, varint_decode
@@ -410,7 +411,7 @@ def bm25_topk_indexed(
     meta = reader.meta
     qcounts = Counter(tokenize_query(query_text))
     uniq = sorted(qcounts)
-    empty = spark.createDataFrame([], "docid long, score double")
+    empty = local_df(spark, [], "docid long, score double")
     if not uniq:
         return empty
 
@@ -477,7 +478,7 @@ def bm25_topk_indexed(
                                   docs.filter(F.col("seg_id") != seed_seg),
                                   theta_init=theta0)
             both = rest if not seed_rows else rest.unionByName(
-                spark.createDataFrame(seed_rows, "docid long, score double"))
+                local_df(spark, seed_rows, "docid long, score double"))
             return both.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
     local = _cogroup_score(posts, docs)
@@ -501,7 +502,7 @@ def bm25_scores_indexed(
     meta = reader.meta
     qcounts = Counter(tokenize_query(query_text))
     uniq = sorted(qcounts)
-    empty = spark.createDataFrame([], "docid long, score double")
+    empty = local_df(spark, [], "docid long, score double")
     if not uniq:
         return empty
     stats = {r["term"]: r["df"] for r in reader.term_stats()
@@ -584,7 +585,7 @@ def match_phrase_topk_indexed(
             f"rebuild with build_index(..., positions=True) for scored "
             f"match_phrase, or use the brute-force path")
     terms = tokenize_query(phrase)
-    empty = spark.createDataFrame([], "docid long, score double")
+    empty = local_df(spark, [], "docid long, score double")
     if not terms:
         return empty
     m = len(terms)
@@ -741,7 +742,7 @@ def match_phrase_prefix_topk_indexed(
             f"rebuild with build_index(..., positions=True) for scored "
             f"match_phrase_prefix, or use the brute-force path")
     terms = tokenize_query(phrase)
-    empty = spark.createDataFrame([], "docid long, score double")
+    empty = local_df(spark, [], "docid long, score double")
     if not terms:
         return empty
     first, prefix = terms[:-1], terms[-1]
@@ -927,7 +928,7 @@ def span_near_docs_indexed(
             f"index at {reader.index_dir} was built without positions; "
             f"rebuild with build_index(..., positions=True) for span "
             f"queries, or use the brute-force path")
-    empty = spark.createDataFrame([], "docid long")
+    empty = local_df(spark, [], "docid long")
     if not terms:
         return empty
     req = _Counter(terms)
@@ -1075,7 +1076,7 @@ def span_tree_docs_indexed(
             "(compile_filter / span_tree_match_expr_fields)")
     node = _expand_span_preds(reader, node, max_expansions)
     uniq = sorted(tree_terms(node))
-    empty = spark.createDataFrame([], "docid long")
+    empty = local_df(spark, [], "docid long")
     if not uniq:
         return empty
     posts = (reader.postings().filter(F.col("term").isin(uniq))

@@ -26,6 +26,7 @@ from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 from ..functions.tokenizer import tokenize_query
 
@@ -99,7 +100,7 @@ def more_like_this_topk(
 
     is_index = isinstance(target, IndexReader)
     spark = target.spark if is_index else target.sparkSession
-    empty = spark.createDataFrame([], "docid long, score double")
+    empty = local_df(spark, [], "docid long, score double")
 
     tf, like_ids = _like_counts_and_ids(target, like, text_field, is_index)
     cand = sorted(t for t, c in tf.items() if c >= min_term_freq)

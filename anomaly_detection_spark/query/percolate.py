@@ -24,6 +24,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 from .planner import compile_filter
 
@@ -36,8 +37,8 @@ def percolate(docs: DataFrame, queries: dict[str, dict[str, Any]],
     (scored queries don't percolate — same as the reference, where
     percolation is matching, not ranking)."""
     if not queries:
-        return docs.sparkSession.createDataFrame(
-            [], f"{id_col} long, query_id string")
+        return local_df(docs.sparkSession,
+                        [], f"{id_col} long, query_id string")
     items = sorted(queries.items())
     outs = []
     for i in range(0, len(items), max(1, batch_size)):

@@ -29,6 +29,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..localdf import local_df
 
 from ..functions.tokenizer import tokenize_column, tokenize_query
 
@@ -1832,7 +1833,7 @@ def _finish_search(out: DataFrame, size: int, timeout_s: float | None,
         spark = out.sparkSession
         with time_budget(spark, timeout_s, desc=f"search size={size}"):
             rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     return out
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 from ..functions.fuzzy import osa_distance
 from ..functions.tokenizer import tokenize_query
@@ -66,9 +67,9 @@ def suggest_terms(
 
     spark = (target.spark if isinstance(target, IndexReader)
              else target.sparkSession)
-    empty = spark.createDataFrame(
-        [], "input_term string, option string, df long, "
-            "distance int, rank long")
+    empty = local_df(
+        spark, [], "input_term string, option string, df long, "
+                   "distance int, rank long")
     if not terms:
         return empty
     dictionary = _dictionary(target)
@@ -160,8 +161,8 @@ def suggest_phrases(
 
     spark = target.sparkSession
     terms = tokenize_query(text)
-    empty = spark.createDataFrame(
-        [], "suggestion string, score double, n_changes int")
+    empty = local_df(
+        spark, [], "suggestion string, score double, n_changes int")
     if not terms:
         return empty
     m = len(terms)
@@ -244,8 +245,9 @@ def suggest_phrases(
         return empty
     rows = [(" ".join(w), float(s), int(ch)) for w, s, ch in beams]
     rows.sort(key=lambda r: (-r[1], r[0]))
-    return spark.createDataFrame(
-        rows[:size], "suggestion string, score double, n_changes int")
+    return local_df(
+        spark, rows[:size],
+        "suggestion string, score double, n_changes int")
 
 
 def suggest_completions(
@@ -272,7 +274,7 @@ def suggest_completions(
 
     spark = (target.spark if isinstance(target, IndexReader)
              else target.sparkSession)
-    empty = spark.createDataFrame([], "option string, df long, rank long")
+    empty = local_df(spark, [], "option string, df long, rank long")
     if len(toks) != 1:
         if not toks:
             return empty

@@ -33,6 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..localdf import local_df
 
 from ..functions.bm25 import B_DEFAULT, K1_DEFAULT, bm25_idf
 from ..functions.tokenizer import tokenize_query
@@ -108,9 +109,9 @@ def synonym_bm25_scores(
     weights, rows = _group_weights(groups, dfs, stats.n_docs)
     if not rows:
         return empty
-    gmap = F.broadcast(spark.createDataFrame(rows, "term string, gid int"))
-    wmap = F.broadcast(spark.createDataFrame(
-        sorted(weights.items()), "gid int, w double"))
+    gmap = F.broadcast(local_df(spark, rows, "term string, gid int"))
+    wmap = F.broadcast(local_df(
+        spark, sorted(weights.items()), "gid int, w double"))
     cand = analyzed if filter_cond is None else analyzed.filter(filter_cond)
     tf = (cand.select(id_col, "doc_len", F.explode("tokens").alias("term"))
           .join(gmap, "term")
@@ -151,7 +152,7 @@ def synonym_match_topk_indexed(
     :func:`synonym_match_topk` (test-locked)."""
     spark = reader.spark
     meta = reader.meta
-    empty = spark.createDataFrame([], "docid long, score double")
+    empty = local_df(spark, [], "docid long, score double")
     groups = expand_groups(query_text, synonyms)
     if not groups:
         return empty
