@@ -321,11 +321,20 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     par = max(4, df.sparkSession.sparkContext.defaultParallelism)
     # shingle table is used several times (classes, signatures, sizes,
-    # verification): compute once, spread across cores, keep it
+    # verification): compute once, spread across cores, keep it.  Only
+    # the two 64-bit shingle hashes are cached — every consumer
+    # (class key, permutation mins, intersection counts) works on hash
+    # equality classes, so the strings never need to leave the
+    # tokenize stage (guide §2.3 shuffle keys, not payloads; matching
+    # on the 64-bit hash is the same ~2⁻⁶⁴-per-pair trade
+    # decontaminate documents)
     df = df.repartition(par, id_col)
-    sh_cached = df.select(
+    sh_cached = (df.select(
         F.col(id_col).alias("_id"),
-        F.explode(_shingles(text_col, n)).alias("_s")).persist()
+        F.explode(_shingles(text_col, n)).alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_h0"),
+                F.xxhash64("_s", F.lit(3)).alias("_hx"))
+        .persist())
 
     # identical-shingle-set class key: a commutative combination of the
     # per-shingle hashes (count + TWO independent bounded sums + a
@@ -340,11 +349,9 @@ def minhash_lsh_pairs(
     # and the same pass yields the set sizes verification needs.  Sum
     # operands stay < 2^31 (ANSI-safe).
     cls = (sh_cached
-           .withColumn("_h0", F.xxhash64("_s"))
            .withColumn("_ha", F.pmod(F.col("_h0"), F.lit(1 << 31)))
            .withColumn("_hb", F.pmod(F.shiftrightunsigned("_h0", 31),
                                      F.lit(1 << 31)))
-           .withColumn("_hx", F.xxhash64("_s", F.lit(3)))
            .groupBy("_id")
            .agg(F.count("*").alias("_sz"),
                 F.sum("_ha").alias("_h1"),
@@ -368,7 +375,10 @@ def minhash_lsh_pairs(
     else:
         sh_verify = sh_cached
 
-    sig = (_with_shingle_hash(sh_verify).withColumnRenamed("_id", id_col)
+    # _x ≡ pmod(xxhash64(_s), 2³¹) exactly as _with_shingle_hash
+    # computes it — derived from the cached _h0, no re-hash of strings
+    sig = (sh_verify.withColumn("_x", F.pmod(F.col("_h0"), F.lit(1 << 31)))
+           .withColumnRenamed("_id", id_col)
            .groupBy(id_col)
            .agg(*_minhash_aggs(num_hashes, seed)))
     band_cols = [
@@ -383,11 +393,12 @@ def minhash_lsh_pairs(
             for bnd in range(bands)])).alias("bv"))
     cand = _self_pairs_capped(stacked, ["bv"], "_id", bucket_cap).distinct()
 
-    # exact verification of candidates (cached shingles; sizes reuse
-    # the class-key pass)
+    # exact verification of candidates on the cached 64-bit shingle
+    # hashes (equality classes identical to string equality modulo
+    # ~2⁻⁶⁴ collisions); sizes reuse the class-key pass
     sizes = cls.select("_id", "_sz")
-    sha = sh_verify.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
-    shb = sh_verify.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    sha = sh_verify.select(F.col("_id").alias("id_a"), F.col("_h0").alias("_sa"))
+    shb = sh_verify.select(F.col("_id").alias("_idb"), F.col("_h0").alias("_sb"))
     inter = (cand.join(sha, "id_a")
              .join(shb, (F.col("id_b") == F.col("_idb"))
                    & (F.col("_sa") == F.col("_sb")))
