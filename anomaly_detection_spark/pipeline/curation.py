@@ -92,7 +92,8 @@ def decontaminate(
     for not shipping raw 13-grams).
     """
     eval_text_col = eval_text_col or text_col
-    ev = (eval_df.select(
+    par = max(4, train.sparkSession.sparkContext.defaultParallelism)
+    ev = (eval_df.repartition(par, F.col(eval_text_col)).select(
         F.explode(_shingle_hashes(eval_text_col, n)).alias("_sh"))
         .distinct().withColumn("_hit", F.lit(True)))
     if broadcast_eval:
@@ -100,8 +101,12 @@ def decontaminate(
     # ONE tokenize+hash pass over the train side: explode_outer keeps
     # shingle-less docs (one null row → counts 0), the broadcast left
     # join marks collisions without shuffling the big side, and the
-    # groupBy partial-aggregates map-side to ~one row per doc
-    tr = train.select(
+    # groupBy partial-aggregates map-side to ~one row per doc.  The
+    # deterministic id-hash repartition ahead of it spreads the
+    # tokenize+hash stage across cores — single-file tables otherwise
+    # plan a one-task scan and the whole shingle pass runs serial
+    # (guide §2.5 input skew: one unsplittable input)
+    tr = train.repartition(par, id_col).select(
         F.col(id_col),
         F.explode_outer(_shingle_hashes(text_col, n)).alias("_sh"))
     agg = (tr.join(ev, "_sh", "left")
@@ -203,7 +208,12 @@ def repetition_metrics(
     schema = ", ".join(
         [f"{id_col} {dict(df.dtypes)[id_col]}"]
         + [f"{c} double" for c in out_cols[1:]])
-    return df.select(id_col, text_col).mapInPandas(_batch, schema=schema)
+    # deterministic id-hash spread before the per-doc Python pass: a
+    # single-file table plans a one-task scan, which would run the
+    # whole corpus through ONE Python worker (guide §2.5)
+    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
+    return (df.select(id_col, text_col).repartition(par, id_col)
+            .mapInPandas(_batch, schema=schema))
 
 
 # Redaction patterns: Java-regex (Spark) syntax, chosen to also be
@@ -608,9 +618,14 @@ def duplicate_ngram_spans(
     # read it, and its lineage is the tokenize + per-window slice/
     # concat/hash chain — the dominant cost of this op, which would
     # otherwise execute twice (guide §2.4: share the pass, and the
-    # checkpointed frame is (id, pos, hash) rows — hashes, never text)
-    win = (df.select(F.col(id_col), F.posexplode(grams)
-                     .alias("pos", "h"))
+    # checkpointed frame is (id, pos, hash) rows — hashes, never
+    # text).  The id-hash repartition spreads that chain across cores:
+    # a single-file table otherwise plans a one-task scan and the
+    # whole tokenize+hash pass runs serial (guide §2.5)
+    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
+    win = (df.repartition(par, id_col)
+           .select(F.col(id_col), F.posexplode(grams)
+                   .alias("pos", "h"))
            .localCheckpoint(eager=False))
     counts = (win.groupBy("h")
               .agg(F.count("*").alias("c"))

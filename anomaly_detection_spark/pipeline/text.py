@@ -216,7 +216,11 @@ def train_unigram_lm(df: DataFrame, text_col: str = "text",
     logp (``lm_oov_logp``) is derivable from any row:
     ln(k / (N + k·(V + 1))).
     """
-    toks = df.select(F.explode(_tokens(text_col)).alias("t"))
+    # id-less hash spread on the text itself: single-file tables plan
+    # a one-task scan, serializing the tokenize (guide §2.5)
+    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
+    toks = (df.repartition(par, F.col(text_col))
+            .select(F.explode(_tokens(text_col)).alias("t")))
     counts = (toks.groupBy("t").agg(F.count("*").alias("c"))
               .orderBy(F.desc("c"), F.asc("t")).limit(int(vocab_size)))
     tot = toks.count()
@@ -246,8 +250,10 @@ def perplexity_scores(df: DataFrame, lm: DataFrame,
     if oov is None:
         raise ValueError("empty language model")
     oov = float(oov[0])
-    toks = df.select(F.col(id_col),
-                     F.explode(_tokens(text_col)).alias("term"))
+    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
+    toks = (df.repartition(par, id_col)
+            .select(F.col(id_col),
+                    F.explode(_tokens(text_col)).alias("term")))
     joined = toks.join(F.broadcast(lm.select("term", "logp")),
                        "term", "left")
     per_doc = (joined.groupBy(id_col)
