@@ -551,13 +551,17 @@ def build_index(
 
     pending = [k for k in range(n_batches)
                if not (resume and is_done(paths, "batch", k))]
-    if len(pending) <= 1:
+    # depth measured on local[32] at 6M turns: 2 → 38.0s, 3 → 34.4s,
+    # 4 → 67.5s (token-cache pressure collapse) — 3 is the sweet spot;
+    # override for cluster profiles via env
+    depth = int(os.environ.get("ADSPARK_BUILD_PIPELINE", "3"))
+    if len(pending) <= 1 or depth <= 1:
         for k in pending:
             _one_batch(k)
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with ThreadPoolExecutor(max_workers=depth) as pool:
             futs = [pool.submit(_one_batch, k) for k in pending]
             for f in futs:
                 f.result()
