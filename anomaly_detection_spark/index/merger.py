@@ -20,6 +20,7 @@ restart skips completed batches (north_rule).
 from __future__ import annotations
 
 import math
+import os
 import time
 
 import numpy as np
@@ -154,9 +155,7 @@ def merge_segments(
     posts = spark.read.parquet(src.postings).withColumn(
         "new_seg", (F.col("seg_id") / factor).cast("int"))
 
-    for k in range(n_batches):
-        if resume and is_done(dst, "merge_batch", k):
-            continue
+    def _one_batch(k: int) -> None:
         t0 = time.time()
         lo, hi = k * segments_per_batch, (k + 1) * segments_per_batch
         # filter on the RAW seg_id range (new_seg = seg_id // factor is
@@ -231,6 +230,25 @@ def merge_segments(
                     wall_s=time.time() - t0)
         mark_done(dst, "merge_batch", k, wall_s=time.time() - t0)
         log_metric(dst, "merge", batch=k, wall_s=time.time() - t0)
+
+    # merge batches are independent (disjoint batch=K dirs, own atomic
+    # markers; the shared lineage sink is lock-serialized in
+    # storage.py) — run them two-deep so one batch's re-encode tasks
+    # back-fill the tail of its neighbor (guide §2.6), same pattern as
+    # the build's batch pipeline
+    pending = [k for k in range(n_batches)
+               if not (resume and is_done(dst, "merge_batch", k))]
+    depth = int(os.environ.get("ADSPARK_MERGE_PIPELINE", "2"))
+    if len(pending) <= 1 or depth <= 1:
+        for k in pending:
+            _one_batch(k)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=depth) as pool:
+            futs = [pool.submit(_one_batch, k) for k in pending]
+            for f in futs:
+                f.result()
 
     for stage, src_path, dst_path, parts in (
         ("copy_doc_stats", src.doc_stats, dst.doc_stats, 8),

@@ -46,11 +46,13 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     check — at scale the check is a codegen filter feeding one guarded
     count, not a driver loop.
     """
-    # deterministic id-hash spread before the per-row window/split
-    # chain: a single-file table plans a one-task scan, serializing
-    # the whole chunking pass on one core (guide §2.5)
-    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
-    df = df.repartition(par, id_col)
+    # conditional width-spread before the per-row window/split chain:
+    # a single-file table plans a one-task scan, serializing the whole
+    # chunking pass on one core; wide tables pass through shuffle-free
+    # (guide §2.5)
+    from .spread import spread_narrow_scan
+
+    df = spread_narrow_scan(df, id_col)
     if algorithm == "fixed_token_length":
         if not 0.0 <= overlap_rate <= 0.5:
             raise ValueError(

@@ -92,8 +92,9 @@ def decontaminate(
     for not shipping raw 13-grams).
     """
     eval_text_col = eval_text_col or text_col
-    par = max(4, train.sparkSession.sparkContext.defaultParallelism)
-    ev = (eval_df.repartition(par, F.col(eval_text_col)).select(
+    from .spread import spread_narrow_scan
+
+    ev = (spread_narrow_scan(eval_df, F.col(eval_text_col)).select(
         F.explode(_shingle_hashes(eval_text_col, n)).alias("_sh"))
         .distinct().withColumn("_hit", F.lit(True)))
     if broadcast_eval:
@@ -102,11 +103,10 @@ def decontaminate(
     # shingle-less docs (one null row → counts 0), the broadcast left
     # join marks collisions without shuffling the big side, and the
     # groupBy partial-aggregates map-side to ~one row per doc.  The
-    # deterministic id-hash repartition ahead of it spreads the
-    # tokenize+hash stage across cores — single-file tables otherwise
-    # plan a one-task scan and the whole shingle pass runs serial
-    # (guide §2.5 input skew: one unsplittable input)
-    tr = train.repartition(par, id_col).select(
+    # conditional width-spread ahead of it parallelizes the
+    # tokenize+hash stage when the table is a narrow scan (and is a
+    # no-op on wide production tables — guide §2.5)
+    tr = spread_narrow_scan(train, id_col).select(
         F.col(id_col),
         F.explode_outer(_shingle_hashes(text_col, n)).alias("_sh"))
     agg = (tr.join(ev, "_sh", "left")
@@ -208,11 +208,13 @@ def repetition_metrics(
     schema = ", ".join(
         [f"{id_col} {dict(df.dtypes)[id_col]}"]
         + [f"{c} double" for c in out_cols[1:]])
-    # deterministic id-hash spread before the per-doc Python pass: a
+    # conditional width-spread before the per-doc Python pass: a
     # single-file table plans a one-task scan, which would run the
-    # whole corpus through ONE Python worker (guide §2.5)
-    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
-    return (df.select(id_col, text_col).repartition(par, id_col)
+    # whole corpus through ONE Python worker (guide §2.5); no-op on
+    # wide tables
+    from .spread import spread_narrow_scan
+
+    return (spread_narrow_scan(df.select(id_col, text_col), id_col)
             .mapInPandas(_batch, schema=schema))
 
 
@@ -619,11 +621,12 @@ def duplicate_ngram_spans(
     # concat/hash chain — the dominant cost of this op, which would
     # otherwise execute twice (guide §2.4: share the pass, and the
     # checkpointed frame is (id, pos, hash) rows — hashes, never
-    # text).  The id-hash repartition spreads that chain across cores:
-    # a single-file table otherwise plans a one-task scan and the
-    # whole tokenize+hash pass runs serial (guide §2.5)
-    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
-    win = (df.repartition(par, id_col)
+    # text).  The conditional width-spread parallelizes that chain
+    # when the table is a narrow scan (no-op on wide tables —
+    # guide §2.5)
+    from .spread import spread_narrow_scan
+
+    win = (spread_narrow_scan(df, id_col)
            .select(F.col(id_col), F.posexplode(grams)
                    .alias("pos", "h"))
            .localCheckpoint(eager=False))

@@ -319,7 +319,6 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
     # shingle table is used several times (classes, signatures, sizes,
     # verification): compute once, spread across cores, keep it.  Only
     # the two 64-bit shingle hashes are cached — every consumer
@@ -327,8 +326,11 @@ def minhash_lsh_pairs(
     # equality classes, so the strings never need to leave the
     # tokenize stage (guide §2.3 shuffle keys, not payloads; matching
     # on the 64-bit hash is the same ~2⁻⁶⁴-per-pair trade
-    # decontaminate documents)
-    df = df.repartition(par, id_col)
+    # decontaminate documents).  Width-spread is conditional: only a
+    # narrow (single-file) scan pays the text shuffle (guide §2.5)
+    from .spread import spread_narrow_scan
+
+    df = spread_narrow_scan(df, id_col)
     sh_cached = (df.select(
         F.col(id_col).alias("_id"),
         F.explode(_shingles(text_col, n)).alias("_s"))

@@ -216,10 +216,11 @@ def train_unigram_lm(df: DataFrame, text_col: str = "text",
     logp (``lm_oov_logp``) is derivable from any row:
     ln(k / (N + k·(V + 1))).
     """
-    # id-less hash spread on the text itself: single-file tables plan
-    # a one-task scan, serializing the tokenize (guide §2.5)
-    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
-    toks = (df.repartition(par, F.col(text_col))
+    # conditional width-spread on the text itself: single-file tables
+    # plan a one-task scan, serializing the tokenize (guide §2.5)
+    from .spread import spread_narrow_scan
+
+    toks = (spread_narrow_scan(df, F.col(text_col))
             .select(F.explode(_tokens(text_col)).alias("t")))
     counts = (toks.groupBy("t").agg(F.count("*").alias("c"))
               .orderBy(F.desc("c"), F.asc("t")).limit(int(vocab_size)))
@@ -250,8 +251,9 @@ def perplexity_scores(df: DataFrame, lm: DataFrame,
     if oov is None:
         raise ValueError("empty language model")
     oov = float(oov[0])
-    par = max(4, df.sparkSession.sparkContext.defaultParallelism)
-    toks = (df.repartition(par, id_col)
+    from .spread import spread_narrow_scan
+
+    toks = (spread_narrow_scan(df, id_col)
             .select(F.col(id_col),
                     F.explode(_tokens(text_col)).alias("term")))
     joined = toks.join(F.broadcast(lm.select("term", "logp")),

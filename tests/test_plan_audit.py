@@ -217,14 +217,27 @@ def test_semantic_dedup_pairs_no_cartesian(spark):
 def test_chunk_documents_plan_is_narrow_explode(spark):
     from anomaly_detection_spark.pipeline.chunking import chunk_documents
 
+    # a single-file table plans a one-task scan; the conditional
+    # width-spread (pipeline/spread.py, r6) adds exactly ONE exchange
+    # there so the codegen window chain runs cluster-wide
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = chunk_documents(df, token_limit=64, overlap_rate=0.25,
                           max_chunk_limit=-1)
     p = _plan(out)
-    # pure codegen scan + generate: no shuffle, no Python, no join
-    assert "Exchange" not in p
+    # "Exchange (" counts tree nodes (the detail heading is "(n) Exchange")
+    assert p.count("Exchange (") <= 1
     assert "Generate" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    # an input already at cluster width passes through SHUFFLE-FREE —
+    # the spread must be a no-op on wide production tables (the
+    # original no-shuffle contract, now conditional)
+    par = spark.sparkContext.defaultParallelism
+    wide = df.repartition(par, "doc_id")
+    p2 = _plan(chunk_documents(wide, token_limit=64, overlap_rate=0.25,
+                               max_chunk_limit=-1))
+    assert p2.count("Exchange (") == 1  # only the caller's own repartition
+    assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2
 
 
 def test_sparse_encode_plan_is_narrow(spark):
