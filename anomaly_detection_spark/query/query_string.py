@@ -457,8 +457,13 @@ def compile_query_string(spec: dict, simple: bool = False,
             # (OpenSearch rewrites it to a per-field DisMax); any
             # richer syntax must field-qualify explicitly — silently
             # searching only fields[0] would drop matches
+            # strict mode also screens range syntax ([a TO b] is one
+            # token, >=5 / <5 shorthands start with the comparator);
+            # simple mode keeps them literal (SimpleQueryParser has no
+            # range syntax at all)
             plain = all(
                 not t.startswith(('"', '(', '+', '-'))
+                and (simple or not t.startswith(('[', '{', '<', '>')))
                 and ":" not in t and "*" not in t and "?" not in t
                 and "~" not in t and t not in ("AND", "OR", "NOT",
                                                "&&", "||", "!", "|", ")")

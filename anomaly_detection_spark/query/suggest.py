@@ -187,13 +187,17 @@ def suggest_phrases(
     cands = [[(t, 0)] + by_input.get(t, []) for t in terms]
     vocab = sorted({w for cl in cands for w, _ in cl})
 
-    # bounded aggregations: unigram counts + total, adjacent-pair
-    # counts — both filtered to the candidate vocabulary pre-shuffle
+    # bounded aggregations: one scalar agg for the corpus token total,
+    # and unigram counts filtered to the candidate vocabulary BEFORE the
+    # shuffle — the collect is bounded by |vocab|, never by the corpus
+    # term dictionary (like the adjacent-pair pass below)
+    total_row = docs.select(F.sum(F.size("_t")).alias("_n")).collect()[0]
+    total = int(total_row["_n"] or 0)
     uni_rows = (docs.select(F.explode("_t").alias("w"))
-                .groupBy(F.col("w").isin(vocab).alias("_in"), "w")
+                .filter(F.col("w").isin(vocab))
+                .groupBy("w")
                 .agg(F.count("*").alias("c"))).collect()
-    total = sum(r["c"] for r in uni_rows)
-    uni = {r["w"]: r["c"] for r in uni_rows if r["_in"]}
+    uni = {r["w"]: r["c"] for r in uni_rows}
     pairs = {(a, b) for i in range(m - 1)
              for a, _ in cands[i] for b, _ in cands[i + 1]}
     pair_keys = [f"{a}\x00{b}" for a, b in pairs]

@@ -197,6 +197,32 @@ def test_phrase_suggest_max_errors_budget(phrase_corpus):
     assert full[full.suggestion == "nobel prize"].n_changes.iloc[0] == 2
 
 
+def test_phrase_suggest_collects_are_candidate_bounded(spark, monkeypatch):
+    """No driver collect may scale with the corpus term dictionary: the
+    unigram pass is vocab-filtered and the token total is a scalar agg,
+    so every collect is bounded by the candidate set (VERDICT r5 #1)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from anomaly_detection_spark.query.suggest import suggest_phrases
+
+    rows = [(i, "nobel prize " + " ".join(
+        f"filler{i}w{j}" for j in range(5))) for i in range(120)]
+    corpus = analyze_docs(
+        spark.createDataFrame(rows, ["docid", "text"]))
+    # corpus vocabulary is ~600 distinct terms; candidates for a
+    # 2-term query are ≤ 2 × (1 + candidates_per_term=5) words
+    sizes = []
+    orig = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (lambda out: (sizes.append(len(out)), out)[1])(
+            orig(self)))
+    got = suggest_phrases(corpus, "noble prize", size=3)
+    top = orig(got)[0]
+    assert top["suggestion"] == "nobel prize"
+    assert sizes and max(sizes) <= 60
+
+
 def test_phrase_suggest_rejects_index_target(spark, phrase_corpus):
     import shutil
     import tempfile

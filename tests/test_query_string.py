@@ -258,6 +258,16 @@ def test_field_grouping_and_boosts_never_silently_wrong():
     # ranges/shorthands are literal text in simple mode too
     assert compile_query_string({"query": "v:[1 TO 5]"}, simple=True) \
         == {"match": {"text": "v:[1 TO 5]"}}
+    # strict multi-field mode: unqualified range syntax is NOT a plain
+    # term bag — raise like every other rich clause instead of silently
+    # matching the literal text (ADVICE r5)
+    for rich in ("[1 TO 5]", "{1 TO 5}", ">=5", "<5", "fast >3"):
+        with pytest.raises(ValueError, match="field:"):
+            compile_query_string({"query": rich, "fields": ["a", "b"]})
+    # simple multi-field mode keeps them literal (no range syntax there)
+    assert compile_query_string(
+        {"query": "[1 TO 5]", "fields": ["a", "b"]}, simple=True) \
+        == {"multi_match": {"query": "[1 TO 5]", "fields": ["a", "b"]}}
 
 
 def test_score_script_field_containing_score_substring(spark):
