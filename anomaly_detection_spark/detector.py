@@ -1457,6 +1457,16 @@ def run_historical(
         # its range-slice.  Only the MISSING buckets are kept, so the
         # table is small relative to the data; one extra whole-range
         # feature aggregation is the cost.
+        # Memory profile: impute_linear's per-entity window functions
+        # sort one entity's dense bucket series within a task, so peak
+        # per-task memory is O(range/interval) rows per entity — for a
+        # years-long span with few entities this spills before it OOMs
+        # (window sort is spillable), but it does bypass the piece
+        # bound the zero/previous paths enjoy.  A chunk-wise fill
+        # (each gap only needs its two anchor neighbors, so pieces
+        # extended one present bucket each side suffice) is the
+        # escape hatch if that profile ever bites; not done while the
+        # fill table stays preview-identical by construction here.
         from .features import impute_linear
 
         fm_all = feature_matrix(src, det.time_field, det.interval_ms,
